@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — name → (spark, sf_dir) -> DataFrame, one per implemented
+operator from SURVEY.md §2.
+``oracle_sql()`` — name → DuckDB-runnable ANSI SQL equivalent (omitted
+for non-SQL-expressible ops, which get a rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +13,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ecommerce_realtime_pipeline_spark.plans import kpi
+from ecommerce_realtime_pipeline_spark.plans.oracles import KPI_ORACLES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: top products by revenue
+    (lineitem ⋈ broadcast(part) → partial-agg → top-k)."""
+    return kpi.top_products_by_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # R13-R17, R20-R24 — KPI / analytics workload
+        "revenue_trend_daily": kpi.revenue_trend_daily,
+        "orders_per_minute": kpi.orders_per_minute,
+        "revenue_trend_hourly_by_type": kpi.revenue_trend_hourly_by_type,
+        "top_products_by_revenue": kpi.top_products_by_revenue,
+        "top_customers_by_spend": kpi.top_customers_by_spend,
+        "pricing_summary": kpi.pricing_summary,
+        "revenue_by_nation": kpi.revenue_by_nation,
+        "revenue_rollup_region_nation": kpi.revenue_rollup_region_nation,
+        "order_status_distribution": kpi.order_status_distribution,
+        "customer_history": kpi.customer_history,
+        "funnel_stage_counts": kpi.funnel_stage_counts,
+        "funnel_conversion": kpi.funnel_conversion,
+        "sessionization": kpi.sessionization,
+        "jsonb_adhoc": kpi.jsonb_adhoc,
+        "throughput_per_topic": kpi.throughput_per_topic,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL per query (same column names/types/values)."""
+    return dict(KPI_ORACLES)

@@ -1,0 +1,56 @@
+"""Testdata catalog: registers the driver's parquet tables as temp views.
+
+Mirrors the reference's storage bootstrap (``sql/init/01_create_schemas.sql``
++ ``02_create_tables.sql`` executed at container init) — in Spark the
+"catalog init" is just view registration over columnar files; Catalyst
+gets schema + min/max pushdown from the parquet footers for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet scan → columnar, pushdown-capable.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects;
+    read it as long (legacy conf) and floor-truncate ns→µs — exactly
+    what DuckDB does on read, so oracle comparisons line up.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register all testdata tables as temp views; returns name → DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,319 @@
+"""KPI / analytics queries — the reference's declared dashboard workload.
+
+The reference declares (README.md:15, sql/init/03_create_indexes.sql:27-77)
+but never implements: orders-per-minute, revenue trends, top products,
+funnel analysis, customer history, data-quality metrics. Here each is a
+named function ``(spark, sf_dir) -> DataFrame`` over the driver testdata,
+expressed declaratively so Catalyst gets pushdown/pruning/broadcast for
+free.
+
+Determinism contract (for the DuckDB oracle hash-diff): money math is
+done in DECIMAL (exact, order-independent sums), only the final result
+is cast to DOUBLE; time buckets are emitted as formatted strings so both
+engines hash identical values. Every computed column is aliased
+identically here and in the oracle SQL (__spark_entry__.oracle_sql).
+
+Scale notes (100 TB stance) are on each function: which side broadcasts,
+what the shuffle key is, why the aggregate is partial-agg friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_realtime_pipeline_spark.catalog import load_table
+
+# Exact money expression: cast to decimal BEFORE arithmetic so sums are
+# exact and partition-order independent (doubles would make the oracle
+# hash flaky). Mirrors reference round-to-2dp money semantics
+# (schemas.py:61,81 in the reference).
+_D = "decimal(18,2)"
+
+
+def _money(col: str) -> F.Column:
+    return F.col(col).cast(_D)
+
+
+def _as_double(col: F.Column, scale: int = 2) -> F.Column:
+    return F.round(col, scale).cast("double")
+
+
+def revenue_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 'revenue trends': daily order revenue + order count.
+
+    Scale: single shuffle on the (low-cardinality) day bucket with full
+    map-side partial aggregation; scan reads only 2 columns (pruned).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("order_day"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _as_double(F.sum(_money("o_totalprice"))).alias("revenue"),
+        )
+    )
+
+
+def orders_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13 'orders per minute' KPI over the event stream table.
+
+    Tumbling 1-minute buckets via date_trunc: pure map-side bucket +
+    count, one shuffle on the bucket key.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm:ss").alias("minute")
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def revenue_trend_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 sliding-trend variant: hourly value sums per event type."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _as_double(F.sum(F.col("value").cast(_D))).alias("total_value"),
+        )
+    )
+
+
+def top_products_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15 'top products': lineitem ⋈ part, top 10 by discounted revenue.
+
+    Scale: part is the small dim → broadcast join (no shuffle of the
+    fact table); aggregate shuffles on p_partkey only after map-side
+    partial agg. Deterministic tiebreak on p_partkey.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = _money("l_extendedprice") * (F.lit(1).cast(_D) - _money("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            _as_double(F.sum(revenue)).alias("revenue"),
+            F.sum("l_quantity").cast("double").alias("total_qty"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+def top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15/R22: top 10 customers by total order spend (orders ⋈ customer)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            _as_double(F.sum(_money("o_totalprice"))).alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary (R21/R24): 2-key groupBy, 8 aggregates.
+
+    All sums in DECIMAL (exact); averages derived from exact sums and
+    counts in double (deterministic given identical operands).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = _money("l_quantity")
+    base = _money("l_extendedprice")
+    disc_price = _money("l_extendedprice") * (F.lit(1).cast(_D) - _money("l_discount"))
+    charge = disc_price * (F.lit(1).cast(_D) + _money("l_tax"))
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _as_double(F.sum(qty)).alias("sum_qty"),
+            _as_double(F.sum(base)).alias("sum_base_price"),
+            _as_double(F.sum(disc_price)).alias("sum_disc_price"),
+            _as_double(F.sum(charge)).alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(base).cast("double") / n, 6).alias("avg_price"),
+            F.round(F.sum(_money("l_discount")).cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-flavor multi-join: revenue per customer nation.
+
+    Scale: nation/region are tiny broadcast dims; customer is broadcast-
+    sized at test SF but would be a shuffle join at 100 TB — Catalyst/AQE
+    picks per actual size, we only hint the always-tiny sides.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _as_double(F.sum(_money("o_totalprice"))).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24 grouping-sets/ROLLUP: revenue at (region, nation), (region), ().
+
+    Spark ROLLUP == SQL ROLLUP; null group keys coalesced to 'ALL' so the
+    oracle hashes identically.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            _as_double(F.sum(_money("o_totalprice"))).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+def order_status_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2/R21: status filter domain + counts (mirrors the reference's
+    partial index WHERE status IN (...) workload)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _as_double(F.sum(_money("o_totalprice"))).alias("revenue"),
+        _as_double(F.min(_money("o_totalprice"))).alias("min_price"),
+        _as_double(F.max(_money("o_totalprice"))).alias("max_price"),
+    )
+
+
+def customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R17 customer-history slice: per-customer order time-series summary.
+
+    Scale: one shuffle on o_custkey (the reference's composite index
+    (customer_id, created_at) becomes the shuffle+sort key).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_orders"),
+        _as_double(F.sum(_money("o_totalprice"))).alias("lifetime_value"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+    )
+
+
+def funnel_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16 funnel: per-stage event and unique-user counts."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16 funnel conversion: users whose first 'view' precedes their
+    last 'purchase' (view→purchase conversion), vs stage user counts.
+
+    Expressed as conditional aggregation — one shuffle on user_id, no
+    self-join (the naive events-to-events join would be quadratic in
+    hot users at 100 TB).
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_view").alias("n_viewers"),
+        F.count("last_purchase").alias("n_purchasers"),
+        F.sum(
+            F.when(F.col("first_view") < F.col("last_purchase"), 1).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16/§2.7 session windows (30-min inactivity gap), batch flavor.
+
+    Window(lag) + cumulative-sum-of-gap-flags: one shuffle+sort on
+    (user_id, ts) — the classic scalable sessionization (no per-user
+    collect, works on arbitrarily long histories).
+    """
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    # microsecond-exact integer gap: deterministic across engines
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    with_flag = events.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    return with_flag.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def jsonb_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20 JSONB ad-hoc query: key extraction + containment over the raw
+    JSON props column (the reference's GIN-index workload →
+    get_json_object over a string column; at rest this would be a
+    parsed struct column with pushdown)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select(k.alias("k"))
+        .filter(F.col("k").isNotNull() & (F.col("k") >= 50))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def throughput_per_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R21 count/throughput agg: per event_type msgs/sec over the table's
+    time span (mirrors the reference's throughput assertions)."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    # integer-µs span, identical in both engines; single double division
+    span_sec = (F.max(us) - F.min(us)) / F.lit(1_000_000.0)
+    per_type = events.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    span_df = events.agg(span_sec.alias("span_sec"))
+    return per_type.crossJoin(F.broadcast(span_df)).select(
+        "event_type",
+        "n_events",
+        F.round(F.col("n_events") / F.col("span_sec"), 6).alias("events_per_sec"),
+    )

@@ -1,0 +1,165 @@
+"""DuckDB oracle SQL — one ANSI-SQL equivalent per engine query.
+
+The driver runs each Spark query AND its oracle at sf0.01 and compares
+row-count + schema + order-insensitive value hash. Rules used here:
+
+- money math in DECIMAL(18,2) before summing (exact, order-independent)
+  then ROUND(...,2) and CAST AS DOUBLE — identical to the Spark side;
+- time buckets emitted via strftime as strings;
+- integer-typed sums cast to BIGINT (DuckDB SUM(int) is HUGEINT);
+- every computed column aliased identically to the Spark DataFrame.
+"""
+
+from __future__ import annotations
+
+KPI_ORACLES: dict[str, str] = {
+    "revenue_trend_daily": """
+        SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS order_day,
+               count(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY 1
+    """,
+    "orders_per_minute": """
+        SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    "revenue_trend_hourly_by_type": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
+               count(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "top_products_by_revenue": """
+        SELECT p_partkey, p_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+               CAST(SUM(l_quantity) AS DOUBLE) AS total_qty,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, p_partkey ASC
+        LIMIT 10
+    """,
+    "top_customers_by_spend": """
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_spend,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT c_custkey, c_name, c_mktsegment, total_spend, n_orders
+        FROM spend JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_spend DESC, c_custkey ASC
+        LIMIT 10
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                               * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+    """,
+    "revenue_by_nation": """
+        SELECT r_name, n_name,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    """,
+    "revenue_rollup_region_nation": """
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "order_status_distribution": """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+               CAST(ROUND(MIN(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS min_price,
+               CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS max_price
+        FROM orders
+        GROUP BY 1
+    """,
+    "customer_history": """
+        SELECT o_custkey AS custkey,
+               count(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS lifetime_value,
+               strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+               strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+        FROM orders
+        GROUP BY 1
+    """,
+    "funnel_stage_counts": """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+    """,
+    "funnel_conversion": """
+        SELECT count(*) AS n_users,
+               count(first_view) AS n_viewers,
+               count(last_purchase) AS n_purchasers,
+               CAST(SUM(CASE WHEN first_view < last_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        FROM (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                   max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+            FROM events
+            GROUP BY user_id
+        )
+    """,
+    "sessionization": """
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR epoch_us(ts)
+                                - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM flagged
+        GROUP BY user_id
+    """,
+    "jsonb_adhoc": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               count(*) AS n
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+        GROUP BY 1
+    """,
+    "throughput_per_topic": """
+        SELECT event_type,
+               count(*) AS n_events,
+               ROUND(count(*) / (SELECT (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 FROM events), 6) AS events_per_sec
+        FROM events
+        GROUP BY 1
+    """,
+}
