@@ -36,6 +36,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     what DuckDB does on read, so oracle comparisons line up.
     """
     if name == "events":
+        # Our session factory sets this at build time; set it here too so
+        # load_table also works on a driver-owned session. Scoped to the
+        # events read path — the only ns-timestamp table — so other reads
+        # are unaffected (the conf only changes TIMESTAMP(NANOS) columns).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":

@@ -153,26 +153,37 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-flavor multi-join: revenue per customer nation.
+def _customer_geo_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared join tree for the nation-revenue family.
 
-    Scale: nation/region are tiny broadcast dims; customer is broadcast-
-    sized at test SF but would be a shuffle join at 100 TB — Catalyst/AQE
-    picks per actual size, we only hint the always-tiny sides.
+    Scale: the fact table (orders) is pre-aggregated by ``o_custkey``
+    BEFORE joining customers — the shuffle carries one row per customer
+    instead of one per order (orders/customer ratio smaller). nation and
+    region are tiny broadcast dims; customer⋈spend is the only real
+    shuffle and AQE picks broadcast vs sort-merge from actual size.
+    Emits ``_spend`` (exact decimal) + ``_cnt`` per customer with geo
+    columns attached.
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_money("o_totalprice")).alias("_spend"),
+        F.count("*").alias("_cnt"),
+    )
     return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            _as_double(F.sum(_money("o_totalprice"))).alias("revenue"),
-            F.count("*").alias("n_orders"),
-        )
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-flavor multi-join: revenue per customer nation."""
+    return _customer_geo_spend(spark, sf_dir).groupBy("r_name", "n_name").agg(
+        _as_double(F.sum("_spend")).alias("revenue"),
+        F.sum("_cnt").alias("n_orders"),
     )
 
 
@@ -180,22 +191,15 @@ def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R24 grouping-sets/ROLLUP: revenue at (region, nation), (region), ().
 
     Spark ROLLUP == SQL ROLLUP; null group keys coalesced to 'ALL' so the
-    oracle hashes identically.
+    oracle hashes identically. Reuses the pre-aggregated join tree of
+    ``revenue_by_nation``.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    joined = (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    )
     return (
-        joined.rollup("r_name", "n_name")
+        _customer_geo_spend(spark, sf_dir)
+        .rollup("r_name", "n_name")
         .agg(
-            _as_double(F.sum(_money("o_totalprice"))).alias("revenue"),
-            F.count("*").alias("n_orders"),
+            _as_double(F.sum("_spend")).alias("revenue"),
+            F.sum("_cnt").alias("n_orders"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
@@ -294,7 +298,9 @@ def jsonb_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object over a string column; at rest this would be a
     parsed struct column with pushdown)."""
     events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast: a non-numeric props.$.k must yield null (and be filtered),
+    # not hard-error under ANSI mode — mirrors TRY_CAST in the oracle.
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         events.select(k.alias("k"))
         .filter(F.col("k").isNotNull() & (F.col("k") >= 50))
@@ -305,15 +311,26 @@ def jsonb_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def throughput_per_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R21 count/throughput agg: per event_type msgs/sec over the table's
-    time span (mirrors the reference's throughput assertions)."""
+    time span (mirrors the reference's throughput assertions).
+
+    Scale: ONE scan of events — per-type min/max µs ride along in the
+    grouped aggregate, and the global span is an unpartitioned window
+    over the already-aggregated frame (≤ #event_types rows, trivially
+    cheap vs the second full scan it replaces).
+    """
+    from pyspark.sql import Window as W
+
     events = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
-    # integer-µs span, identical in both engines; single double division
-    span_sec = (F.max(us) - F.min(us)) / F.lit(1_000_000.0)
-    per_type = events.groupBy("event_type").agg(F.count("*").alias("n_events"))
-    span_df = events.agg(span_sec.alias("span_sec"))
-    return per_type.crossJoin(F.broadcast(span_df)).select(
+    per_type = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min(us).alias("_min_us"),
+        F.max(us).alias("_max_us"),
+    )
+    w = W.partitionBy()  # global window over the tiny aggregated frame
+    span_sec = (F.max("_max_us").over(w) - F.min("_min_us").over(w)) / F.lit(1_000_000.0)
+    return per_type.select(
         "event_type",
         "n_events",
-        F.round(F.col("n_events") / F.col("span_sec"), 6).alias("events_per_sec"),
+        F.round(F.col("n_events") / span_sec, 6).alias("events_per_sec"),
     )

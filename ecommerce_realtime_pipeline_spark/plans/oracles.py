@@ -149,10 +149,10 @@ KPI_ORACLES: dict[str, str] = {
         GROUP BY user_id
     """,
     "jsonb_adhoc": """
-        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
                count(*) AS n
         FROM events
-        WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+        WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) >= 50
         GROUP BY 1
     """,
     "throughput_per_topic": """

@@ -37,4 +37,4 @@ def test_all_queries_run(spark, sf_dir):
 
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
-    assert df.count() >= 0
+    assert df.count() > 0
