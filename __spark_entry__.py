@@ -13,7 +13,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ecommerce_realtime_pipeline_spark.plans import kpi
+from ecommerce_realtime_pipeline_spark.plans import dq, kpi
+from ecommerce_realtime_pipeline_spark.plans.dq import DQ_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.oracles import KPI_ORACLES
 
 
@@ -42,10 +43,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": kpi.sessionization,
         "jsonb_adhoc": kpi.jsonb_adhoc,
         "throughput_per_topic": kpi.throughput_per_topic,
+        # R3-R8, R12, R18, R23 — validation / data-quality family
+        "dq_fk_orphans": dq.dq_fk_orphans,
+        "dq_duplicate_keys": dq.dq_duplicate_keys,
+        "dq_constraint_violations": dq.dq_constraint_violations,
+        "order_total_reagg": dq.order_total_reagg,
+        "dq_metrics": dq.dq_metrics,
+        "dedup_lineitem_latest": dq.dedup_lineitem_latest,
     }
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query (same column names/types/values)."""
-    return dict(KPI_ORACLES)
+    return {**KPI_ORACLES, **DQ_ORACLES}

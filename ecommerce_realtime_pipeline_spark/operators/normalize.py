@@ -1,0 +1,115 @@
+"""Normalization ETL operators (SURVEY §2.4 R1, R3, R4, R9–R11, R10).
+
+The reference's declared consume→normalize path: raw JSONB envelope
+rows (``sql/init/02_create_tables.sql:9-47``) are parsed into typed
+silver tables "matching the Pydantic models exactly" (:49-50), the
+nested ``Order.items`` array is exploded into ``order_items`` with a
+stored generated ``line_total`` (:93-109), ingestion is made
+exactly-once by the ``(topic_partition, topic_offset)`` unique key
+(:16), entity tables are last-write-wins by UUID key (compacted
+customers topic), and audit timestamps are stamped by trigger
+(:143-163).
+
+Scale stance (100 TB):
+- ``from_json`` with an explicit StructType (never inference) is a
+  narrow codegen'd projection; parse failures become NULL structs and
+  route to quarantine instead of being dropped (strict-schema stance).
+- Offset dedup is ``dropDuplicates`` on the envelope key — one shuffle,
+  and in streaming it rides the watermarked state store instead.
+- Key dedup (upsert) is a window ``row_number()==1`` under
+  (updated_at DESC, tiebreak) — one shuffle on the entity key.
+- ``explode`` is narrow; line_total is computed per line with bround
+  (HALF_UP, matching DECIMAL(10,2) storage semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ecommerce_realtime_pipeline_spark.schemas import ENTITY_SCHEMAS
+
+ENVELOPE_KEY = ["topic", "topic_partition", "topic_offset"]
+
+
+def dedup_offsets(raw: DataFrame) -> DataFrame:
+    """R3 exactly-once landing: drop replayed (topic, partition, offset)
+    rows — the Spark form of the raw tables' UNIQUE constraint."""
+    return raw.dropDuplicates(ENVELOPE_KEY)
+
+
+def parse_envelope(raw: DataFrame, entity: str) -> tuple[DataFrame, DataFrame]:
+    """R1: raw JSON payload → typed columns via the entity's declared
+    StructType. Returns (typed, parse_quarantine); a payload that fails
+    to parse (NULL struct) or lacks the entity's id is quarantined with
+    the raw row intact for reprocessing (the JSONB audit-table intent).
+    """
+    schema = ENTITY_SCHEMAS[entity]
+    id_field = schema.fields[0].name  # product_id / customer_id / order_id / event_id
+    parsed = raw.withColumn("_payload", F.from_json(F.col("payload"), schema))
+    bad = parsed.filter(
+        F.col("_payload").isNull() | F.col(f"_payload.{id_field}").isNull()
+    ).drop("_payload")
+    good = parsed.filter(
+        F.col("_payload").isNotNull() & F.col(f"_payload.{id_field}").isNotNull()
+    )
+    typed = good.select(*ENVELOPE_KEY, "consumed_at", F.col("_payload.*"))
+    return typed, bad
+
+
+def latest_by_key(df: DataFrame, key: str, order_col: str = "updated_at") -> DataFrame:
+    """R4 last-write-wins upsert (compacted-topic semantics): one row
+    per key, newest ``order_col`` wins; offset is the deterministic
+    tiebreak for same-timestamp rewrites."""
+    tiebreaks = [F.col(c).desc() for c in ENVELOPE_KEY if c in df.columns]
+    rn = F.row_number().over(
+        Window.partitionBy(key).orderBy(F.col(order_col).desc_nulls_last(), *tiebreaks)
+    )
+    return df.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def stamp_audit(df: DataFrame) -> DataFrame:
+    """R10 audit-timestamp stamping (the BEFORE UPDATE trigger +
+    inserted_at defaults): processing-time columns added at write."""
+    now = F.current_timestamp()
+    return df.withColumn("inserted_at", now).withColumn("last_modified", now)
+
+
+def explode_order_items(orders: DataFrame) -> DataFrame:
+    """R11 + R9: unnest ``items`` into the order_items child table with
+    the generated ``line_total = bround(quantity * unit_price, 2)``.
+
+    Narrow (no shuffle); empty/null items arrays produce no child rows,
+    mirroring the relational model.
+    """
+    item = F.explode("items").alias("item")
+    return (
+        orders.select("order_id", item)
+        .select(
+            "order_id",
+            F.col("item.product_id").alias("product_id"),
+            F.col("item.quantity").alias("quantity"),
+            F.col("item.unit_price").alias("unit_price"),
+        )
+        .withColumn(
+            "line_total",
+            F.bround(
+                F.col("quantity").cast("decimal(18,2)") * F.col("unit_price"), 2
+            ).cast(T.DecimalType(10, 2)),
+        )
+    )
+
+
+def normalize_entity(raw: DataFrame, entity: str) -> tuple[DataFrame, DataFrame]:
+    """Envelope → silver for one entity: offset dedup → typed parse →
+    last-write-wins by entity key → audit stamp.
+
+    Returns (silver, parse_quarantine). For orders, pair with
+    ``explode_order_items`` for the child table.
+    """
+    schema = ENTITY_SCHEMAS[entity]
+    id_field = schema.fields[0].name
+    typed, bad = parse_envelope(dedup_offsets(raw), entity)
+    silver = stamp_audit(latest_by_key(typed, id_field))
+    return silver, bad

@@ -1,0 +1,353 @@
+"""Data-quality queries (SURVEY §2.4 R3–R8, R12, R18, R23) over the
+driver testdata — the batch face of the validation/quarantine operator
+family in ``operators/validation.py``.
+
+The reference encodes these semantics as Postgres constraints
+(``sql/init/02_create_tables.sql:56-121``: CHECKs, ``email UNIQUE``,
+``UNIQUE(order_id, product_id)``, 4 FKs) and a ``processing_stats``
+metrics table (:134-141). Here each becomes a declarative DataFrame
+query with a DuckDB oracle.
+
+Scale stance (100 TB):
+- FK orphan checks are LEFT ANTI joins — Catalyst broadcasts the
+  smaller (distinct-key) side; counting collapses to a 1-row aggregate
+  before anything crosses the driver boundary.
+- Row-rule counts are conditional aggregations folded into ONE scan per
+  table (not one scan per rule).
+- The per-rule metrics view stacks 1-row aggregates with unionByName —
+  the unioned frames are already aggregated, so the union moves a few
+  dozen rows, never data.
+- Dedup keeps `row_number()==1` under a deterministic total order (one
+  shuffle on the dup key) — the batch form of last-write-wins upsert.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_realtime_pipeline_spark.catalog import load_table
+
+# Domains observed in the driver testdata (TPC-H-ish); the analog of the
+# reference's status/event_type CHECK IN (...) lists.
+TPCH_ORDER_STATUSES = ("O", "F", "P")
+TPCH_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+_D = "decimal(18,2)"
+
+
+def _cnt_if(cond, alias: str):
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(alias)
+
+
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: orphan-row counts for every FK relationship in the testdata
+    star schema (orders→customer, lineitem→orders, lineitem→part,
+    events→customer). One row, four counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    events = load_table(spark, sf_dir, "events")
+
+    def orphans(child: DataFrame, fk: str, parent: DataFrame, pk: str, alias: str) -> DataFrame:
+        return (
+            child.join(parent.select(pk).distinct(), child[fk] == parent[pk], "left_anti")
+            .agg(F.count("*").alias(alias))
+        )
+
+    a = orphans(orders, "o_custkey", customer, "c_custkey", "orders_no_customer")
+    b = orphans(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_no_order")
+    c = orphans(lineitem, "l_partkey", part, "p_partkey", "lineitem_no_part")
+    d = orphans(events, "user_id", customer, "c_custkey", "events_no_user")
+    # all four are 1-row aggregates — the cross joins move 4 rows total
+    return a.crossJoin(b).crossJoin(c).crossJoin(d)
+
+
+def dq_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: uniqueness-constraint audit — duplicate counts for each
+    primary key (and the lineitem line-number compound key)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    a = customer.agg(
+        (F.count("*") - F.countDistinct("c_custkey")).alias("customer_pk_dups")
+    )
+    b = orders.agg((F.count("*") - F.countDistinct("o_orderkey")).alias("orders_pk_dups"))
+    c = part.agg((F.count("*") - F.countDistinct("p_partkey")).alias("part_pk_dups"))
+    d = lineitem.agg(
+        (F.count("*") - F.countDistinct("l_orderkey", "l_linenumber")).alias("lineitem_line_dups")
+    )
+    return a.crossJoin(b).crossJoin(c).crossJoin(d)
+
+
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7/R8: NOT NULL + range + domain CHECK counts, one conditional-agg
+    scan per table (orders, lineitem, events). One row."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    o = orders.agg(
+        _cnt_if(F.col("o_custkey").isNull(), "null_custkey"),
+        _cnt_if(F.col("o_totalprice") < 0, "neg_totalprice"),
+        _cnt_if(~F.col("o_orderstatus").isin(list(TPCH_ORDER_STATUSES)), "bad_status"),
+    )
+    li = lineitem.agg(
+        _cnt_if(F.col("l_quantity") <= 0, "nonpos_quantity"),
+        _cnt_if(F.col("l_extendedprice") < 0, "neg_extendedprice"),
+        _cnt_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1), "bad_discount"),
+    )
+    ev = events.agg(
+        _cnt_if(~F.col("event_type").isin(list(TPCH_EVENT_TYPES)), "bad_event_type"),
+        _cnt_if(F.col("user_id").isNull(), "null_user_id"),
+    )
+    return o.crossJoin(li).crossJoin(ev)
+
+
+def order_total_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 re-aggregation check: recompute each order's total from its
+    line items (Σ extprice·(1−disc)·(1+tax), rounded per line then
+    summed exactly in DECIMAL) and count headers that disagree by more
+    than 1 cent, plus headers with no lines at all. One row.
+
+    Scale: one shuffle of lineitem on l_orderkey (pre-aggregated
+    map-side), then a join against orders on its key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    line_charge = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+    ).cast(_D)
+    recomputed = lineitem.groupBy("l_orderkey").agg(
+        F.sum(line_charge).alias("_recomputed")
+    )
+    joined = orders.join(
+        recomputed, orders.o_orderkey == recomputed.l_orderkey, "left"
+    )
+    diff = F.abs(F.col("o_totalprice").cast(_D) - F.col("_recomputed"))
+    return joined.agg(
+        F.count("*").alias("n_orders"),
+        _cnt_if(F.col("_recomputed").isNull(), "n_orders_without_items"),
+        _cnt_if(diff <= 0.01, "n_total_matches"),
+        _cnt_if(diff > 0.01, "n_total_mismatches"),
+    )
+
+
+def dq_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18 + R23: the per-rule data-quality metrics table — long format
+    (table_name, rule, n_violations), one row per audited rule, built by
+    unpivoting each table's single-scan conditional aggregate and
+    stacking the (already 1-row) frames with unionByName."""
+    viol = dq_constraint_violations(spark, sf_dir)
+    fk = dq_fk_orphans(spark, sf_dir)
+    dup = dq_duplicate_keys(spark, sf_dir)
+
+    table_of = {
+        "null_custkey": "orders",
+        "neg_totalprice": "orders",
+        "bad_status": "orders",
+        "nonpos_quantity": "lineitem",
+        "neg_extendedprice": "lineitem",
+        "bad_discount": "lineitem",
+        "bad_event_type": "events",
+        "null_user_id": "events",
+        "orders_no_customer": "orders",
+        "lineitem_no_order": "lineitem",
+        "lineitem_no_part": "lineitem",
+        "events_no_user": "events",
+        "customer_pk_dups": "customer",
+        "orders_pk_dups": "orders",
+        "part_pk_dups": "part",
+        "lineitem_line_dups": "lineitem",
+    }
+
+    def melt(df: DataFrame) -> DataFrame:
+        unp = df.unpivot([], df.columns, "rule", "n_violations")
+        table_expr = reduce(
+            lambda acc, kv: acc.when(F.col("rule") == kv[0], F.lit(kv[1])),
+            table_of.items(),
+            F.when(F.lit(False), F.lit("")),
+        )
+        return unp.select(
+            table_expr.alias("table_name"), "rule", F.col("n_violations").cast("long")
+        )
+
+    return melt(viol).unionByName(melt(fk)).unionByName(melt(dup))
+
+
+def dedup_lineitem_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 key-dedup (last-write-wins upsert, batch form): keep exactly
+    one lineitem row per (l_orderkey, l_linenumber) under a
+    deterministic total order, report survivor-set aggregates.
+
+    The testdata deliberately carries duplicate line numbers, so this
+    exercises real dedup. One shuffle on the compound key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    order_cols = [
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ]
+    rn = F.row_number().over(
+        Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            *[F.col(c).asc() for c in order_cols]
+        )
+    )
+    kept = li.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+    total = li.agg(F.count("*").alias("_n_total"))
+    summary = kept.agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.sum(F.col("l_quantity").cast(_D)), 2).cast("double").alias("sum_qty_kept"),
+        F.round(F.sum(F.col("l_extendedprice").cast(_D)), 2)
+        .cast("double")
+        .alias("sum_extprice_kept"),
+    )
+    return summary.crossJoin(total).select(
+        "n_kept",
+        (F.col("_n_total") - F.col("n_kept")).alias("n_dropped"),
+        "sum_qty_kept",
+        "sum_extprice_kept",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (driver runs these side-by-side at sf0.01)
+# ---------------------------------------------------------------------------
+
+DQ_ORACLES: dict[str, str] = {
+    "dq_fk_orphans": """
+        SELECT
+          (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+          ) AS orders_no_customer,
+          (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          ) AS lineitem_no_order,
+          (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+          ) AS lineitem_no_part,
+          (SELECT count(*) FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+          ) AS events_no_user
+    """,
+    "dq_duplicate_keys": """
+        SELECT
+          (SELECT count(*) - count(DISTINCT c_custkey) FROM customer) AS customer_pk_dups,
+          (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS orders_pk_dups,
+          (SELECT count(*) - count(DISTINCT p_partkey) FROM part) AS part_pk_dups,
+          (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)
+              AS lineitem_line_dups
+    """,
+    "dq_constraint_violations": """
+        SELECT * FROM
+          (SELECT
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+             CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_totalprice,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+                 AS bad_status
+           FROM orders),
+          (SELECT
+             CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_quantity,
+             CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS neg_extendedprice,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS bad_discount
+           FROM lineitem),
+          (SELECT
+             CAST(SUM(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_event_type,
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id
+           FROM events)
+    """,
+    "order_total_reagg": """
+        WITH recomputed AS (
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2)
+                            AS DECIMAL(18,2))) AS _recomputed
+            FROM lineitem GROUP BY 1
+        )
+        SELECT count(*) AS n_orders,
+               CAST(SUM(CASE WHEN _recomputed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_orders_without_items,
+               CAST(SUM(CASE WHEN abs(CAST(o_totalprice AS DECIMAL(18,2)) - _recomputed) <= 0.01
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_total_matches,
+               CAST(SUM(CASE WHEN abs(CAST(o_totalprice AS DECIMAL(18,2)) - _recomputed) > 0.01
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_total_mismatches
+        FROM orders LEFT JOIN recomputed ON o_orderkey = l_orderkey
+    """,
+    "dq_metrics": """
+        WITH o AS (SELECT
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+             CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_totalprice,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+                 AS bad_status
+           FROM orders),
+        li AS (SELECT
+             CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_quantity,
+             CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS neg_extendedprice,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS bad_discount
+           FROM lineitem),
+        ev AS (SELECT
+             CAST(SUM(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_event_type,
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id
+           FROM events)
+        SELECT 'orders' AS table_name, 'null_custkey' AS rule, null_custkey AS n_violations FROM o
+        UNION ALL SELECT 'orders', 'neg_totalprice', neg_totalprice FROM o
+        UNION ALL SELECT 'orders', 'bad_status', bad_status FROM o
+        UNION ALL SELECT 'lineitem', 'nonpos_quantity', nonpos_quantity FROM li
+        UNION ALL SELECT 'lineitem', 'neg_extendedprice', neg_extendedprice FROM li
+        UNION ALL SELECT 'lineitem', 'bad_discount', bad_discount FROM li
+        UNION ALL SELECT 'events', 'bad_event_type', bad_event_type FROM ev
+        UNION ALL SELECT 'events', 'null_user_id', null_user_id FROM ev
+        UNION ALL SELECT 'orders', 'orders_no_customer',
+          (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL SELECT 'lineitem', 'lineitem_no_order',
+          (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL SELECT 'lineitem', 'lineitem_no_part',
+          (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        UNION ALL SELECT 'events', 'events_no_user',
+          (SELECT count(*) FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        UNION ALL SELECT 'customer', 'customer_pk_dups',
+          (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+        UNION ALL SELECT 'orders', 'orders_pk_dups',
+          (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        UNION ALL SELECT 'part', 'part_pk_dups',
+          (SELECT count(*) - count(DISTINCT p_partkey) FROM part)
+        UNION ALL SELECT 'lineitem', 'lineitem_line_dups',
+          (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)
+    """,
+    "dedup_lineitem_latest": """
+        WITH ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY l_orderkey, l_linenumber
+                       ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice,
+                                l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+                   ) AS _rn
+            FROM lineitem
+        )
+        SELECT count(*) AS n_kept,
+               (SELECT count(*) FROM lineitem) - count(*) AS n_dropped,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty_kept,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS sum_extprice_kept
+        FROM ranked WHERE _rn = 1
+    """,
+}
