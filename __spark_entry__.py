@@ -13,8 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ecommerce_realtime_pipeline_spark.plans import dq, kpi
+from ecommerce_realtime_pipeline_spark.plans import dq, kpi, llm
 from ecommerce_realtime_pipeline_spark.plans.dq import DQ_ORACLES
+from ecommerce_realtime_pipeline_spark.plans.llm import LLM_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.oracles import KPI_ORACLES
 
 
@@ -50,10 +51,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_total_reagg": dq.order_total_reagg,
         "dq_metrics": dq.dq_metrics,
         "dedup_lineitem_latest": dq.dedup_lineitem_latest,
+        # §2.9 — LLM-data-pipeline operators (driver-mandated)
+        "docs_text_stats": llm.docs_text_stats,
+        "docs_quality": llm.docs_quality,
+        "docs_lang_id": llm.docs_lang_id,
+        "docs_fingerprint_minhash": llm.docs_fingerprint_minhash,
+        "docs_exact_dedup": llm.docs_exact_dedup,
+        "docs_neardup_jaccard": llm.docs_neardup_jaccard,
+        "docs_neardup_minhash": llm.docs_neardup_minhash,
+        "docs_neardup_simhash": llm.docs_neardup_simhash,
+        "emb_knn_bruteforce": llm.emb_knn_bruteforce,
+        "emb_knn_lsh": llm.emb_knn_lsh,
+        "emb_label_centroids": llm.emb_label_centroids,
+        "mm_feature_summary": llm.mm_feature_summary,
     }
     return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query (same column names/types/values)."""
-    return {**KPI_ORACLES, **DQ_ORACLES}
+    """DuckDB oracle SQL per query (same column names/types/values).
+
+    Rows-only (no oracle): docs_neardup_simhash, emb_knn_lsh (hash-
+    seeded candidate generation), mm_feature_summary (Pandas path) —
+    each pinned against an exact counterpart in tests/test_llm_ops.py.
+    """
+    return {**KPI_ORACLES, **DQ_ORACLES, **LLM_ORACLES}

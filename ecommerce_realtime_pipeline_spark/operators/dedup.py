@@ -1,0 +1,217 @@
+"""Deduplication operators for the LLM-data-pipeline surface
+(SURVEY §2.9): exact (hash groupBy), n-gram-Jaccard near-dup (inverted
+index), MinHash + LSH banding, and SimHash.
+
+Scale stance (100 TB):
+- Exact dedup: fingerprint groupBy — one shuffle on the md5 key.
+- Jaccard: NEVER all-pairs. Pairs are generated only through shared
+  shingles (inverted-index self-join) — the standard set-similarity
+  join. At web scale you additionally drop ultra-frequent shingles
+  (doc-frequency cutoff) to bound bucket fan-out; exposed as
+  ``max_shingle_df`` so the cutoff is explicit, not silent.
+- MinHash: k hash functions as k aggregate columns over ONE exploded
+  shingle pass (one shuffle); LSH bands hashed and exploded so
+  candidate generation is an equi-join on (band, band_hash) — never a
+  cross join. Candidates are verified with exact Jaccard before
+  emission (no false positives; recall governed by the b×r S-curve).
+- SimHash: bitwise sign aggregation per doc (one shuffle), banded
+  equi-join + popcount(xor) verify for near-dup pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ecommerce_realtime_pipeline_spark.operators import text as TX
+
+
+def exact_dedup(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup on the normalized-text fingerprint: keeps the
+    smallest doc_id per fingerprint (deterministic). Returns
+    (kept, dropped)."""
+    fp = docs.withColumn("_fp", TX.fingerprint("text"))
+    keeper = fp.groupBy("_fp").agg(F.min("doc_id").alias("_keep_id"))
+    tagged = fp.join(keeper, "_fp")
+    kept = tagged.filter(F.col("doc_id") == F.col("_keep_id")).drop("_fp", "_keep_id")
+    dropped = tagged.filter(F.col("doc_id") != F.col("_keep_id")).drop("_keep_id")
+    return kept, dropped
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via inverted-index join.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs from candidate generation (classic frequency cutoff). When
+    set, Jaccard is still computed over the FULL shingle sets of
+    surviving candidate pairs, so the cutoff can only lose candidates
+    (recall), never corrupt scores.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    idx = TX.shingle_index(docs, n)
+    gen = idx
+    if max_shingle_df is not None:
+        freq = idx.groupBy("shingle").agg(F.count("*").alias("_df"))
+        gen = idx.join(
+            F.broadcast(freq.filter(F.col("_df") <= max_shingle_df).select("shingle")),
+            "shingle",
+        )
+    a = gen.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = gen.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("_inter"),
+            F.first("n_a").alias("_n_a"),
+            F.first("n_b").alias("_n_b"),
+        )
+    )
+    jac = F.col("_inter") / (F.col("_n_a") + F.col("_n_b") - F.col("_inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3) -> DataFrame:
+    """MinHash signature per doc: for each of ``num_hashes`` seeded
+    xxhash64 functions, the min over the doc's distinct shingles.
+    One explode + one groupBy (single shuffle), k aggregates wide."""
+    idx = TX.shingle_index(docs, n)
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    return idx.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band the k-hash signature into
+    ``bands`` buckets, equi-join docs sharing any (band, bucket-hash),
+    then verify candidates with EXACT Jaccard ≥ threshold.
+
+    b=16 × r=4 puts the S-curve knee near J≈0.5; with the corpus's
+    clean separation (true dups ≳0.9) recall is effectively 1.
+    Output: (doc_a, doc_b, jaccard) — same contract as jaccard_pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_cols).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact-Jaccard verification of the (small) candidate set
+    sets = docs.select(
+        "doc_id", TX.shingles(TX.tokens("text"), n).alias("_sh")
+    )
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb")), "doc_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(docs: DataFrame, bits: int = 32, n: int = 3) -> DataFrame:
+    """SimHash per doc over distinct n-gram SHINGLES (tokens are too
+    shared across a narrow-vocab corpus to discriminate): each bit is
+    the sign of the Σ(±1) votes from shingle-hash bits. One explode +
+    one groupBy with ``bits`` conditional-sum aggregates."""
+    tok = docs.select(
+        "doc_id", F.explode(TX.shingles(TX.tokens("text"), n)).alias("tok")
+    ).withColumn("_h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    sh = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sh = bit if sh is None else sh + bit
+    return per_doc.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """SimHash near-dup pairs: band the ``bits``-bit hash into 4 chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk), equi-join
+    on (chunk_idx, chunk), verify with popcount(xor) ≤ max_hamming.
+    Output: (doc_a, doc_b, hamming)."""
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    sh = simhash(docs, bits)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.shiftright("simhash", i * chunk_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
+        "doc_id", "simhash", F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk")
+    )
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["idx", "chunk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

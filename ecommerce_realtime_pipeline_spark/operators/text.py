@@ -1,0 +1,123 @@
+"""Text-analysis operators for the LLM-data-pipeline surface
+(SURVEY §2.9; driver mandate): tokenization, shingling, language-ID,
+quality scoring, fingerprinting.
+
+All hot-path expressions are built-in column functions (JVM-side,
+whole-stage codegen) — no Python UDFs. Randomness-free and engine-
+portable: fingerprints/minhashes that need an oracle use md5 (present
+in both Spark and DuckDB); throwaway bucketing uses xxhash64 (faster,
+Spark-only).
+
+Scale stance (100 TB): everything here is a narrow projection except
+the explode-based shingle index, which is the standard inverted-index
+layout for near-dup joins; its fan-out is bounded by tokens-per-doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the heuristic language-ID.
+# (The classic stopword-profile approach compressed to a lexicon per
+# language; deterministic and SQL-expressible on both engines.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "ist", "ein"),
+    "fr": ("le", "la", "et", "est", "un"),
+    "es": ("el", "la", "y", "es", "un"),
+    "zh": ("de5", "shi4", "he2", "zai4", "le5"),  # romanized markers
+}
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization (the corpus is single-space joined)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def norm_text(col: str | Column = "text") -> Column:
+    """Normalization for exact-dedup fingerprints: lowercase, collapse
+    whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, "\\s+", " ")))
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """Document fingerprint: md5 of the normalized text (engine-portable,
+    collision-negligible at corpus scale)."""
+    return F.md5(norm_text(col))
+
+
+def shingles(tok_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (order-free set
+    for Jaccard). Empty when the doc has fewer than ``n`` tokens."""
+    sliced = F.transform(
+        F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
+    )
+    return F.when(F.size(tok_col) >= n, F.array_distinct(sliced)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_index(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Inverted index: one row per (doc_id, distinct shingle) with the
+    doc's shingle-set size — the join layout for set-similarity."""
+    with_sh = docs.select(
+        "doc_id", shingles(tokens("text"), n).alias("_sh")
+    ).withColumn("n_sh", F.size("_sh"))
+    return with_sh.select("doc_id", "n_sh", F.explode("_sh").alias("shingle"))
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str | Column = "text") -> Column:
+    """Sub-word-ish token count: words plus digit runs and punctuation
+    marks counted separately (a cheap BPE proxy via regex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features: token counts, distinct ratio, mean
+    token length — the length/punct/stopword-ratio family. Pure
+    projection (no shuffle, no explode)."""
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    # single-space corpus: chars = Σ|token| + (n_tok - 1)
+    mean_tok_len = (F.length("text") - n_tok + 1) / n_tok
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(n_distinct / n_tok, 4).alias("distinct_ratio"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+    )
+
+
+def lang_scores(tok_col: Column) -> dict[str, Column]:
+    """Marker-hit counts per language for a token array."""
+    return {
+        lang: F.size(F.array_intersect(tok_col, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(tok_col: Column) -> Column:
+    """Heuristic language-ID: arg-max marker-lexicon hits with a
+    deterministic tie order (en > de > fr > es > zh), 'und' when no
+    marker hits at all."""
+    scores = lang_scores(tok_col)
+    order = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in order])
+    expr = F.lit("und")
+    for lang in reversed(order):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr

@@ -1,0 +1,319 @@
+"""LLM-data-pipeline queries (SURVEY §2.9, driver-mandated) over the
+``documents`` and ``embeddings`` testdata tables: dedup (exact, exact
+n-gram Jaccard, MinHash-LSH, SimHash), similarity search (brute-force +
+LSH ANN), text analysis (stats, quality, lang-ID, fingerprints), and
+multimodal feature extraction.
+
+Oracle policy: everything SQL-expressible ships a DuckDB oracle
+(including the MinHash signature — built on md5, which both engines
+share). Hash-seeded (xxhash64) candidate generation and the Pandas-UDF
+multimodal pass are rows-only; their correctness is pinned by pytest
+against exact counterparts instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_realtime_pipeline_spark.catalog import load_table
+from ecommerce_realtime_pipeline_spark.operators import dedup as DD
+from ecommerce_realtime_pipeline_spark.operators import multimodal as MM
+from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+from ecommerce_realtime_pipeline_spark.operators import text as TX
+
+N_QUERY_VECS = 10  # ANN query set: vec_id < 10 (deterministic)
+KNN_K = 5
+JACCARD_T = 0.5
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc/char/token totals + exact distinct
+    token count (explode + two-key agg; one shuffle each)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.round(F.sum(F.length("text")) / F.count("*"), 4).alias("avg_chars"),
+        F.sum(TX.token_count("text")).alias("sum_tokens"),
+    )
+    distinct_toks = (
+        docs.select("lang", F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("n_distinct_tokens"))
+    )
+    return base.join(distinct_toks, "lang")
+
+
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features (pure projection, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.quality_features(docs).select(
+        "doc_id", "n_chars", "n_tokens", "n_distinct_tokens", "distinct_ratio", "mean_token_len"
+    )
+
+
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID confusion matrix: (actual, predicted, n)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = TX.predict_lang(TX.tokens("text"))
+    return (
+        docs.select(F.col("lang").alias("actual_lang"), pred.alias("pred_lang"))
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def docs_fingerprint_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc md5 fingerprint + 4-hash md5-MinHash sketch (engine-
+    portable: DuckDB computes the identical signature)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = TX.shingles(TX.tokens("text"), 3)
+    mins = [
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))).alias(
+            f"mh{seed}"
+        )
+        for seed in range(4)
+    ]
+    return docs.select("doc_id", TX.fingerprint("text").alias("fingerprint"), *mins)
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: corpus size, distinct normalized
+    fingerprints, rows dropped by keep-min-doc_id dedup. One row."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept, dropped = DD.exact_dedup(docs)
+    a = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(TX.fingerprint("text")).alias("n_distinct"),
+    )
+    b = kept.agg(F.count("*").alias("n_kept"))
+    c = dropped.agg(F.count("*").alias("n_dropped"))
+    return a.crossJoin(b).crossJoin(c)
+
+
+def docs_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard near-dup pairs (J ≥ 0.5) via the
+    inverted-index set-similarity join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(docs, threshold=JACCARD_T, n=3)
+
+
+def docs_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard-verified (J ≥ 0.5).
+    With the corpus's clean dup separation this equals the exact
+    inverted-index result — asserted in tests; the driver records the
+    same oracle as docs_neardup_jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, threshold=JACCARD_T)
+
+
+def docs_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (32-bit, hamming ≤ 3, banded join).
+    Hash-dependent → rows-only check; recall vs exact Jaccard is
+    pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, max_hamming=3)
+
+
+# -- similarity search ------------------------------------------------------
+
+
+def _query_vectors(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < N_QUERY_VECS)
+
+
+def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the 10 lowest vec_ids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_bruteforce(emb, _query_vectors(emb), k=KNN_K)
+
+
+def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 (sign-LSH + hamming-1 multi-probe + exact
+    rerank). Rows-only; recall vs brute force asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_lsh(emb, _query_vectors(emb), k=KNN_K)
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid stats with exact decimal component sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.label_centroids(emb)
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def mm_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction (Arrow mapInPandas) rolled up
+    per source. Rows-only (Pandas path); byte-level correctness is
+    pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.feature_summary(docs)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES = (
+    "list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])"
+)
+
+_JACCARD_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest({_SHINGLES}) AS shingle,
+               len({_SHINGLES}) AS n_sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS inter,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
+    FROM pairs
+    WHERE ROUND(inter * 1.0 / (n_a + n_b - inter), 4) >= 0.5
+"""
+
+LLM_ORACLES: dict[str, str] = {
+    "docs_text_stats": """
+        WITH base AS (
+            SELECT lang, count(*) AS n_docs,
+                   CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+                   ROUND(SUM(len(text)) * 1.0 / count(*), 4) AS avg_chars,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+            FROM documents GROUP BY 1
+        ),
+        dt AS (
+            SELECT lang, count(DISTINCT tok) AS n_distinct_tokens
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY 1
+        )
+        SELECT base.*, dt.n_distinct_tokens FROM base JOIN dt USING (lang)
+    """,
+    "docs_quality": """
+        SELECT doc_id,
+               CAST(len(text) AS INT) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+               ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 4) AS distinct_ratio,
+               ROUND((len(text) - len(string_split(text, ' ')) + 1) * 1.0
+                     / len(string_split(text, ' ')), 4) AS mean_token_len
+        FROM documents
+    """,
+    "docs_lang_id": """
+        WITH scored AS (
+            SELECT lang AS actual_lang,
+                   len(list_intersect(string_split(text, ' '),
+                       ['the','a','of','and','is'])) AS s_en,
+                   len(list_intersect(string_split(text, ' '),
+                       ['der','die','und','ist','ein'])) AS s_de,
+                   len(list_intersect(string_split(text, ' '),
+                       ['le','la','et','est','un'])) AS s_fr,
+                   len(list_intersect(string_split(text, ' '),
+                       ['el','la','y','es','un'])) AS s_es,
+                   len(list_intersect(string_split(text, ' '),
+                       ['de5','shi4','he2','zai4','le5'])) AS s_zh
+            FROM documents
+        ),
+        pred AS (
+            SELECT actual_lang,
+                   CASE
+                     WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                     WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                     WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                     ELSE 'zh'
+                   END AS pred_lang
+            FROM scored
+        )
+        SELECT actual_lang, pred_lang, count(*) AS n_docs
+        FROM pred GROUP BY 1, 2
+    """,
+    "docs_fingerprint_minhash": f"""
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+               list_min(list_transform({_SHINGLES}, s -> md5('0|' || s))) AS mh0,
+               list_min(list_transform({_SHINGLES}, s -> md5('1|' || s))) AS mh1,
+               list_min(list_transform({_SHINGLES}, s -> md5('2|' || s))) AS mh2,
+               list_min(list_transform({_SHINGLES}, s -> md5('3|' || s))) AS mh3
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    """,
+    "docs_exact_dedup": """
+        SELECT
+          (SELECT count(*) FROM documents) AS n_docs,
+          (SELECT count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+             FROM documents) AS n_distinct,
+          (SELECT count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+             FROM documents) AS n_kept,
+          (SELECT count(*) FROM documents)
+            - (SELECT count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+               FROM documents) AS n_dropped
+    """,
+    "docs_neardup_jaccard": _JACCARD_SQL,
+    # MinHash-LSH verified output equals the exact result on this corpus
+    # (clean J separation; asserted in tests) → same oracle:
+    "docs_neardup_minhash": _JACCARD_SQL,
+    "emb_knn_bruteforce": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 10
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_dot_product(q.qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                       AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank,
+                   cos_sim
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+               ROUND(cos_sim, 4) AS cos_sim
+        FROM ranked WHERE rank <= 5
+    """,
+    "emb_label_centroids": """
+        WITH comp AS (
+            SELECT label,
+                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   CAST(unnest(embedding) AS DECIMAL(20,10)) AS vd
+            FROM embeddings
+        ),
+        per_pos AS (
+            SELECT label, pos,
+                   CAST(SUM(vd) AS DECIMAL(14,10)) AS s, count(*) AS n
+            FROM comp GROUP BY 1, 2
+        )
+        SELECT label,
+               CAST(any_value(n) AS BIGINT) AS n_vecs,
+               ROUND(sqrt(CAST(SUM(CAST(s * s AS DECIMAL(38,20))) AS DOUBLE))
+                     / any_value(n), 4) AS centroid_norm,
+               ROUND(CAST(SUM(s) AS DOUBLE) / (any_value(n) * count(*)), 6)
+                   AS mean_component,
+               ROUND(CAST(MIN(s) AS DOUBLE) / any_value(n), 6) AS min_component,
+               ROUND(CAST(MAX(s) AS DOUBLE) / any_value(n), 6) AS max_component
+        FROM per_pos
+        GROUP BY label
+    """,
+}
