@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ecommerce_realtime_pipeline_spark.plans import dq, kpi, llm
+from ecommerce_realtime_pipeline_spark.plans import dq, gen, kpi, llm
 from ecommerce_realtime_pipeline_spark.plans.dq import DQ_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.llm import LLM_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.oracles import KPI_ORACLES
@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_lsh": llm.emb_knn_lsh,
         "emb_label_centroids": llm.emb_label_centroids,
         "mm_feature_summary": llm.mm_feature_summary,
+        # §2.2-§2.3 — generation + corruption + validation pipeline
+        "gen_batch_shape": gen.gen_batch_shape,
+        "gen_corrupt_validate_metrics": gen.gen_corrupt_validate_metrics,
     }
     return q
 

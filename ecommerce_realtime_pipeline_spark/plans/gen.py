@@ -1,0 +1,76 @@
+"""Generator-pipeline queries (SURVEY §2.2–§2.3): deterministic
+synthetic-batch generation exposed through the driver contract.
+
+These ignore ``sf_dir`` (generation needs no input tables) and are
+rows-only entries: not SQL-expressible over the testdata, but fully
+deterministic per seed — shape and values repeat bit-for-bit across
+runs and partitionings (tests/test_generate.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_realtime_pipeline_spark.operators import generate as G
+from ecommerce_realtime_pipeline_spark.operators import validation as V
+from ecommerce_realtime_pipeline_spark.settings import Settings
+
+SEED = 42
+
+
+def gen_batch_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 contract row: batch counts + referential-coherence orphan
+    counts (all zero by construction)."""
+    batch = G.generate_batch(spark, seed=SEED).drop_indexes()
+
+    def cnt(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count("*").alias(alias))
+
+    orphan_orders = batch.orders.join(
+        batch.customers.select("customer_id"), "customer_id", "left_anti"
+    )
+    orphan_events = batch.events.join(
+        batch.customers.select("customer_id"), "customer_id", "left_anti"
+    )
+    orphan_items = (
+        batch.orders.select(F.explode("items.product_id").alias("product_id"))
+        .join(batch.products.select("product_id"), "product_id", "left_anti")
+    )
+    return (
+        cnt(batch.products, "n_products")
+        .crossJoin(cnt(batch.customers, "n_customers"))
+        .crossJoin(cnt(batch.orders, "n_orders"))
+        .crossJoin(cnt(batch.events, "n_events"))
+        .crossJoin(cnt(orphan_orders, "orphan_orders"))
+        .crossJoin(cnt(orphan_events, "orphan_events"))
+        .crossJoin(cnt(orphan_items, "orphan_items"))
+    )
+
+
+def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DQ pipeline: generate → corrupt (forced rates) →
+    validate every entity → per-rule quarantine counts (R18). The
+    corruption engine exists precisely to exercise validation; this is
+    that loop as one deterministic query."""
+    settings = Settings(
+        corruption_product_rate=0.5,
+        corruption_customer_rate=0.5,
+        corruption_order_rate=0.5,
+        corruption_event_rate=0.5,
+    )
+    batch = G.generate_batch(
+        spark, 100, 100, 100, 100, seed=SEED, corruption_enabled=True, settings=settings
+    ).drop_indexes()
+    parents = {"customers": batch.customers}
+    out: DataFrame | None = None
+    for entity, df in [
+        ("products", batch.products),
+        ("customers", batch.customers),
+        ("orders", batch.orders),
+        ("events", batch.events),
+    ]:
+        _, _, metrics = V.validate_entity(entity, df, parents)
+        out = metrics if out is None else out.unionByName(metrics)
+    assert out is not None
+    return out.orderBy("table_name", "rule")

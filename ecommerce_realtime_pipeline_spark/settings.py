@@ -12,17 +12,32 @@ import os
 from dataclasses import dataclass, field
 
 
-def _env(name: str, default: str) -> str:
-    return os.environ.get(name, default)
+def _env(name: str, default: str, *aliases: str) -> str:
+    """Resolve an env var, preferring the reference's variable names
+    (``src/config/settings.py``) so reference-style .env deployments work
+    unchanged; engine-local aliases are accepted as fallback."""
+    for key in (name, *aliases):
+        val = os.environ.get(key)
+        if val is not None:
+            return val
+    return default
 
 
 @dataclass(frozen=True)
 class Settings:
-    # Topic routing — reference settings.py:27-30
-    topic_orders: str = field(default_factory=lambda: _env("TOPIC_ORDERS", "orders"))
-    topic_customers: str = field(default_factory=lambda: _env("TOPIC_CUSTOMERS", "customers"))
-    topic_products: str = field(default_factory=lambda: _env("TOPIC_PRODUCTS", "products"))
-    topic_events: str = field(default_factory=lambda: _env("TOPIC_EVENTS", "events"))
+    # Topic routing — reference settings.py:27-30 (reference env names)
+    topic_orders: str = field(
+        default_factory=lambda: _env("KAFKA_ORDER_TOPIC", "orders", "TOPIC_ORDERS")
+    )
+    topic_customers: str = field(
+        default_factory=lambda: _env("KAFKA_CUSTOMER_TOPIC", "customers", "TOPIC_CUSTOMERS")
+    )
+    topic_products: str = field(
+        default_factory=lambda: _env("KAFKA_PRODUCT_TOPIC", "products", "TOPIC_PRODUCTS")
+    )
+    topic_events: str = field(
+        default_factory=lambda: _env("KAFKA_EVENT_TOPIC", "events", "TOPIC_EVENTS")
+    )
 
     # Default batch shape — reference producer.py:268-271, settings.py:20
     default_products: int = 5
@@ -31,18 +46,27 @@ class Settings:
     default_events: int = 25
     batch_size: int = field(default_factory=lambda: int(_env("BATCH_SIZE", "50")))
 
-    # Corruption probabilities — reference settings.py:63-67
+    # Corruption probabilities — reference settings.py:63-67 (reference
+    # env names, engine aliases accepted)
     corruption_product_rate: float = field(
-        default_factory=lambda: float(_env("CORRUPTION_PRODUCT_RATE", "0.01"))
+        default_factory=lambda: float(
+            _env("CORRUPTION_PROBABILITY_PRODUCT", "0.01", "CORRUPTION_PRODUCT_RATE")
+        )
     )
     corruption_customer_rate: float = field(
-        default_factory=lambda: float(_env("CORRUPTION_CUSTOMER_RATE", "0.02"))
+        default_factory=lambda: float(
+            _env("CORRUPTION_PROBABILITY_CUSTOMER", "0.02", "CORRUPTION_CUSTOMER_RATE")
+        )
     )
     corruption_order_rate: float = field(
-        default_factory=lambda: float(_env("CORRUPTION_ORDER_RATE", "0.03"))
+        default_factory=lambda: float(
+            _env("CORRUPTION_PROBABILITY_ORDER", "0.03", "CORRUPTION_ORDER_RATE")
+        )
     )
     corruption_event_rate: float = field(
-        default_factory=lambda: float(_env("CORRUPTION_EVENT_RATE", "0.04"))
+        default_factory=lambda: float(
+            _env("CORRUPTION_PROBABILITY_EVENT", "0.04", "CORRUPTION_EVENT_RATE")
+        )
     )
 
     # Kafka (used only when a broker is configured; tests use file sources)
