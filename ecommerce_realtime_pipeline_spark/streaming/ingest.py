@@ -1,0 +1,204 @@
+"""Streaming ingest → validate → upsert (SURVEY §2.7, S4–S6, R3–R4,
+R19).
+
+The reference's declared consume path: poll Kafka, JSON-decode, land
+raw payloads idempotently (UNIQUE(topic_partition, topic_offset) —
+``sql/init/02_create_tables.sql:16``), normalize into entity tables
+keyed by UUID (compacted customers topic ⇒ last-write-wins), track
+offsets + processing stats in monitoring tables (:125-141). Its
+consumer modules are empty stubs — this is the declared contract
+implemented Spark-first:
+
+- **Source**: ``readStream`` over a file directory of envelope JSON
+  (swap ``format("kafka")`` + the same downstream graph for a real
+  broker; the envelope columns mirror Kafka's partition/offset/key).
+- **Exactly-once landing (R3)**: ``withWatermark(consumed_at) +
+  dropDuplicatesWithinWatermark`` on the envelope key — replayed
+  offsets inside the watermark horizon are dropped with bounded state
+  (the unbounded-retention UNIQUE constraint of the reference is
+  bounded here by the watermark; checkpointing makes redelivery across
+  restarts idempotent too).
+- **Upsert sink (S6/R4)**: ``foreachBatch`` last-write-wins merge by
+  entity key. Plain parquet has no MERGE, so the batch hook rewrites
+  the (small) silver snapshot atomically; a production deployment
+  swaps in Delta/Iceberg MERGE with the identical dedup logic.
+- **Monitoring (R19/R18)**: a ``StreamingQueryListener`` captures
+  per-batch progress in the ``processing_stats`` shape, and the batch
+  hook maintains a ``consumer_offsets``-shaped parquet table of max
+  landed offsets.
+
+Scale stance: the streaming graph is identical at any scale — state
+size is bounded by the watermark; the upsert rewrite is the only
+local-mode concession (MERGE at scale), and validation/normalization
+reuse the batch operators unchanged (one code path, two execution
+modes).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+from ecommerce_realtime_pipeline_spark.operators import normalize as N
+from ecommerce_realtime_pipeline_spark.schemas import (
+    ENTITY_SCHEMAS,
+    PROCESSING_STATS_SCHEMA,
+    RAW_ENVELOPE_SCHEMA,
+)
+
+ENVELOPE_KEY = N.ENVELOPE_KEY
+
+
+def stream_envelopes(spark: SparkSession, source_dir: str) -> DataFrame:
+    """S4: file-source stream of raw envelope JSON (one record per
+    line). Explicit schema — never inference (strict-schema stance)."""
+    return (
+        spark.readStream.schema(RAW_ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(source_dir)
+    )
+
+
+def deduped_stream(raw: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """R3 streaming exactly-once: offset dedup with bounded state."""
+    return raw.withWatermark("consumed_at", watermark).dropDuplicatesWithinWatermark(
+        ENVELOPE_KEY
+    )
+
+
+def _atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Write a parquet snapshot atomically (tmp dir + rename): readers
+    of ``path`` never observe a half-written table. Local-mode MERGE
+    stand-in — Delta/Iceberg replaces this wholesale at scale."""
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def upsert_batch(
+    spark: SparkSession, batch_df: DataFrame, entity: str, silver_path: str
+) -> None:
+    """S6/R4 foreachBatch hook: parse the envelope batch, merge with the
+    existing silver snapshot, keep the newest row per entity key.
+    Re-running the same epoch (failure replay) converges to the same
+    snapshot — idempotent."""
+    typed, _bad = N.parse_envelope(batch_df, entity)
+    id_field = ENTITY_SCHEMAS[entity].fields[0].name
+    if os.path.exists(silver_path):
+        current = spark.read.parquet(silver_path)
+        merged = current.unionByName(typed, allowMissingColumns=True)
+    else:
+        merged = typed
+    latest = N.latest_by_key(merged, id_field)
+    _atomic_overwrite(N.stamp_audit(latest), silver_path)
+
+
+def record_offsets(
+    spark: SparkSession, batch_df: DataFrame, offsets_path: str, group: str = "engine"
+) -> None:
+    """R19 consumer_offsets equivalent: max landed offset per
+    (topic, partition), merged across batches."""
+    batch_offsets = batch_df.groupBy("topic", "topic_partition").agg(
+        F.max("topic_offset").alias("offset_committed")
+    )
+    if os.path.exists(offsets_path):
+        merged = (
+            spark.read.parquet(offsets_path)
+            .select(
+                "topic",
+                F.col("partition_id").alias("topic_partition"),
+                "offset_committed",
+            )
+            .unionByName(batch_offsets)
+            .groupBy("topic", "topic_partition")
+            .agg(F.max("offset_committed").alias("offset_committed"))
+        )
+    else:
+        merged = batch_offsets
+    out = merged.select(
+        "topic",
+        F.col("topic_partition").alias("partition_id"),
+        "offset_committed",
+        F.lit(group).alias("consumer_group"),
+        F.current_timestamp().alias("last_updated"),
+    )
+    _atomic_overwrite(out, offsets_path)
+
+
+class StatsListener(StreamingQueryListener):
+    """R18/R19: captures per-batch progress rows in the
+    ``processing_stats`` shape (reference 02_create_tables.sql:134-141);
+    ``to_df``/``write`` persist them as the monitoring table."""
+
+    def __init__(self, table_name: str = "silver"):
+        self.table_name = table_name
+        self.rows: list[tuple] = []
+        self._lock = threading.Lock()
+
+    def onQueryStarted(self, event):  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event):  # noqa: N802
+        import datetime as _dt
+
+        p = event.progress
+        with self._lock:
+            self.rows.append(
+                (
+                    self.table_name,
+                    int(p.numInputRows),
+                    0,  # records_failed: parse quarantine counted sink-side
+                    _dt.datetime.now(_dt.timezone.utc),  # NOW() default (R10)
+                    int(p.durationMs.get("triggerExecution", 0)),
+                )
+            )
+
+    def onQueryIdle(self, event):  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event):  # noqa: N802
+        pass
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        with self._lock:
+            rows = list(self.rows)
+        return spark.createDataFrame(rows, PROCESSING_STATS_SCHEMA)
+
+
+def run_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    entity: str,
+    silver_path: str,
+    checkpoint_dir: str,
+    offsets_path: str | None = None,
+    watermark: str = "10 minutes",
+):
+    """Wire the full ingest: stream → watermarked offset dedup →
+    foreachBatch(upsert + offset bookkeeping). Returns the started
+    query; callers use ``trigger(availableNow)`` semantics by awaiting
+    termination (tests) or leave it running (deployment)."""
+    stream = deduped_stream(stream_envelopes(spark, source_dir), watermark)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        upsert_batch(spark, batch_df, entity, silver_path)
+        if offsets_path:
+            record_offsets(spark, batch_df, offsets_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
