@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_total_reagg": dq.order_total_reagg,
         "dq_metrics": dq.dq_metrics,
         "dedup_lineitem_latest": dq.dedup_lineitem_latest,
+        "set_ops_actors": dq.set_ops_actors,
+        "revenue_grouping_sets": dq.revenue_grouping_sets,
         # §2.9 — LLM-data-pipeline operators (driver-mandated)
         "docs_text_stats": llm.docs_text_stats,
         "docs_quality": llm.docs_quality,

@@ -220,6 +220,48 @@ def dedup_lineitem_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def set_ops_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R23 set operators: customers-with-orders vs users-with-events —
+    union / intersect / except cardinalities in one row.
+
+    Each input is a distinct key set (pre-aggregated before the set op,
+    so union/intersect shuffle key sets, never fact rows).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    o_keys = orders.select(F.col("o_custkey").alias("actor_key")).distinct()
+    e_keys = events.select(F.col("user_id").alias("actor_key")).distinct()
+    a = o_keys.agg(F.count("*").alias("n_order_customers"))
+    b = e_keys.agg(F.count("*").alias("n_event_users"))
+    c = o_keys.unionByName(e_keys).distinct().agg(F.count("*").alias("n_union"))
+    d = o_keys.intersect(e_keys).agg(F.count("*").alias("n_intersect"))
+    e = o_keys.subtract(e_keys).agg(F.count("*").alias("n_only_orders"))
+    return a.crossJoin(b).crossJoin(c).crossJoin(d).crossJoin(e)
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24 explicit GROUPING SETS (beyond rollup): revenue at
+    (region, status), (region), (status) — via the engine's SQL surface.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_gs_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_gs_nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("_gs_region")
+    return spark.sql(
+        """
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM _gs_orders
+        JOIN _gs_customer ON o_custkey = c_custkey
+        JOIN _gs_nation ON c_nationkey = n_nationkey
+        JOIN _gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, o_orderstatus), (r_name), (o_orderstatus))
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (driver runs these side-by-side at sf0.01)
 # ---------------------------------------------------------------------------
@@ -332,6 +374,30 @@ DQ_ORACLES: dict[str, str] = {
           (SELECT count(*) - count(DISTINCT p_partkey) FROM part)
         UNION ALL SELECT 'lineitem', 'lineitem_line_dups',
           (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)
+    """,
+    "set_ops_actors": """
+        WITH o AS (SELECT DISTINCT o_custkey AS actor_key FROM orders),
+             e AS (SELECT DISTINCT user_id AS actor_key FROM events)
+        SELECT
+          (SELECT count(*) FROM o) AS n_order_customers,
+          (SELECT count(*) FROM e) AS n_event_users,
+          (SELECT count(*) FROM (SELECT actor_key FROM o UNION SELECT actor_key FROM e))
+              AS n_union,
+          (SELECT count(*) FROM (SELECT actor_key FROM o INTERSECT SELECT actor_key FROM e))
+              AS n_intersect,
+          (SELECT count(*) FROM (SELECT actor_key FROM o EXCEPT SELECT actor_key FROM e))
+              AS n_only_orders
+    """,
+    "revenue_grouping_sets": """
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, o_orderstatus), (r_name), (o_orderstatus))
     """,
     "dedup_lineitem_latest": """
         WITH ranked AS (
