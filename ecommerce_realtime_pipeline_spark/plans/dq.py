@@ -138,30 +138,76 @@ def order_total_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dq_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R18 + R23: the per-rule data-quality metrics table — long format
-    (table_name, rule, n_violations), one row per audited rule, built by
-    unpivoting each table's single-scan conditional aggregate and
-    stacking the (already 1-row) frames with unionByName."""
-    viol = dq_constraint_violations(spark, sf_dir)
-    fk = dq_fk_orphans(spark, sf_dir)
-    dup = dq_duplicate_keys(spark, sf_dir)
+    (table_name, rule, n_violations), one row per audited rule.
+
+    Scale: ONE scan per audited child table — row rules (null/range/
+    domain), PK-dup counts and FK-orphan flags are fused into a single
+    conditional aggregate after left-joining the DISTINCT parent key
+    sets (key-column-pruned scans; Catalyst broadcasts small key sets,
+    AQE shuffles fact-sized ones). The naive form — separate queries per
+    rule family — scanned orders/lineitem 3-5× each. The 1-row
+    aggregates are then unpivoted and stacked with unionByName."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    events = load_table(spark, sf_dir, "events")
+
+    cust_keys = customer.select(F.col("c_custkey").alias("_ck")).distinct()
+    order_keys = orders.select(F.col("o_orderkey").alias("_ok")).distinct()
+    part_keys = part.select(F.col("p_partkey").alias("_pk")).distinct()
+
+    def orphan(fk_col: str, parent_key: str, alias: str):
+        return _cnt_if(F.col(fk_col).isNotNull() & F.col(parent_key).isNull(), alias)
+
+    o = orders.join(cust_keys, orders.o_custkey == F.col("_ck"), "left").agg(
+        _cnt_if(F.col("o_custkey").isNull(), "null_custkey"),
+        _cnt_if(F.col("o_totalprice") < 0, "neg_totalprice"),
+        _cnt_if(~F.col("o_orderstatus").isin(list(TPCH_ORDER_STATUSES)), "bad_status"),
+        orphan("o_custkey", "_ck", "orders_no_customer"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("orders_pk_dups"),
+    )
+    li = (
+        lineitem.join(order_keys, lineitem.l_orderkey == F.col("_ok"), "left")
+        .join(part_keys, lineitem.l_partkey == F.col("_pk"), "left")
+        .agg(
+            _cnt_if(F.col("l_quantity") <= 0, "nonpos_quantity"),
+            _cnt_if(F.col("l_extendedprice") < 0, "neg_extendedprice"),
+            _cnt_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1), "bad_discount"),
+            orphan("l_orderkey", "_ok", "lineitem_no_order"),
+            orphan("l_partkey", "_pk", "lineitem_no_part"),
+            (F.count("*") - F.countDistinct("l_orderkey", "l_linenumber")).alias(
+                "lineitem_line_dups"
+            ),
+        )
+    )
+    ev = events.join(cust_keys, events.user_id == F.col("_ck"), "left").agg(
+        _cnt_if(~F.col("event_type").isin(list(TPCH_EVENT_TYPES)), "bad_event_type"),
+        _cnt_if(F.col("user_id").isNull(), "null_user_id"),
+        orphan("user_id", "_ck", "events_no_user"),
+    )
+    cu = customer.agg(
+        (F.count("*") - F.countDistinct("c_custkey")).alias("customer_pk_dups")
+    )
+    pa = part.agg((F.count("*") - F.countDistinct("p_partkey")).alias("part_pk_dups"))
 
     table_of = {
         "null_custkey": "orders",
         "neg_totalprice": "orders",
         "bad_status": "orders",
+        "orders_no_customer": "orders",
+        "orders_pk_dups": "orders",
         "nonpos_quantity": "lineitem",
         "neg_extendedprice": "lineitem",
         "bad_discount": "lineitem",
-        "bad_event_type": "events",
-        "null_user_id": "events",
-        "orders_no_customer": "orders",
         "lineitem_no_order": "lineitem",
         "lineitem_no_part": "lineitem",
+        "lineitem_line_dups": "lineitem",
+        "bad_event_type": "events",
+        "null_user_id": "events",
         "events_no_user": "events",
         "customer_pk_dups": "customer",
-        "orders_pk_dups": "orders",
         "part_pk_dups": "part",
-        "lineitem_line_dups": "lineitem",
     }
 
     def melt(df: DataFrame) -> DataFrame:
@@ -175,7 +221,13 @@ def dq_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             table_expr.alias("table_name"), "rule", F.col("n_violations").cast("long")
         )
 
-    return melt(viol).unionByName(melt(fk)).unionByName(melt(dup))
+    return (
+        melt(o)
+        .unionByName(melt(li))
+        .unionByName(melt(ev))
+        .unionByName(melt(cu))
+        .unionByName(melt(pa))
+    )
 
 
 def dedup_lineitem_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
