@@ -138,9 +138,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verification of the (small) candidate set
-    sets = docs.select(
-        "doc_id", TX.shingles(TX.tokens("text"), n).alias("_sh")
-    )
+    sets = TX.with_shingles(docs.select("doc_id", "text"), n)
     verified = (
         cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa")), "doc_a")
         .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb")), "doc_b")
@@ -163,9 +161,11 @@ def simhash(docs: DataFrame, bits: int = 32, n: int = 3) -> DataFrame:
     shared across a narrow-vocab corpus to discriminate): each bit is
     the sign of the Σ(±1) votes from shingle-hash bits. One explode +
     one groupBy with ``bits`` conditional-sum aggregates."""
-    tok = docs.select(
-        "doc_id", F.explode(TX.shingles(TX.tokens("text"), n)).alias("tok")
-    ).withColumn("_h", F.xxhash64("tok"))
+    tok = (
+        TX.with_shingles(docs.select("doc_id", "text"), n)
+        .select("doc_id", F.explode("_sh").alias("tok"))
+        .withColumn("_h", F.xxhash64("tok"))
+    )
     votes = [
         F.sum(
             F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

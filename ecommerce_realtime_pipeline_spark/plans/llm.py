@@ -71,14 +71,14 @@ def docs_fingerprint_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc md5 fingerprint + 4-hash md5-MinHash sketch (engine-
     portable: DuckDB computes the identical signature)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = TX.shingles(TX.tokens("text"), 3)
+    base = TX.with_shingles(docs.select("doc_id", "text"), 3)
     mins = [
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))).alias(
-            f"mh{seed}"
-        )
+        F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+        ).alias(f"mh{seed}")
         for seed in range(4)
     ]
-    return docs.select("doc_id", TX.fingerprint("text").alias("fingerprint"), *mins)
+    return base.select("doc_id", TX.fingerprint("text").alias("fingerprint"), *mins)
 
 
 # -- dedup ------------------------------------------------------------------

@@ -116,3 +116,21 @@ def test_shingles_short_doc_empty(spark):
     docs = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     out = docs.select(TX.shingles(TX.tokens("text"), 3).alias("sh")).collect()
     assert out[0]["sh"] == []
+
+
+def test_with_shingles_udf_matches_expression(spark, docs):
+    """The Arrow-batched hot path must emit byte-identical shingle
+    arrays (values AND first-occurrence order) to the reference
+    higher-order-function expression, including the <n-token edge."""
+    edge = spark.createDataFrame(
+        [(9001, "one two"), (9002, "a b c a b c a b c")], "doc_id long, text string"
+    )
+    sample = docs.select("doc_id", "text").limit(200).unionByName(edge)
+    fast = {r["doc_id"]: r["_sh"] for r in TX.with_shingles(sample).collect()}
+    ref = {
+        r["doc_id"]: r["_sh"]
+        for r in sample.withColumn("_toks", TX.tokens("text"))
+        .withColumn("_sh", TX.shingles(F.col("_toks"), 3))
+        .collect()
+    }
+    assert fast == ref
