@@ -22,7 +22,7 @@ SEED = 42
 def gen_batch_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7 contract row: batch counts + referential-coherence orphan
     counts (all zero by construction)."""
-    batch = G.generate_batch(spark, seed=SEED).drop_indexes()
+    batch = G.generate_batch(spark, seed=SEED).drop_indexes().materialize()
 
     def cnt(df: DataFrame, alias: str) -> DataFrame:
         return df.agg(F.count("*").alias(alias))
@@ -61,7 +61,7 @@ def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = G.generate_batch(
         spark, 100, 100, 100, 100, seed=SEED, corruption_enabled=True, settings=settings
-    ).drop_indexes()
+    ).drop_indexes().materialize()
     parents = {"customers": batch.customers}
     out: DataFrame | None = None
     for entity, df in [
