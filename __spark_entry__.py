@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.2-§2.3 — generation + corruption + validation pipeline
         "gen_batch_shape": gen.gen_batch_shape,
         "gen_corrupt_validate_metrics": gen.gen_corrupt_validate_metrics,
+        # §2.1 S1-S3 — producer/publish path
+        "produce_envelopes_shape": gen.produce_envelopes_shape,
     }
     return q
 

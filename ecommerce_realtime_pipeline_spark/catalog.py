@@ -58,3 +58,29 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def init_catalog(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """S7 catalog bootstrap — the Spark counterpart of the reference's
+    file-ordered SQL init (``sql/init/01→03``, ``init-multi-db.sh``):
+    register data views plus empty, schema-typed monitoring tables
+    (``processing_stats``, ``consumer_offsets`` —
+    ``02_create_tables.sql:125-141``) so monitoring queries are valid
+    from the first batch. Index DDL (``03_create_indexes.sql``) has no
+    Spark equivalent by design: parquet footers + Catalyst pushdown
+    replace b-tree/GIN indexes."""
+    from ecommerce_realtime_pipeline_spark.schemas import (
+        CONSUMER_OFFSETS_SCHEMA,
+        PROCESSING_STATS_SCHEMA,
+    )
+
+    out = register_views(spark, sf_dir)
+    for name, schema in (
+        ("processing_stats", PROCESSING_STATS_SCHEMA),
+        ("consumer_offsets", CONSUMER_OFFSETS_SCHEMA),
+    ):
+        if not spark.catalog.tableExists(name):
+            df = spark.createDataFrame([], schema)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

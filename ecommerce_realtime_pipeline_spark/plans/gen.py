@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 
 from ecommerce_realtime_pipeline_spark.operators import generate as G
 from ecommerce_realtime_pipeline_spark.operators import validation as V
+from ecommerce_realtime_pipeline_spark.schemas import ENTITY_SCHEMAS
 from ecommerce_realtime_pipeline_spark.settings import Settings
+from ecommerce_realtime_pipeline_spark.sources import produce as P
 
 SEED = 42
 
@@ -46,6 +48,56 @@ def gen_batch_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(cnt(orphan_events, "orphan_events"))
         .crossJoin(cnt(orphan_items, "orphan_items"))
     )
+
+
+def produce_envelopes_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1–S3 contract: publish envelopes for a seeded corrupted batch,
+    verified per topic — message count, null keys (must be 0: every
+    entity id is non-corruptible), payloads that fail a strict re-parse
+    through the entity StructType (must be 0: produce→consume is
+    lossless), and orders whose published total disagrees with the
+    recomputed items total (must be 0: the S2 ``compute_total`` force
+    repairs even a corrupted header before publish)."""
+    settings = Settings(
+        corruption_product_rate=0.3,
+        corruption_customer_rate=0.3,
+        corruption_order_rate=0.3,
+        corruption_event_rate=0.3,
+    )
+    batch = G.generate_batch(
+        spark, 50, 50, 50, 50, seed=SEED, corruption_enabled=True, settings=settings
+    ).drop_indexes().materialize()
+    out: DataFrame | None = None
+    for entity, df in (
+        ("products", batch.products),
+        ("customers", batch.customers),
+        ("orders", batch.orders),
+        ("events", batch.events),
+    ):
+        env = P.to_envelope(df, entity, settings)
+        parsed = env.withColumn(
+            "_p", F.from_json("value", ENTITY_SCHEMAS[entity])
+        )
+        checks = [
+            F.count("*").alias("n_msgs"),
+            F.count(F.when(F.col("key").isNull(), 1)).alias("n_null_keys"),
+            F.count(F.when(F.col("_p").isNull(), 1)).alias("n_bad_payloads"),
+        ]
+        if entity == "orders":
+            # totals were forced at publish: the parsed-back total must
+            # equal a second recompute pass (S2 is idempotent)
+            parsed = parsed.withColumn("_rt", P.computed_total(F.col("_p.items")))
+            checks.append(
+                F.count(F.when(F.col("_p.total") != F.col("_rt"), 1)).alias(
+                    "n_total_mismatch"
+                )
+            )
+        else:
+            checks.append(F.lit(0).cast("bigint").alias("n_total_mismatch"))
+        row = parsed.groupBy("topic").agg(*checks)
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out.orderBy("topic")
 
 
 def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
