@@ -165,6 +165,67 @@ def knn_lsh(
     )
 
 
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 8,
+    n_tables: int = 12,
+    col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: multi-table sign-LSH self-join
+    for candidates, exact cosine verification ≥ ``threshold``.
+
+    Same index as :func:`knn_lsh` but self-joined on (table, bucket) —
+    never all-pairs. ``bits=8`` keeps bucket fan-out ~n/256 per table;
+    at cos ≥ 0.9 (θ ≤ 26°) per-table collision is p⁸ ≥ 0.29 with
+    p = 1-θ/π, so 12 tables give ≥ 0.98 recall, →1 as cos→1 (true
+    dups). Verification makes false positives impossible; recall is the
+    only approximation, pinned in tests with planted duplicates.
+
+    Output: (vec_a, vec_b, cos_sim) with vec_a < vec_b.
+    """
+    dim = len(emb.select(col).first()[0])
+    planes = hyperplanes(dim, bits * n_tables, seed)
+    buckets = _bucket_udf(planes, bits, n_tables)
+    index = emb.select(
+        "vec_id", F.posexplode(buckets(F.col(col))).alias("tbl", "bucket")
+    )
+    cand = (
+        index.alias("x")
+        .join(index.alias("y"), ["tbl", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    vecs = with_norm(emb, col).select("vec_id", F.col(col).alias("_v"), "_nrm")
+    return (
+        cand.join(
+            vecs.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("_v").alias("_va"),
+                F.col("_nrm").alias("_na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("_v").alias("_vb"),
+                F.col("_nrm").alias("_nb"),
+            ),
+            "vec_b",
+        )
+        .withColumn(
+            "cos_sim", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
 def label_centroids(emb: DataFrame, col: str = "embedding") -> DataFrame:
     """Per-label centroid statistics via posexplode → exact DECIMAL
     component sums. Everything stays exact (order-independent ⇒

@@ -142,6 +142,35 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_lsh(emb, _query_vectors(emb), k=KNN_K)
 
 
+def _with_planted_dups(emb: DataFrame) -> DataFrame:
+    """Corpus ∪ deterministic perturbed copies of every 10th vector
+    (first component doubled, id offset by 1e6). The perturbation keeps
+    cosine in [0.9428, 1] analytically — min of (1+t)/√(1+3t) — while
+    natural pairs sit far below (max ≈0.51 in this corpus), so
+    near-dup(0.9) must return exactly the planted pairs. DuckDB builds
+    the identical corpus in SQL → the oracle diff doubles as a
+    100%-recall gate on the LSH path."""
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) * 2).cast("float")),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(planted)
+
+
+def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: plant perturbed duplicates, find
+    them with sign-LSH self-join + exact verify (cos ≥ 0.9). Pair ids
+    only (float cos is engine-sensitive in the last ulp; membership is
+    not, given the 0.94-vs-0.51 margin)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.cosine_neardup_pairs(_with_planted_dups(emb), threshold=0.9)
+    return pairs.select("vec_a", "vec_b").orderBy("vec_a", "vec_b")
+
+
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid stats with exact decimal component sums."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -292,6 +321,26 @@ LLM_ORACLES: dict[str, str] = {
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
                ROUND(cos_sim, 4) AS cos_sim
         FROM ranked WHERE rank <= 5
+    """,
+    "emb_cosine_neardup": """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        planted AS (
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_concat([v[1] * 2], v[2:]) AS v
+            FROM base WHERE vec_id % 10 = 0
+        ),
+        allv AS (
+            SELECT * FROM base UNION ALL SELECT * FROM planted
+        ),
+        n AS (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM allv
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
+        ORDER BY 1, 2
     """,
     "emb_label_centroids": """
         WITH comp AS (

@@ -112,6 +112,17 @@ def test_lang_id_deterministic_und(spark):
     assert out[2] == "und"
 
 
+def test_cosine_neardup_finds_exactly_planted_pairs(spark):
+    """Non-vacuous recall gate: the LSH self-join must recover every
+    planted perturbed duplicate (cos ≥ 0.9428 by construction) and
+    nothing else (natural max cos ≈ 0.51)."""
+    out = {(r["vec_a"], r["vec_b"]) for r in llm.emb_cosine_neardup(spark, SF).collect()}
+    emb = load_table(spark, SF, "embeddings")
+    planted_ids = [r[0] for r in emb.filter(F.col("vec_id") % 10 == 0).select("vec_id").collect()]
+    assert len(planted_ids) > 0
+    assert out == {(i, i + 1_000_000) for i in planted_ids}
+
+
 def test_shingles_short_doc_empty(spark):
     docs = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     out = docs.select(TX.shingles(TX.tokens("text"), 3).alias("sh")).collect()
