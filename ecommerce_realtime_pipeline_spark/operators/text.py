@@ -119,6 +119,25 @@ def token_count(col: str | Column = "text") -> Column:
     return F.size(tokens(col))
 
 
+def rolling_fingerprint(tok_col: Column, base: int = 31, mod: int = 10**15) -> Column:
+    """Polynomial (Rabin-Karp-style) rolling-hash document fingerprint
+    over the token stream: ``h = Σ v(tok_i)·base^(n-i) mod m`` with a
+    portable per-token value (first 8 md5 hex digits as int — identical
+    in Spark and DuckDB, unlike the engines' native hash()). Order-
+    SENSITIVE, complementing the order-free md5/set fingerprints.
+
+    PERF: ``tok_col`` must be a bound column (see :func:`shingles`);
+    the fold is one interpreted lambda step per token."""
+    vals = F.transform(
+        tok_col, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(base) + x, F.lit(mod)),
+    )
+
+
 def bpe_ish_token_count(col: str | Column = "text") -> Column:
     """Sub-word-ish token count: words plus digit runs and punctuation
     marks counted separately (a cheap BPE proxy via regex)."""

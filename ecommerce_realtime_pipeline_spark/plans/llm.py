@@ -68,17 +68,26 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_fingerprint_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc md5 fingerprint + 4-hash md5-MinHash sketch (engine-
-    portable: DuckDB computes the identical signature)."""
+    """Per-doc fingerprints: order-free md5 of normalized text, 4-hash
+    md5-MinHash sketch, and an order-sensitive Rabin-Karp rolling hash
+    over the token stream (engine-portable: DuckDB computes identical
+    values for all three)."""
     docs = load_table(spark, sf_dir, "documents")
-    base = TX.with_shingles(docs.select("doc_id", "text"), 3)
+    base = TX.with_shingles(docs.select("doc_id", "text"), 3).withColumn(
+        "_toks", TX.tokens("text")
+    )
     mins = [
         F.array_min(
             F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
         ).alias(f"mh{seed}")
         for seed in range(4)
     ]
-    return base.select("doc_id", TX.fingerprint("text").alias("fingerprint"), *mins)
+    return base.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fingerprint"),
+        TX.rolling_fingerprint(F.col("_toks")).alias("rolling_fp"),
+        *mins,
+    )
 
 
 # -- dedup ------------------------------------------------------------------
@@ -276,6 +285,10 @@ LLM_ORACLES: dict[str, str] = {
     "docs_fingerprint_minhash": f"""
         SELECT doc_id,
                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+               list_reduce(
+                   list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)),
+                   (acc, x) -> (acc * 31 + x) % 1000000000000000
+               ) AS rolling_fp,
                list_min(list_transform({_SHINGLES}, s -> md5('0|' || s))) AS mh0,
                list_min(list_transform({_SHINGLES}, s -> md5('1|' || s))) AS mh1,
                list_min(list_transform({_SHINGLES}, s -> md5('2|' || s))) AS mh2,

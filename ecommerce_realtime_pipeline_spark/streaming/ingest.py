@@ -183,16 +183,26 @@ def run_ingest(
     silver_path: str,
     checkpoint_dir: str,
     offsets_path: str | None = None,
+    items_path: str | None = None,
     watermark: str = "10 minutes",
 ):
     """Wire the full ingest: stream → watermarked offset dedup →
     foreachBatch(upsert + offset bookkeeping). Returns the started
     query; callers use ``trigger(availableNow)`` semantics by awaiting
-    termination (tests) or leave it running (deployment)."""
+    termination (tests) or leave it running (deployment).
+
+    ``items_path`` (orders only): also maintain the normalized
+    ``order_items`` child table (R11/R9) — re-derived from the silver
+    snapshot each batch so children always agree with the surviving
+    (last-write-wins) order headers, mirroring the reference's
+    ON DELETE CASCADE coupling (``02_create_tables.sql:103-106``)."""
     stream = deduped_stream(stream_envelopes(spark, source_dir), watermark)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         upsert_batch(spark, batch_df, entity, silver_path)
+        if items_path and entity == "orders":
+            silver = spark.read.parquet(silver_path)
+            _atomic_overwrite(N.explode_order_items(silver), items_path)
         if offsets_path:
             record_offsets(spark, batch_df, offsets_path)
 

@@ -101,3 +101,33 @@ def test_produce_then_ingest_e2e(spark, tmp_path):
     offs = spark.read.parquet(str(tmp_path / "offsets"))
     assert offs.count() <= 2  # one row per partition
     assert offs.agg(F.sum("offset_committed")).collect()[0][0] is not None
+
+
+def test_orders_ingest_maintains_child_items(spark, tmp_path):
+    """R11/R9 in the streaming path: order_items child table re-derived
+    from the silver order snapshot with generated line_total."""
+    topics = str(tmp_path / "topics")
+    P.produce_batch(
+        spark, topics, product_count=10, customer_count=5, order_count=15, seed=13
+    )
+    q = I.run_ingest(
+        spark,
+        f"{topics}/orders",
+        "orders",
+        str(tmp_path / "silver"),
+        str(tmp_path / "ckpt"),
+        items_path=str(tmp_path / "items"),
+    )
+    q.awaitTermination(120)
+    silver = spark.read.parquet(str(tmp_path / "silver"))
+    items = spark.read.parquet(str(tmp_path / "items"))
+    n_expected = silver.agg(F.sum(F.size("items"))).collect()[0][0]
+    assert items.count() == n_expected
+    bad = items.filter(
+        F.col("line_total")
+        != F.bround(F.col("quantity").cast("decimal(18,2)") * F.col("unit_price"), 2)
+    )
+    assert bad.count() == 0
+    # every child references a surviving order header (cascade coupling)
+    orphans = items.join(silver.select("order_id"), "order_id", "left_anti")
+    assert orphans.count() == 0
