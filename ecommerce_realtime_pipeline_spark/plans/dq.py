@@ -255,40 +255,59 @@ def dedup_lineitem_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col(c).asc() for c in order_cols]
         )
     )
-    kept = li.withColumn("_rn", rn).filter(F.col("_rn") == 1)
-    total = li.agg(F.count("*").alias("_n_total"))
-    summary = kept.agg(
-        F.count("*").alias("n_kept"),
-        F.round(F.sum(F.col("l_quantity").cast(_D)), 2).cast("double").alias("sum_qty_kept"),
-        F.round(F.sum(F.col("l_extendedprice").cast(_D)), 2)
+    # survivor and total stats in ONE windowed pass (a separate total
+    # count would re-scan the fact table)
+    keep = F.col("_rn") == 1
+    return li.withColumn("_rn", rn).agg(
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.count(F.when(~keep, 1)).alias("n_dropped"),
+        F.round(F.sum(F.when(keep, F.col("l_quantity").cast(_D))), 2)
+        .cast("double")
+        .alias("sum_qty_kept"),
+        F.round(F.sum(F.when(keep, F.col("l_extendedprice").cast(_D))), 2)
         .cast("double")
         .alias("sum_extprice_kept"),
-    )
-    return summary.crossJoin(total).select(
-        "n_kept",
-        (F.col("_n_total") - F.col("n_kept")).alias("n_dropped"),
-        "sum_qty_kept",
-        "sum_extprice_kept",
     )
 
 
 def set_ops_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R23 set operators: customers-with-orders vs users-with-events —
-    union / intersect / except cardinalities in one row.
+    """R23 set-operator workload: customers-with-orders vs
+    users-with-events — union / intersect / except cardinalities in one
+    row.
 
-    Each input is a distinct key set (pre-aggregated before the set op,
-    so union/intersect shuffle key sets, never fact rows).
+    Plan: ONE scan per fact, side-tagged ``unionByName``, one shuffle on
+    the key, then every set cardinality falls out of one conditional
+    aggregate over the per-key side flags. The literal
+    ``intersect``/``subtract`` operator form scans each fact 4× and
+    shuffles 5× for the same answer (it is pinned equal to this plan in
+    tests — the operators stay in the engine surface; this query carries
+    the plan you'd actually run at 100 TB).
     """
     orders = load_table(spark, sf_dir, "orders")
     events = load_table(spark, sf_dir, "events")
-    o_keys = orders.select(F.col("o_custkey").alias("actor_key")).distinct()
-    e_keys = events.select(F.col("user_id").alias("actor_key")).distinct()
-    a = o_keys.agg(F.count("*").alias("n_order_customers"))
-    b = e_keys.agg(F.count("*").alias("n_event_users"))
-    c = o_keys.unionByName(e_keys).distinct().agg(F.count("*").alias("n_union"))
-    d = o_keys.intersect(e_keys).agg(F.count("*").alias("n_intersect"))
-    e = o_keys.subtract(e_keys).agg(F.count("*").alias("n_only_orders"))
-    return a.crossJoin(b).crossJoin(c).crossJoin(d).crossJoin(e)
+    tagged = (
+        orders.select(
+            F.col("o_custkey").alias("actor_key"),
+            F.lit(1).alias("_o"),
+            F.lit(0).alias("_e"),
+        )
+        .unionByName(
+            events.select(
+                F.col("user_id").alias("actor_key"),
+                F.lit(0).alias("_o"),
+                F.lit(1).alias("_e"),
+            )
+        )
+        .groupBy("actor_key")
+        .agg(F.max("_o").alias("_o"), F.max("_e").alias("_e"))
+    )
+    return tagged.agg(
+        F.sum("_o").cast("long").alias("n_order_customers"),
+        F.sum("_e").cast("long").alias("n_event_users"),
+        F.count("*").alias("n_union"),
+        F.sum(F.col("_o") * F.col("_e")).cast("long").alias("n_intersect"),
+        F.sum(F.col("_o") * (1 - F.col("_e"))).cast("long").alias("n_only_orders"),
+    )
 
 
 def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -95,16 +95,20 @@ def docs_fingerprint_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup summary: corpus size, distinct normalized
-    fingerprints, rows dropped by keep-min-doc_id dedup. One row."""
+    fingerprints, rows kept/dropped by keep-one-per-fingerprint dedup.
+    One row, ONE scan: n_kept ≡ n_distinct and n_dropped ≡ n_docs −
+    n_distinct by construction of ``DD.exact_dedup`` (keeps exactly the
+    min-doc_id row per fingerprint; identity asserted in tests), so the
+    counts collapse into a single conditional aggregate instead of
+    running the 3-scan dedup pipeline to count its outputs."""
     docs = load_table(spark, sf_dir, "documents")
-    kept, dropped = DD.exact_dedup(docs)
-    a = docs.agg(
+    fp = TX.fingerprint("text")
+    return docs.agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct(TX.fingerprint("text")).alias("n_distinct"),
+        F.countDistinct(fp).alias("n_distinct"),
+        F.countDistinct(fp).alias("n_kept"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_dropped"),
     )
-    b = kept.agg(F.count("*").alias("n_kept"))
-    c = dropped.agg(F.count("*").alias("n_dropped"))
-    return a.crossJoin(b).crossJoin(c)
 
 
 def docs_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,7 +180,10 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (float cos is engine-sensitive in the last ulp; membership is
     not, given the 0.94-vs-0.51 margin)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = SIM.cosine_neardup_pairs(_with_planted_dups(emb), threshold=0.9)
+    # materialize the planted test corpus once: the LSH self-join + two
+    # rerank joins otherwise re-scan (and re-plant) the input 8×
+    corpus = _with_planted_dups(emb).localCheckpoint()
+    pairs = SIM.cosine_neardup_pairs(corpus, threshold=0.9)
     return pairs.select("vec_a", "vec_b").orderBy("vec_a", "vec_b")
 
 

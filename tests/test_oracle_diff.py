@@ -38,3 +38,30 @@ def test_all_queries_run(spark, sf_dir):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_set_ops_operator_form_matches_tagged_plan(spark, sf_dir):
+    """R23: the literal intersect/subtract/union operator composition
+    must agree with set_ops_actors' single-scan tagged plan (the query
+    ships the efficient plan; the operators stay correct)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.catalog import load_table
+    from ecommerce_realtime_pipeline_spark.plans.dq import set_ops_actors
+
+    o_keys = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("actor_key"))
+        .distinct()
+    )
+    e_keys = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("actor_key"))
+        .distinct()
+    )
+    row = set_ops_actors(spark, sf_dir).collect()[0]
+    assert row["n_order_customers"] == o_keys.count()
+    assert row["n_event_users"] == e_keys.count()
+    assert row["n_union"] == o_keys.unionByName(e_keys).distinct().count()
+    assert row["n_intersect"] == o_keys.intersect(e_keys).count()
+    assert row["n_only_orders"] == o_keys.subtract(e_keys).count()
