@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardup_simhash": llm.docs_neardup_simhash,
         "emb_knn_bruteforce": llm.emb_knn_bruteforce,
         "emb_knn_lsh": llm.emb_knn_lsh,
+        "emb_knn_ivf": llm.emb_knn_ivf,
         "emb_cosine_neardup": llm.emb_cosine_neardup,
         "emb_label_centroids": llm.emb_label_centroids,
         "mm_feature_summary": llm.mm_feature_summary,

@@ -155,6 +155,14 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_lsh(emb, _query_vectors(emb), k=KNN_K)
 
 
+def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN top-5 (coarse quantizer + n_probe cells + exact
+    rerank). Rows-only (seeded-sample centroids); recall vs brute force
+    asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_ivf(emb, _query_vectors(emb), k=KNN_K)
+
+
 def _with_planted_dups(emb: DataFrame) -> DataFrame:
     """Corpus ∪ deterministic perturbed copies of every 10th vector
     (first component doubled, id offset by 1e6). The perturbation keeps

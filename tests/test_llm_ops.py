@@ -65,6 +65,19 @@ def test_knn_lsh_recall_floor(spark):
     assert sum(recalls) / len(recalls) >= 0.6
 
 
+def test_knn_ivf_recall_floor(spark):
+    """IVF probing 4 of 16 cells: ≥0.5 mean recall on isotropic vectors
+    (the worst case — scan fraction ~25%); clustered embeddings do far
+    better. Exact rerank makes every returned neighbor's cos_sim true."""
+    bf, ivf = {}, {}
+    for r in llm.emb_knn_bruteforce(spark, SF).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in llm.emb_knn_ivf(spark, SF).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(bf[q] & ivf.get(q, set())) / len(bf[q]) for q in bf]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
 def test_knn_bruteforce_is_top_k_sound(spark):
     out = llm.emb_knn_bruteforce(spark, SF)
     per_q = out.groupBy("query_id").agg(
