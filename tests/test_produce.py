@@ -103,6 +103,22 @@ def test_produce_then_ingest_e2e(spark, tmp_path):
     assert offs.agg(F.sum("offset_committed")).collect()[0][0] is not None
 
 
+def test_produce_throughput_floor(spark, tmp_path):
+    """BASELINE.md: the reference CI asserts > 100 msg/s for a
+    1,000-message produce. Mirror the floor against the file-topic
+    stand-in end-to-end (generate → envelope → land)."""
+    import time
+
+    t0 = time.time()
+    counts = P.produce_batch(
+        spark, str(tmp_path / "topics"), event_count=1000, customer_count=10, seed=3
+    )
+    elapsed = time.time() - t0
+    n = sum(counts.values())
+    assert n >= 1000
+    assert n / elapsed > 100, f"{n / elapsed:.0f} msg/s under the 100 msg/s floor"
+
+
 def test_orders_ingest_maintains_child_items(spark, tmp_path):
     """R11/R9 in the streaming path: order_items child table re-derived
     from the silver order snapshot with generated line_total."""
