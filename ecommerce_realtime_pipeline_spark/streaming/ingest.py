@@ -216,6 +216,61 @@ def windowed_event_counts(
     )
 
 
+def session_event_counts(
+    raw: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """§2.7 session windows (streaming sessionization): per-customer
+    event sessions that close after ``gap`` of event-time inactivity —
+    the streaming counterpart of the batch lag/gap-flag sessionization
+    KPI (plans/kpi.py). State per open session is bounded by the
+    watermark; a session emits once, when the watermark passes its end.
+
+    Skew note: a pathological hot customer concentrates one session's
+    state on one task — same bound as the batch form; AQE skew-join
+    handles the downstream joins, and the state store holds only
+    (customer, window, count)."""
+    parsed = raw.withColumn("_p", F.from_json("payload", ENTITY_SCHEMAS["events"])).select(
+        F.col("_p.timestamp").alias("event_time"),
+        F.col("_p.customer_id").alias("customer_id"),
+    )
+    return (
+        parsed.withWatermark("event_time", watermark)
+        .groupBy(
+            F.session_window("event_time", gap).alias("win"), "customer_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "customer_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_session_counts(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+):
+    """Run streaming sessionization over a file-envelope stream,
+    appending closed sessions to parquet (exactly-once via checkpoint)."""
+    counts = session_event_counts(stream_envelopes(spark, source_dir), gap, watermark)
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_windowed_counts(
     spark: SparkSession,
     source_dir: str,

@@ -10,11 +10,15 @@ import os
 
 from ecommerce_realtime_pipeline_spark.streaming import ingest as I
 
-BASE = "2025-03-01T10:{mm:02d}:{ss:02d}Z"
+import datetime as _dt
+
+BASE_DT = _dt.datetime(2025, 3, 1, 10, 0, 0)
 
 
 def _event_line(offset, mm, ss, etype="view"):
-    ts = BASE.format(mm=mm, ss=ss)
+    ts = (BASE_DT + _dt.timedelta(minutes=mm, seconds=ss)).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
     payload = json.dumps(
         {
             "event_id": f"e{offset}",
@@ -44,6 +48,43 @@ def _write(dirpath, name, lines):
 def _run(spark, src, sink, ckpt):
     q = I.run_windowed_counts(spark, src, sink, ckpt, watermark="10 minutes")
     q.awaitTermination(120)
+
+
+def test_session_windows_split_on_gap(spark, tmp_path):
+    """Two bursts for one customer separated by more than the 30-minute
+    gap must close as two distinct sessions with merged extents."""
+    src, sink, ckpt = (str(tmp_path / d) for d in ("s2", "k2", "c2"))
+    # burst 1: 10:00, 10:10, 10:20 (one session); burst 2: 11:30
+    _write(
+        src,
+        "b1.json",
+        [
+            _event_line(1, 0, 0),
+            _event_line(2, 10, 0),
+            _event_line(3, 20, 0),
+            _event_line(4, 90, 0),
+        ],
+    )
+    q = I.run_session_counts(spark, src, sink, ckpt)
+    q.awaitTermination(120)
+    # advance watermark far past both sessions so they close and emit
+    _write(src, "b2.json", [_event_line(5, 300, 0)])
+    q = I.run_session_counts(spark, src, sink, ckpt)
+    q.awaitTermination(120)
+    _write(src, "b3.json", [_event_line(6, 400, 0)])
+    q = I.run_session_counts(spark, src, sink, ckpt)
+    q.awaitTermination(120)
+
+    rows = sorted(
+        spark.read.parquet(sink).collect(), key=lambda r: r["session_start"]
+    )
+    assert len(rows) >= 2
+    first, second = rows[0], rows[1]
+    assert first["n_events"] == 3  # burst 1 merged into one session
+    assert first["session_start"].strftime("%H:%M") == "10:00"
+    assert first["session_end"].strftime("%H:%M") == "10:50"  # last event + gap
+    assert second["n_events"] == 1
+    assert second["session_start"].strftime("%H:%M") == "11:30"
 
 
 def test_windowed_counts_close_once_and_drop_late(spark, tmp_path):
