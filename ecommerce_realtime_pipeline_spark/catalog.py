@@ -8,9 +8,9 @@ gets schema + min/max pushdown from the parquet footers for free.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_realtime_pipeline_spark.settings import Settings
 
 TABLES = (
     "region",
@@ -25,7 +25,7 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_SF_DIR = Settings().sf_dir
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -14,7 +14,9 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+from ecommerce_realtime_pipeline_spark.settings import Settings
+
+DEFAULT_SHUFFLE_PARTITIONS = Settings().cpus
 
 
 def get_spark(
@@ -29,7 +31,7 @@ def get_spark(
     local[{cpus}] test environment but the same configs are what we'd
     ship to a 1000-executor cluster (AQE owns runtime parallelism).
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = Settings().cpus
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

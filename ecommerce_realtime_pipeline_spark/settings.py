@@ -39,7 +39,9 @@ class Settings:
         default_factory=lambda: _env("KAFKA_EVENT_TOPIC", "events", "TOPIC_EVENTS")
     )
 
-    # Default batch shape — reference producer.py:268-271, settings.py:20
+    # Default batch shape (produce_batch fallbacks) — reference
+    # producer.py:268-271. BATCH_SIZE is declared-but-unused in the
+    # reference too (settings.py:20); kept for env-surface parity.
     default_products: int = 5
     default_customers: int = 5
     default_orders: int = 10

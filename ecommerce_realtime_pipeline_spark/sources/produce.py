@@ -162,26 +162,28 @@ def write_topic(
 def produce_batch(
     spark: SparkSession,
     topics_dir: str,
-    product_count: int = 0,
-    customer_count: int = 0,
-    order_count: int = 0,
-    event_count: int = 0,
+    product_count: int | None = None,
+    customer_count: int | None = None,
+    order_count: int | None = None,
+    event_count: int | None = None,
     seed: int = 42,
     corruption_enabled: bool = False,
     settings: Settings | None = None,
     n_partitions: int = 4,
 ) -> dict[str, int]:
     """S3: generate a seeded synthetic batch and publish all four entity
-    sets (``producer.py:186-235``). Returns per-topic published counts
-    (the reference's ProducerMetrics equivalent). The batch write is
-    synchronous — ``flush=True`` semantics are inherent."""
+    sets (``producer.py:186-235``). Counts default to the settings batch
+    shape (reference CLI defaults 5/5/10/25, ``producer.py:268-271``).
+    Returns per-topic published counts (the ProducerMetrics equivalent).
+    The batch write is synchronous — ``flush=True`` semantics are
+    inherent."""
     settings = settings or Settings()
     batch = G.generate_batch(
         spark,
-        product_count,
-        customer_count,
-        order_count,
-        event_count,
+        settings.default_products if product_count is None else product_count,
+        settings.default_customers if customer_count is None else customer_count,
+        settings.default_orders if order_count is None else order_count,
+        settings.default_events if event_count is None else event_count,
         seed=seed,
         corruption_enabled=corruption_enabled,
         settings=settings,
@@ -197,3 +199,38 @@ def produce_batch(
         write_topic(env, topics_dir, n_partitions=n_partitions)
         counts[entity_topic(entity, settings)] = env.count()
     return counts
+
+
+def run_cli(argv: list[str] | None = None) -> int:
+    """The reference's producer CLI (``producer.py:266-300``) against
+    the file-topic stand-in: ``python -m
+    ecommerce_realtime_pipeline_spark.sources.produce --topics-dir /tmp/topics``."""
+    import argparse
+
+    from ecommerce_realtime_pipeline_spark.session import get_spark
+
+    parser = argparse.ArgumentParser(description="Produce a synthetic batch")
+    parser.add_argument("--topics-dir", required=True)
+    parser.add_argument("--products", type=int, default=None)
+    parser.add_argument("--customers", type=int, default=None)
+    parser.add_argument("--orders", type=int, default=None)
+    parser.add_argument("--events", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--corrupt", action="store_true")
+    args = parser.parse_args(argv)
+    counts = produce_batch(
+        get_spark("producer_cli"),
+        args.topics_dir,
+        product_count=args.products,
+        customer_count=args.customers,
+        order_count=args.orders,
+        event_count=args.events,
+        seed=args.seed,
+        corruption_enabled=args.corrupt,
+    )
+    print(counts)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(run_cli())
