@@ -160,6 +160,7 @@ def quality_features(docs: DataFrame) -> DataFrame:
         "source",
         F.length("text").alias("n_chars"),
         n_tok.alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
         n_distinct.alias("n_distinct_tokens"),
         F.round(n_distinct / n_tok, 4).alias("distinct_ratio"),
         F.round(mean_tok_len, 4).alias("mean_token_len"),

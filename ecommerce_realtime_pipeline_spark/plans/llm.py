@@ -52,7 +52,13 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features (pure projection, no shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.quality_features(docs).select(
-        "doc_id", "n_chars", "n_tokens", "n_distinct_tokens", "distinct_ratio", "mean_token_len"
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_distinct_tokens",
+        "distinct_ratio",
+        "mean_token_len",
     )
 
 
@@ -256,10 +262,12 @@ LLM_ORACLES: dict[str, str] = {
         )
         SELECT base.*, dt.n_distinct_tokens FROM base JOIN dt USING (lang)
     """,
-    "docs_quality": """
+    "docs_quality": r"""
         SELECT doc_id,
                CAST(len(text) AS INT) AS n_chars,
                CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT)
+                   AS n_bpe_tokens,
                CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
                ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
                      / len(string_split(text, ' ')), 4) AS distinct_ratio,
