@@ -108,6 +108,97 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "media_meta",
+            MEDIA_SCHEMA["media_meta"].dataType,
+            False,
+        ),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def resize_payload(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Multimodal "resize" pass: 1:1 mapInPandas that re-encodes each
+    payload to a bounded size and restamps the metadata struct
+    (format/n_bytes/checksum). The codec-dependent inner step is a
+    DETERMINISTIC FAKE — stride-sampling the byte array to
+    ``target_bytes`` — standing in for decode→resize→encode; a real
+    deployment replaces only the inner function, the Spark plumbing
+    (schema, Arrow batching, 1:1 partition-preserving shape) is real."""
+    import hashlib
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def shrink(b):
+            if b is None:
+                return None
+            if len(b) <= target_bytes:
+                return bytes(b)
+            stride = len(b) / target_bytes
+            return bytes(b[int(i * stride)] for i in range(target_bytes))
+
+        for pdf in batches:
+            small = pdf["payload"].map(shrink)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": small,
+                    "media_meta": [
+                        {
+                            "format": "application/x-resized",
+                            "n_bytes": 0 if b is None else len(b),
+                            "checksum": "" if b is None else hashlib.md5(b).hexdigest(),
+                        }
+                        for b in small
+                    ],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = 16, n_frames: int = 4
+) -> DataFrame:
+    """Multimodal frame-sampling pass: 1:N mapInPandas treating the
+    payload as concatenated fixed-size frames (the video layout) and
+    emitting ``n_frames`` evenly-strided frames per item. Deterministic
+    byte-level stand-in for a real demuxer — the fan-out shape, Arrow
+    batching, and output schema are the production plumbing."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_payload": [], "n_bytes": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None or len(b) == 0:
+                    continue
+                total = max(1, len(b) // frame_size)
+                take = min(n_frames, total)
+                stride = total / take
+                for j in range(take):
+                    fi = int(j * stride)
+                    frame = bytes(b[fi * frame_size : (fi + 1) * frame_size])
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(fi)
+                    rows["frame_payload"].append(frame)
+                    rows["n_bytes"].append(len(frame))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def feature_summary(docs: DataFrame) -> DataFrame:
     """Per-source rollup of extracted features — metadata-only columns
     stay JVM-side; only the payload pass is Python (Arrow)."""

@@ -114,6 +114,40 @@ def test_decode_stub_raises(spark):
         MM.decode_image(b"\x89PNG")
 
 
+def test_resize_bounds_and_restamps_metadata(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "ab")], "doc_id long, text string"
+    ).withColumn("source", F.lit("s"))
+    out = {r["doc_id"]: r for r in MM.resize_payload(MM.attach_binary(docs), 64).collect()}
+    assert len(out[1]["payload"]) == 64  # shrunk to target
+    assert out[2]["payload"] == b"ab"  # small payloads pass through
+    assert out[1]["media_meta"]["n_bytes"] == 64
+    assert out[1]["media_meta"]["format"] == "application/x-resized"
+    import hashlib
+
+    assert out[1]["media_meta"]["checksum"] == hashlib.md5(bytes(out[1]["payload"])).hexdigest()
+
+
+def test_frame_sampling_strides_payload(spark):
+    # 80 bytes / frame_size 16 = 5 frames; sample 4 evenly
+    payload = bytes(range(80))
+    docs = spark.createDataFrame([(1, "ignored")], "doc_id long, text string")
+    media = spark.createDataFrame(
+        [(1, payload)], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        MM.sample_frames(media, frame_size=16, n_frames=4).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(rows) == 4
+    idxs = [r["frame_idx"] for r in rows]
+    assert idxs == [0, 1, 2, 3]  # stride 5/4 -> frames 0,1,2,3
+    for r in rows:
+        fi = r["frame_idx"]
+        assert bytes(r["frame_payload"]) == payload[fi * 16 : (fi + 1) * 16]
+        assert r["n_bytes"] == 16
+
+
 def test_lang_id_deterministic_und(spark):
     docs = spark.createDataFrame(
         [(1, "the quick fox"), (2, "zzz qqq www")], "doc_id long, text string"
