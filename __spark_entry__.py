@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_corrupt_validate_metrics": gen.gen_corrupt_validate_metrics,
         # §2.1 S1-S3 — producer/publish path
         "produce_envelopes_shape": gen.produce_envelopes_shape,
+        # §2.7 S4-S6/R3-R4 — streaming ingest (exactly-once after replay)
+        "streaming_ingest_roundtrip": gen.streaming_ingest_roundtrip,
     }
     return q
 

@@ -100,6 +100,31 @@ def produce_envelopes_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("topic")
 
 
+def streaming_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 / S3→S6 as a driver-checkable query: publish a seeded
+    customer batch TWICE (replayed offsets), run the watermarked
+    streaming ingest, return the silver snapshot. Exactly-once landing
+    means the replay must vanish: 30 rows, bit-identical generated
+    values, no envelope/audit columns (they carry wall-clock). Rows-only
+    entry (generation + streaming are not DuckDB-expressible)."""
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.streaming import ingest as I
+
+    tmp = tempfile.mkdtemp(prefix="eng_stream_q_")
+    topics = f"{tmp}/topics"
+    for _ in range(2):  # second publish = full offset replay
+        P.produce_batch(spark, topics, 0, 30, 0, 0, seed=21, n_partitions=2)
+    q = I.run_ingest(
+        spark, f"{topics}/customers", "customers", f"{tmp}/silver", f"{tmp}/ckpt"
+    )
+    q.awaitTermination(120)
+    silver = spark.read.parquet(f"{tmp}/silver")
+    return silver.select(
+        "customer_id", "email", "name", "created_at", "updated_at"
+    ).orderBy("customer_id")
+
+
 def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end DQ pipeline: generate → corrupt (forced rates) →
     validate every entity → per-rule quarantine counts (R18). The
