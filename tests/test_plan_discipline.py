@@ -1,0 +1,55 @@
+"""Physical-plan guards: the scale properties the engine is designed
+around — filter pushdown into the parquet scan, column pruning, dim
+broadcasts, and no duplicate fact scans — asserted on real plans so a
+refactor that silently loses them fails here, not at 100 TB."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_shipdate_filter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), (
+        "l_shipdate filter must reach the parquet scan"
+    )
+
+
+def test_top_products_prunes_and_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_products_by_revenue")
+    assert "BroadcastHashJoin" in plan  # part is a broadcast dim
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in scan"
+    # the widest scan reads only the join/agg columns, never full lineitem
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "l_comment" not in read_cols and "l_shipinstruct" not in read_cols
+
+
+def test_jsonb_adhoc_pushes_user_filter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "jsonb_adhoc")
+    assert "PushedFilters: [" in plan
+
+
+def test_single_fact_scan_queries(spark, sf_dir):
+    """Queries rewritten to single-scan form must stay single-scan."""
+    for name, table in [
+        ("docs_exact_dedup", "documents"),
+        ("dedup_lineitem_latest", "lineitem"),
+        ("throughput_per_topic", "events"),
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        n = len(re.findall(rf"{table}\.parquet", plan))
+        assert n == 1, f"{name}: {table} scanned {n}× (expected 1)"
+    plan = _plan(spark, sf_dir, "set_ops_actors")
+    for table in ("orders", "events"):
+        n = len(re.findall(rf"{table}\.parquet", plan))
+        assert n == 1, f"set_ops_actors: {table} scanned {n}× (expected 1)"
