@@ -32,6 +32,15 @@ from ecommerce_realtime_pipeline_spark.schemas import ENTITY_SCHEMAS
 
 ENVELOPE_KEY = ["topic", "topic_partition", "topic_offset"]
 
+#: Last-write-wins ordering column per entity (R4). Events are immutable
+#: facts with no ``updated_at`` — their event time is the write order.
+ORDER_COLS = {
+    "products": "updated_at",
+    "customers": "updated_at",
+    "orders": "updated_at",
+    "events": "timestamp",
+}
+
 
 def dedup_offsets(raw: DataFrame) -> DataFrame:
     """R3 exactly-once landing: drop replayed (topic, partition, offset)
@@ -111,5 +120,5 @@ def normalize_entity(raw: DataFrame, entity: str) -> tuple[DataFrame, DataFrame]
     schema = ENTITY_SCHEMAS[entity]
     id_field = schema.fields[0].name
     typed, bad = parse_envelope(dedup_offsets(raw), entity)
-    silver = stamp_audit(latest_by_key(typed, id_field))
+    silver = stamp_audit(latest_by_key(typed, id_field, ORDER_COLS[entity]))
     return silver, bad

@@ -6,10 +6,11 @@ Scale stance (100 TB):
 - Brute force is O(n·q) with the q query vectors BROADCAST — correct
   baseline, only viable for small query sets; it is the verification
   oracle for the ANN path, not the production path.
-- LSH: each vector gets a ``n_planes``-bit sign bucket (narrow
-  projection); queries probe their own bucket plus all hamming-1
-  neighbors (multi-probe) and rerank exactly within buckets. Candidate
-  generation is an equi-join on the bucket id — no cross join anywhere.
+- LSH: multi-table sign-LSH — ``n_tables`` independent tables of
+  ``bits`` hyperplanes each; a pair is a candidate if it shares a
+  bucket in ANY table (OR-amplification), then exact rerank. Candidate
+  generation is an equi-join on (table, bucket) — no cross join
+  anywhere.
 - All dot products ride ``zip_with``/``aggregate`` (JVM, codegen) on
   the array column — no Python in the hot path.
 """

@@ -107,22 +107,30 @@ def streaming_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     means the replay must vanish: 30 rows, bit-identical generated
     values, no envelope/audit columns (they carry wall-clock). Rows-only
     entry (generation + streaming are not DuckDB-expressible)."""
+    import shutil
     import tempfile
 
     from ecommerce_realtime_pipeline_spark.streaming import ingest as I
 
     tmp = tempfile.mkdtemp(prefix="eng_stream_q_")
-    topics = f"{tmp}/topics"
-    for _ in range(2):  # second publish = full offset replay
-        P.produce_batch(spark, topics, 0, 30, 0, 0, seed=21, n_partitions=2)
-    q = I.run_ingest(
-        spark, f"{topics}/customers", "customers", f"{tmp}/silver", f"{tmp}/ckpt"
-    )
-    q.awaitTermination(120)
-    silver = spark.read.parquet(f"{tmp}/silver")
-    return silver.select(
-        "customer_id", "email", "name", "created_at", "updated_at"
-    ).orderBy("customer_id")
+    try:
+        topics = f"{tmp}/topics"
+        for _ in range(2):  # second publish = full offset replay
+            P.produce_batch(spark, topics, 0, 30, 0, 0, seed=21, n_partitions=2)
+        q = I.run_ingest(
+            spark, f"{topics}/customers", "customers", f"{tmp}/silver", f"{tmp}/ckpt"
+        )
+        q.awaitTermination(120)
+        silver = I.read_silver(spark, f"{tmp}/silver")
+        # localCheckpoint pins the result blocks so the temp dirs can go
+        # away before the caller consumes the frame (bench runs this 3×)
+        return (
+            silver.select("customer_id", "email", "name", "created_at", "updated_at")
+            .orderBy("customer_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,17 +19,22 @@ implemented Spark-first:
   bounded here by the watermark; checkpointing makes redelivery across
   restarts idempotent too).
 - **Upsert sink (S6/R4)**: ``foreachBatch`` last-write-wins merge by
-  entity key. Plain parquet has no MERGE, so the batch hook rewrites
-  the (small) silver snapshot atomically; a production deployment
-  swaps in Delta/Iceberg MERGE with the identical dedup logic.
+  entity key over a HASH-BUCKETED silver layout: silver lives as
+  ``bucket=N`` parquet partitions on ``pmod(xxhash64(key), n_buckets)``,
+  and each micro-batch rewrites ONLY the buckets containing batch keys
+  (partition pruning makes the read side touch only those directories
+  too). Work per trigger is O(touched buckets), not O(table) — the
+  plain-parquet equivalent of Delta/Iceberg MERGE file-skipping; a
+  production deployment swaps in MERGE with the identical dedup logic.
 - **Monitoring (R19/R18)**: a ``StreamingQueryListener`` captures
   per-batch progress in the ``processing_stats`` shape, and the batch
   hook maintains a ``consumer_offsets``-shaped parquet table of max
   landed offsets.
 
 Scale stance: the streaming graph is identical at any scale — state
-size is bounded by the watermark; the upsert rewrite is the only
-local-mode concession (MERGE at scale), and validation/normalization
+size is bounded by the watermark; the bucketed upsert rewrites only
+key-touched buckets per trigger (raise ``n_buckets`` with table size so
+a bucket stays executor-memory-sized), and validation/normalization
 reuse the batch operators unchanged (one code path, two execution
 modes).
 """
@@ -72,10 +77,32 @@ def deduped_stream(raw: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+#: Silver bucket count. 16 suffices for test scale; at 100 TB raise it
+#: (e.g. 4096) so one bucket ≈ one executor-memory-sized rewrite unit.
+N_BUCKETS = 16
+
+
+def bucket_of(id_col: str, n_buckets: int = N_BUCKETS):
+    """Deterministic bucket assignment: ``pmod(xxhash64(key), n)``.
+    Children bucketed by the parent key land in the parent's bucket, so
+    per-bucket maintenance of order_items never crosses buckets."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+
+
+def read_silver(spark: SparkSession, path: str) -> DataFrame:
+    """Read a bucketed silver table without the internal ``bucket``
+    partition column (the user-facing schema)."""
+    df = spark.read.parquet(path)
+    return df.drop("bucket") if "bucket" in df.columns else df
+
+
 def _atomic_overwrite(df: DataFrame, path: str) -> None:
-    """Write a parquet snapshot atomically (tmp dir + rename): readers
-    of ``path`` never observe a half-written table. Local-mode MERGE
-    stand-in — Delta/Iceberg replaces this wholesale at scale."""
+    """Write a parquet snapshot via tmp dir + rename. NOTE: between the
+    two renames there is a short window where ``path`` does not exist —
+    acceptable for the single-writer local-mode tables this backs (the
+    tiny offsets ledger); a multi-reader deployment swaps in a
+    version-pointer (write versioned dir, flip a manifest) or a real
+    table format."""
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
@@ -86,22 +113,58 @@ def _atomic_overwrite(df: DataFrame, path: str) -> None:
         shutil.rmtree(old, ignore_errors=True)
 
 
+def _swap_buckets(df: DataFrame, path: str, buckets: list[int]) -> None:
+    """Materialize ``df`` (which holds ONLY rows of ``buckets``) as
+    ``bucket=N`` partition dirs and swap exactly those dirs into
+    ``path``. Untouched bucket directories are not opened, rewritten, or
+    renamed — their files stay byte-identical (asserted in tests)."""
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    os.makedirs(path, exist_ok=True)
+    for b in buckets:
+        src = os.path.join(tmp, f"bucket={b}")
+        dst = os.path.join(path, f"bucket={b}")
+        old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def upsert_batch(
-    spark: SparkSession, batch_df: DataFrame, entity: str, silver_path: str
-) -> None:
+    spark: SparkSession,
+    batch_df: DataFrame,
+    entity: str,
+    silver_path: str,
+    n_buckets: int = N_BUCKETS,
+) -> list[int]:
     """S6/R4 foreachBatch hook: parse the envelope batch, merge with the
-    existing silver snapshot, keep the newest row per entity key.
+    touched buckets of the existing silver snapshot, keep the newest row
+    per entity key (per-entity order column — events order by their
+    immutable ``timestamp``). Only buckets containing batch keys are
+    read (partition pruning) and rewritten — O(touched), not O(table).
     Re-running the same epoch (failure replay) converges to the same
-    snapshot — idempotent."""
+    snapshot — idempotent. Returns the touched bucket ids."""
     typed, _bad = N.parse_envelope(batch_df, entity)
     id_field = ENTITY_SCHEMAS[entity].fields[0].name
+    typed = typed.withColumn("bucket", bucket_of(id_field, n_buckets))
+    touched = sorted(
+        r["bucket"] for r in typed.select("bucket").distinct().collect()
+    )
+    if not touched:
+        return []
     if os.path.exists(silver_path):
-        current = spark.read.parquet(silver_path)
+        current = spark.read.parquet(silver_path).filter(
+            F.col("bucket").isin(touched)
+        )
         merged = current.unionByName(typed, allowMissingColumns=True)
     else:
         merged = typed
-    latest = N.latest_by_key(merged, id_field)
-    _atomic_overwrite(N.stamp_audit(latest), silver_path)
+    latest = N.latest_by_key(merged, id_field, N.ORDER_COLS[entity])
+    _swap_buckets(N.stamp_audit(latest), silver_path, touched)
+    return touched
 
 
 def record_offsets(
@@ -313,17 +376,25 @@ def run_ingest(
     termination (tests) or leave it running (deployment).
 
     ``items_path`` (orders only): also maintain the normalized
-    ``order_items`` child table (R11/R9) — re-derived from the silver
-    snapshot each batch so children always agree with the surviving
-    (last-write-wins) order headers, mirroring the reference's
-    ON DELETE CASCADE coupling (``02_create_tables.sql:103-106``)."""
+    ``order_items`` child table (R11/R9) — re-derived from the TOUCHED
+    silver buckets each batch so children always agree with the
+    surviving (last-write-wins) order headers, mirroring the reference's
+    ON DELETE CASCADE coupling (``02_create_tables.sql:103-106``).
+    Items are bucketed by ``order_id`` with the same hash as the parent,
+    so a touched order's children are always in the same-numbered
+    bucket — the cascade rewrite is per-bucket too, never O(table)."""
     stream = deduped_stream(stream_envelopes(spark, source_dir), watermark)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        upsert_batch(spark, batch_df, entity, silver_path)
-        if items_path and entity == "orders":
-            silver = spark.read.parquet(silver_path)
-            _atomic_overwrite(N.explode_order_items(silver), items_path)
+        touched = upsert_batch(spark, batch_df, entity, silver_path)
+        if items_path and entity == "orders" and touched:
+            silver = spark.read.parquet(silver_path).filter(
+                F.col("bucket").isin(touched)
+            )
+            items = N.explode_order_items(silver.drop("bucket")).withColumn(
+                "bucket", bucket_of("order_id")
+            )
+            _swap_buckets(items, items_path, touched)
         if offsets_path:
             record_offsets(spark, batch_df, offsets_path)
 

@@ -123,6 +123,106 @@ def test_listener_captures_progress(spark, dirs):
     assert all(r["batch_timestamp"] is not None for r in rows)
 
 
+def _event_line(offset, eid, etype, ts=TS, partition=0):
+    payload = json.dumps(
+        {
+            "event_id": eid,
+            "event_type": etype,
+            "customer_id": "c1",
+            "timestamp": ts,
+        }
+    )
+    return json.dumps(
+        {
+            "topic": "events",
+            "topic_partition": partition,
+            "topic_offset": offset,
+            "message_key": eid,
+            "payload": payload,
+            "consumed_at": TS,
+        }
+    )
+
+
+def test_events_ingest_orders_by_timestamp(spark, dirs):
+    """Events have no updated_at; the per-entity ORDER_COLS map must
+    route last-write-wins through the immutable event timestamp."""
+    _write_file(
+        dirs["src"],
+        "b1.json",
+        [
+            _event_line(1, "e1", "page_view"),
+            _event_line(2, "e2", "purchase"),
+            _event_line(3, "e1", "cart_add", ts="2025-02-01T00:00:00Z"),
+        ],
+    )
+    q = I.run_ingest(spark, dirs["src"], "events", dirs["silver"], dirs["ckpt"])
+    q.awaitTermination(120)
+    silver = I.read_silver(spark, dirs["silver"])
+    rows = {r["event_id"]: r for r in silver.collect()}
+    assert silver.count() == 2
+    assert rows["e1"]["event_type"] == "cart_add"  # newest timestamp wins
+
+
+def _bucket_file_state(silver_dir):
+    """{bucket_dir: {relative_file: sha256}} for every bucket=N dir."""
+    import hashlib
+
+    state = {}
+    for sub in os.listdir(silver_dir):
+        if not sub.startswith("bucket="):
+            continue
+        files = {}
+        subpath = os.path.join(silver_dir, sub)
+        for root, _, names in os.walk(subpath):
+            for name in names:
+                p = os.path.join(root, name)
+                with open(p, "rb") as f:
+                    files[os.path.relpath(p, subpath)] = hashlib.sha256(
+                        f.read()
+                    ).hexdigest()
+        state[sub] = files
+    return state
+
+
+def test_untouched_buckets_byte_identical(spark, dirs):
+    """The bucketed upsert must not rewrite buckets whose keys are
+    absent from the batch: their files stay byte-for-byte identical."""
+    # batch 1: enough keys to populate several buckets
+    _write_file(
+        dirs["src"],
+        "b1.json",
+        [_envelope_line(i, f"c{i}", f"c{i}@x.com") for i in range(1, 21)],
+    )
+    _run(spark, dirs)
+    before = _bucket_file_state(dirs["silver"])
+    assert len(before) > 1  # the premise: keys spread over >1 bucket
+
+    # batch 2: a single updated key → exactly one touched bucket
+    _write_file(
+        dirs["src"],
+        "b2.json",
+        [_envelope_line(99, "c1", "c1-new@x.com", updated="2025-02-01T00:00:00Z")],
+    )
+    _run(spark, dirs)
+    after = _bucket_file_state(dirs["silver"])
+
+    touched = (
+        spark.createDataFrame([("c1",)], "id string")
+        .select(I.bucket_of("id").alias("b"))
+        .collect()[0]["b"]
+    )
+    touched_dir = f"bucket={touched}"
+    assert after[touched_dir] != before[touched_dir]
+    for sub, files in before.items():
+        if sub != touched_dir:
+            assert after[sub] == files, f"{sub} was rewritten"
+    silver = I.read_silver(spark, dirs["silver"])
+    rows = {r["customer_id"]: r for r in silver.collect()}
+    assert silver.count() == 20
+    assert rows["c1"]["email"] == "c1-new@x.com"
+
+
 def test_parse_failures_quarantined_not_dropped(spark, dirs):
     _write_file(
         dirs["src"],
