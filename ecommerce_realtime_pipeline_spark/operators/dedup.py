@@ -48,23 +48,30 @@ def jaccard_pairs(
 
     ``max_shingle_df`` drops shingles appearing in more than that many
     docs from candidate generation (classic frequency cutoff). When
-    set, Jaccard is still computed over the FULL shingle sets of
-    surviving candidate pairs, so the cutoff can only lose candidates
-    (recall), never corrupt scores.
+    set, the filtered index generates CANDIDATES only; surviving pairs
+    are then verified with exact Jaccard over the FULL shingle sets, so
+    the cutoff can only lose candidates (recall), never corrupt scores.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     idx = TX.shingle_index(docs, n)
-    gen = idx
     if max_shingle_df is not None:
         freq = idx.groupBy("shingle").agg(F.count("*").alias("_df"))
         gen = idx.join(
             F.broadcast(freq.filter(F.col("_df") <= max_shingle_df).select("shingle")),
             "shingle",
         )
-    a = gen.select(
+        cand = (
+            gen.select(F.col("doc_id").alias("doc_a"), "shingle")
+            .join(gen.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return verify_jaccard(cand, docs, threshold, n)
+    a = idx.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
     )
-    b = gen.select(
+    b = idx.select(
         F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
     )
     inter = (
@@ -80,6 +87,36 @@ def jaccard_pairs(
     jac = F.col("_inter") / (F.col("_n_a") + F.col("_n_b") - F.col("_inter"))
     return (
         inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def verify_jaccard(
+    cand: DataFrame, docs: DataFrame, threshold: float, n: int = 3
+) -> DataFrame:
+    """Exact-Jaccard verification of a (doc_a, doc_b) candidate set over
+    the FULL shingle sets — the shared tail of every approximate
+    candidate generator (LSH banding, frequency-cutoff inverted index).
+    Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold."""
+    sets = TX.with_shingles(docs.select("doc_id", "text"), n)
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb")),
+            "doc_b",
+        )
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter") / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
+                4,
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -138,33 +175,25 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verification of the (small) candidate set
-    sets = TX.with_shingles(docs.select("doc_id", "text"), n)
-    verified = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb")), "doc_b")
-        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("_inter")
-                / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    return verify_jaccard(cand, docs, threshold, n)
 
 
 def simhash(docs: DataFrame, bits: int = 32, n: int = 3) -> DataFrame:
     """SimHash per doc over distinct n-gram SHINGLES (tokens are too
     shared across a narrow-vocab corpus to discriminate): each bit is
     the sign of the Σ(±1) votes from shingle-hash bits. One explode +
-    one groupBy with ``bits`` conditional-sum aggregates."""
+    one groupBy with ``bits`` conditional-sum aggregates.
+
+    The shingle hash is the first 8 hex chars of md5 (a 32-bit value) —
+    md5 is the one hash both Spark and DuckDB share bit-for-bit, which
+    makes the whole SimHash (and therefore docs_neardup_simhash) exactly
+    replicable in the SQL oracle. Requires ``bits`` ≤ 32."""
+    if bits > 32:
+        raise ValueError("md5-derived simhash supports at most 32 bits")
     tok = (
         TX.with_shingles(docs.select("doc_id", "text"), n)
         .select("doc_id", F.explode("_sh").alias("tok"))
-        .withColumn("_h", F.xxhash64("tok"))
+        .withColumn("_h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
     )
     votes = [
         F.sum(

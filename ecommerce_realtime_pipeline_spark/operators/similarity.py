@@ -25,6 +25,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Embedding dimension memo keyed by caller-chosen key (e.g. the table
+#: path) — avoids re-running a one-row driver job per query call.
+_DIM_CACHE: dict[str, int] = {}
+
+
+def embedding_dim(
+    emb: DataFrame, col: str = "embedding", cache_key: str | None = None
+) -> int:
+    """Length of the embedding arrays. One one-row job on first use;
+    memoized under ``cache_key`` afterwards (array columns carry no
+    length in the schema, so this can't come from metadata alone)."""
+    if cache_key is not None and cache_key in _DIM_CACHE:
+        return _DIM_CACHE[cache_key]
+    dim = len(emb.select(col).first()[0])
+    if cache_key is not None:
+        _DIM_CACHE[cache_key] = dim
+    return dim
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -110,6 +129,7 @@ def knn_lsh(
     n_tables: int = 12,
     col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN cosine top-k: MULTI-TABLE sign-LSH + exact rerank inside
     candidate buckets.
@@ -125,9 +145,11 @@ def knn_lsh(
     Defaults (4 bits × 12 tables) give ≥0.8 recall even on isotropic
     random vectors (the hardest case, θ≈70°); clustered real-world
     embeddings reach ~1 at far lower scan fractions. Same output
-    contract as ``knn_bruteforce``.
+    contract as ``knn_bruteforce``. Pass ``dim`` (or use
+    :func:`embedding_dim` with a cache key) to avoid a one-row probe
+    job before planning.
     """
-    dim = len(emb.select(col).first()[0])
+    dim = dim or embedding_dim(emb, col)
     planes = hyperplanes(dim, bits * n_tables, seed)
     buckets = _bucket_udf(planes, bits, n_tables)
 
@@ -178,15 +200,22 @@ def ivf_centroids(
     emb: DataFrame, n_centroids: int = 16, col: str = "embedding", seed: int = 42
 ) -> list[list[float]]:
     """Deterministic coarse quantizer: ``n_centroids`` corpus vectors
-    chosen by hash order of vec_id (IVF-flat with sampled init — no
-    k-means dependency, reproducible across runs/partitionings). The
-    centroid table is small by design (√n-ish in practice), so
-    collecting it to broadcast into the assignment UDF is the standard
-    IVF layout, not a driver-side data pull. At 100 TB swap the global
-    hash sort for TABLESAMPLE + local top-n; semantics unchanged."""
+    chosen by md5 order of vec_id (IVF-flat with sampled init — no
+    k-means dependency, reproducible across runs/partitionings, and
+    engine-portable: DuckDB replicates the identical pick via
+    ``md5(vec_id || '|seed')``, which is what licenses the emb_knn_ivf
+    oracle). The centroid table is small by design (√n-ish in
+    practice), so collecting it to broadcast into the assignment UDF is
+    the standard IVF layout, not a driver-side data pull; ``limit``
+    after ``orderBy`` plans as TakeOrdered — no full sort materializes.
+    At 100 TB swap the global hash sort for TABLESAMPLE + local top-n;
+    semantics unchanged."""
     rows = (
         emb.select("vec_id", col)
-        .orderBy(F.xxhash64(F.col("vec_id").cast("long"), F.lit(seed)))
+        .orderBy(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f"|{seed}"))),
+            F.col("vec_id"),
+        )
         .limit(n_centroids)
         .collect()
     )
@@ -203,7 +232,9 @@ def _probe_udf(centroids: list[list[float]], n_probe: int):
 
     @pandas_udf("array<int>")
     def probes(v: pd.Series) -> pd.Series:
-        M = np.vstack(v.to_numpy())  # (n, dim)
+        # float64 throughout: cell ranking must agree with a
+        # double-precision SQL oracle up to summation-order ulps
+        M = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         sims = Mn @ Cn  # (n, n_c)
         idx = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
@@ -257,6 +288,7 @@ def cosine_neardup_pairs(
     n_tables: int = 12,
     col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: multi-table sign-LSH self-join
     for candidates, exact cosine verification ≥ ``threshold``.
@@ -270,7 +302,7 @@ def cosine_neardup_pairs(
 
     Output: (vec_a, vec_b, cos_sim) with vec_a < vec_b.
     """
-    dim = len(emb.select(col).first()[0])
+    dim = dim or embedding_dim(emb, col)
     planes = hyperplanes(dim, bits * n_tables, seed)
     buckets = _bucket_udf(planes, bits, n_tables)
     index = emb.select(

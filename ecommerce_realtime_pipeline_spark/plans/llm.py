@@ -134,9 +134,11 @@ def docs_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (32-bit, hamming ≤ 3, banded join).
-    Hash-dependent → rows-only check; recall vs exact Jaccard is
-    pinned in tests."""
+    """SimHash near-dup pairs (32-bit, hamming ≤ 3, banded join). The
+    md5-derived bit hash makes the sketch engine-portable, and the
+    4-chunk pigeonhole banding is EXACT for hamming ≤ 3 — so the
+    all-pairs DuckDB oracle computes the identical pair set (the oracle
+    may go all-pairs; the Spark path never does)."""
     docs = load_table(spark, sf_dir, "documents")
     return DD.simhash_pairs(docs, max_hamming=3)
 
@@ -155,18 +157,27 @@ def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-5 (sign-LSH + hamming-1 multi-probe + exact
-    rerank). Rows-only; recall vs brute force asserted in tests."""
+    """Multi-table sign-LSH ANN top-5 (OR-amplified bucket equi-join +
+    exact rerank). Rows-only (hyperplane buckets are not
+    SQL-replicable); recall vs brute force asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_lsh(emb, _query_vectors(emb), k=KNN_K)
+    return SIM.knn_lsh(
+        emb, _query_vectors(emb), k=KNN_K,
+        dim=SIM.embedding_dim(emb, cache_key=f"{sf_dir}/embeddings"),
+    )
 
 
 def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN top-5 (coarse quantizer + n_probe cells + exact
-    rerank). Rows-only (seeded-sample centroids); recall vs brute force
-    asserted in tests."""
+    rerank). The md5-ordered centroid pick is engine-portable, so the
+    DuckDB oracle replicates the full quantize→probe→rerank pipeline
+    and checks the exact result set (its quantizer may cross-join
+    n×16; the Spark path broadcasts centroids into one Arrow matmul).
+    n_probe=8 of 16 cells suits the tiny isotropic test corpus (the
+    sf0.001 slice has ~3 vectors per cell); a production index scales
+    n_centroids ~√n with n_probe ≪ n_centroids."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_ivf(emb, _query_vectors(emb), k=KNN_K)
+    return SIM.knn_ivf(emb, _query_vectors(emb), k=KNN_K, n_probe=8)
 
 
 def _with_planted_dups(emb: DataFrame) -> DataFrame:
@@ -197,7 +208,10 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the planted test corpus once: the LSH self-join + two
     # rerank joins otherwise re-scan (and re-plant) the input 8×
     corpus = _with_planted_dups(emb).localCheckpoint()
-    pairs = SIM.cosine_neardup_pairs(corpus, threshold=0.9)
+    pairs = SIM.cosine_neardup_pairs(
+        corpus, threshold=0.9,
+        dim=SIM.embedding_dim(emb, cache_key=f"{sf_dir}/embeddings"),
+    )
     return pairs.select("vec_a", "vec_b").orderBy("vec_a", "vec_b")
 
 
@@ -333,6 +347,93 @@ LLM_ORACLES: dict[str, str] = {
     # MinHash-LSH verified output equals the exact result on this corpus
     # (clean J separation; asserted in tests) → same oracle:
     "docs_neardup_minhash": _JACCARD_SQL,
+    # 4-chunk pigeonhole banding is EXACT for hamming ≤ 3, so the
+    # all-pairs oracle reproduces the banded Spark result identically;
+    # the 32-bit hash is the first 8 md5 hex chars → shared by both
+    # engines bit-for-bit.
+    "docs_neardup_simhash": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_SHINGLES}) AS tok
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+            FROM sh
+        ),
+        votes AS (
+            SELECT doc_id, i,
+                   SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) bits
+            GROUP BY 1, 2
+        ),
+        sim AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+            FROM votes GROUP BY 1
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    # md5-ordered centroid pick → the oracle replicates the IVF
+    # quantizer, probes, and exact rerank (all-pairs against 16
+    # centroids is fine for an oracle; the Spark path never cross-joins
+    # the corpus itself).
+    "emb_knn_ivf": """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+                   ) - 1 AS cid,
+                   v AS cv, nrm AS cn
+            FROM base
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+            LIMIT 16
+        ),
+        cell_sims AS (
+            SELECT b.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_dot_product(b.v, c.cv) / (b.nrm * c.cn) DESC,
+                                c.cid ASC
+                   ) AS rn
+            FROM base b CROSS JOIN cents c
+        ),
+        assign AS (SELECT vec_id, cid FROM cell_sims WHERE rn = 1),
+        probes AS (
+            SELECT vec_id AS query_id, cid FROM cell_sims
+            WHERE rn <= 8 AND vec_id < 10
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN assign a USING (cid)
+            WHERE a.vec_id <> p.query_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos_sim
+            FROM cand
+            JOIN base q ON q.vec_id = cand.query_id
+            JOIN base n ON n.vec_id = cand.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank,
+                   cos_sim
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+               ROUND(cos_sim, 4) AS cos_sim
+        FROM ranked WHERE rank <= 5
+    """,
     "emb_knn_bruteforce": """
         WITH q AS (
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

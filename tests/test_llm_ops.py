@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ecommerce_realtime_pipeline_spark.catalog import load_table
 from ecommerce_realtime_pipeline_spark.operators import dedup as DD
 from ecommerce_realtime_pipeline_spark.operators import multimodal as MM
+from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
 from ecommerce_realtime_pipeline_spark.operators import text as TX
 from ecommerce_realtime_pipeline_spark.plans import llm
 
@@ -42,6 +43,54 @@ def test_simhash_pairs_subset_of_neardups(spark, docs):
     sim = {(r[0], r[1]) for r in DD.simhash_pairs(docs, max_hamming=3).collect()}
     assert sim <= exact
     assert len(sim) / len(exact) >= 0.8
+
+
+def test_jaccard_cutoff_scores_over_full_sets(spark):
+    """max_shingle_df filters CANDIDATE GENERATION only; surviving
+    pairs must score exact Jaccard over full shingle sets — the cutoff
+    may lose pairs, never deflate a surviving pair's score."""
+    base = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),  # J vs 1 well above 0.5
+        (3, "z y w v u t s r"),
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    full = {(r[0], r[1]): r[2] for r in DD.jaccard_pairs(docs, 0.1).collect()}
+    # cutoff high enough to keep some shared shingles → same scores
+    cut = {(r[0], r[1]): r[2] for r in DD.jaccard_pairs(docs, 0.1, max_shingle_df=2).collect()}
+    assert set(cut) <= set(full)
+    for pair, j in cut.items():
+        assert j == full[pair], f"{pair}: cutoff changed score {j} != {full[pair]}"
+
+
+def test_lsh_dim_param_skips_probe_job(spark, monkeypatch):
+    """With dim supplied, knn_lsh/cosine_neardup_pairs must not run the
+    one-row .first() probe job before planning."""
+    from pyspark.sql import DataFrame
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, -1.0], "l") for i in range(20)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+
+    def boom(self):
+        raise AssertionError(".first() probe job ran despite dim param")
+
+    monkeypatch.setattr(DataFrame, "first", boom)
+    SIM.knn_lsh(emb, q, k=2, dim=4)  # plan construction only
+    SIM.cosine_neardup_pairs(emb, threshold=0.99, dim=4)
+    monkeypatch.undo()
+
+
+def test_embedding_dim_memoized(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    assert SIM.embedding_dim(emb, cache_key="t1") == 3
+    assert SIM._DIM_CACHE["t1"] == 3
+    # cache hit: no DataFrame access at all
+    assert SIM.embedding_dim(None, cache_key="t1") == 3
 
 
 def test_exact_dedup_drops_exact_copies(spark):
