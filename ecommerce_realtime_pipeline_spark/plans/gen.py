@@ -133,6 +133,81 @@ def streaming_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def monitoring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18/R19 monitoring as a driver-checkable query: run a tiny
+    seeded ingest with the StatsListener attached and return the
+    DETERMINISTIC monitoring aggregates — total records processed /
+    failed from ``processing_stats`` (count-invariant: batch slicing
+    varies with file triggers, totals don't) and the
+    ``consumer_offsets`` ledger summary (partition count + committed
+    offsets, fixed by the seeded partitioner). Rows-only entry
+    (streaming + listener state are not DuckDB-expressible); wall-clock
+    columns are intentionally excluded."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from ecommerce_realtime_pipeline_spark.streaming import ingest as I
+
+    tmp = tempfile.mkdtemp(prefix="eng_mon_q_")
+    listener = I.StatsListener("customers_silver")
+    spark.streams.addListener(listener)
+    try:
+        topics = f"{tmp}/topics"
+        P.produce_batch(spark, topics, 0, 30, 0, 0, seed=21, n_partitions=2)
+        q = I.run_ingest(
+            spark,
+            f"{topics}/customers",
+            "customers",
+            f"{tmp}/silver",
+            f"{tmp}/ckpt",
+            offsets_path=f"{tmp}/offsets",
+        )
+        q.awaitTermination(120)
+        # progress events are dispatched async; wait until the listener
+        # has seen all 30 input rows (bounded)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            stats = listener.to_df(spark)
+            got = stats.agg(F.sum("records_processed")).collect()[0][0] or 0
+            if got >= 30:
+                break
+            time.sleep(0.5)
+        srow = stats.agg(
+            F.sum("records_processed").alias("records_processed_total"),
+            F.sum("records_failed").alias("records_failed_total"),
+        ).collect()[0]
+        orow = (
+            spark.read.parquet(f"{tmp}/offsets")
+            .agg(
+                F.count("*").alias("n_partitions"),
+                F.sum("offset_committed").alias("offsets_committed_sum"),
+                F.countDistinct("consumer_group").alias("n_consumer_groups"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    "customers_silver",
+                    int(srow["records_processed_total"]),
+                    int(srow["records_failed_total"]),
+                    int(orow["n_partitions"]),
+                    int(orow["offsets_committed_sum"]),
+                    int(orow["n_consumer_groups"]),
+                )
+            ],
+            "table_name string, records_processed_total long, "
+            "records_failed_total long, n_partitions long, "
+            "offsets_committed_sum long, n_consumer_groups long",
+        )
+    finally:
+        spark.streams.removeListener(listener)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end DQ pipeline: generate → corrupt (forced rates) →
     validate every entity → per-rule quarantine counts (R18). The

@@ -71,6 +71,24 @@ class Settings:
         )
     )
 
+    # Service identity + logging — reference settings.py:11-18 (same env
+    # names; consumed by config.logging_config)
+    app_env: str = field(default_factory=lambda: _env("APP_ENV", "local"))
+    service_name: str = field(
+        default_factory=lambda: _env("SERVICE_NAME", "ecommerce-pipeline")
+    )
+    log_level: str = field(default_factory=lambda: _env("LOG_LEVEL", "INFO"))
+    log_format: str = field(default_factory=lambda: _env("LOG_FORMAT", "console"))
+    log_to_file: bool = field(
+        default_factory=lambda: _env("LOG_TO_FILE", "false").lower() in ("1", "true", "yes")
+    )
+    log_file_max_bytes: int = field(
+        default_factory=lambda: int(_env("LOG_FILE_MAX_BYTES", "10485760"))
+    )
+    log_file_backup_count: int = field(
+        default_factory=lambda: int(_env("LOG_FILE_BACKUP_COUNT", "5"))
+    )
+
     # Kafka (used only when a broker is configured; tests use file sources)
     kafka_bootstrap_servers: str = field(
         default_factory=lambda: _env("KAFKA_BOOTSTRAP_SERVERS", "localhost:9092")

@@ -34,13 +34,32 @@ to the published batch, not to history.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_realtime_pipeline_spark.operators import generate as G
 from ecommerce_realtime_pipeline_spark.schemas import ENTITY_SCHEMAS
 from ecommerce_realtime_pipeline_spark.settings import Settings
+
+@dataclass
+class ProducerMetrics:
+    """The reference's in-memory publish counters
+    (``producer.py:41-51``): messages, payload bytes, errors. Here the
+    counts ride the write job itself via ``DataFrame.observe`` — no
+    second scan of the envelopes."""
+
+    produced_messages: int = 0
+    produced_bytes: int = 0
+    errors: int = 0
+
+    def record(self, n_messages: int, n_bytes: int) -> None:
+        self.produced_messages += n_messages
+        self.produced_bytes += n_bytes
+
 
 # entity → (id column, Settings topic attribute) — producer.py:153-181
 ENTITY_ROUTING: dict[str, tuple[str, str]] = {
@@ -134,13 +153,21 @@ def write_topic(
     topics_dir: str,
     n_partitions: int = 4,
     base_offset: int = 0,
-) -> None:
+) -> tuple[int, int]:
     """S1 sink (file stand-in): land envelopes as JSON-lines under
     ``<topics_dir>/<topic>/`` in the RAW_ENVELOPE_SCHEMA shape that
     ``streaming.ingest.stream_envelopes`` reads. With a real broker,
     replace with ``.write.format("kafka").options(**kafka_writer_options)``
     on the (topic, key, value) frame and drop the bookkeeping columns —
-    the broker assigns partition/offset."""
+    the broker assigns partition/offset.
+
+    ONE distributed write for any number of topics: the job partitions
+    by a topic-directory column (the ``topic`` payload field itself is
+    preserved inside the JSON), then the finished files are moved from
+    the ``_t=<topic>`` staging dirs into the per-topic layout — a
+    constant number of driver-side renames, never a per-topic rescan.
+    Returns (n_messages, n_payload_bytes), observed on the write job
+    itself (no second scan)."""
     full = assign_partitions_offsets(envelopes, n_partitions, base_offset).select(
         "topic",
         "topic_partition",
@@ -149,14 +176,25 @@ def write_topic(
         F.col("value").alias("payload"),
         F.current_timestamp().alias("consumed_at"),
     )
-    # one directory per topic (a Kafka topic stand-in). The topic set is
-    # ≤ #entities, so collecting it is a constant-size driver list, not a
-    # per-row loop; each topic lands in one distributed write.
-    topics = [r[0] for r in full.select("topic").distinct().collect()]
-    for t in topics:
-        full.filter(F.col("topic") == t).write.mode("append").json(
-            os.path.join(topics_dir, t)
-        )
+    obs = Observation(f"produce_{uuid.uuid4().hex[:8]}")
+    staged = full.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.coalesce(F.sum(F.length("payload")), F.lit(0)).alias("n_bytes"),
+    ).withColumn("_t", F.col("topic"))
+    stage_dir = os.path.join(topics_dir, f"__stage_{uuid.uuid4().hex[:8]}")
+    staged.write.mode("overwrite").partitionBy("_t").json(stage_dir)
+    for sub in os.listdir(stage_dir):
+        if not sub.startswith("_t="):
+            continue
+        dest = os.path.join(topics_dir, sub[len("_t=") :])
+        os.makedirs(dest, exist_ok=True)
+        src_sub = os.path.join(stage_dir, sub)
+        for name in os.listdir(src_sub):
+            os.rename(os.path.join(src_sub, name), os.path.join(dest, name))
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    got = obs.get
+    return int(got["n_msgs"]), int(got["n_bytes"])
 
 
 def produce_batch(
@@ -170,13 +208,19 @@ def produce_batch(
     corruption_enabled: bool = False,
     settings: Settings | None = None,
     n_partitions: int = 4,
+    base_offset: int = 0,
+    metrics: ProducerMetrics | None = None,
 ) -> dict[str, int]:
     """S3: generate a seeded synthetic batch and publish all four entity
     sets (``producer.py:186-235``). Counts default to the settings batch
     shape (reference CLI defaults 5/5/10/25, ``producer.py:268-271``).
-    Returns per-topic published counts (the ProducerMetrics equivalent).
-    The batch write is synchronous — ``flush=True`` semantics are
-    inherent."""
+    Returns per-topic published counts; pass ``metrics`` to accumulate
+    ProducerMetrics (messages/bytes observed on the write jobs, errors
+    counted per failed entity publish — ``producer.py:41-51``). The
+    batch write is synchronous — ``flush=True`` semantics are inherent.
+    ``base_offset`` offsets the file-topic bookkeeping so repeated
+    publishes get non-overlapping offsets (broker parity for
+    ``--repeat``)."""
     settings = settings or Settings()
     batch = G.generate_batch(
         spark,
@@ -196,18 +240,26 @@ def produce_batch(
         ("events", batch.events),
     ):
         env = to_envelope(df, entity, settings)
-        write_topic(env, topics_dir, n_partitions=n_partitions)
-        counts[entity_topic(entity, settings)] = env.count()
+        try:
+            n_msgs, n_bytes = write_topic(
+                env, topics_dir, n_partitions=n_partitions, base_offset=base_offset
+            )
+        except Exception:
+            if metrics is None:
+                raise
+            metrics.errors += 1
+            continue
+        counts[entity_topic(entity, settings)] = n_msgs
+        if metrics is not None:
+            metrics.record(n_msgs, n_bytes)
     return counts
 
 
-def run_cli(argv: list[str] | None = None) -> int:
-    """The reference's producer CLI (``producer.py:266-300``) against
-    the file-topic stand-in: ``python -m
-    ecommerce_realtime_pipeline_spark.sources.produce --topics-dir /tmp/topics``."""
+def build_cli_parser():
+    """Argument surface mirroring the reference CLI
+    (``producer.py:266-291``): batch shape, seed, corruption, plus
+    ``--repeat``/``--sleep`` for sustained publishing."""
     import argparse
-
-    from ecommerce_realtime_pipeline_spark.session import get_spark
 
     parser = argparse.ArgumentParser(description="Produce a synthetic batch")
     parser.add_argument("--topics-dir", required=True)
@@ -217,19 +269,78 @@ def run_cli(argv: list[str] | None = None) -> int:
     parser.add_argument("--events", type=int, default=None)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--corrupt", action="store_true")
-    args = parser.parse_args(argv)
-    counts = produce_batch(
-        get_spark("producer_cli"),
-        args.topics_dir,
-        product_count=args.products,
-        customer_count=args.customers,
-        order_count=args.orders,
-        event_count=args.events,
-        seed=args.seed,
-        corruption_enabled=args.corrupt,
+    parser.add_argument(
+        "--repeat",
+        type=int,
+        default=1,
+        help="Repeat the batch N times (metrics accumulate).",
     )
-    print(counts)
-    return 0
+    parser.add_argument(
+        "--sleep",
+        type=float,
+        default=0.0,
+        help="Seconds to sleep between repeated batches.",
+    )
+    return parser
+
+
+def run_cli(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    """The reference's producer CLI (``producer.py:266-316``) against
+    the file-topic stand-in: ``python -m
+    ecommerce_realtime_pipeline_spark.sources.produce --topics-dir /tmp/topics``.
+
+    Prints the ProducerMetrics JSON summary (produced_messages,
+    produced_bytes, errors) on stdout and exits 1 if any entity publish
+    errored — the reference's exact contract (``producer.py:306-316``).
+    Repeats advance ``base_offset`` by the prior message total so the
+    file-topic offsets never collide (what a broker does natively)."""
+    import json
+    import time
+
+    from ecommerce_realtime_pipeline_spark.logging_config import (
+        configure_logging,
+        get_logger,
+    )
+
+    args = build_cli_parser().parse_args(argv)
+    settings = Settings()
+    configure_logging(settings)
+    log = get_logger(__name__, settings).bind(component="producer")
+    if spark is None:
+        from ecommerce_realtime_pipeline_spark.session import get_spark
+
+        spark = get_spark("producer_cli")
+    metrics = ProducerMetrics()
+    for i in range(args.repeat):
+        if i > 0 and args.sleep > 0:
+            time.sleep(args.sleep)
+        counts = produce_batch(
+            spark,
+            args.topics_dir,
+            product_count=args.products,
+            customer_count=args.customers,
+            order_count=args.orders,
+            event_count=args.events,
+            seed=args.seed,
+            corruption_enabled=args.corrupt,
+            settings=settings,
+            base_offset=metrics.produced_messages,
+            metrics=metrics,
+        )
+        log.info("batch_produced", repeat=i + 1, of=args.repeat, counts=counts)
+    if metrics.errors:
+        log.error("produce_errors", errors=metrics.errors)
+    print(
+        json.dumps(
+            {
+                "produced_messages": metrics.produced_messages,
+                "produced_bytes": metrics.produced_bytes,
+                "errors": metrics.errors,
+            },
+            indent=2,
+        )
+    )
+    return 0 if metrics.errors == 0 else 1
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -205,9 +205,14 @@ class StatsListener(StreamingQueryListener):
     ``to_df``/``write`` persist them as the monitoring table."""
 
     def __init__(self, table_name: str = "silver"):
+        from ecommerce_realtime_pipeline_spark.logging_config import get_logger
+
         self.table_name = table_name
         self.rows: list[tuple] = []
         self._lock = threading.Lock()
+        self._log = get_logger(__name__).bind(
+            component="ingest", table=table_name
+        )
 
     def onQueryStarted(self, event):  # noqa: N802 (Spark API)
         pass
@@ -226,6 +231,11 @@ class StatsListener(StreamingQueryListener):
                     int(p.durationMs.get("triggerExecution", 0)),
                 )
             )
+        self._log.info(
+            "batch_progress",
+            records=int(p.numInputRows),
+            duration_ms=int(p.durationMs.get("triggerExecution", 0)),
+        )
 
     def onQueryIdle(self, event):  # noqa: N802
         pass

@@ -119,6 +119,114 @@ def test_produce_throughput_floor(spark, tmp_path):
     assert n / elapsed > 100, f"{n / elapsed:.0f} msg/s under the 100 msg/s floor"
 
 
+def test_write_topic_returns_observed_metrics(spark, batch, tmp_path):
+    """write_topic is ONE distributed write for all topics; message and
+    byte counts ride the job via observe (no second scan)."""
+    env = P.to_envelope(batch.customers, "customers")
+    n_msgs, n_bytes = P.write_topic(env, str(tmp_path / "topics"), n_partitions=2)
+    assert n_msgs == 20
+    expected_bytes = env.agg(F.sum(F.length("value"))).collect()[0][0]
+    assert n_bytes == expected_bytes
+    # layout preserved: JSON-lines under <dir>/<topic>/, topic field kept
+    landed = spark.read.json(str(tmp_path / "topics" / "customers"))
+    assert landed.count() == 20
+    assert landed.filter(F.col("topic") != "customers").count() == 0
+    # append semantics across publishes (offsets shifted by base_offset)
+    P.write_topic(env, str(tmp_path / "topics"), n_partitions=2, base_offset=20)
+    landed = spark.read.json(str(tmp_path / "topics" / "customers"))
+    assert landed.count() == 40
+    # no (partition, offset) collisions across the two publishes
+    assert landed.select("topic_partition", "topic_offset").distinct().count() == 40
+
+
+def test_cli_parser_repeat_sleep_defaults():
+    """Mirror reference tests/unit/test_producer.py CLI contract:
+    --repeat/--sleep exist with (1, 0.0) defaults."""
+    args = P.build_cli_parser().parse_args(["--topics-dir", "/tmp/x"])
+    assert args.repeat == 1 and args.sleep == 0.0 and args.seed == 42
+    args = P.build_cli_parser().parse_args(
+        ["--topics-dir", "/tmp/x", "--repeat", "3", "--sleep", "0.5", "--corrupt"]
+    )
+    assert args.repeat == 3 and args.sleep == 0.5 and args.corrupt
+
+
+def _last_json_block(out: str):
+    """The metrics summary is the final stdout JSON block (structured
+    log lines precede it, as in the reference CLI)."""
+    import json
+
+    return json.loads(out[out.rindex('{\n  "produced_messages"') :])
+
+
+def test_cli_metrics_summary_and_exit_code(spark, tmp_path, capsys):
+    """run_cli prints the ProducerMetrics JSON (produced_messages,
+    produced_bytes, errors) and returns 0 on success — the reference's
+    stdout contract (producer.py:306-316)."""
+    rc = P.run_cli(
+        [
+            "--topics-dir",
+            str(tmp_path / "topics"),
+            "--products", "2", "--customers", "2", "--orders", "2", "--events", "2",
+            "--repeat", "2",
+        ],
+        spark=spark,
+    )
+    out = _last_json_block(capsys.readouterr().out)
+    assert rc == 0
+    assert set(out) == {"produced_messages", "produced_bytes", "errors"}
+    assert out["produced_messages"] == 16  # 8 messages × 2 repeats
+    assert out["produced_bytes"] > 0
+    assert out["errors"] == 0
+    # offsets advanced across repeats: no (topic, partition, offset) dupes
+    landed = spark.read.json(str(tmp_path / "topics" / "orders"))
+    assert landed.count() == 4
+    assert (
+        landed.select("topic_partition", "topic_offset").distinct().count() == 4
+    )
+
+
+def test_cli_exit_1_on_errors(spark, tmp_path, capsys, monkeypatch):
+    """Any failed entity publish → errors counted, exit code 1
+    (reference producer.py:316)."""
+
+    def boom(env, topics_dir, n_partitions=4, base_offset=0):
+        raise RuntimeError("sink unavailable")
+
+    monkeypatch.setattr(P, "write_topic", boom)
+    rc = P.run_cli(["--topics-dir", str(tmp_path / "t"), "--customers", "1"], spark=spark)
+    out = _last_json_block(capsys.readouterr().out)
+    assert rc == 1
+    assert out["errors"] == 4  # all four entity publishes failed
+    assert out["produced_messages"] == 0
+
+
+def test_kafka_writer_plan_smoke(spark, batch, tmp_path):
+    """Broker-path smoke without a broker: the format('kafka') streaming
+    writer accepts kafka_writer_options at plan-construction time, and
+    the option keys match Spark's kafka-sink surface (kafka.-prefixed
+    client configs + bootstrap servers). Catches option-name typos in
+    CI; actual delivery needs a broker + the kafka-sql package."""
+    s = Settings()
+    opts = P.kafka_writer_options(s)
+    assert opts["kafka.bootstrap.servers"] == s.kafka_bootstrap_servers
+    for key in ("kafka.acks", "kafka.enable.idempotence", "kafka.compression.type"):
+        assert key in opts, f"missing documented kafka option {key}"
+    assert all(k.startswith("kafka.") for k in opts), "client configs need kafka. prefix"
+    env = P.to_envelope(batch.customers, "customers")
+    # the exact frame shape the kafka sink consumes
+    wire = env.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic",
+    )
+    writer = (
+        wire.write.format("kafka")
+        .options(**opts)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+    )
+    assert writer is not None  # plan-construction (no .save() without a broker)
+
+
 def test_orders_ingest_maintains_child_items(spark, tmp_path):
     """R11/R9 in the streaming path: order_items child table re-derived
     from the silver order snapshot with generated line_total."""

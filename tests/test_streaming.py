@@ -223,6 +223,22 @@ def test_untouched_buckets_byte_identical(spark, dirs):
     assert rows["c1"]["email"] == "c1-new@x.com"
 
 
+def test_monitoring_stats_deterministic(spark):
+    """R18/R19 driver entry: the monitoring aggregates are
+    count-invariant (batch slicing may vary; totals don't) and
+    repeatable across invocations."""
+    from ecommerce_realtime_pipeline_spark.plans import gen
+
+    a = gen.monitoring_stats(spark, "unused").collect()
+    b = gen.monitoring_stats(spark, "unused").collect()
+    assert a == b
+    row = a[0]
+    assert row["records_processed_total"] == 30
+    assert row["records_failed_total"] == 0
+    assert row["n_partitions"] == 2
+    assert row["n_consumer_groups"] == 1
+
+
 def test_parse_failures_quarantined_not_dropped(spark, dirs):
     _write_file(
         dirs["src"],
