@@ -27,6 +27,22 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# Stress mode: union the fact tables STRESS_MULT× (≈ sf × mult) and
+# re-time the data-bound heavy hitters, so round-over-round regressions
+# are visible above the fixed local-Spark overhead that dominates sf0.1.
+# SPARK_GRAFT_STRESS=0 disables; runs once (not RUNS×) per query.
+STRESS = os.environ.get("SPARK_GRAFT_STRESS", "1") != "0"
+STRESS_MULT = int(os.environ.get("SPARK_GRAFT_STRESS_MULT", "10"))
+STRESS_RUNS = int(os.environ.get("SPARK_GRAFT_STRESS_RUNS", "2"))
+STRESS_QUERIES = [
+    "top_products_by_revenue",
+    "order_total_reagg",
+    "dq_metrics",
+    "docs_neardup_jaccard",
+    "docs_neardup_minhash",
+    "emb_cosine_neardup",
+]
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -36,6 +52,75 @@ def _sf_from_dir(sf_dir: str) -> float:
 def _force(df) -> None:
     """Force full evaluation without materializing rows on the driver."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def _build_stress_dir(spark, mult: int) -> str:
+    """Materialize a ~``mult``×-scale copy of the testdata under /tmp.
+
+    - Dimensions (region..part) are symlinked — unchanged.
+    - Relational facts (orders, lineitem, events) are unioned ``mult``×
+      with keys UNCHANGED: every downstream join/agg stays linear
+      (groupBy collapses copies; dim joins are 1:K), so this scales row
+      volume without manufacturing quadratic pathologies.
+    - Content tables get per-copy perturbation, because exact copies
+      WOULD be quadratic for similarity queries (every cross-copy pair
+      becomes a near-dup): documents suffix every token with the copy
+      id (cross-copy Jaccard = 0, within-copy dup structure intact);
+      embeddings flip component signs by hash(vec_id, pos, copy)
+      (expected cross-copy cosine ≈ 0). Ids offset by copy×10^7.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="bench_stress_")
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        os.symlink(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
+    for t in ("orders", "lineitem", "events"):
+        base = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        df = base
+        for _ in range(mult - 1):
+            df = df.unionAll(base)
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    doc_copies = [docs]
+    for i in range(1, mult):
+        doc_copies.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000)).withColumn(
+                "text",
+                F.array_join(
+                    F.transform(F.split("text", " "), lambda x: F.concat(x, F.lit(f"_{i}"))),
+                    " ",
+                ),
+            )
+        )
+    _union_all(doc_copies).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb_copies = [emb]
+    for i in range(1, mult):
+        flipped = F.expr(
+            "transform(embedding, (x, j) -> cast(x * (case when "
+            f"pmod(xxhash64(vec_id, j, {i}), 2) = 0 then 1.0 else -1.0 end) as float))"
+        )
+        emb_copies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                flipped.alias("embedding"),
+                "label",
+            )
+        )
+    _union_all(emb_copies).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def _union_all(dfs):
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d)
+    return df
 
 
 def main() -> int:
@@ -76,17 +161,56 @@ def main() -> int:
         print(f"# {name}: runs={[round(t, 3) for t in times]} median={med:.3f}s", file=sys.stderr)
 
     total = round(sum(v for v in per_query.values() if v is not None), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_median_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": _sf_from_dir(SF_DIR),
+
+    stress: dict | None = None
+    if STRESS:
+        import shutil
+
+        stress_dir = None
+        try:
+            t0 = time.perf_counter()
+            stress_dir = _build_stress_dir(spark, STRESS_MULT)
+            build_sec = round(time.perf_counter() - t0, 4)
+            stress_q: dict[str, float | None] = {}
+            for name in STRESS_QUERIES:
+                fn = queries.get(name)
+                if fn is None:
+                    continue
+                times = []
+                for _ in range(STRESS_RUNS):
+                    t0 = time.perf_counter()
+                    try:
+                        _force(fn(spark, stress_dir))
+                    except Exception as exc:
+                        print(f"stress {name} failed: {exc}", file=sys.stderr)
+                        break
+                    times.append(time.perf_counter() - t0)
+                stress_q[name] = round(statistics.median(times), 4) if times else None
+                print(f"# stress {name}: {stress_q[name]}s", file=sys.stderr)
+            stress = {
+                "multiplier": STRESS_MULT,
+                "approx_sf": round(_sf_from_dir(SF_DIR) * STRESS_MULT, 4),
+                "build_sec": build_sec,
+                "runs": STRESS_RUNS,
+                "queries": stress_q,
             }
-        )
-    )
+        except Exception as exc:  # stress must never break the main line
+            print(f"stress mode failed: {exc}", file=sys.stderr)
+            stress = {"error": str(exc)}
+        finally:
+            if stress_dir:
+                shutil.rmtree(stress_dir, ignore_errors=True)
+
+    out = {
+        "metric": "suite_median_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if stress is not None:
+        out["stress"] = stress
+    print(json.dumps(out))
     return 0
 
 
