@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ecommerce_realtime_pipeline_spark.plans import dq, gen, kpi, llm
 from ecommerce_realtime_pipeline_spark.plans.dq import DQ_ORACLES
+from ecommerce_realtime_pipeline_spark.plans.gen import GEN_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.llm import LLM_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.oracles import KPI_ORACLES
 
@@ -84,8 +85,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query (same column names/types/values).
 
-    Rows-only (no oracle): docs_neardup_simhash, emb_knn_lsh (hash-
-    seeded candidate generation), mm_feature_summary (Pandas path) —
-    each pinned against an exact counterpart in tests/test_llm_ops.py.
+    Rows-only (no oracle): emb_knn_lsh (hyperplane buckets aren't
+    SQL-replicable), mm_feature_summary (Pandas path),
+    gen_corrupt_validate_metrics (hash-gated corruption),
+    streaming_ingest_roundtrip + monitoring_stats (streaming/listener
+    state) — each pinned by a non-vacuous pytest counterpart instead.
+    gen_batch_shape / produce_envelopes_shape carry ANALYTIC contract
+    oracles (see plans/gen.py GEN_ORACLES).
     """
-    return {**KPI_ORACLES, **DQ_ORACLES, **LLM_ORACLES}
+    return {**KPI_ORACLES, **DQ_ORACLES, **LLM_ORACLES, **GEN_ORACLES}

@@ -23,7 +23,14 @@ SEED = 42
 
 def gen_batch_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7 contract row: batch counts + referential-coherence orphan
-    counts (all zero by construction)."""
+    counts (all zero by construction).
+
+    Oracle-checked against ANALYTIC constants (GEN_ORACLES): the
+    requested batch shape (10/10/25/50) must come back exactly, and
+    coherent generation guarantees zero orphans of any kind — those
+    values are the operator's contract, not hash-derived artifacts, so
+    a literal oracle is a real pin (any generator regression that drops
+    rows or breaks referential coherence hash-mismatches)."""
     batch = G.generate_batch(spark, seed=SEED).drop_indexes().materialize()
 
     def cnt(df: DataFrame, alias: str) -> DataFrame:
@@ -57,7 +64,12 @@ def produce_envelopes_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the entity StructType (must be 0: produce→consume is
     lossless), and orders whose published total disagrees with the
     recomputed items total (must be 0: the S2 ``compute_total`` force
-    repairs even a corrupted header before publish)."""
+    repairs even a corrupted header before publish).
+
+    Oracle-checked against the ANALYTIC contract constants
+    (GEN_ORACLES): 50 messages per topic, zero violations of each kind
+    — corruption may mangle payload FIELDS but never the row count, the
+    key, JSON well-formedness, or the forced total."""
     settings = Settings(
         corruption_product_rate=0.3,
         corruption_customer_rate=0.3,
@@ -234,3 +246,38 @@ def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = metrics if out is None else out.unionByName(metrics)
     assert out is not None
     return out.orderBy("table_name", "rule")
+
+
+# ---------------------------------------------------------------------------
+# Contract oracles: these two queries return ANALYTIC constants — the
+# requested batch shape, zero orphans (coherent generation), 50
+# messages/topic with zero violations (lossless, key-safe, total-forced
+# publish). The values are the operators' declared contract, derivable
+# on paper without running either engine, so literal oracles give the
+# driver a real value-hash gate (any row-drop, orphan, key-null, parse
+# break, or total mismatch fails the hash). Generation internals stay
+# hash-seeded and are additionally pinned bit-for-bit by
+# tests/test_generate.py.
+# ---------------------------------------------------------------------------
+
+GEN_ORACLES: dict[str, str] = {
+    "gen_batch_shape": """
+        SELECT CAST(10 AS BIGINT) AS n_products,
+               CAST(10 AS BIGINT) AS n_customers,
+               CAST(25 AS BIGINT) AS n_orders,
+               CAST(50 AS BIGINT) AS n_events,
+               CAST(0 AS BIGINT) AS orphan_orders,
+               CAST(0 AS BIGINT) AS orphan_events,
+               CAST(0 AS BIGINT) AS orphan_items
+    """,
+    "produce_envelopes_shape": """
+        SELECT topic,
+               CAST(n AS BIGINT) AS n_msgs,
+               CAST(0 AS BIGINT) AS n_null_keys,
+               CAST(0 AS BIGINT) AS n_bad_payloads,
+               CAST(0 AS BIGINT) AS n_total_mismatch
+        FROM (VALUES ('customers', 50), ('events', 50),
+                     ('orders', 50), ('products', 50)) AS t(topic, n)
+        ORDER BY topic
+    """,
+}

@@ -39,6 +39,30 @@ def test_jsonb_adhoc_pushes_user_filter(spark, sf_dir):
     assert "PushedFilters: [" in plan
 
 
+def test_bucketed_silver_read_prunes_partitions(spark, tmp_path):
+    """The bucketed-upsert read side must PARTITION-PRUNE to the
+    touched buckets — the property that makes per-trigger work
+    O(touched) instead of O(table) at scale."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"c{i}", f"c{i}@x.com") for i in range(40)], "customer_id string, email string"
+    ).withColumn("bucket", F.pmod(F.xxhash64("customer_id"), F.lit(16)).cast("int"))
+    path = str(tmp_path / "silver")
+    df.write.partitionBy("bucket").parquet(path)
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), (
+        "bucket filter must prune partitions, not post-filter rows:\n" + plan
+    )
+
+
 def test_single_fact_scan_queries(spark, sf_dir):
     """Queries rewritten to single-scan form must stay single-scan."""
     for name, table in [
