@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardup_jaccard": llm.docs_neardup_jaccard,
         "docs_neardup_minhash": llm.docs_neardup_minhash,
         "docs_neardup_simhash": llm.docs_neardup_simhash,
+        "docs_neardup_clusters": llm.docs_neardup_clusters,
+        "docs_train_split": llm.docs_train_split,
+        "docs_quality_filter": llm.docs_quality_filter,
         "emb_knn_bruteforce": llm.emb_knn_bruteforce,
         "emb_knn_lsh": llm.emb_knn_lsh,
         "emb_knn_ivf": llm.emb_knn_ivf,

@@ -178,6 +178,73 @@ def minhash_lsh_pairs(
     return verify_jaccard(cand, docs, threshold, n)
 
 
+def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    with cluster_id = the smallest doc_id in the component. This is the
+    canonical final step of web-scale dedup: pairs → clusters → keep
+    one canonical doc per cluster.
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors; converges in
+    O(diameter) rounds, and near-dup graphs are short chains/cliques
+    (diameter ≤ a few), so 3-4 rounds in practice with ``max_iter`` as
+    the safety bound. Each round is one equi-join + groupBy (no
+    all-pairs anywhere); ``localCheckpoint`` per round breaks the
+    otherwise exponentially-growing lineage. At 100 TB-scale graphs
+    with long chains, swap in the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce") — identical
+    join shape, provably fewer rounds.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_minn"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels["node"] == neighbor_min["src"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_minn"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32, n: int = 3) -> DataFrame:
     """SimHash per doc over distinct n-gram SHINGLES (tokens are too
     shared across a narrow-vocab corpus to discriminate): each bit is

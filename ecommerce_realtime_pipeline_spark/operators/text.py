@@ -186,3 +186,46 @@ def predict_lang(tok_col: Column) -> Column:
     for lang in reversed(order):
         expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def hash_split(
+    id_col: str | Column = "doc_id",
+    weights: tuple[int, int, int] = (80, 10, 10),
+) -> Column:
+    """Deterministic train/val/test assignment by md5 of the document
+    id — the standard leakage-safe split for training-data pipelines:
+    membership is a pure function of the id (stable across reruns,
+    partitionings, and engines — md5 makes it DuckDB-replicable), never
+    of row order or a sampler's RNG state.
+
+    Buckets 0-99 from the first 8 md5 hex chars; weights are percent
+    cut-points. Narrow projection — no shuffle, no state.
+    """
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(100),
+    )
+    train, val, _ = weights
+    return (
+        F.when(bucket < train, F.lit("train"))
+        .when(bucket < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def quality_verdict(
+    min_tokens: int = 5,
+    min_distinct_ratio: float = 0.3,
+    max_mean_token_len: float = 12.0,
+) -> Column:
+    """Keep/drop verdict over the ``quality_features`` columns — the
+    filter stage of a training-data quality pipeline. Thresholds are
+    explicit parameters (a silent default cut is how corpora lose whole
+    languages); the expression runs entirely JVM-side."""
+    return (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("dropped:short"))
+        .when(F.col("distinct_ratio") < min_distinct_ratio, F.lit("dropped:repetitive"))
+        .when(F.col("mean_token_len") > max_mean_token_len, F.lit("dropped:gibberish"))
+        .otherwise(F.lit("kept"))
+    )

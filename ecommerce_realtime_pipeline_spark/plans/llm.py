@@ -143,6 +143,49 @@ def docs_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(docs, max_hamming=3)
 
 
+def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: exact-Jaccard pairs (J ≥ 0.5) → connected
+    components via iterative min-label propagation → (doc_id,
+    cluster_id). The canonical dedup endgame (keep one doc per
+    cluster). Oracle: DuckDB recursive CTE computes the same reachable
+    minimum per node — the one genuinely ITERATIVE algorithm in the
+    suite, still oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, threshold=JACCARD_T, n=3)
+    return DD.neardup_clusters(pairs).orderBy("doc_id")
+
+
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id) —
+    leakage-safe (membership is a pure function of the id, stable
+    across engines/partitionings) — summarized per (split, lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", TX.hash_split("doc_id"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count("text")).alias("sum_tokens"),
+        )
+    )
+
+
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter pipeline: per-doc features → explicit-threshold
+    keep/drop verdicts → corpus summary (the filter stage of a
+    training-data pipeline; thresholds are parameters, never silent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features(docs)
+    return (
+        feats.withColumn("verdict", TX.quality_verdict())
+        .groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
 # -- similarity search ------------------------------------------------------
 
 
@@ -344,6 +387,74 @@ LLM_ORACLES: dict[str, str] = {
                FROM documents) AS n_dropped
     """,
     "docs_neardup_jaccard": _JACCARD_SQL,
+    # connected components of the J>=0.5 pair graph: recursive CTE
+    # computes each node's minimum reachable label — same fixpoint the
+    # Spark min-label propagation converges to.
+    "docs_neardup_clusters": f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   unnest({_SHINGLES}) AS shingle,
+                   len({_SHINGLES}) AS n_sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS inter,
+                   any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jp AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE ROUND(inter * 1.0 / (n_a + n_b - inter), 4) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM jp
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM jp
+        ),
+        reach AS (
+            SELECT DISTINCT src AS node, src AS r FROM edges
+            UNION
+            SELECT e.src AS node, reach.r AS r
+            FROM edges e JOIN reach ON e.dst = reach.node
+        )
+        SELECT node AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY node
+    """,
+    "docs_train_split": """
+        WITH tagged AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS n_toks,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 100 AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               count(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS sum_tokens
+        FROM tagged GROUP BY 1, 2
+    """,
+    "docs_quality_filter": """
+        WITH feats AS (
+            SELECT len(string_split(text, ' ')) AS n_tokens,
+                   ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                         / len(string_split(text, ' ')), 4) AS distinct_ratio,
+                   ROUND((len(text) - len(string_split(text, ' ')) + 1) * 1.0
+                         / len(string_split(text, ' ')), 4) AS mean_token_len
+            FROM documents
+        )
+        SELECT CASE WHEN n_tokens < 5 THEN 'dropped:short'
+                    WHEN distinct_ratio < 0.3 THEN 'dropped:repetitive'
+                    WHEN mean_token_len > 12.0 THEN 'dropped:gibberish'
+                    ELSE 'kept' END AS verdict,
+               count(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM feats GROUP BY 1
+    """,
     # MinHash-LSH verified output equals the exact result on this corpus
     # (clean J separation; asserted in tests) → same oracle:
     "docs_neardup_minhash": _JACCARD_SQL,

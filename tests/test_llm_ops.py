@@ -93,6 +93,60 @@ def test_embedding_dim_memoized(spark):
     assert SIM.embedding_dim(None, cache_key="t1") == 3
 
 
+def test_neardup_clusters_components(spark):
+    """Min-label propagation finds exact connected components on a
+    graph with a chain (needs >1 round), a triangle, and a far pair."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+            (10, 11), (11, 12), (10, 12),    # triangle
+            (100, 200),                      # pair
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in DD.neardup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 100: 100, 200: 100}
+
+
+def test_hash_split_deterministic_and_partition_free(spark):
+    """Split membership is a pure function of the id: identical across
+    invocations and partition counts, roughly 80/10/10."""
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["s"] for r in docs.select("doc_id", TX.hash_split().alias("s")).collect()}
+    b = {
+        r["doc_id"]: r["s"]
+        for r in docs.repartition(7).select("doc_id", TX.hash_split().alias("s")).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    shares = Counter(a.values())
+    assert abs(shares["train"] / 2000 - 0.80) < 0.05
+    assert abs(shares["val"] / 2000 - 0.10) < 0.03
+    assert abs(shares["test"] / 2000 - 0.10) < 0.03
+
+
+def test_quality_verdict_reasons(spark):
+    base = [
+        (1, "one two three four five six seven"),          # kept
+        (2, "hi"),                                         # short
+        (3, "spam spam spam spam spam spam spam spam"),    # repetitive
+        (4, "aaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbb cccccccccccccccccc dddddddddddddddddd eeeeeeeeeeeeeeeeee"),  # gibberish
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "unit") for i, t in base],
+        "doc_id long, text string, lang string, source string",
+    )
+    feats = TX.quality_features(docs).withColumn("v", TX.quality_verdict())
+    got = {r["doc_id"]: r["v"] for r in feats.select("doc_id", "v").collect()}
+    assert got[1] == "kept"
+    assert got[2] == "dropped:short"
+    assert got[3] == "dropped:repetitive"
+    assert got[4] == "dropped:gibberish"
+
+
 def test_exact_dedup_drops_exact_copies(spark):
     base = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "Alpha  beta gamma"), (4, "delta")]
     docs = spark.createDataFrame(base, "doc_id long, text string")
