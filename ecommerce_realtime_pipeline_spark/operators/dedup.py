@@ -195,6 +195,9 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     (Kiveris et al., "Connected Components in MapReduce") — identical
     join shape, provably fewer rounds.
     """
+    # materialize the pair list ONCE: the edge union references it
+    # twice, and the upstream pair-finding join is the expensive part
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

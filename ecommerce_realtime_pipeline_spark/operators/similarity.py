@@ -305,9 +305,12 @@ def cosine_neardup_pairs(
     dim = dim or embedding_dim(emb, col)
     planes = hyperplanes(dim, bits * n_tables, seed)
     buckets = _bucket_udf(planes, bits, n_tables)
+    # materialize the (id, table, bucket) index once: the self-join
+    # references it on both sides, and the Arrow matmul pass is the
+    # expensive part — without this it runs twice in one job
     index = emb.select(
         "vec_id", F.posexplode(buckets(F.col(col))).alias("tbl", "bucket")
-    )
+    ).localCheckpoint()
     cand = (
         index.alias("x")
         .join(index.alias("y"), ["tbl", "bucket"])
@@ -317,7 +320,11 @@ def cosine_neardup_pairs(
         )
         .distinct()
     )
-    vecs = with_norm(emb, col).select("vec_id", F.col(col).alias("_v"), "_nrm")
+    # same double-reference on the verify tail: (vector, norm) joins in
+    # for BOTH pair members — compute norms once
+    vecs = with_norm(emb, col).select(
+        "vec_id", F.col(col).alias("_v"), "_nrm"
+    ).localCheckpoint()
     return (
         cand.join(
             vecs.select(
