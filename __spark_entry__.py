@@ -88,12 +88,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query (same column names/types/values).
 
-    Rows-only (no oracle): emb_knn_lsh (hyperplane buckets aren't
-    SQL-replicable), mm_feature_summary (Pandas path),
+    Rows-only (no oracle): mm_feature_summary (Pandas byte-level path),
     gen_corrupt_validate_metrics (hash-gated corruption),
     streaming_ingest_roundtrip + monitoring_stats (streaming/listener
     state) — each pinned by a non-vacuous pytest counterpart instead.
-    gen_batch_shape / produce_envelopes_shape carry ANALYTIC contract
-    oracles (see plans/gen.py GEN_ORACLES).
+    Everything else is oracle-checked, including the ANN pipelines
+    (LSH planes inlined as constants, IVF centroids md5-ordered) and
+    the analytic contract oracles (plans/gen.py GEN_ORACLES).
     """
     return {**KPI_ORACLES, **DQ_ORACLES, **LLM_ORACLES, **GEN_ORACLES}

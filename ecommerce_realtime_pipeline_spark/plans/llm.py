@@ -201,8 +201,12 @@ def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sign-LSH ANN top-5 (OR-amplified bucket equi-join +
-    exact rerank). Rows-only (hyperplane buckets are not
-    SQL-replicable); recall vs brute force asserted in tests."""
+    exact rerank). Oracle-checked: the hyperplanes are a deterministic
+    function of (dim, bits, tables, seed), so the oracle embeds the
+    IDENTICAL plane constants as a VALUES literal and replicates
+    bucket assignment, candidate generation, and rerank in SQL — both
+    engines share the exact candidate set, so even recall < 1 matches.
+    Recall vs brute force additionally asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.knn_lsh(
         emb, _query_vectors(emb), k=KNN_K,
@@ -303,7 +307,72 @@ _JACCARD_SQL = f"""
     WHERE ROUND(inter * 1.0 / (n_a + n_b - inter), 4) >= 0.5
 """
 
+def _lsh_oracle_sql(dim: int = 64, bits: int = 4, n_tables: int = 12, seed: int = 42) -> str:
+    """Generate the emb_knn_lsh oracle: the hyperplane matrix is a
+    pure function of (dim, bits, n_tables, seed), so its exact float64
+    constants are inlined as a VALUES literal (repr round-trips
+    doubles) — no RNG or libm divergence between engines. The oracle
+    then mirrors the Spark pipeline: per-(vector, plane) dot products →
+    sign bits → per-table bucket ids → bucket equi-join candidates →
+    exact cosine rerank. The testdata embeddings are 64-dim (all SFs);
+    the Spark query derives dim dynamically and agrees."""
+    planes = SIM.hyperplanes(dim, bits * n_tables, seed)
+    rows = ",".join(
+        f"({i},{j},{w!r})" for i, p in enumerate(planes) for j, w in enumerate(p)
+    )
+    return f"""
+        WITH pl(i, j, w) AS (VALUES {rows}),
+        comp AS (
+            SELECT vec_id,
+                   unnest(embedding::DOUBLE[]) AS v,
+                   unnest(range(0, {dim})) AS j
+            FROM embeddings
+        ),
+        dots AS (
+            SELECT c.vec_id, p.i, SUM(c.v * p.w) AS d
+            FROM comp c JOIN pl p ON c.j = p.j
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT vec_id, i // {bits} AS tbl,
+                   SUM(CASE WHEN d >= 0 THEN (1::BIGINT << (i % {bits}))
+                       ELSE 0 END) AS bucket
+            FROM dots GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM buckets q
+            JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+            WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+        ),
+        base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos_sim
+            FROM cand
+            JOIN base q ON q.vec_id = cand.query_id
+            JOIN base n ON n.vec_id = cand.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank,
+                   cos_sim
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+               ROUND(cos_sim, 4) AS cos_sim
+        FROM ranked WHERE rank <= {KNN_K}
+    """
+
+
 LLM_ORACLES: dict[str, str] = {
+    "emb_knn_lsh": _lsh_oracle_sql(),
     "docs_text_stats": """
         WITH base AS (
             SELECT lang, count(*) AS n_docs,
