@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "produce_envelopes_shape": gen.produce_envelopes_shape,
         # §2.7 S4-S6/R3-R4 — streaming ingest (exactly-once after replay)
         "streaming_ingest_roundtrip": gen.streaming_ingest_roundtrip,
+        # §2.7 — watermarked tumbling-window KPI with late-data drop
+        "streaming_windowed_kpi": gen.streaming_windowed_kpi,
         # R18/R19 — monitoring tables (processing_stats + consumer_offsets)
         "monitoring_stats": gen.monitoring_stats,
     }

@@ -145,6 +145,73 @@ def streaming_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_windowed_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 watermarked tumbling-window KPI as a driver-checkable
+    query: a fixed event set (two views + one click in the 10:00
+    window, later advancer rows, and a LATE row for the already-closed
+    window) rides three availableNow trigger runs. Exactly-once
+    append-mode emission + watermark late-drop make the result
+    deterministic: the late row must NOT reopen or re-emit the 10:00
+    window. Rows-only entry (streaming state is not
+    DuckDB-expressible); window bounds/types/counts are exact."""
+    import datetime as _dt
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.streaming import ingest as I
+
+    base = _dt.datetime(2025, 3, 1, 10, 0, 0)
+
+    def line(offset: int, mm: int, ss: int, etype: str) -> str:
+        ts = (base + _dt.timedelta(minutes=mm, seconds=ss)).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        payload = json.dumps(
+            {
+                "event_id": f"e{offset}",
+                "event_type": etype,
+                "customer_id": "c1",
+                "timestamp": ts,
+            }
+        )
+        return json.dumps(
+            {
+                "topic": "events",
+                "topic_partition": 0,
+                "topic_offset": offset,
+                "message_key": f"e{offset}",
+                "payload": payload,
+                "consumed_at": "2025-03-01T10:00:00Z",
+            }
+        )
+
+    def write(src: str, name: str, lines: list[str]) -> None:
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    tmp = tempfile.mkdtemp(prefix="eng_window_q_")
+    try:
+        src, sink, ckpt = (os.path.join(tmp, d) for d in ("src", "sink", "ckpt"))
+        batches = [
+            [line(1, 0, 10, "view"), line(2, 0, 40, "view"),
+             line(3, 0, 50, "click"), line(4, 15, 0, "view")],
+            [line(5, 0, 20, "view"),  # LATE: 10:00 window already closed
+             line(6, 30, 0, "view")],
+            [line(7, 45, 0, "view")],
+        ]
+        for i, lines in enumerate(batches):
+            write(src, f"b{i}.json", lines)
+            q = I.run_windowed_counts(spark, src, sink, ckpt, watermark="10 minutes")
+            q.awaitTermination(120)
+        out = spark.read.parquet(sink)
+        return out.orderBy("window_start", "type").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def monitoring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R18/R19 monitoring as a driver-checkable query: run a tiny
     seeded ingest with the StatsListener attached and return the

@@ -87,6 +87,23 @@ def test_session_windows_split_on_gap(spark, tmp_path):
     assert second["session_start"].strftime("%H:%M") == "11:30"
 
 
+def test_streaming_windowed_kpi_query_deterministic(spark):
+    """The driver entry returns the exact closed-window set (late row
+    dropped, each window once) and repeats identically."""
+    from ecommerce_realtime_pipeline_spark.plans import gen
+
+    a = gen.streaming_windowed_kpi(spark, "unused")
+    rows = {(r["window_start"].strftime("%H:%M"), r["type"]): r["n"] for r in a.collect()}
+    assert rows == {
+        ("10:00", "view"): 2,   # late batch-2 view did NOT re-open it
+        ("10:00", "click"): 1,
+        ("10:15", "view"): 1,
+        ("10:30", "view"): 1,
+    }
+    b = gen.streaming_windowed_kpi(spark, "unused")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_windowed_counts_close_once_and_drop_late(spark, tmp_path):
     src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
 
