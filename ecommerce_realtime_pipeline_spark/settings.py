@@ -3,7 +3,13 @@
 Mirrors the reference's pydantic-settings surface
 (``src/config/settings.py:7-76``) field-for-field where meaningful for a
 Spark engine: batch shape defaults, corruption probabilities, topic
-names, and adds Spark-side knobs (sf dir, shuffle partitions).
+names, service identity + LOG_* (consumed by ``logging_config``), and
+adds Spark-side knobs (sf dir, shuffle partitions).
+
+Intentionally unmirrored (reference ``settings.py:33-52``): the
+POSTGRES_* DSN fields (silver lives in parquet/table-format paths, not
+a DSN) and DASHBOARD_PORT (no Streamlit process here) — noted rather
+than stubbed so the omission is a decision, not an oversight.
 """
 
 from __future__ import annotations
