@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_lsh": llm.emb_knn_lsh,
         "emb_knn_ivf": llm.emb_knn_ivf,
         "emb_cosine_neardup": llm.emb_cosine_neardup,
+        "emb_quantize_int8": llm.emb_quantize_int8,
         "emb_label_centroids": llm.emb_label_centroids,
         "mm_feature_summary": llm.mm_feature_summary,
         # §2.2-§2.3 — generation + corruption + validation pipeline

@@ -262,6 +262,16 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b").orderBy("vec_a", "vec_b")
 
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    (4× storage cut for the ANN index). Engine-exact: the scale is a
+    widened float32 (no arithmetic) and codes use floor(x+0.5) half-up
+    — the same IEEE op sequence in both engines, so the full code
+    arrays hash-match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.quantize_int8(emb)
+
+
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid stats with exact decimal component sums."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -658,6 +668,19 @@ LLM_ORACLES: dict[str, str] = {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
         ORDER BY 1, 2
+    """,
+    "emb_quantize_int8": """
+        WITH s AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                       AS scale
+            FROM embeddings
+        )
+        SELECT vec_id, scale,
+               list_transform(v, x -> CAST(
+                   CASE WHEN scale = 0 THEN 0
+                        ELSE floor(x / scale * 127 + 0.5) END AS INT)) AS q
+        FROM s
     """,
     "emb_label_centroids": """
         WITH comp AS (

@@ -93,6 +93,25 @@ def test_embedding_dim_memoized(spark):
     assert SIM.embedding_dim(None, cache_key="t1") == 3
 
 
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    """Codes stay in [-127, 127] and dequantization error is bounded by
+    half a quantization step (scale/254) per component."""
+    emb = load_table(spark, SF, "embeddings")
+    q = SIM.quantize_int8(emb)
+    joined = q.join(emb, "vec_id").select(
+        "vec_id", "scale", "q", F.col("embedding").cast("array<double>").alias("x")
+    )
+    rows = joined.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert all(-127 <= c <= 127 for c in r["q"])
+        if r["scale"] == 0:
+            continue
+        step = r["scale"] / 127
+        for c, x in zip(r["q"], r["x"]):
+            assert abs(c * step - x) <= step / 2 + 1e-12
+
+
 def test_neardup_clusters_components(spark):
     """Min-label propagation finds exact connected components on a
     graph with a chain (needs >1 round), a triangle, and a far pair."""
