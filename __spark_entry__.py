@@ -93,8 +93,9 @@ def oracle_sql() -> dict[str, str]:
 
     Rows-only (no oracle): mm_feature_summary (Pandas byte-level path),
     gen_corrupt_validate_metrics (hash-gated corruption),
-    streaming_ingest_roundtrip + monitoring_stats (streaming/listener
-    state) — each pinned by a non-vacuous pytest counterpart instead.
+    streaming_ingest_roundtrip + streaming_windowed_kpi +
+    monitoring_stats (streaming/listener state) — each pinned by a
+    non-vacuous pytest counterpart instead.
     Everything else is oracle-checked, including the ANN pipelines
     (LSH planes inlined as constants, IVF centroids md5-ordered) and
     the analytic contract oracles (plans/gen.py GEN_ORACLES).
