@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # explicit scan-split size: 128m input splits keep a scan task's
+        # working set well inside executor memory at any SF (tunable via
+        # env for clusters with bigger/smaller executors); shuffle-side
+        # sizing is AQE's job (coalesce + skew split above).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects;
         # read ns as long and convert in catalog.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
