@@ -122,3 +122,42 @@ def test_explode_order_items_line_total(spark):
     # line_total = 3 * 1.12 = 3.36 (exact at money scale)
     assert float(rows[("o1", "p1")]["line_total"]) == 3.36
     assert float(rows[("o1", "p2")]["line_total"]) == 5.00
+
+
+def test_normalize_entity_events_orders_by_timestamp(spark):
+    """The generic entity API must work for events, which have no
+    updated_at: ORDER_COLS routes last-write-wins through the immutable
+    event timestamp (newest wins, offset tiebreak)."""
+
+    def ev(eid, ts):
+        return json.dumps(
+            {
+                "event_id": eid,
+                "event_type": "page_view",
+                "customer_id": "c1",
+                "timestamp": ts,
+            }
+        )
+
+    raw = _envelope(
+        spark,
+        [
+            ("events", 0, 1, "e1", ev("e1", "2025-01-01T00:00:00Z")),
+            ("events", 0, 2, "e1", ev("e1", "2025-02-01T00:00:00Z")),
+            ("events", 0, 3, "e2", ev("e2", "2025-01-01T00:00:00Z")),
+        ],
+    )
+    silver, bad = N.normalize_entity(raw, "events")
+    assert bad.count() == 0
+    rows = {r["event_id"]: r for r in silver.collect()}
+    assert set(rows) == {"e1", "e2"}
+    assert rows["e1"]["timestamp"].month == 2  # newest timestamp won
+    assert rows["e1"]["inserted_at"] is not None  # audit stamp rode along
+
+
+def test_order_col_map_covers_all_entities():
+    from ecommerce_realtime_pipeline_spark.schemas import ENTITY_SCHEMAS
+
+    assert set(N.ORDER_COLS) == set(ENTITY_SCHEMAS)
+    for entity, col in N.ORDER_COLS.items():
+        assert col in [f.name for f in ENTITY_SCHEMAS[entity].fields], (entity, col)
