@@ -13,11 +13,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ecommerce_realtime_pipeline_spark.plans import dq, gen, kpi, llm
+from ecommerce_realtime_pipeline_spark.plans import dq, gen, kpi, llm, temporal
 from ecommerce_realtime_pipeline_spark.plans.dq import DQ_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.gen import GEN_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.llm import LLM_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.oracles import KPI_ORACLES
+from ecommerce_realtime_pipeline_spark.plans.temporal import TEMPORAL_ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -45,6 +46,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": kpi.sessionization,
         "jsonb_adhoc": kpi.jsonb_adhoc,
         "throughput_per_topic": kpi.throughput_per_topic,
+        # temporal joins — as-of + range (funnel attribution workload)
+        "events_asof_attribution": temporal.events_asof_attribution,
+        "events_range_attribution": temporal.events_range_attribution,
         # R3-R8, R12, R18, R23 — validation / data-quality family
         "dq_fk_orphans": dq.dq_fk_orphans,
         "dq_duplicate_keys": dq.dq_duplicate_keys,
@@ -100,4 +104,10 @@ def oracle_sql() -> dict[str, str]:
     (LSH planes inlined as constants, IVF centroids md5-ordered) and
     the analytic contract oracles (plans/gen.py GEN_ORACLES).
     """
-    return {**KPI_ORACLES, **DQ_ORACLES, **LLM_ORACLES, **GEN_ORACLES}
+    return {
+        **KPI_ORACLES,
+        **DQ_ORACLES,
+        **LLM_ORACLES,
+        **GEN_ORACLES,
+        **TEMPORAL_ORACLES,
+    }

@@ -1,0 +1,159 @@
+"""Unit pins for the temporal join operators: as-of tie-breaks /
+strictness / tolerance, and range-join boundary + bucket-crossing
+semantics (the cases an equi-join rewrite most easily gets wrong)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from ecommerce_realtime_pipeline_spark.operators import temporal as T
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),
+            (2, "u1", _ts("2024-01-01T12:00:00")),
+            (3, "u2", _ts("2024-01-01T10:00:00")),  # no right rows at all
+        ],
+        "lid int, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u1", _ts("2024-01-01T09:00:00")),
+            (11, "u1", _ts("2024-01-01T10:00:00")),  # exact tie with lid=1
+            (12, "u1", _ts("2024-01-01T10:00:00")),  # same ts — higher id wins
+            (13, "u1", _ts("2024-01-01T11:59:00")),
+        ],
+        "rid int, user_id string, ts timestamp",
+    )
+    return left, right
+
+
+def test_asof_inclusive_picks_latest_and_breaks_ties_high(spark):
+    left, right = _frames(spark)
+    out = {
+        r["lid"]: r["r_rid"]
+        for r in T.asof_join(
+            left, right, on="user_id", right_id="rid", prefix="r_"
+        ).collect()
+    }
+    # lid=1 at 10:00 sees rows 10,11,12 (inclusive); tie → highest rid
+    assert out[1] == 12
+    assert out[2] == 13
+    assert out[3] is None
+
+
+def test_asof_strict_excludes_equal_timestamps(spark):
+    left, right = _frames(spark)
+    out = {
+        r["lid"]: r["r_rid"]
+        for r in T.asof_join(
+            left,
+            right,
+            on="user_id",
+            right_id="rid",
+            allow_exact_matches=False,
+            prefix="r_",
+        ).collect()
+    }
+    assert out[1] == 10  # 10:00 rows excluded under strict <
+    assert out[2] == 13
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _frames(spark)
+    out = {
+        r["lid"]: r["r_rid"]
+        for r in T.asof_join(
+            left,
+            right,
+            on="user_id",
+            right_id="rid",
+            tolerance_sec=30,
+            prefix="r_",
+        ).collect()
+    }
+    assert out[1] == 12  # gap 0 ≤ 30s
+    assert out[2] is None  # best match is 60s old > 30s tolerance
+    assert out[3] is None
+
+
+def test_asof_carries_all_left_rows_and_columns(spark):
+    left, right = _frames(spark)
+    out = T.asof_join(left, right, on="user_id", right_id="rid", prefix="r_")
+    assert out.count() == left.count()
+    assert set(out.columns) == {"lid", "user_id", "ts", "r_rid", "r_user_id", "r_ts"}
+
+
+def test_range_join_boundaries_and_bucket_crossing(spark):
+    # window [ts-3600, ts): lower inclusive, upper exclusive; matches
+    # must be found across bucket boundaries (width = 3600s).
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T10:30:00"))],
+        "lid int, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (20, "u1", _ts("2024-01-01T09:29:59")),  # 1s too old → out
+            (21, "u1", _ts("2024-01-01T09:30:00")),  # exactly -3600 → in
+            (22, "u1", _ts("2024-01-01T09:59:59")),  # previous bucket → in
+            (23, "u1", _ts("2024-01-01T10:29:59")),  # same bucket → in
+            (24, "u1", _ts("2024-01-01T10:30:00")),  # equal ts (upper, excl) → out
+            (25, "u2", _ts("2024-01-01T10:00:00")),  # other key → out
+        ],
+        "rid int, user_id string, ts timestamp",
+    )
+    got = sorted(
+        r["rid"]
+        for r in T.range_join(
+            left, right, on="user_id", lower_sec=-3600, upper_sec=0
+        ).collect()
+    )
+    assert got == [21, 22, 23]
+
+
+def test_range_join_forward_window(spark):
+    # forward window [ts, ts+60): picks events in the following minute
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T10:00:00"))],
+        "lid int, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (30, "u1", _ts("2024-01-01T10:00:00")),  # inclusive lower → in
+            (31, "u1", _ts("2024-01-01T10:00:59")),  # in
+            (32, "u1", _ts("2024-01-01T10:01:00")),  # exclusive upper → out
+            (33, "u1", _ts("2024-01-01T09:59:59")),  # before → out
+        ],
+        "rid int, user_id string, ts timestamp",
+    )
+    got = sorted(
+        r["rid"]
+        for r in T.range_join(
+            left, right, on="user_id", lower_sec=0, upper_sec=60
+        ).collect()
+    )
+    assert got == [30, 31]
+
+
+def test_range_join_no_nested_loop_plan(spark):
+    """The rewrite's whole point: the physical plan must be an
+    equi-join (hash/sort-merge on (bucket, key)), never a
+    BroadcastNestedLoopJoin / CartesianProduct."""
+    left, right = _frames(spark)
+    df = T.range_join(
+        left.withColumnRenamed("lid", "id"),
+        right.withColumnRenamed("rid", "id"),
+        on="user_id",
+        lower_sec=-3600,
+        upper_sec=0,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
