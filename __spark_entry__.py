@@ -77,6 +77,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": llm.emb_quantize_int8,
         "emb_label_centroids": llm.emb_label_centroids,
         "mm_feature_summary": llm.mm_feature_summary,
+        # §2.9 round-3 additions — training-data pipeline passes
+        "docs_decontaminate": llm.docs_decontaminate,
+        "docs_repetition": llm.docs_repetition,
+        "docs_pack_sequences": llm.docs_pack_sequences,
+        "vocab_top_terms": llm.vocab_top_terms,
+        "docs_pii_redact": llm.docs_pii_redact,
         # §2.2-§2.3 — generation + corruption + validation pipeline
         "gen_batch_shape": gen.gen_batch_shape,
         "gen_corrupt_validate_metrics": gen.gen_corrupt_validate_metrics,

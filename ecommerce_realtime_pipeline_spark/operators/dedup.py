@@ -314,3 +314,41 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> Data
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = 8,
+    train_split: str = "train",
+    eval_split: str = "test",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    ``n``-gram with the eval split (the standard long-n-gram overlap
+    check — GPT-3 §C / PaLM-style — long n-grams make incidental
+    collisions negligible, so a hit means copied text).
+
+    The split is the engine's leakage-safe :func:`text.hash_split` of
+    the id. Returns ``(doc_id, n_shared)`` for contaminated train docs.
+
+    Scale: candidate generation is an equi-join on the n-gram between
+    the train-side inverted index and the DISTINCT eval-side n-gram
+    set. The eval set is a few percent of the corpus (and its distinct
+    long n-grams dedupe further), so at 100 TB the eval side is the
+    natural broadcast/bloom side; here Spark/AQE picks the strategy.
+    One shuffle each side + one join — never doc×doc.
+    """
+    tagged = docs.withColumn("_split", TX.hash_split(id_col))
+    idx = TX.shingle_index(tagged.filter(F.col("_split") == train_split), n)
+    eval_grams = (
+        TX.with_shingles(
+            tagged.filter(F.col("_split") == eval_split).select(id_col, "text"), n
+        )
+        .select(F.explode("_sh").alias("shingle"))
+        .distinct()
+    )
+    return (
+        idx.join(eval_grams, "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+    )

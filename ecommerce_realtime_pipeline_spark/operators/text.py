@@ -229,3 +229,86 @@ def quality_verdict(
         .when(F.col("mean_token_len") > max_mean_token_len, F.lit("dropped:gibberish"))
         .otherwise(F.lit("kept"))
     )
+
+
+# --- repetition / intra-doc duplication (Gopher-style quality signals) ---
+
+_REP_SCHEMA = (
+    "n_tokens int, n_2grams int, n_distinct_2grams int, top_token_n int"
+)
+
+
+def _repetition_udf():
+    """Arrow-batched one-pass counters behind the duplicate-n-gram /
+    top-token repetition signals (Gopher §A1.1-style): token count,
+    total + distinct 2-gram counts, max single-token frequency. One
+    vectorized pass per Arrow batch (the HOF form would re-walk the
+    token array per aggregate — see the :func:`shingles` pitfall); a
+    pure map, no shuffle, linear at 100 TB."""
+
+    @F.pandas_udf(_REP_SCHEMA)
+    def rep(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            tok = t.split(" ")
+            n = len(tok)
+            grams = [tok[i] + " " + tok[i + 1] for i in range(n - 1)]
+            counts: dict[str, int] = {}
+            for w in tok:
+                counts[w] = counts.get(w, 0) + 1
+            rows.append((n, len(grams), len(set(grams)), max(counts.values())))
+        return pd.DataFrame(
+            rows, columns=["n_tokens", "n_2grams", "n_distinct_2grams", "top_token_n"]
+        )
+
+    return rep
+
+
+def repetition_features(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition stats: ``dup_2gram_frac`` (fraction of
+    non-distinct 2-grams — the classic duplicate-n-gram quality cut)
+    and ``top_token_frac`` (mode-token share). Raw counters come from
+    one Arrow pass; the fractions are JVM-side arithmetic."""
+    r = docs.withColumn("_r", _repetition_udf()("text"))
+    dup = F.when(
+        F.col("_r.n_2grams") > 0,
+        F.round(
+            F.lit(1.0) - F.col("_r.n_distinct_2grams") / F.col("_r.n_2grams"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return r.select(
+        "doc_id",
+        F.col("_r.n_tokens").alias("n_tokens"),
+        dup.alias("dup_2gram_frac"),
+        F.round(F.col("_r.top_token_n") / F.col("_r.n_tokens"), 6).alias(
+            "top_token_frac"
+        ),
+    )
+
+
+# --- PII detection / redaction ---
+
+#: Character-class-only patterns so the same string is a valid,
+#: identically-matching regex in Java (Spark) and RE2 (DuckDB):
+#: no \d shorthand, no backreferences, no lookaround.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PHONE_RE = "[+]?[0-9][0-9][0-9][- ][0-9][0-9][0-9][- ][0-9][0-9][0-9][0-9]"
+
+
+def pii_counts(col: str | Column = "text") -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts — JVM-side regex, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0)),
+    )
+
+
+def redact_pii(col: str | Column = "text") -> Column:
+    """Replace emails then phones with typed placeholder tags — the
+    standard pre-training scrub pass. Pure ``regexp_replace`` chain:
+    stays in whole-stage codegen, linear at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )

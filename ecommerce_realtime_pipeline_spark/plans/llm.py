@@ -289,6 +289,130 @@ def mm_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.feature_summary(docs)
 
 
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train-split docs sharing any 8-token
+    n-gram with the test split (hash_split of doc_id) — the long-n-gram
+    overlap check every pre-training pipeline runs before shipping a
+    corpus. Scale: inverted-index equi-join against the (small,
+    distinct) eval n-gram side; never doc×doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.decontaminate(docs, n=8)
+
+
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc intra-document repetition signals (Gopher-style quality
+    cuts): duplicate-2-gram fraction + mode-token share. One Arrow pass
+    for the counters, JVM arithmetic for the fractions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.repetition_features(docs)
+
+
+PACK_WINDOW = 512  # tokens per packed training sequence
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style): docs are laid end
+    to end in doc_id order within each language shard and sliced into
+    fixed 512-token context windows; per doc, the chunk span it lands
+    in. Pure window arithmetic over a per-shard running token sum.
+
+    Scale: ONE shuffle+sort on (lang, doc_id). The running sum is per
+    language shard — there is no global cumsum barrier, so shards pack
+    independently exactly like a 1000-executor run would want. (A
+    production pipeline shards finer — e.g. pmod(hash(id), k) within
+    lang — same plan shape.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    n_tok = TX.token_count("text")
+    cum = F.sum(n_tok).over(w)
+    start = F.floor((cum - n_tok) / PACK_WINDOW)
+    end = F.floor((cum - 1) / PACK_WINDOW)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        start.alias("start_chunk"),
+        end.alias("end_chunk"),
+        (end - start + 1).alias("n_chunks"),
+    )
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by occurrence count with
+    document frequency — the vocab-building / stopword-audit pass.
+    Scale: classic word-count (explode → partial-agg groupBy, one
+    shuffle on token); the top-k is TakeOrdered, not a global sort.
+    Deterministic total order: (count desc, token asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+#: Deterministic PII-bearing rows unioned into the corpus by
+#: docs_pii_redact — the synthetic corpus contains no organic PII, so
+#: the scrub pass is exercised on planted rows (same precedent as the
+#: planted near-dup embeddings). Mirrored verbatim in the oracle SQL.
+_PII_PLANTED: list[tuple[int, str, str, str]] = [
+    (
+        1000000001,
+        "contact alice@example.com or bob.smith+spam@mail.co for details",
+        "en",
+        "planted",
+    ),
+    (
+        1000000002,
+        "call 555-123-4567 or +1 800-555-0100 now",
+        "en",
+        "planted",
+    ),
+    (
+        1000000003,
+        "mixed row carol@web.org phone 212-555-9876 end",
+        "en",
+        "planted",
+    ),
+]
+
+
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: email/phone detection counts + md5 fingerprint
+    of the redacted text, over the corpus with deterministic planted
+    PII rows unioned in; emits only docs containing PII. Pure
+    regexp_replace/extract chain — whole-stage codegen, no UDF, linear
+    at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for (i, t, lang, src) in _PII_PLANTED],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    all_docs = docs.unionByName(planted)
+    n_em, n_ph = TX.pii_counts("text")
+    return (
+        all_docs.select(
+            "doc_id",
+            n_em.alias("n_emails"),
+            n_ph.alias("n_phones"),
+            F.md5(TX.redact_pii("text")).alias("redacted_fp"),
+        )
+        .filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -706,3 +830,124 @@ LLM_ORACLES: dict[str, str] = {
         GROUP BY label
     """,
 }
+
+
+# --- oracles for the round-3 training-data operators ---
+
+_SPLIT_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+)
+
+_SHINGLES_8 = (
+    "list_distinct([array_to_string(toks[i:i+7], ' ') "
+    "for i in range(1, len(toks)-6)])"
+)
+
+_PII_VALUES = ", ".join(
+    f"({i}, '{t}')" for (i, t, _lang, _src) in _PII_PLANTED
+)
+
+LLM_ORACLES.update(
+    {
+        "docs_decontaminate": f"""
+            WITH split AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       {_SPLIT_BUCKET} AS bucket
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, bucket, unnest({_SHINGLES_8}) AS shingle
+                FROM split
+            )
+            SELECT t.doc_id, count(DISTINCT t.shingle) AS n_shared
+            FROM (SELECT doc_id, shingle FROM sh WHERE bucket < 80) t
+            JOIN (SELECT DISTINCT shingle FROM sh WHERE bucket >= 90) e
+              USING (shingle)
+            GROUP BY 1
+        """,
+        "docs_repetition": """
+            WITH tok AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            t AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+            per_tok AS (
+                SELECT doc_id, w, count(*) AS n FROM t GROUP BY 1, 2
+            ),
+            tstats AS (
+                SELECT doc_id, CAST(sum(n) AS INT) AS n_tokens,
+                       CAST(max(n) AS INT) AS top_n
+                FROM per_tok GROUP BY 1
+            ),
+            g AS (
+                SELECT doc_id,
+                       [array_to_string(toks[i:i+1], ' ')
+                        for i in range(1, len(toks))] AS gs
+                FROM tok
+            ),
+            gstats AS (
+                SELECT doc_id, len(gs) AS n_g, len(list_distinct(gs)) AS n_dg
+                FROM g
+            )
+            SELECT s.doc_id, s.n_tokens,
+                   CASE WHEN n_g > 0
+                        THEN ROUND(1.0 - n_dg * 1.0 / n_g, 6)
+                        ELSE 0.0 END AS dup_2gram_frac,
+                   ROUND(top_n * 1.0 / s.n_tokens, 6) AS top_token_frac
+            FROM tstats s JOIN gstats USING (doc_id)
+        """,
+        "docs_pack_sequences": """
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       len(string_split(text, ' ')) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, lang, n_tokens,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum
+                FROM tok
+            )
+            SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT)
+                       AS start_chunk,
+                   CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) AS end_chunk,
+                   CAST(FLOOR((cum - 1) / 512.0)
+                        - FLOOR((cum - n_tokens) / 512.0) + 1 AS BIGINT)
+                       AS n_chunks
+            FROM c
+        """,
+        "vocab_top_terms": """
+            WITH t AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM t GROUP BY 1
+            ORDER BY n_occurrences DESC, token
+            LIMIT 100
+        """,
+        "docs_pii_redact": f"""
+            WITH planted(doc_id, text) AS (VALUES {_PII_VALUES}),
+            all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id, text FROM planted
+            ),
+            scored AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                           '{{EMAIL}}')) AS INT) AS n_emails,
+                       CAST(len(regexp_extract_all(text,
+                           '{{PHONE}}')) AS INT) AS n_phones,
+                       md5(regexp_replace(regexp_replace(text,
+                           '{{EMAIL}}', '<EMAIL>', 'g'),
+                           '{{PHONE}}', '<PHONE>', 'g')) AS redacted_fp
+                FROM all_docs
+            )
+            SELECT * FROM scored WHERE n_emails > 0 OR n_phones > 0
+        """.replace("{EMAIL}", TX.EMAIL_RE).replace("{PHONE}", TX.PHONE_RE),
+    }
+)
