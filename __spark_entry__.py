@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest_roundtrip": gen.streaming_ingest_roundtrip,
         # §2.7 — watermarked tumbling-window KPI with late-data drop
         "streaming_windowed_kpi": gen.streaming_windowed_kpi,
+        # §2.7 — stream-stream interval join (watermarked, bounded state)
+        "streaming_attribution_join": gen.streaming_attribution_join,
         # R18/R19 — monitoring tables (processing_stats + consumer_offsets)
         "monitoring_stats": gen.monitoring_stats,
     }

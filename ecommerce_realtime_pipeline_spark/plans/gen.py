@@ -212,6 +212,96 @@ def streaming_windowed_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 stream-stream interval join as a driver-checkable query:
+    purchases joined to the same customer's clicks in the strictly
+    preceding hour, over three availableNow runs of a file-envelope
+    stream (streaming/ingest.attribution_join_stream).
+
+    The fixture pins the interval-join contract exactly:
+    - batch 1: clicks at 09:10/09:30 match the 10:00 purchase (2 pairs);
+      a click AT 10:00 does not (strict <); an 08:30 click is out of
+      range; another customer's purchase finds nothing.
+    - batch 2: a 10:20 purchase matches batch-1 clicks still in join
+      state ACROSS RUNS (09:30 + the 10:00 one) — checkpointed state,
+      2 more pairs; same-timestamped advancer rows on both sides (two
+      distinct customers, so they cannot pair) push the watermark.
+    - batch 3: a click from before the watermark horizon is dropped on
+      arrival and must never produce a pair; a fresh purchase with no
+      in-window clicks emits nothing.
+    Expected: exactly 4 pairs. Rows-only entry (join state is not
+    DuckDB-expressible); ids/timestamps are exact.
+    """
+    import datetime as _dt
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.streaming import ingest as I
+
+    day = _dt.datetime(2025, 3, 1)
+
+    def line(offset: int, hh: int, mm: int, etype: str, cust: str, eid: str) -> str:
+        ts = (day + _dt.timedelta(hours=hh, minutes=mm)).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        payload = json.dumps(
+            {
+                "event_id": eid,
+                "event_type": etype,
+                "customer_id": cust,
+                "timestamp": ts,
+            }
+        )
+        return json.dumps(
+            {
+                "topic": "events",
+                "topic_partition": 0,
+                "topic_offset": offset,
+                "message_key": eid,
+                "payload": payload,
+                "consumed_at": "2025-03-01T10:00:00Z",
+            }
+        )
+
+    def write(src: str, name: str, lines: list[str]) -> None:
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    tmp = tempfile.mkdtemp(prefix="eng_ssjoin_q_")
+    try:
+        src, sink, ckpt = (os.path.join(tmp, d) for d in ("src", "sink", "ckpt"))
+        batches = [
+            [
+                line(1, 9, 10, "click", "c1", "c11"),
+                line(2, 9, 30, "click", "c1", "c10"),
+                line(3, 8, 30, "click", "c1", "c13"),  # > 1h before → out
+                line(4, 10, 0, "purchase", "c1", "p1"),  # ← c10, c11
+                line(5, 10, 0, "click", "c1", "c12"),  # same ts → strict <
+                line(6, 10, 0, "purchase", "c2", "p2"),  # no clicks
+            ],
+            [
+                line(7, 10, 20, "purchase", "c1", "p3"),  # ← c10, c12 (state)
+                line(8, 11, 30, "click", "cx", "cadv"),  # watermark advancers
+                line(9, 11, 30, "purchase", "cy", "padv"),
+            ],
+            [
+                line(10, 9, 40, "click", "c1", "c14"),  # LATE → dropped
+                line(11, 11, 25, "purchase", "c1", "p5"),  # nothing in window
+            ],
+        ]
+        for i, lines in enumerate(batches):
+            write(src, f"b{i}.json", lines)
+            q = I.run_attribution_join(spark, src, sink, ckpt, watermark="10 minutes")
+            q.awaitTermination(120)
+        out = spark.read.parquet(sink)
+        return out.orderBy("purchase_id", "click_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def monitoring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R18/R19 monitoring as a driver-checkable query: run a tiny
     seeded ingest with the StatsListener attached and return the

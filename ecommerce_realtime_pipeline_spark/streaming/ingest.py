@@ -414,3 +414,89 @@ def run_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def attribution_join_stream(
+    raw: DataFrame,
+    watermark: str = "10 minutes",
+    range_sec: int = 3600,
+) -> DataFrame:
+    """§2.7 stream-stream interval join — the streaming form of the
+    batch range-attribution query (plans/temporal.py): every purchase
+    event joined to the same customer's click events in the strictly
+    preceding ``range_sec`` window.
+
+    Both sides carry an EVENT-TIME watermark and the join condition
+    bounds their time distance, so Spark can size and evict the join
+    state: a buffered click is dropped once the watermark passes
+    ``click_time + range_sec`` (no unbounded state at 100 TB/day — the
+    thing the naive "join two tables later" batch design can't give a
+    live pipeline). Inner join: a match emits as soon as both rows have
+    arrived; a click older than the watermark horizon on arrival never
+    enters state and can never produce a late pair.
+    """
+    parsed = raw.withColumn(
+        "_p", F.from_json("payload", ENTITY_SCHEMAS["events"])
+    ).select(
+        F.col("_p.event_id").alias("event_id"),
+        F.col("_p.event_type").alias("event_type"),
+        F.col("_p.customer_id").alias("customer_id"),
+        F.col("_p.timestamp").alias("event_time"),
+    )
+    p = (
+        parsed.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "customer_id",
+            F.col("event_time").alias("p_time"),
+        )
+        .withWatermark("p_time", watermark)
+    )
+    c = (
+        parsed.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("customer_id").alias("c_customer_id"),
+            F.col("event_time").alias("c_time"),
+        )
+        .withWatermark("c_time", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"customer_id = c_customer_id "
+            f"AND c_time >= p_time - INTERVAL {int(range_sec)} SECOND "
+            f"AND c_time < p_time"
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "customer_id",
+        F.unix_micros("p_time").alias("purchase_us"),
+        "click_id",
+        F.unix_micros("c_time").alias("click_us"),
+    )
+
+
+def run_attribution_join(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    range_sec: int = 3600,
+):
+    """Run the stream-stream attribution join over a file-envelope
+    stream, appending matched pairs to a parquet sink (exactly-once via
+    checkpoint; availableNow drains current files per run)."""
+    pairs = attribution_join_stream(
+        stream_envelopes(spark, source_dir), watermark, range_sec
+    )
+    return (
+        pairs.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -143,3 +143,43 @@ def test_windowed_counts_close_once_and_drop_late(spark, tmp_path):
     assert len(rows) == len(by_key)
     # the 10:15 window closed with its single row
     assert by_key[("10:15", "view")] == 1
+
+
+def test_streaming_attribution_join_exact_pairs(spark):
+    """Stream-stream interval join: exact pair set including the
+    cross-run state match and the late-click drop; strict-< excludes
+    the same-timestamp click; equals the batch range_join on the same
+    non-late events."""
+    from datetime import datetime
+
+    from ecommerce_realtime_pipeline_spark.operators import temporal as T
+    from ecommerce_realtime_pipeline_spark.plans import gen
+
+    out = gen.streaming_attribution_join(spark, "unused")
+    pairs = sorted((r["purchase_id"], r["click_id"]) for r in out.collect())
+    assert pairs == [("p1", "c10"), ("p1", "c11"), ("p3", "c10"), ("p3", "c12")]
+
+    # batch equivalence: range_join over the in-watermark fixture rows
+    # (the late c14 is excluded — the one intentional divergence)
+    def ts(h, m):
+        return datetime(2025, 3, 1, h, m)
+
+    purchases = spark.createDataFrame(
+        [("p1", "c1", ts(10, 0)), ("p2", "c2", ts(10, 0)),
+         ("p3", "c1", ts(10, 20)), ("padv", "cy", ts(11, 30)),
+         ("p5", "c1", ts(11, 25))],
+        "purchase_id string, customer_id string, ts timestamp",
+    )
+    clicks = spark.createDataFrame(
+        [("c11", "c1", ts(9, 10)), ("c10", "c1", ts(9, 30)),
+         ("c13", "c1", ts(8, 30)), ("c12", "c1", ts(10, 0)),
+         ("cadv", "cx", ts(11, 30))],
+        "click_id string, customer_id string, ts timestamp",
+    )
+    batch = T.range_join(
+        purchases, clicks, on="customer_id", lower_sec=-3600, upper_sec=0
+    )
+    batch_pairs = sorted(
+        (r["purchase_id"], r["click_id"]) for r in batch.collect()
+    )
+    assert batch_pairs == pairs
