@@ -41,6 +41,10 @@ STRESS_QUERIES = [
     "docs_neardup_jaccard",
     "docs_neardup_minhash",
     "emb_cosine_neardup",
+    # round-3 additions: the data-bound new operators
+    "docs_decontaminate",
+    "events_asof_attribution",
+    "events_range_attribution",
 ]
 
 

@@ -312,3 +312,28 @@ def redact_pii(col: str | Column = "text") -> Column:
     return F.regexp_replace(
         F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
     )
+
+
+def hash_bernoulli(
+    id_col: str | Column = "doc_id",
+    rate: float | Column = 1.0,
+    salt: str = "samp",
+) -> Column:
+    """Deterministic Bernoulli(``rate``) keep/drop by md5 of
+    (salt || id) — sampling as a pure function of the id, like
+    :func:`hash_split`: stable across reruns, partitionings, and
+    engines (no RNG state, no row-order dependence). 4 hex digits →
+    65536 buckets, so rates are honored to ~1.5e-5. ``rate`` may be a
+    per-row Column (stratified/weighted sampling).
+
+    Narrow projection, no shuffle; at 100 TB the filter rides the scan.
+    """
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    if isinstance(rate, Column):
+        return bucket < (rate * 65536).cast("long")
+    return bucket < int(rate * 65536)

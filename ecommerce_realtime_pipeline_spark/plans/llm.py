@@ -951,3 +951,61 @@ LLM_ORACLES.update(
         """.replace("{EMAIL}", TX.EMAIL_RE).replace("{PHONE}", TX.PHONE_RE),
     }
 )
+
+
+#: Per-language keep rates for the mixture-rebalancing sample: cap the
+#: dominant language, keep the tail intact (the standard fix for a
+#: web-crawl corpus drowning low-resource languages).
+SAMPLE_RATES: dict[str, float] = {"en": 0.3}
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) downsampling via
+    hash-Bernoulli on doc_id — mixture rebalancing as a pure function
+    of the id (reproducible across reruns/partitionings/engines, unlike
+    ``df.sample``). Summary per language: corpus vs kept doc/token
+    counts. Scale: narrow projection + one groupBy — the keep predicate
+    rides the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(1.0)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    keep = TX.hash_bernoulli("doc_id", rate=rate, salt="samp")
+    n_tok = TX.token_count("text")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(keep.cast("int")).alias("n_kept"),
+        F.sum(n_tok).alias("sum_tokens"),
+        F.sum(F.when(keep, n_tok).otherwise(F.lit(0))).alias("kept_tokens"),
+    )
+
+
+LLM_ORACLES.update(
+    {
+        "docs_stratified_sample": """
+            WITH scored AS (
+                SELECT lang,
+                       len(string_split(text, ' ')) AS n_tok,
+                       CAST('0x' || substr(md5('samp|' ||
+                           CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                           AS bucket
+                FROM documents
+            ),
+            flagged AS (
+                SELECT lang, n_tok,
+                       CASE WHEN bucket < CAST(
+                                (CASE WHEN lang = 'en' THEN 0.3
+                                      ELSE 1.0 END) * 65536 AS BIGINT)
+                            THEN 1 ELSE 0 END AS keep
+                FROM scored
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(SUM(keep) AS BIGINT) AS n_kept,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(CASE WHEN keep = 1 THEN n_tok ELSE 0 END)
+                        AS BIGINT) AS kept_tokens
+            FROM flagged GROUP BY 1
+        """,
+    }
+)

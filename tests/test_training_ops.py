@@ -98,3 +98,23 @@ def test_pack_sequences_contiguity_invariants(spark, sf_dir):
             assert r["end_chunk"] == (cum + r["n_tokens"] - 1) // PACK_WINDOW
             assert r["n_chunks"] == r["end_chunk"] - r["start_chunk"] + 1
             cum += r["n_tokens"]
+
+
+def test_hash_bernoulli_deterministic_and_rate_honored(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    kept1 = (
+        df.filter(TX.hash_bernoulli("doc_id", 0.3)).agg(F.count("*")).collect()[0][0]
+    )
+    kept2 = (
+        df.repartition(13)
+        .filter(TX.hash_bernoulli("doc_id", 0.3))
+        .agg(F.count("*"))
+        .collect()[0][0]
+    )
+    assert kept1 == kept2  # pure function of the id — layout-independent
+    assert abs(kept1 / 4000 - 0.3) < 0.03  # rate honored
+    # column-rate form agrees with the scalar form per stratum
+    rated = df.withColumn(
+        "keep", TX.hash_bernoulli("doc_id", rate=F.lit(0.3))
+    ).filter("keep")
+    assert rated.count() == kept1
