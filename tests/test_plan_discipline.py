@@ -77,3 +77,34 @@ def test_single_fact_scan_queries(spark, sf_dir):
     for table in ("orders", "events"):
         n = len(re.findall(rf"{table}\.parquet", plan))
         assert n == 1, f"set_ops_actors: {table} scanned {n}× (expected 1)"
+
+
+def test_asof_attribution_single_shuffle_no_join(spark, sf_dir):
+    """The as-of join's whole point: ONE exchange on the key + a window
+    — no join operator anywhere (the naive inequality join is quadratic
+    per key), and the event_type filters reach the scans."""
+    plan = _plan(spark, sf_dir, "events_asof_attribution")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert re.search(r"PushedFilters: \[[^\]]*event_type", plan)
+
+
+def test_range_attribution_equi_join_only(spark, sf_dir):
+    """The range join must plan as an equi hash/sort-merge join on
+    (bucket, key) — never a nested-loop/cartesian over the inequality."""
+    plan = _plan(spark, sf_dir, "events_range_attribution")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert re.search(r"PushedFilters: \[[^\]]*event_type", plan)
+
+
+def test_vocab_top_terms_is_takeordered(spark, sf_dir):
+    """Top-k must be TakeOrdered(AndProject), not a global sort."""
+    plan = _plan(spark, sf_dir, "vocab_top_terms")
+    assert "TakeOrdered" in plan, plan
+
+
+def test_stratified_sample_single_scan(spark, sf_dir):
+    """The sampling summary is one scan of documents — the keep flag is
+    a conditional aggregate, not a second pass."""
+    plan = _plan(spark, sf_dir, "docs_stratified_sample")
+    assert plan.count("FileScan parquet") == 1, plan
