@@ -84,3 +84,31 @@ def init_catalog(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str,
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a hash-BUCKETED (and optionally sorted) managed
+    table — the at-rest layout that makes repeated equi-joins and
+    aggregations on ``key`` shuffle-free: two tables bucketed on the
+    same key with the same bucket count sort-merge-join with NO
+    Exchange on either side (Spark reads bucket i of A against bucket i
+    of B), and a groupBy(key) needs no shuffle either.
+
+    This is the curated-layout counterpart of the reference's
+    b-tree-indexed Postgres tables (``sql/init/03_create_indexes.sql``):
+    at 100 TB you pay ONE shuffle at write time, then every nightly
+    join/rollup on the key reads co-located buckets. Choose
+    ``n_buckets`` so a bucket ~ one task's memory (e.g. facts at 100 TB
+    → tens of thousands of buckets).
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)

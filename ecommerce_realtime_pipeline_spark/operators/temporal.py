@@ -146,3 +146,30 @@ def range_join(
         F.col(rename.get(c, c)) for c in right.columns
     ]
     return joined.select(*keep)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: spread a hot key of ``big`` across
+    ``n_salts`` sub-partitions by salting with a deterministic hash of
+    ``salt_from`` (any column unique-ish per row), replicating ``small``
+    once per salt value, and joining on (key, salt).
+
+    When to use: AQE's skew-join split is the first line of defense,
+    but it can only split what it can see post-shuffle — a single hot
+    key that must sort-merge against a non-broadcastable side still
+    lands one task's sort on one core. Salting moves the split into the
+    plan itself: the hot key becomes ``n_salts`` independent join
+    groups at the cost of an ``n_salts``× replication of the SMALL
+    side. Deterministic (xxhash64, no RNG) — layout-independent.
+    """
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    b = big.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)))
+    s = small.withColumn("_salt", F.explode(salts))
+    return b.join(s, [on, "_salt"], how).drop("_salt")

@@ -271,6 +271,13 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("\n".join(lines) + "\n")
 
     tmp = tempfile.mkdtemp(prefix="eng_ssjoin_q_")
+    # A stream-stream join instantiates 4 state-store providers PER
+    # shuffle partition per run; at the session default (32-200) that's
+    # pure fixture overhead for an 11-row stream. State partitioning is
+    # frozen at first checkpoint creation, so pin it low for this
+    # fixture's own checkpoint and restore the session conf after.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         src, sink, ckpt = (os.path.join(tmp, d) for d in ("src", "sink", "ckpt"))
         batches = [
@@ -299,6 +306,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.parquet(sink)
         return out.orderBy("purchase_id", "click_id").localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 

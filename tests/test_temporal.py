@@ -157,3 +157,32 @@ def test_range_join_no_nested_loop_plan(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    # one pathologically hot key (90% of rows) + a long tail
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(1000)],
+        "row_id int, key string",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i * 10}", float(i)) for i in range(100)],
+        "key string, w double",
+    )
+    salted = T.salted_join(big, small, on="key", salt_from="row_id", n_salts=8)
+    plain = big.join(small, "key")
+    assert salted.count() == plain.count()
+    assert (
+        salted.agg(F.sum("w")).collect()[0][0] == plain.agg(F.sum("w")).collect()[0][0]
+    )
+    # the hot key's rows now carry all 8 salt groups — the skew is split
+    n_groups = (
+        big.withColumn("_salt", F.pmod(F.xxhash64("row_id"), F.lit(8)))
+        .filter(F.col("key") == "hot")
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_groups == 8
