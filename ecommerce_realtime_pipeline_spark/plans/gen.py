@@ -9,6 +9,8 @@ runs and partitionings (tests/test_generate.py).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -19,6 +21,23 @@ from ecommerce_realtime_pipeline_spark.settings import Settings
 from ecommerce_realtime_pipeline_spark.sources import produce as P
 
 SEED = 42
+
+
+@contextmanager
+def _pinned_state_partitions(spark: SparkSession, n: int = 4):
+    """Streaming fixture queries create fresh checkpoints every call,
+    and a checkpoint freezes its state-store count from
+    ``spark.sql.shuffle.partitions`` at creation — at the session
+    default (32-200) that is dozens of state-store providers per
+    stateful operator per run, pure overhead for a ~dozen-row fixture
+    (measured 18s → 3s on the stream-stream join). Pin low for the
+    fixture's own checkpoint; always restore the session conf."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def gen_batch_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,10 +148,11 @@ def streaming_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         topics = f"{tmp}/topics"
         for _ in range(2):  # second publish = full offset replay
             P.produce_batch(spark, topics, 0, 30, 0, 0, seed=21, n_partitions=2)
-        q = I.run_ingest(
-            spark, f"{topics}/customers", "customers", f"{tmp}/silver", f"{tmp}/ckpt"
-        )
-        q.awaitTermination(120)
+        with _pinned_state_partitions(spark):
+            q = I.run_ingest(
+                spark, f"{topics}/customers", "customers", f"{tmp}/silver", f"{tmp}/ckpt"
+            )
+            q.awaitTermination(120)
         silver = I.read_silver(spark, f"{tmp}/silver")
         # localCheckpoint pins the result blocks so the temp dirs can go
         # away before the caller consumes the frame (bench runs this 3×)
@@ -202,10 +222,13 @@ def streaming_windowed_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
              line(6, 30, 0, "view")],
             [line(7, 45, 0, "view")],
         ]
-        for i, lines in enumerate(batches):
-            write(src, f"b{i}.json", lines)
-            q = I.run_windowed_counts(spark, src, sink, ckpt, watermark="10 minutes")
-            q.awaitTermination(120)
+        with _pinned_state_partitions(spark):
+            for i, lines in enumerate(batches):
+                write(src, f"b{i}.json", lines)
+                q = I.run_windowed_counts(
+                    spark, src, sink, ckpt, watermark="10 minutes"
+                )
+                q.awaitTermination(120)
         out = spark.read.parquet(sink)
         return out.orderBy("window_start", "type").localCheckpoint(eager=True)
     finally:
@@ -271,13 +294,6 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("\n".join(lines) + "\n")
 
     tmp = tempfile.mkdtemp(prefix="eng_ssjoin_q_")
-    # A stream-stream join instantiates 4 state-store providers PER
-    # shuffle partition per run; at the session default (32-200) that's
-    # pure fixture overhead for an 11-row stream. State partitioning is
-    # frozen at first checkpoint creation, so pin it low for this
-    # fixture's own checkpoint and restore the session conf after.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         src, sink, ckpt = (os.path.join(tmp, d) for d in ("src", "sink", "ckpt"))
         batches = [
@@ -299,14 +315,16 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 line(11, 11, 25, "purchase", "c1", "p5"),  # nothing in window
             ],
         ]
-        for i, lines in enumerate(batches):
-            write(src, f"b{i}.json", lines)
-            q = I.run_attribution_join(spark, src, sink, ckpt, watermark="10 minutes")
-            q.awaitTermination(120)
+        with _pinned_state_partitions(spark):
+            for i, lines in enumerate(batches):
+                write(src, f"b{i}.json", lines)
+                q = I.run_attribution_join(
+                    spark, src, sink, ckpt, watermark="10 minutes"
+                )
+                q.awaitTermination(120)
         out = spark.read.parquet(sink)
         return out.orderBy("purchase_id", "click_id").localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -334,15 +352,16 @@ def monitoring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         topics = f"{tmp}/topics"
         P.produce_batch(spark, topics, 0, 30, 0, 0, seed=21, n_partitions=2)
-        q = I.run_ingest(
-            spark,
-            f"{topics}/customers",
-            "customers",
-            f"{tmp}/silver",
-            f"{tmp}/ckpt",
-            offsets_path=f"{tmp}/offsets",
-        )
-        q.awaitTermination(120)
+        with _pinned_state_partitions(spark):
+            q = I.run_ingest(
+                spark,
+                f"{topics}/customers",
+                "customers",
+                f"{tmp}/silver",
+                f"{tmp}/ckpt",
+                offsets_path=f"{tmp}/offsets",
+            )
+            q.awaitTermination(120)
         # progress events are dispatched async; wait until the listener
         # has seen all 30 input rows (bounded)
         deadline = time.time() + 30
