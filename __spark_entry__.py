@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": llm.vocab_top_terms,
         "docs_pii_redact": llm.docs_pii_redact,
         "docs_stratified_sample": llm.docs_stratified_sample,
+        "emb_dim_reduce": llm.emb_dim_reduce,
         # §2.2-§2.3 — generation + corruption + validation pipeline
         "gen_batch_shape": gen.gen_batch_shape,
         "gen_corrupt_validate_metrics": gen.gen_corrupt_validate_metrics,

@@ -421,3 +421,51 @@ def quantize_int8(emb: DataFrame, col: str = "embedding") -> DataFrame:
         emb.withColumn("_scale", scale)
         .select("vec_id", F.col("_scale").alias("scale"), q.alias("q"))
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 8,
+    col: str = "embedding",
+    seed: int = 7,
+    dim: int | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dims —
+    the dimensionality-reduction pass of an embedding pipeline (shrink
+    vectors before clustering/ANN; JL: pairwise distances preserved to
+    1±ε for out_dim = O(log n / ε²)).
+
+    Exactness contract: per-element products are IEEE doubles (bit-
+    identical in any engine), then cast to DECIMAL(28,14) and summed
+    exactly — the projection is therefore partition-order independent
+    and DuckDB-oracle-hashable (same layout as ``label_centroids``).
+
+    Scale: this is the standard distributed matmul — posexplode the
+    vector, broadcast-join the (out_dim × dim) plane table, partial-agg
+    groupBy (vec_id, out_pos). One shuffle of skinny (id, pos, decimal)
+    rows; no driver collect, no UDF.
+
+    Output: (vec_id, out_pos, component) — long form, one row per
+    projected component.
+    """
+    dim = dim or embedding_dim(emb, col, cache_key)
+    planes = hyperplanes(dim, out_dim, seed)
+    spark = emb.sparkSession
+    plane_rows = [
+        (j, i, planes[j][i]) for j in range(out_dim) for i in range(dim)
+    ]
+    pl = spark.createDataFrame(plane_rows, "out_pos int, i int, p double")
+    comp = emb.select("vec_id", F.posexplode(F.col(col)).alias("i", "v"))
+    return (
+        comp.join(F.broadcast(pl), "i")
+        .groupBy("vec_id", "out_pos")
+        .agg(
+            F.sum((F.col("v") * F.col("p")).cast("decimal(28,14)")).alias("_s")
+        )
+        .select(
+            "vec_id",
+            "out_pos",
+            F.round(F.col("_s").cast("double"), 6).alias("component"),
+        )
+    )

@@ -1009,3 +1009,36 @@ LLM_ORACLES.update(
         """,
     }
 )
+
+
+def emb_dim_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (64 → 8, JL): exact
+    DECIMAL component sums make the projected components engine-
+    portable; the oracle inlines the same plane constants (repr
+    round-trips doubles — the `_lsh_oracle_sql` pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.random_projection(emb, out_dim=8, seed=7, dim=64)
+
+
+def _projection_oracle_sql(dim: int = 64, out_dim: int = 8, seed: int = 7) -> str:
+    planes = SIM.hyperplanes(dim, out_dim, seed)
+    rows = ",".join(
+        f"({j},{i},{planes[j][i]!r})" for j in range(out_dim) for i in range(dim)
+    )
+    return f"""
+        WITH planes(out_pos, i, p) AS (VALUES {rows}),
+        comp AS (
+            SELECT vec_id,
+                   unnest(range(0, len(embedding))) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        )
+        SELECT c.vec_id, pl.out_pos,
+               CAST(ROUND(SUM(CAST(c.v * pl.p AS DECIMAL(28,14))), 6)
+                    AS DOUBLE) AS component
+        FROM comp c JOIN planes pl ON c.i = pl.i
+        GROUP BY 1, 2
+    """
+
+
+LLM_ORACLES["emb_dim_reduce"] = _projection_oracle_sql()

@@ -118,3 +118,22 @@ def test_hash_bernoulli_deterministic_and_rate_honored(spark):
         "keep", TX.hash_bernoulli("doc_id", rate=F.lit(0.3))
     ).filter("keep")
     assert rated.count() == kept1
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+
+    vecs = [(0, [0.5, -1.25, 2.0, 0.125]), (1, [1.0, 0.0, -0.5, 3.5])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = SIM.random_projection(emb, out_dim=3, seed=7, dim=4).collect()
+    P = np.asarray(SIM.hyperplanes(4, 3, 7))  # (out_dim, dim)
+    expect = {
+        (vid, j): float(np.asarray(v, dtype=np.float32).astype(np.float64) @ P[j])
+        for vid, v in vecs
+        for j in range(3)
+    }
+    assert len(out) == 6
+    for r in out:
+        assert abs(r["component"] - expect[(r["vec_id"], r["out_pos"])]) < 1e-6
