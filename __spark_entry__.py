@@ -46,6 +46,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": kpi.sessionization,
         "jsonb_adhoc": kpi.jsonb_adhoc,
         "throughput_per_topic": kpi.throughput_per_topic,
+        # window-analytics family: group-wise top-k, running totals,
+        # exact percentiles
+        "top_products_per_nation": kpi.top_products_per_nation,
+        "customer_running_totals": kpi.customer_running_totals,
+        "order_value_percentiles": kpi.order_value_percentiles,
         # temporal joins — as-of + range (funnel attribution workload)
         "events_asof_attribution": temporal.events_asof_attribution,
         "events_range_attribution": temporal.events_range_attribution,

@@ -334,3 +334,82 @@ def throughput_per_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("n_events") / span_sec, 6).alias("events_per_sec"),
     )
+
+
+def top_products_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise top-K (R15/R22 windowed form): top-3 products by
+    revenue within every nation — rank() over a per-nation window.
+
+    Scale: revenue pre-aggregates per (nation, part) BEFORE ranking
+    (partial-agg friendly), nation/supplier are broadcast dims, and the
+    rank window shuffles only the aggregated frame (|nations × parts|,
+    not |lineitem|). Ties broken by part name for determinism.
+    """
+    from pyspark.sql import Window as W
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    revenue = _money("l_extendedprice") * (F.lit(1).cast(_D) - _money("l_discount"))
+    per = (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_name").alias("product"))
+        .agg(F.sum(revenue).alias("_rev"))
+    )
+    w = W.partitionBy("nation").orderBy(F.col("_rev").desc(), F.col("product"))
+    return (
+        per.withColumn("rank", F.rank().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("nation", "product", "rank", _as_double(F.col("_rev")).alias("revenue"))
+    )
+
+
+def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order time-series with window analytics (R17
+    windowed form): order sequence number, running lifetime value, and
+    gap-to-previous-order days — lag + cumulative sum over one
+    (custkey, date) sort. ONE shuffle; money stays DECIMAL so the
+    running sum is order-exact and oracle-hashable. Ties on a
+    customer-day are ordered by o_orderkey (deterministic)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.row_number().over(w).alias("order_seq"),
+        _as_double(F.sum(_money("o_totalprice")).over(run)).alias("running_value"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of order value per
+    status — the SLA/latency-style distribution query. Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation definition; inputs are exact 2-dp values, results
+    rounded to 4.
+
+    Scale note: EXACT percentiles sort each group; at 100 TB swap in
+    ``percentile_approx`` (t-digest, partial-agg friendly) and accept
+    the documented error bound — the exact form is the oracle-checkable
+    contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )

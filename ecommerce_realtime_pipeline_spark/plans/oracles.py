@@ -163,3 +163,56 @@ KPI_ORACLES: dict[str, str] = {
         GROUP BY 1
     """,
 }
+
+KPI_ORACLES.update(
+    {
+        "top_products_per_nation": """
+            WITH per AS (
+                SELECT n_name AS nation, p_name AS product,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT nation, product,
+                       rank() OVER (PARTITION BY nation
+                                    ORDER BY rev DESC, product) AS rank,
+                       rev
+                FROM per
+            )
+            SELECT nation, product, rank,
+                   CAST(ROUND(rev, 2) AS DOUBLE) AS revenue
+            FROM ranked WHERE rank <= 3
+        """,
+        "customer_running_totals": """
+            SELECT o_custkey AS custkey,
+                   o_orderkey AS orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+                   row_number() OVER w AS order_seq,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW), 2) AS DOUBLE)
+                       AS running_value,
+                   date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                       AS days_since_prev
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "order_value_percentiles": """
+            SELECT o_orderstatus AS status,
+                   count(*) AS n_orders,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+            FROM orders
+            GROUP BY 1
+        """,
+    }
+)
