@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": llm.docs_repetition,
         "docs_pack_sequences": llm.docs_pack_sequences,
         "vocab_top_terms": llm.vocab_top_terms,
+        "docs_bm25_search": llm.docs_bm25_search,
         "docs_pii_redact": llm.docs_pii_redact,
         "docs_stratified_sample": llm.docs_stratified_sample,
         "emb_dim_reduce": llm.emb_dim_reduce,

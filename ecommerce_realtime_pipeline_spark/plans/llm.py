@@ -363,6 +363,76 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 keyword-search query: fixed mid-frequency terms + the standard
+#: Lucene parameters. Terms are scored in THIS order (one column per
+#: term, added left-to-right) so the float sum is partition-order
+#: independent and hash-matches the oracle.
+BM25_TERMS: tuple[str, ...] = ("spark", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword relevance search (Lucene-style idf) over the token
+    inverted index: top-20 docs for a fixed 3-term query.
+
+    Scale: the exploded inverted index filters to the QUERY TERMS
+    BEFORE any shuffle, so the per-(doc,term) agg touches only matching
+    postings; corpus stats (N, sum dl) are a 1-row broadcast, per-term
+    df a |terms|-row broadcast; the final top-k is a TakeOrdered, not a
+    global sort. Per-term scores are assembled as fixed-order columns
+    (never a float SUM across terms) so results are deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", TX.token_count("text").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    postings = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+        .filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = postings.groupBy("token").agg(F.count("*").alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    # tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)) — parenthesized
+    # identically in the oracle SQL so both engines round the same way.
+    norm = (
+        F.col("tf")
+        * F.lit(BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1) * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .join(dl, "doc_id")
+        .withColumn("_s", idf * norm)
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_matched"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("token") == t, F.col("_s"))), F.lit(0.0)
+            ).alias(f"_s{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    score = F.col("_s0")
+    for i in range(1, len(BM25_TERMS)):
+        score = score + F.col(f"_s{i}")
+    return (
+        per.select("doc_id", "n_terms_matched", F.round(score, 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 #: Deterministic PII-bearing rows unioned into the corpus by
 #: docs_pii_redact — the synthetic corpus contains no organic PII, so
 #: the scrub pass is exercised on planted rows (same precedent as the
@@ -951,6 +1021,49 @@ LLM_ORACLES.update(
         """.replace("{EMAIL}", TX.EMAIL_RE).replace("{PHONE}", TX.PHONE_RE),
     }
 )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+_BM25_COLS = ",\n                   ".join(
+    f"COALESCE(SUM(sc) FILTER (token = '{t}'), 0.0) AS s{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+_BM25_SUM = " + ".join(f"s{i}" for i in range(len(BM25_TERMS)))
+LLM_ORACLES["docs_bm25_search"] = f"""
+    WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    postings AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token IN ({_BM25_IN})
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM postings GROUP BY 1),
+    scored AS (
+        SELECT p.doc_id, p.token,
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * {BM25_K1 + 1!r}
+                  / (p.tf + {BM25_K1!r} * ({1 - BM25_B!r}
+                     + {BM25_B!r} * l.dl
+                       / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS sc
+        FROM postings p
+        JOIN dfreq d USING (token)
+        CROSS JOIN stats s
+        JOIN dl l USING (doc_id)
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_terms_matched,
+               {_BM25_COLS}
+        FROM scored GROUP BY 1
+    )
+    SELECT doc_id, n_terms_matched, ROUND({_BM25_SUM}, 4) AS score
+    FROM agg
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+"""
 
 
 #: Per-language keep rates for the mixture-rebalancing sample: cap the
