@@ -17,6 +17,7 @@ Scale stance (100 TB):
 
 from __future__ import annotations
 
+import math
 import random
 
 import numpy as np
@@ -281,6 +282,34 @@ def knn_ivf(
     return _exact_rerank(cand, emb, queries, k, col)
 
 
+def auto_lsh_params(
+    n: int,
+    threshold: float,
+    min_bits: int = 8,
+    min_tables: int = 12,
+    target_occupancy: int = 16,
+    miss: float = 1e-4,
+    miss_margin: float = 0.05,
+) -> tuple[int, int]:
+    """Occupancy-targeted sign-LSH sizing for the cosine near-dup
+    self-join. Fixed ``bits`` is a scale trap: candidate volume is
+    Σ_buckets occ² ≈ n²·T/2^bits — QUADRATIC in n. Growing bits with
+    ``log2(n / target_occupancy)`` pins mean bucket occupancy, making
+    candidates ~ n·occupancy·T — LINEAR in n; tables then grow (slowly)
+    to hold the analytic per-pair miss bound (1-p^bits)^T ≤ ``miss``
+    at cos = threshold + ``miss_margin`` (p = 1 - acos(cos)/π).
+    Recall at the exact threshold is correspondingly weaker and is
+    pinned empirically in tests; it only improves vs the static config
+    at small n (same bits, more tables)."""
+    bits = max(min_bits, math.ceil(math.log2(max(n / target_occupancy, 1.0))))
+    p = 1.0 - math.acos(min(threshold + miss_margin, 1.0)) / math.pi
+    per_table = p**bits
+    if per_table >= 1.0 - 1e-12:
+        return bits, min_tables
+    tables = max(min_tables, math.ceil(math.log(miss) / math.log(1.0 - per_table)))
+    return bits, tables
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -289,19 +318,24 @@ def cosine_neardup_pairs(
     col: str = "embedding",
     seed: int = 42,
     dim: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: multi-table sign-LSH self-join
     for candidates, exact cosine verification ≥ ``threshold``.
 
     Same index as :func:`knn_lsh` but self-joined on (table, bucket) —
-    never all-pairs. ``bits=8`` keeps bucket fan-out ~n/256 per table;
-    at cos ≥ 0.9 (θ ≤ 26°) per-table collision is p⁸ ≥ 0.29 with
-    p = 1-θ/π, so 12 tables give ≥ 0.98 recall, →1 as cos→1 (true
-    dups). Verification makes false positives impossible; recall is the
-    only approximation, pinned in tests with planted duplicates.
+    never all-pairs. When the caller supplies the corpus size ``n``,
+    (bits, tables) are sized by :func:`auto_lsh_params` so candidate
+    volume stays LINEAR in n (occupancy-pinned buckets) while the
+    per-pair miss bound holds; without ``n`` the static (bits,
+    n_tables) apply and plan construction runs no Spark job.
+    Verification makes false positives impossible; recall is the only
+    approximation, pinned in tests with planted duplicates.
 
     Output: (vec_a, vec_b, cos_sim) with vec_a < vec_b.
     """
+    if n is not None:
+        bits, n_tables = auto_lsh_params(n, threshold, bits, n_tables)
     dim = dim or embedding_dim(emb, col)
     planes = hyperplanes(dim, bits * n_tables, seed)
     buckets = _bucket_udf(planes, bits, n_tables)
@@ -311,6 +345,11 @@ def cosine_neardup_pairs(
     index = emb.select(
         "vec_id", F.posexplode(buckets(F.col(col))).alias("tbl", "bucket")
     ).localCheckpoint()
+    # NO distinct here: cross-table duplicate candidates are rare for
+    # non-dup pairs (multiplicity ≈ 1 + T·p^bits), so deduping the raw
+    # candidate stream would cost a full extra shuffle of the largest
+    # intermediate to remove a few percent; dedup happens after the
+    # threshold filter, on the tiny surviving pair set.
     cand = (
         index.alias("x")
         .join(index.alias("y"), ["tbl", "bucket"])
@@ -318,7 +357,6 @@ def cosine_neardup_pairs(
         .select(
             F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
         )
-        .distinct()
     )
     # same double-reference on the verify tail: (vector, norm) joins in
     # for BOTH pair members — compute norms once
@@ -347,6 +385,7 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
+        .distinct()
     )
 
 

@@ -258,6 +258,9 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = SIM.cosine_neardup_pairs(
         corpus, threshold=0.9,
         dim=SIM.embedding_dim(emb, cache_key=f"{sf_dir}/embeddings"),
+        # corpus size drives occupancy-pinned LSH width (linear-in-n
+        # candidates); the count is ~free on the checkpointed frame
+        n=corpus.count(),
     )
     return pairs.select("vec_a", "vec_b").orderBy("vec_a", "vec_b")
 

@@ -292,6 +292,27 @@ def test_cosine_neardup_finds_exactly_planted_pairs(spark):
     assert out == {(i, i + 1_000_000) for i in planted_ids}
 
 
+def test_auto_lsh_params_sizing_law():
+    """Occupancy-pinned LSH sizing: bits track log2(n/occ) so candidate
+    volume (~n·occ·T) stays linear in n; tables hold the analytic miss
+    bound; small corpora never drop below the static floor."""
+    import math
+
+    assert SIM.auto_lsh_params(100, 0.9) == SIM.auto_lsh_params(1000, 0.9)
+    b_small, t_small = SIM.auto_lsh_params(2_000, 0.9)
+    assert b_small == 8  # static floor
+    last_b = 0
+    for n in (10**4, 10**5, 10**6, 10**7):
+        b, t = SIM.auto_lsh_params(n, 0.9)
+        assert b >= last_b
+        last_b = b
+        # mean occupancy stays under the 16-row target (×2 slack)
+        assert n / 2**b <= 32
+        # analytic per-pair miss bound at threshold+margin holds
+        p = 1.0 - math.acos(0.95) / math.pi
+        assert (1.0 - p**b) ** t <= 1e-4 * (1 + 1e-9)
+
+
 def test_shingles_short_doc_empty(spark):
     docs = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     out = docs.select(TX.shingles(TX.tokens("text"), 3).alias("sh")).collect()
