@@ -286,8 +286,10 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mm_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction (Arrow mapInPandas) rolled up
-    per source. Rows-only (Pandas path); byte-level correctness is
-    pinned in tests."""
+    per source. Oracle-checked: the payload is the UTF-8 encoding of an
+    all-ASCII corpus, so DuckDB reproduces the byte statistics exactly
+    from per-char codepoints (byte == codepoint for ASCII); the oracle
+    therefore value-gates the whole Pandas pass, not just its shape."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.feature_summary(docs)
 
@@ -1066,6 +1068,40 @@ LLM_ORACLES["docs_bm25_search"] = f"""
     FROM agg
     ORDER BY score DESC, doc_id
     LIMIT 20
+"""
+
+
+# The multimodal payload is encode(text,'UTF-8') over an all-ASCII
+# corpus (asserted in tests), so byte value == unicode codepoint and
+# the Arrow mapInPandas byte statistics are exactly reproducible in
+# SQL. avg_mean_byte mirrors Spark's DECIMAL(20,10) accumulation of
+# per-doc double means, rounding identically.
+LLM_ORACLES["mm_feature_summary"] = """
+    WITH ch AS (
+        SELECT doc_id, unicode(unnest(string_split(text, ''))) AS cp
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, count(*) AS n_bytes, SUM(cp) AS bsum,
+               MAX(cp) AS max_cp
+        FROM ch GROUP BY 1
+    ),
+    meta AS (
+        SELECT doc_id, source, octet_length(encode(text)) AS meta_bytes
+        FROM documents
+    )
+    SELECT m.source,
+           count(*) AS n_items,
+           CAST(SUM(f.n_bytes) AS BIGINT) AS total_bytes,
+           ROUND(CAST(SUM(CAST(CAST(f.bsum AS DOUBLE) / f.n_bytes
+                                AS DECIMAL(20,10))) AS DOUBLE)
+                 / count(*), 4) AS avg_mean_byte,
+           MAX(f.max_cp) AS max_byte,
+           CAST(SUM(CASE WHEN f.n_bytes <> m.meta_bytes THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_meta_mismatch
+    FROM meta m JOIN feats f USING (doc_id)
+    GROUP BY 1
+    ORDER BY 1
 """
 
 

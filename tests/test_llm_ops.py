@@ -231,6 +231,16 @@ def test_multimodal_metadata_consistent(spark, docs):
     assert all(r["n_meta_mismatch"] == 0 for r in out)
 
 
+def test_corpus_is_ascii(spark, docs):
+    """Precondition of the mm_feature_summary oracle: the corpus is
+    pure ASCII, so UTF-8 byte values equal char codepoints and DuckDB
+    can reproduce the Pandas byte statistics from chars."""
+    n_multi = docs.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert n_multi == 0
+
+
 def test_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG")
