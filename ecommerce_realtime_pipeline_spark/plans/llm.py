@@ -381,21 +381,31 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword relevance search (Lucene-style idf) over the token
     inverted index: top-20 docs for a fixed 3-term query.
 
-    Scale: the exploded inverted index filters to the QUERY TERMS
-    BEFORE any shuffle, so the per-(doc,term) agg touches only matching
-    postings; corpus stats (N, sum dl) are a 1-row broadcast, per-term
+    Scale: ONE scan of the corpus text — doc length and query-term
+    matches come from the same materialized narrow projection, so the
+    stats / postings / df branches never re-read text; term filtering
+    happens inside that scan (array filter), so nothing off-query ever
+    shuffles; corpus stats (N, sum dl) are a 1-row broadcast, per-term
     df a |terms|-row broadcast; the final top-k is a TakeOrdered, not a
     global sort. Per-term scores are assembled as fixed-order columns
     (never a float SUM across terms) so results are deterministic.
     """
     docs = load_table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", TX.token_count("text").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    # ONE scan of the corpus text: doc length + the query-term matches
+    # come out of the same projection, materialized narrow (id, int,
+    # tiny array) so the stats/postings branches below don't each
+    # re-scan 100 TB of text (Catalyst has no cross-branch subplan
+    # reuse; this is the fan-out localCheckpoint pattern).
+    base = docs.select(
+        "doc_id",
+        TX.token_count("text").alias("dl"),
+        F.filter(TX.tokens("text"), lambda _t: _t.isin(*BM25_TERMS)).alias("_hits"),
+    ).localCheckpoint()
+    stats = base.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
     postings = (
-        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
-        .filter(F.col("token").isin(*BM25_TERMS))
+        base.select("doc_id", "dl", F.explode("_hits").alias("token"))
         .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = postings.groupBy("token").agg(F.count("*").alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
@@ -416,7 +426,6 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         postings.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(stats))
-        .join(dl, "doc_id")
         .withColumn("_s", idf * norm)
     )
     per = scored.groupBy("doc_id").agg(

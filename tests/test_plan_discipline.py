@@ -103,6 +103,15 @@ def test_vocab_top_terms_is_takeordered(spark, sf_dir):
     assert "TakeOrdered" in plan, plan
 
 
+def test_bm25_single_text_scan_and_takeordered(spark, sf_dir):
+    """BM25 reads the corpus text exactly once (the materialized base
+    projection feeds stats/postings/df — 0 parquet re-scans in the
+    final plan) and its top-k is TakeOrdered, not a global sort."""
+    plan = _plan(spark, sf_dir, "docs_bm25_search")
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "TakeOrdered" in plan, plan
+
+
 def test_stratified_sample_single_scan(spark, sf_dir):
     """The sampling summary is one scan of documents — the keep flag is
     a conditional aggregate, not a second pass."""
