@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint_minhash": llm.docs_fingerprint_minhash,
         "docs_exact_dedup": llm.docs_exact_dedup,
         "docs_neardup_jaccard": llm.docs_neardup_jaccard,
+        "docs_neardup_jaccard_cutoff": llm.docs_neardup_jaccard_cutoff,
         "docs_neardup_minhash": llm.docs_neardup_minhash,
         "docs_neardup_simhash": llm.docs_neardup_simhash,
         "docs_neardup_clusters": llm.docs_neardup_clusters,

@@ -45,6 +45,9 @@ STRESS_QUERIES = [
     "docs_decontaminate",
     "events_asof_attribution",
     "events_range_attribution",
+    "docs_bm25_search",
+    "top_products_per_nation",
+    "customer_running_totals",
 ]
 
 

@@ -124,6 +124,26 @@ def docs_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(docs, threshold=JACCARD_T, n=3)
 
 
+#: Document-frequency cutoff for the web-scale Jaccard variant: at
+#: crawl scale, boilerplate shingles with huge df make the inverted-
+#: index join quadratic; dropping them from CANDIDATE GENERATION only
+#: (full-set verify) bounds the join at df² per shingle.
+MAX_SHINGLE_DF = 5
+
+
+def docs_neardup_jaccard_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-cutoff Jaccard near-dup (J ≥ 0.5): shingles in more
+    than MAX_SHINGLE_DF docs are excluded from candidate generation;
+    surviving pairs are verified with exact Jaccard over FULL shingle
+    sets, so the cutoff can only lose pairs whose every shared shingle
+    is hot — never distort a score. The DuckDB oracle replicates
+    filter → candidates → full-set verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(
+        docs, threshold=JACCARD_T, n=3, max_shingle_df=MAX_SHINGLE_DF
+    )
+
+
 def docs_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified (J ≥ 0.5).
     With the corpus's clean dup separation this equals the exact
@@ -525,6 +545,40 @@ _JACCARD_SQL = f"""
     WHERE ROUND(inter * 1.0 / (n_a + n_b - inter), 4) >= 0.5
 """
 
+# Cutoff variant: candidates from the df-filtered index, verification
+# over FULL shingle sets — mirrors dedup.jaccard_pairs(max_shingle_df).
+_JACCARD_CUTOFF_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest({_SHINGLES}) AS shingle,
+               len({_SHINGLES}) AS n_sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    kept AS (
+        SELECT s.doc_id, s.shingle FROM sh s
+        JOIN freq f USING (shingle) WHERE f.df <= {MAX_SHINGLE_DF}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS inter,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
+    FROM verified
+    WHERE ROUND(inter * 1.0 / (n_a + n_b - inter), 4) >= {JACCARD_T}
+"""
+
+
 def _lsh_oracle_sql(dim: int = 64, bits: int = 4, n_tables: int = 12, seed: int = 42) -> str:
     """Generate the emb_knn_lsh oracle: the hyperplane matrix is a
     pure function of (dim, bits, n_tables, seed), so its exact float64
@@ -674,6 +728,7 @@ LLM_ORACLES: dict[str, str] = {
                FROM documents) AS n_dropped
     """,
     "docs_neardup_jaccard": _JACCARD_SQL,
+    "docs_neardup_jaccard_cutoff": _JACCARD_CUTOFF_SQL,
     # connected components of the J>=0.5 pair graph: recursive CTE
     # computes each node's minimum reachable label — same fixpoint the
     # Spark min-label propagation converges to.
