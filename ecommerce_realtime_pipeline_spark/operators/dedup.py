@@ -134,6 +134,32 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3) -> Dat
     return idx.groupBy("doc_id").agg(*aggs)
 
 
+def banded_signatures(
+    docs: DataFrame, num_hashes: int = 64, bands: int = 16, n: int = 3
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH band keys for each doc: the k-hash
+    MinHash signature split into ``bands`` buckets of ``num_hashes //
+    bands`` rows, each hashed to one join key. Shared by the batch
+    near-dup join (:func:`minhash_lsh_pairs`) and the streaming
+    dedup-against-history index (``streaming/neardup.py``)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_cols).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -149,22 +175,7 @@ def minhash_lsh_pairs(
     clean separation (true dups ≳0.9) recall is effectively 1.
     Output: (doc_a, doc_b, jaccard) — same contract as jaccard_pairs.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(band_cols).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
-    )
+    banded = banded_signatures(docs, num_hashes, bands, n)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])

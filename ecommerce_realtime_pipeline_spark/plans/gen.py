@@ -404,6 +404,60 @@ def monitoring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup as a driver-checkable query (the
+    streaming counterpart of the docs_neardup_* family): batch 1 lands
+    10 synthetic docs with pairwise-disjoint vocab (J = 0
+    analytically); batch 2 lands 5 near-copies of batch-1 docs (last
+    token dropped → J = 37/38 over 3-shingles, far above the 0.5
+    threshold) plus 5 novel disjoint-vocab docs. Two availableNow runs
+    share one checkpoint, so the file source's exactly-once tracking
+    makes run 2 process ONLY the new file — the crawl-snapshot loop.
+    Contract (analytic constants ⇒ literal VALUES oracle): batch 0 →
+    10 novel / 0 dup; batch 1 → 5 novel / 5 dup."""
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.streaming import neardup as ND
+
+    def _doc(i: int, prefix: str, drop_last: bool = False) -> tuple[int, str]:
+        toks = [f"{prefix}{i}x{j}" for j in range(40)]
+        return (i, " ".join(toks[:-1] if drop_last else toks))
+
+    tmp = tempfile.mkdtemp(prefix="eng_neardup_q_")
+    try:
+        src, work, ckpt = f"{tmp}/src", f"{tmp}/work", f"{tmp}/ckpt"
+        batch1 = [_doc(i, "w") for i in range(10)]
+        spark.createDataFrame(batch1, ND.DOC_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        ND.run_neardup_stream(spark, src, work, ckpt).awaitTermination(120)
+        batch2 = [(1000 + i, _doc(i, "w", drop_last=True)[1]) for i in range(5)] + [
+            _doc(100 + i, "nov") for i in range(5)
+        ]
+        spark.createDataFrame(batch2, ND.DOC_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        ND.run_neardup_stream(spark, src, work, ckpt).awaitTermination(120)
+        return (
+            ND.read_decisions(spark, work)
+            .groupBy("batch_id")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.when(~F.col("is_dup"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_novel"),
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_dup"),
+            )
+            .orderBy("batch_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end DQ pipeline: generate → corrupt (forced rates) →
     validate every entity → per-rule quarantine counts (R18). The
@@ -453,6 +507,15 @@ GEN_ORACLES: dict[str, str] = {
                CAST(0 AS BIGINT) AS orphan_orders,
                CAST(0 AS BIGINT) AS orphan_events,
                CAST(0 AS BIGINT) AS orphan_items
+    """,
+    "streaming_neardup_dedup": """
+        SELECT CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(n AS BIGINT) AS n_docs,
+               CAST(nn AS BIGINT) AS n_novel,
+               CAST(nd AS BIGINT) AS n_dup
+        FROM (VALUES (0, 10, 10, 0), (1, 10, 5, 5))
+             AS t(batch_id, n, nn, nd)
+        ORDER BY batch_id
     """,
     "produce_envelopes_shape": """
         SELECT topic,

@@ -260,3 +260,62 @@ def test_parse_failures_quarantined_not_dropped(spark, dirs):
     _run(spark, dirs)
     silver = spark.read.parquet(dirs["silver"])
     assert silver.count() == 1  # garbage row did not land in silver
+
+
+# -- streaming near-dup dedup (streaming/neardup.py) ------------------------
+
+
+def test_streaming_neardup_decisions_and_index(spark, tmp_path):
+    """The incremental dedup loop: batch 2's near-copies match their
+    batch-1 canonicals (min-id matched_id), novel docs grow the index,
+    dup docs do NOT."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.streaming import neardup as ND
+
+    def doc(i, prefix, drop_last=False):
+        toks = [f"{prefix}{i}x{j}" for j in range(40)]
+        return (i, " ".join(toks[:-1] if drop_last else toks))
+
+    src, work, ckpt = str(tmp_path / "src"), str(tmp_path / "work"), str(tmp_path / "ck")
+    b1 = spark.createDataFrame([doc(i, "w") for i in range(4)], ND.DOC_STREAM_SCHEMA)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    ND.run_neardup_stream(spark, src, work, ckpt).awaitTermination(120)
+
+    b2 = spark.createDataFrame(
+        [(100 + i, doc(i, "w", drop_last=True)[1]) for i in range(2)]
+        + [doc(200, "nov")],
+        ND.DOC_STREAM_SCHEMA,
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    ND.run_neardup_stream(spark, src, work, ckpt).awaitTermination(120)
+
+    dec = {r["doc_id"]: r for r in ND.read_decisions(spark, work).collect()}
+    assert not any(dec[i]["is_dup"] for i in range(4))
+    assert dec[100]["is_dup"] and dec[100]["matched_id"] == 0
+    assert dec[101]["is_dup"] and dec[101]["matched_id"] == 1
+    assert not dec[200]["is_dup"] and dec[200]["matched_id"] is None
+
+    # only novel docs entered the index: 4 (batch 0) + 1 (batch 1)
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(work, "index_docs")).collect()
+    }
+    assert idx_ids == {0, 1, 2, 3, 200}
+
+
+def test_streaming_neardup_in_batch_min_id_canonical(spark, tmp_path):
+    """Two near-copies arriving in the SAME batch: the smaller id stays
+    canonical, the larger is flagged against it."""
+    from ecommerce_realtime_pipeline_spark.streaming import neardup as ND
+
+    toks = [f"q{j}" for j in range(40)]
+    rows = [(7, " ".join(toks)), (9, " ".join(toks[:-1]))]
+    src, work, ckpt = str(tmp_path / "src"), str(tmp_path / "work"), str(tmp_path / "ck")
+    spark.createDataFrame(rows, ND.DOC_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ND.run_neardup_stream(spark, src, work, ckpt).awaitTermination(120)
+    dec = {r["doc_id"]: r for r in ND.read_decisions(spark, work).collect()}
+    assert not dec[7]["is_dup"]
+    assert dec[9]["is_dup"] and dec[9]["matched_id"] == 7
