@@ -172,8 +172,9 @@ def streaming_windowed_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     window) rides three availableNow trigger runs. Exactly-once
     append-mode emission + watermark late-drop make the result
     deterministic: the late row must NOT reopen or re-emit the 10:00
-    window. Rows-only entry (streaming state is not
-    DuckDB-expressible); window bounds/types/counts are exact."""
+    window. The four emitted rows are analytic constants (derived
+    above), so a literal contract oracle value-gates them — the
+    streaming machinery itself is not DuckDB-expressible."""
     import datetime as _dt
     import json
     import os
@@ -252,8 +253,9 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     - batch 3: a click from before the watermark horizon is dropped on
       arrival and must never produce a pair; a fresh purchase with no
       in-window clicks emits nothing.
-    Expected: exactly 4 pairs. Rows-only entry (join state is not
-    DuckDB-expressible); ids/timestamps are exact.
+    Expected: exactly 4 pairs with fixture-literal timestamps — an
+    analytic contract, value-gated by a literal oracle (the join
+    state machinery itself is not DuckDB-expressible).
     """
     import datetime as _dt
     import json
@@ -335,9 +337,11 @@ def monitoring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     failed from ``processing_stats`` (count-invariant: batch slicing
     varies with file triggers, totals don't) and the
     ``consumer_offsets`` ledger summary (partition count + committed
-    offsets, fixed by the seeded partitioner). Rows-only entry
-    (streaming + listener state are not DuckDB-expressible); wall-clock
-    columns are intentionally excluded."""
+    offsets, fixed by the seeded partitioner). The aggregates are
+    analytic fixture constants (30-row batch over 2 partitions → max
+    offsets 14+14 = 28 committed, 0 failures, 1 group), value-gated by
+    a literal contract oracle; wall-clock columns are intentionally
+    excluded."""
     import shutil
     import tempfile
     import time
@@ -427,18 +431,22 @@ def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="eng_neardup_q_")
     try:
         src, work, ckpt = f"{tmp}/src", f"{tmp}/work", f"{tmp}/ckpt"
+        # 32 hashes / 8 bands: at J = 37/38 the per-band miss is
+        # 1 - J⁴ ≈ 0.10, so P(all 8 bands miss) ≈ 1e-8 — recall is
+        # still analytically certain, at half the signature width
+        lsh = {"num_hashes": 32, "bands": 8}
         batch1 = [_doc(i, "w") for i in range(10)]
         spark.createDataFrame(batch1, ND.DOC_STREAM_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-        ND.run_neardup_stream(spark, src, work, ckpt).awaitTermination(120)
+        ND.run_neardup_stream(spark, src, work, ckpt, **lsh).awaitTermination(120)
         batch2 = [(1000 + i, _doc(i, "w", drop_last=True)[1]) for i in range(5)] + [
             _doc(100 + i, "nov") for i in range(5)
         ]
         spark.createDataFrame(batch2, ND.DOC_STREAM_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-        ND.run_neardup_stream(spark, src, work, ckpt).awaitTermination(120)
+        ND.run_neardup_stream(spark, src, work, ckpt, **lsh).awaitTermination(120)
         return (
             ND.read_decisions(spark, work)
             .groupBy("batch_id")
@@ -507,6 +515,48 @@ GEN_ORACLES: dict[str, str] = {
                CAST(0 AS BIGINT) AS orphan_orders,
                CAST(0 AS BIGINT) AS orphan_events,
                CAST(0 AS BIGINT) AS orphan_items
+    """,
+    # Both streaming fixtures return ANALYTIC constants too: the
+    # windowed-KPI rows and the interval-join pair set are derived on
+    # paper in their docstrings (event times are fixture literals; the
+    # watermark/strict-< semantics decide membership), and the
+    # monitoring aggregates follow from the fixture arithmetic (one
+    # 30-row batch over 2 partitions → max offsets 14+14 = 28
+    # committed, 0 failures, 1 group). The streaming MACHINERY can't
+    # run in DuckDB, but its contracted output can be value-gated.
+    "streaming_windowed_kpi": """
+        SELECT CAST(ws AS TIMESTAMP) AS window_start,
+               CAST(we AS TIMESTAMP) AS window_end,
+               type,
+               CAST(n AS BIGINT) AS n
+        FROM (VALUES
+            ('2025-03-01 10:00:00', '2025-03-01 10:01:00', 'click', 1),
+            ('2025-03-01 10:00:00', '2025-03-01 10:01:00', 'view', 2),
+            ('2025-03-01 10:15:00', '2025-03-01 10:16:00', 'view', 1),
+            ('2025-03-01 10:30:00', '2025-03-01 10:31:00', 'view', 1)
+        ) AS t(ws, we, type, n)
+        ORDER BY window_start, type
+    """,
+    "streaming_attribution_join": """
+        SELECT purchase_id, customer_id,
+               CAST(pus AS BIGINT) AS purchase_us,
+               click_id,
+               CAST(cus AS BIGINT) AS click_us
+        FROM (VALUES
+            ('p1', 'c1', 1740823200000000, 'c10', 1740821400000000),
+            ('p1', 'c1', 1740823200000000, 'c11', 1740820200000000),
+            ('p3', 'c1', 1740824400000000, 'c10', 1740821400000000),
+            ('p3', 'c1', 1740824400000000, 'c12', 1740823200000000)
+        ) AS t(purchase_id, customer_id, pus, click_id, cus)
+        ORDER BY purchase_id, click_id
+    """,
+    "monitoring_stats": """
+        SELECT 'customers_silver' AS table_name,
+               CAST(30 AS BIGINT) AS records_processed_total,
+               CAST(0 AS BIGINT) AS records_failed_total,
+               CAST(2 AS BIGINT) AS n_partitions,
+               CAST(28 AS BIGINT) AS offsets_committed_sum,
+               CAST(1 AS BIGINT) AS n_consumer_groups
     """,
     "streaming_neardup_dedup": """
         SELECT CAST(batch_id AS BIGINT) AS batch_id,
