@@ -31,9 +31,13 @@ DEFAULT_SF_DIR = Settings().sf_dir
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan → columnar, pushdown-capable.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects;
-    read it as long (legacy conf) and floor-truncate ns→µs — exactly
-    what DuckDB does on read, so oracle comparisons line up.
+    ``events.ts`` normalizes to a µs TIMESTAMP (LTZ) whatever the
+    driver generated: TIMESTAMP(NANOS) parquet (Spark 4 rejects it —
+    read ns as long via legacy conf, floor-truncate ns→µs) or a naive
+    µs timestamp (Spark infers TIMESTAMP_NTZ — cast to LTZ, value-
+    preserving under the session's pinned UTC). Both match DuckDB's
+    read of the same file, so oracle ``epoch_us`` comparisons line up,
+    and downstream ``unix_micros`` (LTZ-only) always resolves.
     """
     if name == "events":
         # Our session factory sets this at build time; set it here too so
@@ -42,10 +46,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # are unaffected (the conf only changes TIMESTAMP(NANOS) columns).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
