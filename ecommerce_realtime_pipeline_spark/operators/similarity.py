@@ -197,8 +197,23 @@ def _exact_rerank(
     )
 
 
+#: IVF index memo: centroid list keyed by (cache_key, n_centroids,
+#: seed), and the corpus cell assignment keyed additionally by the
+#: owning SparkContext application id (a localCheckpoint is only valid
+#: inside the session that produced it). An IVF index is build-once /
+#: query-many by definition — re-deriving the quantizer and the cell
+#: table per query call is pure waste (the r3 bench paid a full md5
+#: TakeOrdered scan + an extra corpus matmul on every invocation).
+_IVF_CENTROID_CACHE: dict[tuple, list] = {}
+_IVF_CELL_CACHE: dict[tuple, DataFrame] = {}
+
+
 def ivf_centroids(
-    emb: DataFrame, n_centroids: int = 16, col: str = "embedding", seed: int = 42
+    emb: DataFrame,
+    n_centroids: int = 16,
+    col: str = "embedding",
+    seed: int = 42,
+    cache_key: str | None = None,
 ) -> list[list[float]]:
     """Deterministic coarse quantizer: ``n_centroids`` corpus vectors
     chosen by md5 order of vec_id (IVF-flat with sampled init — no
@@ -209,8 +224,13 @@ def ivf_centroids(
     practice), so collecting it to broadcast into the assignment UDF is
     the standard IVF layout, not a driver-side data pull; ``limit``
     after ``orderBy`` plans as TakeOrdered — no full sort materializes.
+    Memoized under ``cache_key`` (e.g. the table path): the quantizer
+    is immutable for a given corpus, so it is picked once per session.
     At 100 TB swap the global hash sort for TABLESAMPLE + local top-n;
     semantics unchanged."""
+    memo = (cache_key, n_centroids, seed) if cache_key is not None else None
+    if memo is not None and memo in _IVF_CENTROID_CACHE:
+        return _IVF_CENTROID_CACHE[memo]
     rows = (
         emb.select("vec_id", col)
         .orderBy(
@@ -220,7 +240,10 @@ def ivf_centroids(
         .limit(n_centroids)
         .collect()
     )
-    return [list(r[1]) for r in rows]
+    cents = [list(r[1]) for r in rows]
+    if memo is not None:
+        _IVF_CENTROID_CACHE[memo] = cents
+    return cents
 
 
 def _probe_udf(centroids: list[list[float]], n_probe: int):
@@ -252,6 +275,7 @@ def knn_ivf(
     n_probe: int = 4,
     col: str = "embedding",
     seed: int = 42,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """ANN cosine top-k via IVF (inverted-file) cells: every corpus
     vector is assigned to its nearest coarse centroid (ONE narrow
@@ -261,14 +285,35 @@ def knn_ivf(
     Scan fraction ≈ n_probe/n_centroids per query. Candidate generation
     is an equi-join on the cell id against the broadcast probed-cells
     list — never a cross join. Same output contract as
-    ``knn_bruteforce``; recall vs brute force is pinned in tests."""
-    cents = ivf_centroids(emb, n_centroids, col, seed)
-    assign = _probe_udf(cents, 1)
-    probe = _probe_udf(cents, n_probe)
-    corpus_cells = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.element_at(assign(F.col(col)), 1).alias("cell"),
+    ``knn_bruteforce``; recall vs brute force is pinned in tests.
+
+    With ``cache_key`` the index build (centroid pick + corpus cell
+    table) is memoized per session: the cell table is a narrow
+    (neighbor_id int, cell int) frame localCheckpointed once — the
+    actual IVF posting-list layout — so repeat queries pay only the
+    probe + rerank, never a rebuild. That is the production shape: the
+    index is written once and served many times."""
+    cents = ivf_centroids(emb, n_centroids, col, seed, cache_key=cache_key)
+    spark = emb.sparkSession
+    cell_memo = (
+        (spark.sparkContext.applicationId, cache_key, n_centroids, seed, col)
+        if cache_key is not None
+        else None
     )
+    corpus_cells = (
+        _IVF_CELL_CACHE.get(cell_memo) if cell_memo is not None else None
+    )
+    if corpus_cells is None:
+        assign = _probe_udf(cents, 1)
+        corpus_cells = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.element_at(assign(F.col(col)), 1).alias("cell"),
+        )
+        if cell_memo is not None:
+            # narrow 2-int rows; eager so the matmul runs exactly once
+            corpus_cells = corpus_cells.localCheckpoint()
+            _IVF_CELL_CACHE[cell_memo] = corpus_cells
+    probe = _probe_udf(cents, n_probe)
     q_cells = queries.select(
         F.col("vec_id").alias("query_id"),
         F.explode(probe(F.col(col))).alias("cell"),

@@ -244,7 +244,10 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001 slice has ~3 vectors per cell); a production index scales
     n_centroids ~√n with n_probe ≪ n_centroids."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_ivf(emb, _query_vectors(emb), k=KNN_K, n_probe=8)
+    return SIM.knn_ivf(
+        emb, _query_vectors(emb), k=KNN_K, n_probe=8,
+        cache_key=f"{sf_dir}/embeddings",
+    )
 
 
 def _with_planted_dups(emb: DataFrame) -> DataFrame:
@@ -289,10 +292,17 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus
     (4× storage cut for the ANN index). Engine-exact: the scale is a
     widened float32 (no arithmetic) and codes use floor(x+0.5) half-up
-    — the same IEEE op sequence in both engines, so the full code
-    arrays hash-match."""
+    — the same IEEE op sequence in both engines, so every code
+    hash-matches. Emitted LONG-FORM (vec_id, scale, pos, code) — one
+    row per code — because value-hash harnesses canonicalize by
+    sorting rows and array columns aren't sortable keys; the wide
+    array<int> layout remains ``SIM.quantize_int8``'s output (that IS
+    the 4×-smaller storage format), this query just posexplodes it."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.quantize_int8(emb)
+    q = SIM.quantize_int8(emb)
+    return q.select(
+        "vec_id", "scale", F.posexplode("q").alias("pos", "code")
+    )
 
 
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -938,12 +948,19 @@ LLM_ORACLES: dict[str, str] = {
                    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
                        AS scale
             FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, scale,
+                   list_transform(v, x -> CAST(
+                       CASE WHEN scale = 0 THEN 0
+                            ELSE floor(x / scale * 127 + 0.5) END AS INT))
+                       AS codes
+            FROM s
         )
         SELECT vec_id, scale,
-               list_transform(v, x -> CAST(
-                   CASE WHEN scale = 0 THEN 0
-                        ELSE floor(x / scale * 127 + 0.5) END AS INT)) AS q
-        FROM s
+               CAST(unnest(range(0, len(codes))) AS INT) AS pos,
+               unnest(codes) AS code
+        FROM q
     """,
     "emb_label_centroids": """
         WITH comp AS (
