@@ -40,11 +40,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and downstream ``unix_micros`` (LTZ-only) always resolves.
     """
     if name == "events":
-        # Our session factory sets this at build time; set it here too so
-        # load_table also works on a driver-owned session. Scoped to the
-        # events read path — the only ns-timestamp table — so other reads
-        # are unaffected (the conf only changes TIMESTAMP(NANOS) columns).
+        # Our session factory sets these at build time; set them here too
+        # so load_table also works on a driver-owned session. Scoped to
+        # the events read path — the only ns-timestamp table — so other
+        # reads are unaffected. The UTC pin matters for the NTZ branch:
+        # NTZ→LTZ cast is only value-preserving when the session zone is
+        # UTC; without it a non-UTC driver session silently shifts every
+        # ts by the zone offset and breaks oracle epoch_us parity.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -54,7 +58,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # explicit timestamp_ltz: cast("timestamp") resolves through
+            # spark.sql.timestampType and would be a no-op on a session
+            # that defaults to TIMESTAMP_NTZ, leaving unix_micros
+            # (LTZ-only) unresolvable downstream.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -189,7 +189,9 @@ def minhash_lsh_pairs(
     return verify_jaccard(cand, docs, threshold, n)
 
 
-def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def neardup_clusters(
+    pairs: DataFrame, max_iter: int = 20, warmup_rounds: int = 2
+) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     with cluster_id = the smallest doc_id in the component. This is the
     canonical final step of web-scale dedup: pairs → clusters → keep
@@ -201,10 +203,20 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     (diameter ≤ a few), so 3-4 rounds in practice with ``max_iter`` as
     the safety bound. Each round is one equi-join + groupBy (no
     all-pairs anywhere); ``localCheckpoint`` per round breaks the
-    otherwise exponentially-growing lineage. At 100 TB-scale graphs
-    with long chains, swap in the large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce") — identical
-    join shape, provably fewer rounds.
+    otherwise exponentially-growing lineage.
+
+    Convergence probing is amortized, not per-round: the round job
+    already materializes a ``_chg`` flag alongside each new label (one
+    comparison inside the same projection — free), so the probe is a
+    filter over the just-checkpointed narrow frame, never an extra
+    join; and because diameter ≥ 2 whenever any chain exists, the
+    first ``warmup_rounds`` rounds skip the probe entirely and later
+    rounds probe every other round. Worst case this runs one round
+    past convergence — a cheap no-op round — in exchange for removing
+    a driver action from every round. At 100 TB-scale graphs with long
+    chains, swap in the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce") — identical join shape,
+    provably fewer rounds.
     """
     # materialize the pair list ONCE: the edge union references it
     # twice, and the upstream pair-finding join is the expensive part
@@ -221,7 +233,7 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -232,49 +244,58 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("_nl").alias("_minn"))
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("_minn"), F.col("label"))
+        )
         new_labels = (
             labels.join(
                 neighbor_min, labels["node"] == neighbor_min["src"], "left"
             )
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_minn"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
-            break
+        if rnd >= warmup_rounds and (rnd - warmup_rounds) % 2 == 0:
+            if new_labels.filter(F.col("_chg")).limit(1).count() == 0:
+                break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 
-def simhash(docs: DataFrame, bits: int = 32, n: int = 3) -> DataFrame:
+def simhash(
+    docs: DataFrame, bits: int = 32, n: int = 3, portable_hash: bool = False
+) -> DataFrame:
     """SimHash per doc over distinct n-gram SHINGLES (tokens are too
     shared across a narrow-vocab corpus to discriminate): each bit is
     the sign of the Σ(±1) votes from shingle-hash bits. One explode +
     one groupBy with ``bits`` conditional-sum aggregates.
 
-    The shingle hash is the first 8 hex chars of md5 (a 32-bit value) —
-    md5 is the one hash both Spark and DuckDB share bit-for-bit, which
-    makes the whole SimHash (and therefore docs_neardup_simhash) exactly
-    replicable in the SQL oracle. Requires ``bits`` ≤ 32."""
+    Two shingle-hash paths — the banding/vote math is hash-agnostic:
+
+    - ``portable_hash=False`` (DEFAULT, production): ``xxhash64`` low
+      32 bits. Codegen'd JVM hash, no hex round-trip — the fast path.
+    - ``portable_hash=True`` (oracle parity): first 8 hex chars of md5
+      via ``conv`` — md5 is the one hash Spark and DuckDB share
+      bit-for-bit, which is what makes docs_neardup_simhash exactly
+      replicable in SQL. ~2.4× slower than xxhash64 (r3 bench); pay it
+      only when an external engine must reproduce the signature.
+
+    Requires ``bits`` ≤ 32."""
     if bits > 32:
-        raise ValueError("md5-derived simhash supports at most 32 bits")
+        raise ValueError("32-bit-derived simhash supports at most 32 bits")
+    if portable_hash:
+        h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok").bitwiseAND(F.lit((1 << 32) - 1))
     tok = (
         TX.with_shingles(docs.select("doc_id", "text"), n)
         .select("doc_id", F.explode("_sh").alias("tok"))
-        .withColumn("_h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+        .withColumn("_h", h)
     )
     votes = [
         F.sum(
@@ -290,14 +311,21 @@ def simhash(docs: DataFrame, bits: int = 32, n: int = 3) -> DataFrame:
     return per_doc.select("doc_id", sh.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    portable_hash: bool = False,
+) -> DataFrame:
     """SimHash near-dup pairs: band the ``bits``-bit hash into 4 chunks
     (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk), equi-join
     on (chunk_idx, chunk), verify with popcount(xor) ≤ max_hamming.
+    ``portable_hash`` selects the shingle hash (see :func:`simhash`) —
+    the banding/verify math is identical either way.
     Output: (doc_a, doc_b, hamming)."""
     chunk_bits = bits // 4
     mask = (1 << chunk_bits) - 1
-    sh = simhash(docs, bits)
+    sh = simhash(docs, bits, portable_hash=portable_hash)
     chunks = F.array(
         *[
             F.struct(

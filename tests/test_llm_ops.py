@@ -38,11 +38,39 @@ def test_minhash_lsh_equals_exact_jaccard(spark):
 def test_simhash_pairs_subset_of_neardups(spark, docs):
     """SimHash(hamming ≤ 3) must be high-precision: every emitted pair
     is a true near-dup (member of the exact-Jaccard pair set), with
-    recall ≥ 0.8 on this corpus."""
+    recall ≥ 0.8 on this corpus — on the production (xxhash64) path."""
     exact = {(r[0], r[1]) for r in llm.docs_neardup_jaccard(spark, SF).collect()}
     sim = {(r[0], r[1]) for r in DD.simhash_pairs(docs, max_hamming=3).collect()}
     assert sim <= exact
     assert len(sim) / len(exact) >= 0.8
+
+
+def test_simhash_portable_and_fast_paths_agree(spark, docs):
+    """The portable (md5, oracle-parity) and production (xxhash64)
+    shingle hashes must make the same near-dup decisions up to the
+    hamming BOUNDARY: simhash values differ by construction, so a pair
+    sitting exactly at hamming == max can flip with the hash (observed:
+    one pair each way on this ~27-pair corpus → overlap 0.93). The
+    pinned contract: both decision sets are subsets of the exact-
+    Jaccard near-dup set (no hash introduces a false positive), both
+    keep recall ≥ 0.8, and their overlap Jaccard is ≥ 0.9 (the hash
+    swap only perturbs the boundary, never the bulk)."""
+    exact = {(r[0], r[1]) for r in llm.docs_neardup_jaccard(spark, SF).collect()}
+    fast = {
+        (r[0], r[1])
+        for r in DD.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    portable = {
+        (r[0], r[1])
+        for r in DD.simhash_pairs(
+            docs, max_hamming=3, portable_hash=True
+        ).collect()
+    }
+    assert fast <= exact and portable <= exact
+    assert len(fast) / len(exact) >= 0.8
+    assert len(portable) / len(exact) >= 0.8
+    overlap = len(fast & portable) / len(fast | portable)
+    assert overlap >= 0.9
 
 
 def test_jaccard_cutoff_scores_over_full_sets(spark):
