@@ -57,8 +57,26 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def _force(df) -> None:
-    """Force full evaluation without materializing rows on the driver."""
+    """Force full evaluation without materializing rows on the driver,
+    then release the result's storage blocks: fixture queries return
+    eagerly-localCheckpointed frames whose blocks would otherwise pin
+    block-manager memory for the whole 63-query session (the r3 bench
+    drifted ~1.6× across the suite from exactly this accumulation).
+    unpersist on a non-persisted frame is a no-op, so this is safe for
+    every query."""
     df.write.format("noop").mode("overwrite").save()
+    df.unpersist()
+
+
+def _release_leaked_blocks() -> None:
+    """Intermediate localCheckpoints inside a query (cluster labels,
+    planted corpora, BM25 base) are unreachable from the returned frame;
+    their JVM refs die only when Python GC finalizes the py4j proxies,
+    letting Spark's ContextCleaner reap the blocks. Force that cycle
+    between queries instead of letting pressure build."""
+    import gc
+
+    gc.collect()
 
 
 def _build_stress_dir(spark, mult: int) -> str:
@@ -157,6 +175,7 @@ def main() -> int:
                 times.append(float("nan"))
                 break
             times.append(time.perf_counter() - t0)
+        _release_leaked_blocks()
         ok = [t for t in times if t == t]
         if not ok:
             # failed query: report null, never bare NaN (invalid JSON)
@@ -192,6 +211,7 @@ def main() -> int:
                         print(f"stress {name} failed: {exc}", file=sys.stderr)
                         break
                     times.append(time.perf_counter() - t0)
+                _release_leaked_blocks()
                 stress_q[name] = round(statistics.median(times), 4) if times else None
                 print(f"# stress {name}: {stress_q[name]}s", file=sys.stderr)
             stress = {

@@ -147,7 +147,10 @@ def streaming_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         topics = f"{tmp}/topics"
         for _ in range(2):  # second publish = full offset replay
-            P.produce_batch(spark, topics, 0, 30, 0, 0, seed=21, n_partitions=2)
+            P.produce_batch(
+                spark, topics, 0, 30, 0, 0, seed=21, n_partitions=2,
+                entities=("customers",),
+            )
         with _pinned_state_partitions(spark):
             q = I.run_ingest(
                 spark, f"{topics}/customers", "customers", f"{tmp}/silver", f"{tmp}/ckpt"
@@ -355,7 +358,10 @@ def monitoring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.streams.addListener(listener)
     try:
         topics = f"{tmp}/topics"
-        P.produce_batch(spark, topics, 0, 30, 0, 0, seed=21, n_partitions=2)
+        P.produce_batch(
+            spark, topics, 0, 30, 0, 0, seed=21, n_partitions=2,
+            entities=("customers",),
+        )
         with _pinned_state_partitions(spark):
             q = I.run_ingest(
                 spark,
@@ -367,14 +373,17 @@ def monitoring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination(120)
         # progress events are dispatched async; wait until the listener
-        # has seen all 30 input rows (bounded)
+        # has seen all 30 input rows (bounded). Poll the listener's
+        # in-memory rows (driver-side, free) at fine granularity and
+        # only build the stats frame once satisfied — the old 0.5 s
+        # sleep + per-poll Spark agg added ~1 s of pure wait.
         deadline = time.time() + 30
         while time.time() < deadline:
-            stats = listener.to_df(spark)
-            got = stats.agg(F.sum("records_processed")).collect()[0][0] or 0
-            if got >= 30:
+            # rows are (table, n_input, n_failed, ts, duration_ms) tuples
+            if sum(r[1] for r in list(listener.rows)) >= 30:
                 break
-            time.sleep(0.5)
+            time.sleep(0.05)
+        stats = listener.to_df(spark)
         srow = stats.agg(
             F.sum("records_processed").alias("records_processed_total"),
             F.sum("records_failed").alias("records_failed_total"),
@@ -431,22 +440,31 @@ def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="eng_neardup_q_")
     try:
         src, work, ckpt = f"{tmp}/src", f"{tmp}/work", f"{tmp}/ckpt"
-        # 32 hashes / 8 bands: at J = 37/38 the per-band miss is
-        # 1 - J⁴ ≈ 0.10, so P(all 8 bands miss) ≈ 1e-8 — recall is
-        # still analytically certain, at half the signature width
-        lsh = {"num_hashes": 32, "bands": 8}
+        # 16 hashes / 8 bands (r=2): at J = 37/38 the per-band miss is
+        # 1 - J² ≈ 0.052, so P(all 8 bands miss) ≈ 5e-11 — recall is
+        # analytically certain at a quarter of the default signature
+        # width (r=2 costs candidate precision, which exact-Jaccard
+        # verification absorbs; it never costs recall)
+        lsh = {"num_hashes": 16, "bands": 8}
         batch1 = [_doc(i, "w") for i in range(10)]
-        spark.createDataFrame(batch1, ND.DOC_STREAM_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        ND.run_neardup_stream(spark, src, work, ckpt, **lsh).awaitTermination(120)
         batch2 = [(1000 + i, _doc(i, "w", drop_last=True)[1]) for i in range(5)] + [
             _doc(100 + i, "nov") for i in range(5)
         ]
-        spark.createDataFrame(batch2, ND.DOC_STREAM_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        ND.run_neardup_stream(spark, src, work, ckpt, **lsh).awaitTermination(120)
+        # foreachBatch joins/aggs run under the session shuffle conf —
+        # pin low for the ~dozen-row fixture like the other fixtures do.
+        # repartition(1), NOT coalesce(1): a local-data frame parallelizes
+        # over defaultParallelism Python partitions, and coalesce makes
+        # ONE task drain all of them through sequential Python-worker
+        # round-trips (~4.5 s for 32); the shuffle keeps the Python
+        # stage parallel and costs ~0.2 s.
+        with _pinned_state_partitions(spark):
+            for batch in (batch1, batch2):
+                spark.createDataFrame(batch, ND.DOC_STREAM_SCHEMA).repartition(
+                    1
+                ).write.mode("append").parquet(src)
+                ND.run_neardup_stream(spark, src, work, ckpt, **lsh).awaitTermination(
+                    120
+                )
         return (
             ND.read_decisions(spark, work)
             .groupBy("batch_id")

@@ -210,6 +210,7 @@ def produce_batch(
     n_partitions: int = 4,
     base_offset: int = 0,
     metrics: ProducerMetrics | None = None,
+    entities: tuple[str, ...] | None = None,
 ) -> dict[str, int]:
     """S3: generate a seeded synthetic batch and publish all four entity
     sets (``producer.py:186-235``). Counts default to the settings batch
@@ -220,7 +221,10 @@ def produce_batch(
     batch write is synchronous — ``flush=True`` semantics are inherent.
     ``base_offset`` offsets the file-topic bookkeeping so repeated
     publishes get non-overlapping offsets (broker parity for
-    ``--repeat``)."""
+    ``--repeat``). ``entities`` restricts WHICH entity sets publish
+    (default all four) — a zero-count entity still costs a write job
+    for its empty topic file, so single-entity callers (fixtures,
+    per-topic backfills) name just the topics they need."""
     settings = settings or Settings()
     batch = G.generate_batch(
         spark,
@@ -239,6 +243,8 @@ def produce_batch(
         ("orders", batch.orders),
         ("events", batch.events),
     ):
+        if entities is not None and entity not in entities:
+            continue
         env = to_envelope(df, entity, settings)
         try:
             n_msgs, n_bytes = write_topic(

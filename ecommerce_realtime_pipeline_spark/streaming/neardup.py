@@ -10,26 +10,33 @@ Per micro-batch:
      previously ACCEPTED doc (plus an in-batch self-join, min-id
      canonical),
   3. verify candidates with exact Jaccard over full shingle sets,
-  4. append per-doc decisions, and append only NOVEL docs' band keys /
-     texts to the index.
+  4. append the batch's per-doc decisions AND the novel docs' band
+     keys / texts to ONE kind-partitioned journal in a single write
+     job.
 
 Scale stance (100 TB): per-trigger work is |batch|·bands index rows
 joined on (band, bucket) against the history index — an equi-join,
 never batch × history on raw text; verification touches candidate
-pairs only. The index is append-only parquet here (single-writer test
-scope — a deployment swaps in a transactional table format and
-partitions the index by ``band`` so each trigger's join prunes to the
-bucket files it needs, exactly like the bucketed silver upsert in
-``streaming/ingest.py``). Within-batch duplicate marking is the
-standard greedy min-id-canonical rule; full transitive clustering over
-the accepted corpus remains a batch job (``dedup.neardup_clusters``).
+pairs only. The index is an append-only parquet journal here
+(single-writer test scope — a deployment swaps in a transactional
+table format and partitions the index by ``band`` so each trigger's
+join prunes to the bucket files it needs, exactly like the bucketed
+silver upsert in ``streaming/ingest.py``). Within-batch duplicate
+marking is the standard greedy min-id-canonical rule; full transitive
+clustering over the accepted corpus remains a batch job
+(``dedup.neardup_clusters``).
 
 Failure semantics: the file source's checkpoint gives exactly-once
-BATCH delivery; the foreachBatch appends themselves are idempotent
-only down to the batch level, so a crash between the two appends can
-leave a batch's decisions without its index rows — ``read_decisions``
-dedups on (batch_id, doc_id) for the replay case, and a transactional
-sink closes the remaining window in production.
+BATCH delivery, and the journal write is ONE Spark job over the union
+of decision + band + doc rows — the output-committer publishes all
+three kinds at job commit, so a crash can no longer land a batch's
+decisions without its index rows (the r3 layout's three sequential
+appends had exactly that window). The remaining window is a crash
+AFTER job commit but BEFORE the stream checkpoint commits, which
+replays the whole batch: every journal row carries ``batch_id``, and
+the readers dedup on (batch_id, doc_id[, band]) so the replayed
+append is idempotent-on-read. A transactional sink makes the replay
+append itself a no-op in production.
 """
 
 from __future__ import annotations
@@ -43,12 +50,24 @@ from ecommerce_realtime_pipeline_spark.operators import dedup as DD
 
 DOC_STREAM_SCHEMA = "doc_id long, text string"
 
+#: one journal table, hive-partitioned by row kind so every reader
+#: prunes to its own files: 'decision' (batch_id, doc_id, is_dup,
+#: matched_id), 'band' (batch_id, doc_id, band, bucket), 'doc'
+#: (batch_id, doc_id, text). Unused columns are null per kind.
+_KINDS = ("decision", "band", "doc")
 
-def _paths(work_dir: str) -> tuple[str, str, str]:
-    return (
-        os.path.join(work_dir, "index_bands"),
-        os.path.join(work_dir, "index_docs"),
-        os.path.join(work_dir, "decisions"),
+
+def _journal_path(work_dir: str) -> str:
+    return os.path.join(work_dir, "journal")
+
+
+def _has_kind(work_dir: str, kind: str) -> bool:
+    return os.path.exists(os.path.join(_journal_path(work_dir), f"kind={kind}"))
+
+
+def _read_kind(spark: SparkSession, work_dir: str, kind: str) -> DataFrame:
+    return spark.read.parquet(_journal_path(work_dir)).filter(
+        F.col("kind") == kind
     )
 
 
@@ -62,9 +81,8 @@ def dedup_batch(
     bands: int = 16,
     n: int = 3,
 ) -> None:
-    """Process one micro-batch: decide dup/novel per doc, persist the
-    decisions, grow the index with the novel docs."""
-    bands_path, docs_path, dec_path = _paths(work_dir)
+    """Process one micro-batch: decide dup/novel per doc, then journal
+    the decisions plus the novel docs' index rows in one write job."""
     batch = batch.select("doc_id", "text").localCheckpoint()
     if batch.isEmpty():
         return
@@ -79,33 +97,57 @@ def dedup_batch(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
     )
     all_docs = batch
-    if os.path.exists(bands_path):
-        hist = spark.read.parquet(bands_path)
+    if _has_kind(work_dir, "band"):
+        hist = _read_kind(spark, work_dir, "band").select("doc_id", "band", "bucket")
         vs_hist = (
             banded.join(hist.withColumnRenamed("doc_id", "hist_id"), ["band", "bucket"])
             .filter(F.col("doc_id") != F.col("hist_id"))
             .select(F.col("doc_id").alias("doc_a"), F.col("hist_id").alias("doc_b"))
         )
         cand = cand.unionByName(vs_hist)
-        all_docs = batch.unionByName(spark.read.parquet(docs_path))
+        # duplicate history rows (post-commit-crash replay) are harmless
+        # here: dup band rows only repeat candidates (distinct'd below),
+        # dup doc rows only repeat verified pairs (min-agg'd below)
+        all_docs = batch.unionByName(
+            _read_kind(spark, work_dir, "doc").select("doc_id", "text")
+        )
     verified = DD.verify_jaccard(cand.distinct(), all_docs, threshold, n)
     matches = verified.groupBy("doc_a").agg(F.min("doc_b").alias("matched_id"))
 
     decisions = (
         batch.join(matches, batch.doc_id == matches.doc_a, "left")
         .select(
-            F.lit(batch_id).cast("long").alias("batch_id"),
             "doc_id",
             F.col("matched_id").isNotNull().alias("is_dup"),
             "matched_id",
         )
         .localCheckpoint()
     )
-    decisions.write.mode("append").parquet(dec_path)
-
     novel = decisions.filter(~F.col("is_dup")).select("doc_id")
-    banded.join(novel, "doc_id").write.mode("append").parquet(bands_path)
-    batch.join(novel, "doc_id").write.mode("append").parquet(docs_path)
+
+    bid = F.lit(batch_id).cast("long").alias("batch_id")
+    nul = lambda name, t: F.lit(None).cast(t).alias(name)  # noqa: E731
+    dec_rows = decisions.select(
+        F.lit("decision").alias("kind"), bid, "doc_id", "is_dup", "matched_id",
+        nul("band", "int"), nul("bucket", "long"), nul("text", "string"),
+    )
+    band_rows = banded.join(novel, "doc_id").select(
+        F.lit("band").alias("kind"), bid, "doc_id",
+        nul("is_dup", "boolean"), nul("matched_id", "long"),
+        "band", "bucket", nul("text", "string"),
+    )
+    doc_rows = batch.join(novel, "doc_id").select(
+        F.lit("doc").alias("kind"), bid, "doc_id",
+        nul("is_dup", "boolean"), nul("matched_id", "long"),
+        nul("band", "int"), nul("bucket", "long"), "text",
+    )
+    (
+        dec_rows.unionByName(band_rows)
+        .unionByName(doc_rows)
+        .write.mode("append")
+        .partitionBy("kind")
+        .parquet(_journal_path(work_dir))
+    )
 
 
 def run_neardup_stream(
@@ -139,6 +181,20 @@ def run_neardup_stream(
 
 def read_decisions(spark: SparkSession, work_dir: str) -> DataFrame:
     """Per-doc dedup decisions, deduped on (batch_id, doc_id) so a
-    replayed batch (crash between appends) cannot double-count."""
-    _, _, dec_path = _paths(work_dir)
-    return spark.read.parquet(dec_path).dropDuplicates(["batch_id", "doc_id"])
+    replayed batch (crash after journal commit, before checkpoint
+    commit) cannot double-count."""
+    return (
+        _read_kind(spark, work_dir, "decision")
+        .select("batch_id", "doc_id", "is_dup", "matched_id")
+        .dropDuplicates(["batch_id", "doc_id"])
+    )
+
+
+def read_index_docs(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Accepted (novel) docs currently in the index: (doc_id, text),
+    deduped for the replayed-append case."""
+    return (
+        _read_kind(spark, work_dir, "doc")
+        .select("doc_id", "text")
+        .dropDuplicates(["doc_id"])
+    )

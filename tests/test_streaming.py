@@ -279,7 +279,7 @@ def test_streaming_neardup_decisions_and_index(spark, tmp_path):
 
     src, work, ckpt = str(tmp_path / "src"), str(tmp_path / "work"), str(tmp_path / "ck")
     b1 = spark.createDataFrame([doc(i, "w") for i in range(4)], ND.DOC_STREAM_SCHEMA)
-    b1.coalesce(1).write.mode("append").parquet(src)
+    b1.repartition(1).write.mode("append").parquet(src)
     ND.run_neardup_stream(spark, src, work, ckpt).awaitTermination(120)
 
     b2 = spark.createDataFrame(
@@ -287,7 +287,7 @@ def test_streaming_neardup_decisions_and_index(spark, tmp_path):
         + [doc(200, "nov")],
         ND.DOC_STREAM_SCHEMA,
     )
-    b2.coalesce(1).write.mode("append").parquet(src)
+    b2.repartition(1).write.mode("append").parquet(src)
     ND.run_neardup_stream(spark, src, work, ckpt).awaitTermination(120)
 
     dec = {r["doc_id"]: r for r in ND.read_decisions(spark, work).collect()}
@@ -297,11 +297,20 @@ def test_streaming_neardup_decisions_and_index(spark, tmp_path):
     assert not dec[200]["is_dup"] and dec[200]["matched_id"] is None
 
     # only novel docs entered the index: 4 (batch 0) + 1 (batch 1)
-    idx_ids = {
-        r["doc_id"]
-        for r in spark.read.parquet(os.path.join(work, "index_docs")).collect()
-    }
+    idx_ids = {r["doc_id"] for r in ND.read_index_docs(spark, work).collect()}
     assert idx_ids == {0, 1, 2, 3, 200}
+
+    # crash-window contract: decisions and index rows ride ONE journal
+    # write — per batch_id, the journal must hold all three kinds
+    journal = spark.read.parquet(os.path.join(work, "journal"))
+    kinds_per_batch = {
+        r["batch_id"]: set(r["kinds"])
+        for r in journal.groupBy("batch_id")
+        .agg(F.collect_set("kind").alias("kinds"))
+        .collect()
+    }
+    assert kinds_per_batch == {0: {"decision", "band", "doc"},
+                               1: {"decision", "band", "doc"}}
 
 
 def test_streaming_neardup_in_batch_min_id_canonical(spark, tmp_path):
@@ -312,7 +321,7 @@ def test_streaming_neardup_in_batch_min_id_canonical(spark, tmp_path):
     toks = [f"q{j}" for j in range(40)]
     rows = [(7, " ".join(toks)), (9, " ".join(toks[:-1]))]
     src, work, ckpt = str(tmp_path / "src"), str(tmp_path / "work"), str(tmp_path / "ck")
-    spark.createDataFrame(rows, ND.DOC_STREAM_SCHEMA).coalesce(1).write.mode(
+    spark.createDataFrame(rows, ND.DOC_STREAM_SCHEMA).repartition(1).write.mode(
         "append"
     ).parquet(src)
     ND.run_neardup_stream(spark, src, work, ckpt).awaitTermination(120)
