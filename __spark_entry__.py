@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_stage_counts": kpi.funnel_stage_counts,
         "funnel_conversion": kpi.funnel_conversion,
         "sessionization": kpi.sessionization,
+        "sessionization_session_window": kpi.sessionization_session_window,
         "jsonb_adhoc": kpi.jsonb_adhoc,
         "throughput_per_topic": kpi.throughput_per_topic,
         # window-analytics family: group-wise top-k, running totals,
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardup_minhash": llm.docs_neardup_minhash,
         "docs_neardup_simhash": llm.docs_neardup_simhash,
         "docs_neardup_clusters": llm.docs_neardup_clusters,
+        "docs_neardup_clusters_lss": llm.docs_neardup_clusters_lss,
         "docs_train_split": llm.docs_train_split,
         "docs_quality_filter": llm.docs_quality_filter,
         "emb_knn_bruteforce": llm.emb_knn_bruteforce,
@@ -83,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": llm.emb_quantize_int8,
         "emb_label_centroids": llm.emb_label_centroids,
         "mm_feature_summary": llm.mm_feature_summary,
+        "mm_decode_image_stats": llm.mm_decode_image_stats,
         # §2.9 round-3 additions — training-data pipeline passes
         "docs_decontaminate": llm.docs_decontaminate,
         "docs_repetition": llm.docs_repetition,

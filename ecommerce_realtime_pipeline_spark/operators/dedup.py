@@ -267,6 +267,86 @@ def neardup_clusters(
     )
 
 
+def neardup_clusters_lss(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    the public MapReduce CC algorithm) → (doc_id, cluster_id) with
+    cluster_id = the component's smallest doc_id. Same contract as
+    :func:`neardup_clusters`; this is the deep-chain scale path — it
+    converges in O(log²) rounds on ANY graph shape, where min-label
+    propagation needs O(diameter) rounds (a 1M-long chain at 100 TB
+    would take 1M propagation rounds but ~40 star rounds).
+
+    Edges stay canonically child>parent (both star steps emit (v, m)
+    with m strictly smaller), each round is two groupBy+join passes —
+    the identical shuffle shape as one propagation round, never
+    all-pairs. Convergence is a 1-row signature aggregate (count +
+    hash-sum) over the round's already-checkpointed edge set — a cheap
+    bounded driver action per round, amortized over O(log²) rounds.
+
+    Star steps (u's neighborhood Γ(u), m = min(Γ(u) ∪ {u})):
+    - large-star: emit (v, m) for every STRICTLY LARGER neighbor v —
+      big nodes re-hang onto the local minimum.
+    - small-star: with N = {v ∈ Γ(u): v < u} and m = min(N), emit
+      (v, m) for v ∈ N ∪ {u}, v ≠ m — u and its smaller neighbors
+      collapse onto their minimum.
+    The fixed point is a star per component rooted at its minimum.
+    """
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("c"),
+            F.least("doc_a", "doc_b").alias("p"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig: tuple | None = None
+    for _ in range(max_iter):
+        sym = edges.select(
+            F.col("c").alias("node"), F.col("p").alias("nbr")
+        ).unionByName(edges.select(F.col("p").alias("node"), F.col("c").alias("nbr")))
+        # large-star
+        mins = sym.groupBy("node").agg(F.min("nbr").alias("_mn"))
+        m = F.least(F.col("node"), F.col("_mn"))
+        ls = (
+            sym.join(mins, "node")
+            .filter(F.col("nbr") > F.col("node"))
+            .select(F.col("nbr").alias("c"), m.alias("p"))
+            .filter(F.col("c") != F.col("p"))
+            .distinct()
+        )
+        # small-star
+        sym2 = ls.select(
+            F.col("c").alias("node"), F.col("p").alias("nbr")
+        ).unionByName(ls.select(F.col("p").alias("node"), F.col("c").alias("nbr")))
+        smaller = sym2.filter(F.col("nbr") < F.col("node"))
+        mins2 = smaller.groupBy("node").agg(F.min("nbr").alias("_m"))
+        edges = (
+            smaller.join(mins2, "node")
+            .filter(F.col("nbr") != F.col("_m"))
+            .select(F.col("nbr").alias("c"), F.col("_m").alias("p"))
+            .unionByName(mins2.select(F.col("node").alias("c"), F.col("_m").alias("p")))
+            .distinct()
+            .localCheckpoint()
+        )
+        row = edges.agg(
+            F.count("*").alias("n"),
+            # modular hash-sum: stays far from long overflow (ANSI mode
+            # would hard-error a wrapped sum)
+            F.sum(F.pmod(F.xxhash64("c", "p"), F.lit(1_000_000_007))).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    final_sym = edges.select(
+        F.col("c").alias("node"), F.col("p").alias("nbr")
+    ).unionByName(edges.select(F.col("p").alias("node"), F.col("c").alias("nbr")))
+    return final_sym.groupBy("node").agg(
+        F.least(F.col("node"), F.min("nbr")).alias("cluster_id")
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def simhash(
     docs: DataFrame, bits: int = 32, n: int = 3, portable_hash: bool = False
 ) -> DataFrame:

@@ -292,6 +292,36 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionization_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16/§2.7 sessionization via the BUILT-IN ``session_window``
+    (SURVEY §2.7 "session windows optional extra") — the same operator
+    the streaming path uses (streaming/ingest.py), here in batch, so
+    batch and streaming sessionization share one definition.
+
+    Boundary semantics (probed, and pinned in tests): Spark merges an
+    event at exactly ``prev + gap`` into the running session — a new
+    session starts only when the gap is STRICTLY exceeded — which is
+    identical to :func:`sessionization`'s ``gap > 30min`` flag, so the
+    two implementations are exactly equivalent, not approximately.
+
+    Output: one row per (user, session) with start/end (end = last
+    event + gap, Spark's definition) and the event count.
+
+    Scale: session_window compiles to the same single shuffle+sort on
+    (user_id, ts) as the gap-lag form — no extra stage.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sw = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    return sw.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.unix_micros("w.end").alias("session_end_us"),
+        "n_events",
+    )
+
+
 def jsonb_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R20 JSONB ad-hoc query: key extraction + containment over the raw
     JSON props column (the reference's GIN-index workload →

@@ -178,6 +178,18 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.neardup_clusters(pairs).orderBy("doc_id")
 
 
+def docs_neardup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering via LARGE-STAR/SMALL-STAR connected
+    components (the O(log²)-round MapReduce CC algorithm) — the
+    deep-chain scale path next to ``docs_neardup_clusters``'s min-label
+    propagation (O(diameter) rounds). Same pair graph, same output
+    contract, same recursive-CTE oracle; label equality between the two
+    implementations is additionally pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, threshold=JACCARD_T, n=3)
+    return DD.neardup_clusters_lss(pairs).orderBy("doc_id")
+
+
 def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by md5(doc_id) —
     leakage-safe (membership is a pure function of the id, stable
@@ -325,6 +337,41 @@ def mm_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore value-gates the whole Pandas pass, not just its shape."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.feature_summary(docs)
+
+
+def mm_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode round-trip: synthesize a PPM (even ids) or BMP
+    (odd ids) payload per doc with md5-derived pixels, decode it with
+    the pure-Python codecs (header parse, BMP bottom-up row order +
+    4-byte padding), and roll up decoded shape + pixel stats per
+    format. Oracle-checked: pixels are ASCII md5 hex bytes, so DuckDB
+    recomputes the exact stream (string_agg of md5 blocks → unicode()
+    per char) without ever seeing the binary — the decode path is
+    value-gated end to end, not shape-checked.
+
+    Scale: two 1:1 Arrow passes + one tiny groupBy(format); at 100 TB
+    the encode pass disappears (payloads come from parquet binary) and
+    decode remains a single mapInPandas over pruned columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_media(docs)
+    feats = MM.decode_features(media)
+    per_doc_mean = (F.col("px_sum").cast("double") / (F.col("n_px") * 3)).cast(
+        "decimal(20,10)"
+    )
+    return (
+        feats.groupBy("format")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_px").cast("long").alias("total_pixels"),
+            (F.sum("n_px") * 3).cast("long").alias("total_bytes"),
+            F.round(
+                F.sum(per_doc_mean).cast("double") / F.count("*"), 4
+            ).alias("avg_mean_px"),
+            F.max("max_px").alias("max_px"),
+            F.min("min_px").alias("min_px"),
+        )
+        .orderBy("format")
+    )
 
 
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,6 +1207,69 @@ LLM_ORACLES["docs_bm25_search"] = f"""
 # the Arrow mapInPandas byte statistics are exactly reproducible in
 # SQL. avg_mean_byte mirrors Spark's DECIMAL(20,10) accumulation of
 # per-doc double means, rounding identically.
+# Large-star/small-star CC computes the same per-component minimum as
+# min-label propagation — identical fixpoint, identical oracle.
+LLM_ORACLES["docs_neardup_clusters_lss"] = LLM_ORACLES["docs_neardup_clusters"]
+
+# mm_decode_image_stats: the synthetic pixel stream is the ASCII bytes
+# of md5("{doc_id}:{block}") hex blocks (32 chars each) truncated to
+# w*h*3; dims/format are pure functions of doc_id (synth_dims). The
+# oracle rebuilds the identical stream in SQL and aggregates the same
+# integer pixel stats the Spark decode pass extracts from the decoded
+# raster — so a codec bug (row order, padding, BGR swap dropping/
+# duplicating bytes, header off-by-one) breaks the hash match.
+LLM_ORACLES["mm_decode_image_stats"] = """
+    WITH need AS (
+        SELECT doc_id,
+               4 + doc_id % 5 AS w,
+               4 + doc_id % 3 AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+               (4 + doc_id % 5) * (4 + doc_id % 3) * 3 AS n
+        FROM documents
+    ),
+    blk AS (
+        SELECT doc_id, unnest(range(CAST(CEIL(n / 32.0) AS BIGINT))) AS b
+        FROM need
+    ),
+    stream AS (
+        SELECT n.doc_id,
+               any_value(n.w) AS w, any_value(n.h) AS h,
+               any_value(n.fmt) AS fmt,
+               substr(string_agg(md5(n.doc_id || ':' || blk.b), ''
+                                 ORDER BY blk.b),
+                      1, any_value(n.n)) AS s
+        FROM need n JOIN blk USING (doc_id)
+        GROUP BY n.doc_id
+    ),
+    px AS (
+        SELECT doc_id, unicode(unnest(string_split(s, ''))) AS px
+        FROM stream
+    ),
+    perdoc AS (
+        SELECT p.doc_id,
+               any_value(s.fmt) AS fmt,
+               any_value(s.w * s.h) AS n_px,
+               count(*) AS nb,
+               SUM(p.px) AS psum,
+               MAX(p.px) AS pmax,
+               MIN(p.px) AS pmin
+        FROM px p JOIN stream s USING (doc_id)
+        GROUP BY p.doc_id
+    )
+    SELECT fmt AS format,
+           count(*) AS n_images,
+           CAST(SUM(n_px) AS BIGINT) AS total_pixels,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           ROUND(CAST(SUM(CAST(CAST(psum AS DOUBLE) / nb
+                                AS DECIMAL(20,10))) AS DOUBLE)
+                 / count(*), 4) AS avg_mean_px,
+           MAX(pmax) AS max_px,
+           MIN(pmin) AS min_px
+    FROM perdoc
+    GROUP BY 1
+    ORDER BY 1
+"""
+
 LLM_ORACLES["mm_feature_summary"] = """
     WITH ch AS (
         SELECT doc_id, unicode(unnest(string_split(text, ''))) AS cp

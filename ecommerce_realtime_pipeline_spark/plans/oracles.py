@@ -133,6 +133,37 @@ KPI_ORACLES: dict[str, str] = {
             GROUP BY user_id
         )
     """,
+    # session_window twin: island detection via lag-gap flag + running
+    # sum. Spark merges an event at EXACTLY prev+gap (new session only
+    # when the gap is strictly exceeded — probed, pinned in tests), so
+    # the flag uses `>`. Session end = last event + gap (Spark's
+    # session_window.end definition). Equal-ts ties can't flip the
+    # flag (gap 0 is never > 30min), so lag's tie order is immaterial.
+    "sessionization_session_window": """
+        WITH flagged AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, us,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(us) AS session_start_us,
+               MAX(us) + 1800000000 AS session_end_us,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+    """,
     "sessionization": """
         WITH flagged AS (
             SELECT user_id,

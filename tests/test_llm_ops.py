@@ -157,6 +157,34 @@ def test_neardup_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 100: 100, 200: 100}
 
 
+def test_lss_clusters_match_propagation(spark):
+    """Large-star/small-star must find the identical components as
+    min-label propagation — including on a LONG chain (16 hops, the
+    shape where propagation needs O(diameter) rounds and LSS's
+    O(log²) advantage shows), a triangle, and an isolated pair."""
+    chain = [(i, i + 1) for i in range(20, 36)]
+    pairs = spark.createDataFrame(
+        chain + [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (100, 200)],
+        "doc_a long, doc_b long",
+    )
+    prop = {r["doc_id"]: r["cluster_id"] for r in DD.neardup_clusters(pairs).collect()}
+    lss = {r["doc_id"]: r["cluster_id"] for r in DD.neardup_clusters_lss(pairs).collect()}
+    assert lss == prop
+    assert all(lss[n] == 20 for n in range(20, 37))  # whole chain → root 20
+
+
+def test_lss_clusters_empty_and_star_fixpoints(spark):
+    """Degenerate inputs: no pairs → no labels; an already-star graph
+    converges on the first signature repeat without changing labels."""
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert DD.neardup_clusters_lss(empty).count() == 0
+    star = spark.createDataFrame(
+        [(1, 5), (1, 6), (1, 7)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in DD.neardup_clusters_lss(star).collect()}
+    assert got == {1: 1, 5: 1, 6: 1, 7: 1}
+
+
 def test_hash_split_deterministic_and_partition_free(spark):
     """Split membership is a pure function of the id: identical across
     invocations and partition counts, roughly 80/10/10."""
@@ -269,9 +297,63 @@ def test_corpus_is_ascii(spark, docs):
     assert n_multi == 0
 
 
-def test_decode_stub_raises(spark):
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
+def test_decode_rejects_unknown_and_truncated(spark):
+    with pytest.raises(ValueError):
+        MM.decode_image(b"\x89PNG")  # compressed formats not wired
+    with pytest.raises(ValueError):
+        MM.decode_image(b"P6\n3 2\n255\n" + bytes(5))  # truncated raster
+    with pytest.raises(ValueError):
+        MM.decode_image(b"BM" + bytes(10))  # truncated header
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (4, 4), (5, 3), (7, 1)])
+def test_codec_roundtrip_exact(w, h):
+    """Both codecs must reproduce the exact RGB byte sequence — widths
+    not divisible by 4 exercise BMP row padding; BMP also exercises the
+    bottom-up row order + BGR swap."""
+    import random
+
+    random.seed(w * 100 + h)
+    rgb = bytes(random.randrange(256) for _ in range(w * h * 3))
+    assert MM.decode_image(MM.encode_ppm(w, h, rgb)) == ("ppm", w, h, rgb)
+    assert MM.decode_image(MM.encode_bmp(w, h, rgb)) == ("bmp", w, h, rgb)
+
+
+def test_bmp_topdown_and_ppm_comments():
+    """Top-down BMPs (negative height) and commented PPM headers are
+    part of both formats' public specs — decode must handle them."""
+    import struct
+
+    w, h = 3, 2
+    rgb = bytes(range(18))
+    bmp = MM.encode_bmp(w, h, rgb)
+    row_size = (3 * w + 3) // 4 * 4
+    rows_bu = bmp[54:]
+    rows_td = b"".join(
+        rows_bu[i * row_size : (i + 1) * row_size] for i in range(h - 1, -1, -1)
+    )
+    td = bmp[:22] + struct.pack("<i", -h) + bmp[26:54] + rows_td
+    assert MM.decode_image(td) == ("bmp", w, h, rgb)
+
+    ppm = b"P6\n# comment\n3 2\n# more\n255\n" + rgb
+    assert MM.decode_image(ppm) == ("ppm", 3, 2, rgb)
+
+
+def test_decode_features_real_decode(spark):
+    """synthesize_media → decode_features round-trips through the real
+    codecs: decoded dims/format/pixel sums must equal the synthesis
+    contract (synth_dims + md5 pixel stream) for both formats."""
+    docs = spark.createDataFrame([(6,), (7,)], "doc_id long")
+    out = {r["doc_id"]: r for r in MM.decode_features(MM.synthesize_media(docs)).collect()}
+    for d in (6, 7):
+        w, h, fmt = MM.synth_dims(d)
+        rgb = MM._pixel_stream(d, w * h * 3)
+        r = out[d]
+        assert (r["format"], r["width"], r["height"]) == (fmt, w, h)
+        assert r["n_px"] == w * h
+        assert r["px_sum"] == sum(rgb)
+        assert r["max_px"] == max(rgb)
+        assert r["min_px"] == min(rgb)
 
 
 def test_resize_bounds_and_restamps_metadata(spark):

@@ -40,6 +40,59 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_session_window_equals_gap_lag_sessionization(spark, sf_dir):
+    """The built-in session_window batch query and the gap-lag
+    implementation must agree exactly: same per-user session count and
+    same total events (they share strict-> boundary semantics)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.plans.kpi import (
+        sessionization,
+        sessionization_session_window,
+    )
+
+    lag_form = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in sessionization(spark, sf_dir).collect()
+    }
+    sw_form = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in sessionization_session_window(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+    assert lag_form == sw_form
+
+
+def test_session_window_boundary_merges_at_exact_gap(spark):
+    """Pin Spark's boundary rule the oracle depends on: an event at
+    EXACTLY prev + gap merges into the running session (new session
+    only when the gap is strictly exceeded)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (1, base + dt.timedelta(minutes=30)),  # exactly gap → merge
+            (2, base),
+            (2, base + dt.timedelta(minutes=30, microseconds=1)),  # > gap → split
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    got = {r["user_id"]: r["n_sessions"] for r in out.collect()}
+    assert got == {1: 1, 2: 2}
+
+
 def test_set_ops_operator_form_matches_tagged_plan(spark, sf_dir):
     """R23: the literal intersect/subtract/union operator composition
     must agree with set_ops_actors' single-scan tagged plan (the query
