@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroids": llm.emb_label_centroids,
         "mm_feature_summary": llm.mm_feature_summary,
         "mm_decode_image_stats": llm.mm_decode_image_stats,
+        "mm_frame_stats": llm.mm_frame_stats,
+        "docs_unigram_surprisal": llm.docs_unigram_surprisal,
         # §2.9 round-3 additions — training-data pipeline passes
         "docs_decontaminate": llm.docs_decontaminate,
         "docs_repetition": llm.docs_repetition,

@@ -221,6 +221,7 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.IntegerType(), False),
         T.StructField("frame_payload", T.BinaryType(), False),
         T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
     ]
 )
 
@@ -275,7 +276,10 @@ def sample_frames(
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "frame_payload": [], "n_bytes": []}
+            rows = {
+                "doc_id": [], "frame_idx": [], "frame_payload": [],
+                "n_bytes": [], "byte_sum": [],
+            }
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
                 if b is None or len(b) == 0:
                     continue
@@ -289,6 +293,7 @@ def sample_frames(
                     rows["frame_idx"].append(fi)
                     rows["frame_payload"].append(frame)
                     rows["n_bytes"].append(len(frame))
+                    rows["byte_sum"].append(sum(frame))
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(_sample, FRAME_SCHEMA)

@@ -374,6 +374,56 @@ def mm_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pass value-gated: treat each payload as 16-byte
+    frames, sample ≤4 evenly-strided frames per doc (the video-demux
+    fan-out shape), and aggregate count/bytes/content checksum per
+    source frame index. Oracle-checked: payloads are the ASCII corpus
+    bytes, so DuckDB recomputes the stride arithmetic AND the exact
+    frame byte sums from substr/unicode — a wrong stride, boundary, or
+    byte slice breaks the hash, not just the row count."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = MM.sample_frames(MM.attach_binary(docs))
+    return (
+        frames.groupBy("frame_idx")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("byte_sum").cast("long").alias("sum_content"),
+        )
+        .orderBy("frame_idx")
+    )
+
+
+def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-quality scoring by unigram surprisal: per doc, the mean
+    negative log-likelihood of its tokens under the corpus's own
+    unigram distribution — the classic cheap perplexity proxy for
+    quality filtering (gibberish and boilerplate sit at the two
+    extremes). Output: top-20 most surprising docs.
+
+    Scale: ONE token explode feeding both the count shuffle and the
+    per-doc join; the unigram table is vocabulary-sized (≤ a few M
+    entries at 100 TB) → broadcast side; corpus total N is a 1-row
+    broadcast. TakeOrdered top-k, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = uni.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                -F.avg(F.log(F.col("tf") / F.col("n_total"))), 4
+            ).alias("mean_surprisal"),
+        )
+    )
+    return scored.orderBy(F.desc("mean_surprisal"), "doc_id").limit(20)
+
+
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train-split docs sharing any 8-token
     n-gram with the test split (hash_split of doc_id) — the long-n-gram
@@ -1210,6 +1260,74 @@ LLM_ORACLES["docs_bm25_search"] = f"""
 # Large-star/small-star CC computes the same per-component minimum as
 # min-label propagation — identical fixpoint, identical oracle.
 LLM_ORACLES["docs_neardup_clusters_lss"] = LLM_ORACLES["docs_neardup_clusters"]
+
+# mm_frame_stats: the frame sampler's stride math (total = L//16,
+# take = min(4, total), fi = int(j * total/take)) and the exact frame
+# byte content are both recomputed in SQL from the ASCII corpus —
+# unicode(substr(...)) per in-frame position reproduces the Pandas
+# byte slice bit-for-bit.
+LLM_ORACLES["mm_frame_stats"] = """
+    WITH d AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS L,
+               greatest(1, octet_length(encode(text)) // 16) AS total
+        FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    par AS (
+        SELECT doc_id, text, L, total, least(4, total) AS take FROM d
+    ),
+    j AS (
+        SELECT doc_id, text, L, total, take,
+               unnest(range(take)) AS jj
+        FROM par
+    ),
+    fr AS (
+        SELECT doc_id, text, L,
+               CAST(floor(jj * (CAST(total AS DOUBLE) / take)) AS INT) AS fi
+        FROM j
+    ),
+    nb AS (
+        SELECT doc_id, text, fi, least(16, L - fi * 16) AS nbytes FROM fr
+    ),
+    pos AS (
+        SELECT doc_id, fi, nbytes, text,
+               fi * 16 + unnest(range(nbytes)) AS o
+        FROM nb
+    ),
+    bs AS (
+        SELECT doc_id, fi, any_value(nbytes) AS nbytes,
+               SUM(unicode(substr(text, CAST(o AS INT) + 1, 1))) AS bsum
+        FROM pos GROUP BY doc_id, fi
+    )
+    SELECT fi AS frame_idx,
+           count(*) AS n_frames,
+           CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(bsum) AS BIGINT) AS sum_content
+    FROM bs GROUP BY 1 ORDER BY 1
+"""
+
+# docs_unigram_surprisal: ln() is IEEE libm on both engines and the
+# per-doc mean is rounded to 4dp before the top-k order (ties broken
+# by doc_id), so the float path is deterministic in practice — same
+# stance as the other rounded-double oracles.
+LLM_ORACLES["docs_unigram_surprisal"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    uni AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM uni),
+    scored AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               ROUND(-AVG(ln(CAST(tf AS DOUBLE) / n_total)), 4)
+                   AS mean_surprisal
+        FROM toks JOIN uni USING (tok), tot
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, mean_surprisal
+    FROM scored
+    ORDER BY mean_surprisal DESC, doc_id
+    LIMIT 20
+"""
 
 # mm_decode_image_stats: the synthetic pixel stream is the ASCII bytes
 # of md5("{doc_id}:{block}") hex blocks (32 chars each) truncated to

@@ -388,6 +388,7 @@ def test_frame_sampling_strides_payload(spark):
         fi = r["frame_idx"]
         assert bytes(r["frame_payload"]) == payload[fi * 16 : (fi + 1) * 16]
         assert r["n_bytes"] == 16
+        assert r["byte_sum"] == sum(payload[fi * 16 : (fi + 1) * 16])
 
 
 def test_lang_id_deterministic_und(spark):
