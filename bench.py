@@ -48,6 +48,10 @@ STRESS_QUERIES = [
     "docs_bm25_search",
     "top_products_per_nation",
     "customer_running_totals",
+    # round-4 additions: the CC scale path and the Python-bound
+    # (Arrow) decode pass — both should scale linearly in rows
+    "docs_neardup_clusters_lss",
+    "mm_decode_image_stats",
 ]
 
 
