@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_bruteforce": llm.emb_knn_bruteforce,
         "emb_knn_lsh": llm.emb_knn_lsh,
         "emb_knn_ivf": llm.emb_knn_ivf,
+        "emb_pq_codes": llm.emb_pq_codes,
+        "emb_knn_pq": llm.emb_knn_pq,
         "emb_cosine_neardup": llm.emb_cosine_neardup,
         "emb_quantize_int8": llm.emb_quantize_int8,
         "emb_label_centroids": llm.emb_label_centroids,

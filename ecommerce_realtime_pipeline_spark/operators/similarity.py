@@ -327,6 +327,174 @@ def knn_ivf(
     return _exact_rerank(cand, emb, queries, k, col)
 
 
+def _seq_l2(vals: list) -> float:
+    """Sequential-fold L2 norm — the SAME accumulation order as
+    Spark's ``aggregate`` fold and DuckDB's ``list_dot_product``, so
+    all three engines produce the bit-identical double."""
+    s = 0.0
+    for x in vals:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
+def pq_codebook_rows(
+    emb: DataFrame,
+    m: int = 16,
+    ksub: int = 32,
+    col: str = "embedding",
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> list[tuple[int, int, int, float]]:
+    """Long-form product-quantization codebook: ``(s, c, i, y)`` rows —
+    subspace s, code c, global dim index i, UNIT-NORMALIZED component
+    value y. The ``ksub`` training vectors are the same deterministic
+    md5-ordered pick as :func:`ivf_centroids` (and share its memo),
+    normalized to the unit sphere and sliced into ``m`` contiguous
+    subspaces. Normalization is what makes PQ serve COSINE search:
+    on unit vectors squared-L2 = 2·(1−cos), so ADC ranking is monotone
+    in cosine — unnormalized PQ ranks by raw L2 and decorrelates from
+    the cosine target when norms vary. Sampled-init, reproducible
+    across engines (licenses the SQL oracle); a production deployment
+    would k-means-refine each sub-codebook — layout, encode, and ADC
+    machinery are unchanged by that swap."""
+    train = ivf_centroids(emb, ksub, col, seed, cache_key=cache_key)
+    dim = len(train[0])
+    sub = dim // m
+    norms = [_seq_l2(train[c]) for c in range(ksub)]
+    return [
+        (min(i // sub, m - 1), c, i, float(train[c][i]) / norms[c])
+        for c in range(ksub)
+        for i in range(dim)
+    ]
+
+
+def _unit_vectors(vecs: DataFrame, col: str = "embedding") -> DataFrame:
+    """(vec_id, _nv): unit-normalized double components. Element j is
+    x_j/‖x‖ with the norm a sequential fold — every engine computes
+    the identical doubles."""
+    return vecs.withColumn("_nrm", _norm(F.col(col))).select(
+        "vec_id",
+        F.transform(
+            F.col(col), lambda x: x.cast("double") / F.col("_nrm")
+        ).alias("_nv"),
+    )
+
+
+def _pq_subspace_dists(
+    vecs: DataFrame, id_alias: str, cb: DataFrame, col: str = "embedding"
+) -> DataFrame:
+    """Exact per-(vector, subspace, code) squared L2 distance between
+    the UNIT-NORMALIZED subvector and the codebook entry: per-element
+    squared diffs are IEEE doubles (bit-identical in any engine),
+    summed as DECIMAL(28,14) — order-independent, so code assignment
+    and ADC ranking are engine-exact, never ulp-dependent (same stance
+    as ``label_centroids``/``random_projection``).
+
+    Scale: the standard distributed matmul layout — posexplode the
+    vector, broadcast the (m·ksub·dim)-row codebook, partial-agg
+    groupBy. One shuffle of skinny rows; no UDF, no collect."""
+    comp = _unit_vectors(vecs, col).select(
+        F.col("vec_id").alias(id_alias), F.posexplode("_nv").alias("i", "x")
+    )
+    sq = (F.col("x").cast("double") - F.col("y")) * (
+        F.col("x").cast("double") - F.col("y")
+    )
+    return (
+        comp.join(F.broadcast(cb), "i")
+        .groupBy(id_alias, "s", "c")
+        .agg(F.sum(sq.cast("decimal(28,14)")).alias("d"))
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 16,
+    ksub: int = 32,
+    col: str = "embedding",
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Product-quantization encode: each vector → ``m`` sub-codes
+    (argmin squared-L2 codebook entry per subspace, ties to the
+    smallest code via lexicographic struct-min). PQ is THE 100 TB
+    embedding-corpus compression: m bytes per vector (here 4) instead
+    of 4·dim (256) — a 64× memory cut that lets the whole corpus's
+    codes live executor-resident for ADC scans.
+
+    Output: (vec_id, subspace, code, _qd exact-decimal quantization
+    distance) — long form, one row per subspace."""
+    spark = emb.sparkSession
+    cb = spark.createDataFrame(
+        pq_codebook_rows(emb, m, ksub, col, seed, cache_key),
+        "s int, c int, i int, y double",
+    )
+    dists = _pq_subspace_dists(emb, "vec_id", cb, col)
+    return (
+        dists.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "c")).alias("_m"))
+        .select(
+            "vec_id",
+            F.col("s").alias("subspace"),
+            F.col("_m.c").alias("code"),
+            F.col("_m.d").alias("_qd"),
+        )
+    )
+
+
+def knn_pq_adc(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 32,
+    refine: int = 40,
+    col: str = "embedding",
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """ANN cosine top-k via PQ + ADC (asymmetric distance computation)
+    + exact rerank — the compressed-domain scan of an IVF-PQ stack.
+
+    Each query builds an (m × ksub) lookup table of exact subspace
+    distances to the codebook (broadcast — it is tiny by construction);
+    the ADC distance of a corpus vector is then ONE equi-join of its m
+    code rows against the LUT plus a sum — the corpus's full vectors
+    are never touched during the scan, only the m-byte codes. The top
+    ``refine`` candidates by ADC (exact decimal, deterministic
+    tie-break) get an exact cosine rerank, so approximation affects
+    recall only — same contract as every other ANN path here; recall
+    vs brute force is pinned in tests.
+
+    Scale: scan side = |codes| = m rows/vector of (int, int, int);
+    LUT side = q·m·ksub rows broadcast. No cross join, no Python, no
+    full-vector I/O until the ≤ refine·q rerank rows."""
+    spark = emb.sparkSession
+    cb = spark.createDataFrame(
+        pq_codebook_rows(emb, m, ksub, col, seed, cache_key),
+        "s int, c int, i int, y double",
+    )
+    codes = (
+        _pq_subspace_dists(emb, "vec_id", cb, col)
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "c")).alias("_m"))
+        .select("vec_id", "s", F.col("_m.c").alias("c"))
+    )
+    lut = _pq_subspace_dists(queries, "query_id", cb, col)
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "c"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("_adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
+    cand = (
+        adc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(cand, emb, queries, k, col)
+
+
 def auto_lsh_params(
     n: int,
     threshold: float,

@@ -265,6 +265,38 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: every vector → 16 sub-codes
+    (argmin squared-L2 codebook entry per 4-dim subspace, on the unit
+    sphere) + the per-subspace quantization distance — the 16×
+    compressed representation an IVF-PQ index scans at 100 TB.
+    Codebook = the md5-ordered training pick normalized and sliced per
+    subspace, so the oracle rebuilds the identical codebook in SQL;
+    distances are DECIMAL-exact, so code assignment (incl. tie-breaks)
+    is engine-exact, not ulp-lucky."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = SIM.pq_encode(emb, cache_key=f"{sf_dir}/embeddings")
+    return codes.select(
+        "vec_id",
+        "subspace",
+        "code",
+        F.round(F.col("_qd"), 6).cast("double").alias("qdist"),
+    )
+
+
+def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + ADC ANN top-5: per-query (m × ksub) distance lookup table,
+    compressed-domain ADC scan over the m-byte codes (full vectors
+    untouched), top-40 refine by exact-decimal ADC, exact cosine
+    rerank. Same output contract as the other ANN paths; the oracle
+    replicates codebook → codes → LUT → ADC → rerank entirely in SQL.
+    Recall vs brute force pinned in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_pq_adc(
+        emb, _query_vectors(emb), k=KNN_K, cache_key=f"{sf_dir}/embeddings"
+    )
+
+
 def _with_planted_dups(emb: DataFrame) -> DataFrame:
     """Corpus ∪ deterministic perturbed copies of every 10th vector
     (first component doubled, id offset by 1e6). The perturbation keeps
@@ -1260,6 +1292,120 @@ LLM_ORACLES["docs_bm25_search"] = f"""
 # Large-star/small-star CC computes the same per-component minimum as
 # min-label propagation — identical fixpoint, identical oracle.
 LLM_ORACLES["docs_neardup_clusters_lss"] = LLM_ORACLES["docs_neardup_clusters"]
+
+# Shared PQ pipeline CTEs: md5-ordered 32-vector training pick (same
+# md5 ordering as the IVF oracle), sliced into 16 × 4-dim
+# sub-codebooks;
+# per-(vector, subspace, code) squared-L2 distances summed as
+# DECIMAL(28,14) — engine-exact, so argmin code assignment and ADC
+# ranking (incl. MIN(c) tie-breaks) match Spark bit-for-bit.
+_PQ_CTES = """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    basen AS (
+        SELECT vec_id, v,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   AS nv
+        FROM base
+    ),
+    train AS (
+        SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+               ) - 1 AS c, nv
+        FROM basen
+        ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+        LIMIT 32
+    ),
+    cb AS (
+        SELECT CAST(least(i // 4, 15) AS INT) AS s, c, i, y
+        FROM (
+            SELECT c, unnest(range(0, len(nv))) AS i, unnest(nv) AS y
+            FROM train
+        )
+    ),
+    comp AS (
+        SELECT vec_id, unnest(range(0, len(nv))) AS i,
+               unnest(nv) AS x
+        FROM basen
+    ),
+    dists AS (
+        SELECT comp.vec_id, cb.s, cb.c,
+               SUM(CAST((comp.x - cb.y) * (comp.x - cb.y)
+                        AS DECIMAL(28,14))) AS d
+        FROM comp JOIN cb USING (i)
+        GROUP BY 1, 2, 3
+    ),
+    mind AS (
+        SELECT vec_id, s, MIN(d) AS md FROM dists GROUP BY 1, 2
+    ),
+    codes AS (
+        SELECT dists.vec_id, dists.s, MIN(dists.c) AS code,
+               any_value(mind.md) AS qd
+        FROM dists
+        JOIN mind ON dists.vec_id = mind.vec_id AND dists.s = mind.s
+                 AND dists.d = mind.md
+        GROUP BY 1, 2
+    )
+"""
+
+LLM_ORACLES["emb_pq_codes"] = _PQ_CTES + """
+    SELECT vec_id, s AS subspace, code,
+           CAST(ROUND(qd, 6) AS DOUBLE) AS qdist
+    FROM codes
+"""
+
+LLM_ORACLES["emb_knn_pq"] = _PQ_CTES + """
+    ,
+    lut AS (
+        SELECT comp.vec_id AS query_id, cb.s, cb.c,
+               SUM(CAST((comp.x - cb.y) * (comp.x - cb.y)
+                        AS DECIMAL(28,14))) AS d
+        FROM comp JOIN cb USING (i)
+        WHERE comp.vec_id < 10
+        GROUP BY 1, 2, 3
+    ),
+    adc AS (
+        SELECT l.query_id, codes.vec_id AS neighbor_id, SUM(l.d) AS adc
+        FROM codes
+        JOIN lut l ON l.s = codes.s AND l.c = codes.code
+        WHERE codes.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc ASC, neighbor_id ASC
+                   ) AS rn
+            FROM adc
+        ) WHERE rn <= 40
+    ),
+    nb AS (
+        SELECT vec_id,
+               v,
+               sqrt(list_dot_product(v, v)) AS nrm
+        FROM base
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos_sim
+        FROM cand
+        JOIN nb q ON q.vec_id = cand.query_id
+        JOIN nb n ON n.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank,
+               cos_sim
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           ROUND(cos_sim, 4) AS cos_sim
+    FROM ranked WHERE rank <= 5
+"""
 
 # mm_frame_stats: the frame sampler's stride math (total = L//16,
 # take = min(4, total), fi = int(j * total/take)) and the exact frame

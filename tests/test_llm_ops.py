@@ -256,6 +256,54 @@ def test_knn_ivf_recall_floor(spark):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_knn_pq_recall_floor(spark):
+    """PQ+ADC (16 × 4-dim subspaces, 32 codewords, 40-candidate
+    refine): ≥0.6 mean recall vs brute force on isotropic vectors —
+    the hardest case for sampled-init codebooks; k-means refinement
+    and clustered real embeddings only improve this. Exact rerank
+    keeps every returned cos_sim true."""
+    bf, pq = {}, {}
+    for r in llm.emb_knn_bruteforce(spark, SF).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in llm.emb_knn_pq(spark, SF).collect():
+        pq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(bf[q] & pq.get(q, set())) / len(bf[q]) for q in bf]
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_pq_codes_shape_and_self_quantization(spark):
+    """Every vector gets exactly m=16 codes in [0,32); the 32
+    md5-picked training vectors ARE codebook entries, so each must
+    quantize to itself with distance exactly 0 in every subspace."""
+    from ecommerce_realtime_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    codes = SIM.pq_encode(emb)
+    per_vec = codes.groupBy("vec_id").agg(
+        F.count("*").alias("n"),
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+    )
+    bad = per_vec.filter(
+        (F.col("n") != 16) | (F.col("lo") < 0) | (F.col("hi") >= 32)
+    ).count()
+    assert bad == 0
+    train_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("|42"))),
+            F.col("vec_id"),
+        )
+        .limit(32)
+        .collect()
+    ]
+    zero = codes.filter(F.col("vec_id").isin(train_ids)).agg(
+        F.count("*").alias("n"), F.max(F.col("_qd").cast("double")).alias("mx")
+    ).collect()[0]
+    assert zero["n"] == 32 * 16 and zero["mx"] == 0.0
+
+
 def test_knn_bruteforce_is_top_k_sound(spark):
     out = llm.emb_knn_bruteforce(spark, SF)
     per_q = out.groupBy("query_id").agg(
