@@ -293,6 +293,32 @@ def knn_ivf(
     actual IVF posting-list layout — so repeat queries pay only the
     probe + rerank, never a rebuild. That is the production shape: the
     index is written once and served many times."""
+    corpus_cells, q_cells = ivf_cell_tables(
+        emb, queries, n_centroids, n_probe, col, seed, cache_key
+    )
+    cand = (
+        corpus_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _exact_rerank(cand, emb, queries, k, col)
+
+
+def ivf_cell_tables(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    col: str = "embedding",
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The two IVF index frames shared by ``knn_ivf`` and
+    ``knn_ivfpq``: ``corpus_cells`` (neighbor_id, cell — the posting
+    lists, memoized/localCheckpointed per session under ``cache_key``)
+    and ``q_cells`` (query_id, cell — each query's ``n_probe`` nearest
+    cells)."""
     cents = ivf_centroids(emb, n_centroids, col, seed, cache_key=cache_key)
     spark = emb.sparkSession
     cell_memo = (
@@ -318,13 +344,7 @@ def knn_ivf(
         F.col("vec_id").alias("query_id"),
         F.explode(probe(F.col(col))).alias("cell"),
     )
-    cand = (
-        corpus_cells.join(F.broadcast(q_cells), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    return _exact_rerank(cand, emb, queries, k, col)
+    return corpus_cells, q_cells
 
 
 def _seq_l2(vals: list) -> float:
@@ -484,6 +504,67 @@ def knn_pq_adc(
         codes.join(F.broadcast(lut), ["s", "c"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("_adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
+    cand = (
+        adc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(cand, emb, queries, k, col)
+
+
+def knn_ivfpq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    m: int = 16,
+    ksub: int = 32,
+    refine: int = 40,
+    col: str = "embedding",
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """The composite IVF-PQ search — how a production 100 TB ANN index
+    actually serves queries: IVF cell pruning bounds WHICH vectors are
+    scanned (n_probe/n_centroids of the corpus), PQ codes bound WHAT
+    is read per scanned vector (m bytes, not 4·dim), ADC ranks the
+    pruned candidates in the compressed domain, and only the top
+    ``refine`` get full-vector exact rerank.
+
+    Composition of :func:`ivf_cell_tables` + :func:`pq_encode`'s code
+    layout + the ADC LUT — cell filter and code scan are both
+    equi-joins against broadcast frames; full vectors are touched only
+    for ≤ refine·|queries| rerank rows."""
+    corpus_cells, q_cells = ivf_cell_tables(
+        emb, queries, n_centroids, n_probe, col, seed, cache_key
+    )
+    cell_cand = (
+        corpus_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    spark = emb.sparkSession
+    cb = spark.createDataFrame(
+        pq_codebook_rows(emb, m, ksub, col, seed, cache_key),
+        "s int, c int, i int, y double",
+    )
+    codes = (
+        _pq_subspace_dists(emb, "vec_id", cb, col)
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "c")).alias("_m"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"), "s", F.col("_m.c").alias("c")
+        )
+    )
+    lut = _pq_subspace_dists(queries, "query_id", cb, col)
+    adc = (
+        cell_cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "s", "c"])
+        .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").alias("_adc"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))

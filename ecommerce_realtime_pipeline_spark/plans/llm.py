@@ -297,6 +297,20 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite IVF-PQ ANN top-5 — the production 100 TB serving
+    shape: IVF cells bound WHICH vectors are scanned (8/16 cells),
+    PQ codes bound WHAT is read per vector (16 bytes), ADC ranks in
+    the compressed domain, top-40 refine gets the exact cosine rerank.
+    The oracle replicates the entire quantize→probe→encode→ADC→rerank
+    pipeline in SQL (both quantizers are md5-deterministic, all
+    distances DECIMAL-exact). Recall vs brute force pinned in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_ivfpq(
+        emb, _query_vectors(emb), k=KNN_K, cache_key=f"{sf_dir}/embeddings"
+    )
+
+
 def _with_planted_dups(emb: DataFrame) -> DataFrame:
     """Corpus ∪ deterministic perturbed copies of every 10th vector
     (first component doubled, id offset by 1e6). The perturbation keeps
@@ -1353,6 +1367,87 @@ LLM_ORACLES["emb_pq_codes"] = _PQ_CTES + """
     SELECT vec_id, s AS subspace, code,
            CAST(ROUND(qd, 6) AS DOUBLE) AS qdist
     FROM codes
+"""
+
+# Composite IVF-PQ: the IVF oracle's cosine cell assignment/probing
+# (raw vectors) + the PQ oracle's normalized codebook/codes/LUT, with
+# ADC restricted to cell-pruned pairs.
+LLM_ORACLES["emb_knn_ivfpq"] = _PQ_CTES + """
+    ,
+    nb AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+    ),
+    cents AS (
+        SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+               ) - 1 AS cid,
+               v AS cv, nrm AS cn
+        FROM nb
+        ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+        LIMIT 16
+    ),
+    cell_sims AS (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.v, c.cv) / (b.nrm * c.cn) DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM nb b CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, cid FROM cell_sims WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM cell_sims
+        WHERE rn <= 8 AND vec_id < 10
+    ),
+    cellcand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id <> p.query_id
+    ),
+    lut AS (
+        SELECT comp.vec_id AS query_id, cb.s, cb.c,
+               SUM(CAST((comp.x - cb.y) * (comp.x - cb.y)
+                        AS DECIMAL(28,14))) AS d
+        FROM comp JOIN cb USING (i)
+        WHERE comp.vec_id < 10
+        GROUP BY 1, 2, 3
+    ),
+    adc AS (
+        SELECT cc.query_id, cc.neighbor_id, SUM(l.d) AS adc
+        FROM cellcand cc
+        JOIN codes ON codes.vec_id = cc.neighbor_id
+        JOIN lut l ON l.query_id = cc.query_id
+                  AND l.s = codes.s AND l.c = codes.code
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc ASC, neighbor_id ASC
+                   ) AS rn
+            FROM adc
+        ) WHERE rn <= 40
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos_sim
+        FROM cand
+        JOIN nb q ON q.vec_id = cand.query_id
+        JOIN nb n ON n.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank,
+               cos_sim
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           ROUND(cos_sim, 4) AS cos_sim
+    FROM ranked WHERE rank <= 5
 """
 
 LLM_ORACLES["emb_knn_pq"] = _PQ_CTES + """

@@ -271,6 +271,19 @@ def test_knn_pq_recall_floor(spark):
     assert sum(recalls) / len(recalls) >= 0.6
 
 
+def test_knn_ivfpq_recall_floor(spark):
+    """Composite IVF-PQ (8/16 cells probed, ADC over codes, 40-refine):
+    the two approximation stages compound, so the floor sits between
+    plain-IVF and plain-PQ — ≥0.5 mean recall on isotropic vectors."""
+    bf, iq = {}, {}
+    for r in llm.emb_knn_bruteforce(spark, SF).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in llm.emb_knn_ivfpq(spark, SF).collect():
+        iq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(bf[q] & iq.get(q, set())) / len(bf[q]) for q in bf]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
 def test_pq_codes_shape_and_self_quantization(spark):
     """Every vector gets exactly m=16 codes in [0,32); the 32
     md5-picked training vectors ARE codebook entries, so each must
