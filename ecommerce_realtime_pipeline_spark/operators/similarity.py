@@ -426,6 +426,13 @@ def _pq_subspace_dists(
     )
 
 
+#: PQ code-table memo, keyed like _IVF_CELL_CACHE (localCheckpoints
+#: are session-scoped, hence the applicationId in the key). Codes are
+#: build-once/query-many exactly like IVF posting lists — emb_pq_codes,
+#: emb_knn_pq, and emb_knn_ivfpq all scan the same immutable table.
+_PQ_CODES_CACHE: dict[tuple, DataFrame] = {}
+
+
 def pq_encode(
     emb: DataFrame,
     m: int = 16,
@@ -442,14 +449,23 @@ def pq_encode(
     codes live executor-resident for ADC scans.
 
     Output: (vec_id, subspace, code, _qd exact-decimal quantization
-    distance) — long form, one row per subspace."""
+    distance) — long form, one row per subspace. With ``cache_key``
+    the code table is localCheckpointed once per session (narrow
+    (long, int, int, decimal) rows — the compressed index itself)."""
     spark = emb.sparkSession
+    memo = (
+        (spark.sparkContext.applicationId, cache_key, m, ksub, seed, col)
+        if cache_key is not None
+        else None
+    )
+    if memo is not None and memo in _PQ_CODES_CACHE:
+        return _PQ_CODES_CACHE[memo]
     cb = spark.createDataFrame(
         pq_codebook_rows(emb, m, ksub, col, seed, cache_key),
         "s int, c int, i int, y double",
     )
     dists = _pq_subspace_dists(emb, "vec_id", cb, col)
-    return (
+    codes = (
         dists.groupBy("vec_id", "s")
         .agg(F.min(F.struct("d", "c")).alias("_m"))
         .select(
@@ -459,6 +475,10 @@ def pq_encode(
             F.col("_m.d").alias("_qd"),
         )
     )
+    if memo is not None:
+        codes = codes.localCheckpoint()
+        _PQ_CODES_CACHE[memo] = codes
+    return codes
 
 
 def knn_pq_adc(
@@ -493,11 +513,8 @@ def knn_pq_adc(
         pq_codebook_rows(emb, m, ksub, col, seed, cache_key),
         "s int, c int, i int, y double",
     )
-    codes = (
-        _pq_subspace_dists(emb, "vec_id", cb, col)
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d", "c")).alias("_m"))
-        .select("vec_id", "s", F.col("_m.c").alias("c"))
+    codes = pq_encode(emb, m, ksub, col, seed, cache_key).select(
+        "vec_id", F.col("subspace").alias("s"), F.col("code").alias("c")
     )
     lut = _pq_subspace_dists(queries, "query_id", cb, col)
     adc = (
@@ -552,13 +569,10 @@ def knn_ivfpq(
         pq_codebook_rows(emb, m, ksub, col, seed, cache_key),
         "s int, c int, i int, y double",
     )
-    codes = (
-        _pq_subspace_dists(emb, "vec_id", cb, col)
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d", "c")).alias("_m"))
-        .select(
-            F.col("vec_id").alias("neighbor_id"), "s", F.col("_m.c").alias("c")
-        )
+    codes = pq_encode(emb, m, ksub, col, seed, cache_key).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("subspace").alias("s"),
+        F.col("code").alias("c"),
     )
     lut = _pq_subspace_dists(queries, "query_id", cb, col)
     adc = (
