@@ -117,3 +117,41 @@ def test_stratified_sample_single_scan(spark, sf_dir):
     a conditional aggregate, not a second pass."""
     plan = _plan(spark, sf_dir, "docs_stratified_sample")
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_pq_adc_broadcasts_and_no_cartesian(spark, sf_dir):
+    """The PQ paths must never plan a cartesian/nested-loop join: the
+    codebook and the per-query LUT are broadcast sides, the code scan
+    is an equi-join. Applies to both the flat ADC scan and the
+    composite IVF-PQ plan."""
+    for name in ("emb_knn_pq", "emb_knn_ivfpq"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name + "\n" + plan
+        assert "BroadcastNestedLoopJoin" not in plan, name + "\n" + plan
+        assert "BroadcastHashJoin" in plan, name + "\n" + plan
+
+
+def test_unigram_surprisal_is_takeordered(spark, sf_dir):
+    """Top-20-by-surprisal must plan as TakeOrdered, not a global
+    sort of every document."""
+    plan = _plan(spark, sf_dir, "docs_unigram_surprisal")
+    assert "TakeOrdered" in plan, plan
+
+
+def test_session_window_batch_single_shuffle(spark, sf_dir):
+    """Batch session_window compiles to ONE exchange on the user key —
+    the same shuffle shape as the gap-lag form (no extra stage for the
+    session merge)."""
+    plan = _plan(spark, sf_dir, "sessionization_session_window")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_mm_decode_prunes_to_id_column(spark, sf_dir):
+    """The decode pipeline synthesizes payloads from doc_id alone — the
+    scan must prune to doc_id, never drag the text/source columns into
+    the Arrow passes."""
+    plan = _plan(spark, sf_dir, "mm_decode_image_stats")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"doc_id"}, read_cols
