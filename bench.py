@@ -48,10 +48,12 @@ STRESS_QUERIES = [
     "docs_bm25_search",
     "top_products_per_nation",
     "customer_running_totals",
-    # round-4 additions: the CC scale path and the Python-bound
-    # (Arrow) decode pass — both should scale linearly in rows
+    # round-4 additions: the CC scale path, the Python-bound (Arrow)
+    # decode pass, and the composite IVF-PQ ANN — all should scale
+    # linearly in rows
     "docs_neardup_clusters_lss",
     "mm_decode_image_stats",
+    "emb_knn_ivfpq",
 ]
 
 
