@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_stats": llm.mm_frame_stats,
         "docs_unigram_surprisal": llm.docs_unigram_surprisal,
         # §2.9 round-3 additions — training-data pipeline passes
+        "docs_duplicate_spans": llm.docs_duplicate_spans,
         "docs_decontaminate": llm.docs_decontaminate,
         "docs_repetition": llm.docs_repetition,
         "docs_pack_sequences": llm.docs_pack_sequences,

@@ -435,6 +435,46 @@ def simhash_pairs(
     return pairs
 
 
+def duplicate_span_stats(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Within-corpus duplicate-span signal — ExactSubstr-lite (the
+    n-gram-granular form of Lee et al.'s "Deduplicating Training Data
+    Makes Language Models Better" substring dedup): per doc, the
+    fraction of its distinct ``n``-grams that also appear in ANY other
+    document. High dup_frac = boilerplate/mirrored text that survives
+    doc-level dedup; the standard cut is dropping or trimming docs
+    above a threshold.
+
+    Scale: one exploded-shingle pass feeds both the df count and the
+    per-doc rollup; the "shared" side is the DISTINCT duplicated-gram
+    set (a small fraction of the index at web scale), equi-joined back
+    — never doc×doc, no substring automaton needed at n-gram
+    granularity. Docs shorter than ``n`` tokens have no n-grams and no
+    row (nothing to measure).
+
+    Output: (doc_id, n_grams, n_shared, dup_frac).
+    """
+    idx = TX.shingle_index(docs, n)
+    freq = idx.groupBy("shingle").agg(F.count("*").alias("_df"))
+    marked = idx.join(
+        freq.filter(F.col("_df") >= 2).select("shingle").withColumn("_hit", F.lit(1)),
+        "shingle",
+        "left",
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.first("n_sh").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_grams"), 4).alias("dup_frac"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     n: int = 8,

@@ -470,6 +470,16 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("mean_surprisal"), "doc_id").limit(20)
 
 
+def docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span fraction per doc (ExactSubstr-lite): share of a
+    doc's distinct 8-grams appearing in any other document — the
+    within-corpus duplication signal that survives doc-level dedup
+    (boilerplate, mirrored passages). One exploded-gram pass feeds the
+    df count and the per-doc rollup; never doc×doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.duplicate_span_stats(docs, n=8)
+
+
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train-split docs sharing any 8-token
     n-gram with the test split (hash_split of doc_id) — the long-n-gram
@@ -1306,6 +1316,28 @@ LLM_ORACLES["docs_bm25_search"] = f"""
 # Large-star/small-star CC computes the same per-component minimum as
 # min-label propagation — identical fixpoint, identical oracle.
 LLM_ORACLES["docs_neardup_clusters_lss"] = LLM_ORACLES["docs_neardup_clusters"]
+
+# Duplicate-span fraction: same distinct-8-gram explode as the
+# decontamination oracle, df>=2 marks a gram as shared; k*1.0/m is
+# the same IEEE double division Spark's long/int division performs.
+LLM_ORACLES["docs_duplicate_spans"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_8}) AS shingle,
+               len({_SHINGLES_8}) AS n_sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    marked AS (
+        SELECT sh.doc_id, sh.n_sh,
+               CASE WHEN d.df >= 2 THEN 1 ELSE 0 END AS hit
+        FROM sh JOIN dfreq d USING (shingle)
+    )
+    SELECT doc_id,
+           CAST(any_value(n_sh) AS INT) AS n_grams,
+           CAST(SUM(hit) AS BIGINT) AS n_shared,
+           ROUND(SUM(hit) * 1.0 / any_value(n_sh), 4) AS dup_frac
+    FROM marked GROUP BY 1
+"""
 
 # Shared PQ pipeline CTEs: md5-ordered 32-vector training pick (same
 # md5 ordering as the IVF oracle), sliced into 16 × 4-dim

@@ -185,6 +185,30 @@ def test_lss_clusters_empty_and_star_fixpoints(spark):
     assert got == {1: 1, 5: 1, 6: 1, 7: 1}
 
 
+def test_duplicate_span_stats_planted(spark):
+    """A doc sharing exactly its first 8-token run with another doc
+    gets exactly the shared-gram count that run produces; a fully
+    unique doc gets dup_frac 0; short docs (<8 tokens) get no row."""
+    shared = "a b c d e f g h"  # 8 tokens → 1 shared 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x1 y1 z1 w1"),
+            (2, shared + " x2 y2 z2 w2"),
+            (3, "q r s t u v w aa bb cc"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DD.duplicate_span_stats(docs, n=8).collect()}
+    assert 4 not in out  # no 8-grams
+    assert out[3]["n_shared"] == 0 and out[3]["dup_frac"] == 0.0
+    # docs 1/2: 12 tokens → 5 distinct 8-grams, exactly 1 shared
+    for d in (1, 2):
+        assert out[d]["n_grams"] == 5
+        assert out[d]["n_shared"] == 1
+        assert out[d]["dup_frac"] == 0.2
+
+
 def test_hash_split_deterministic_and_partition_free(spark):
     """Split membership is a pure function of the id: identical across
     invocations and partition counts, roughly 80/10/10."""
