@@ -433,6 +433,35 @@ def _pq_subspace_dists(
 _PQ_CODES_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _pq_assign_udf(codebook_rows: list, m: int, ksub: int, dim: int):
+    """Arrow-batched PQ assignment (the FAST path): one numpy pass per
+    batch — normalize rows, then per subspace argmin over the ksub
+    codewords via the ‖x‖²−2x·C+‖C‖² expansion. Returns array<int> of
+    m codes per vector."""
+    from pyspark.sql.functions import pandas_udf
+
+    sub = dim // m
+    CB = np.zeros((m, ksub, sub))
+    for s, c, i, y in codebook_rows:
+        j = i - s * sub
+        if 0 <= j < sub:
+            CB[s, c, j] = y
+    cb_sq = (CB**2).sum(axis=2)  # (m, ksub)
+
+    @pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        out = np.empty((len(M), m), dtype=np.int32)
+        for s in range(m):
+            X = M[:, s * sub : (s + 1) * sub]  # (n, sub)
+            d = (X**2).sum(1, keepdims=True) - 2 * X @ CB[s].T + cb_sq[s]
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return assign
+
+
 def pq_encode(
     emb: DataFrame,
     m: int = 16,
@@ -440,6 +469,7 @@ def pq_encode(
     col: str = "embedding",
     seed: int = 42,
     cache_key: str | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """Product-quantization encode: each vector → ``m`` sub-codes
     (argmin squared-L2 codebook entry per subspace, ties to the
@@ -451,30 +481,48 @@ def pq_encode(
     Output: (vec_id, subspace, code, _qd exact-decimal quantization
     distance) — long form, one row per subspace. With ``cache_key``
     the code table is localCheckpointed once per session (narrow
-    (long, int, int, decimal) rows — the compressed index itself)."""
+    (long, int, int, decimal) rows — the compressed index itself).
+
+    Two assignment paths — the code layout and every consumer are
+    identical either way (the simhash ``portable_hash`` precedent):
+
+    - ``exact=True`` (DEFAULT, oracle parity): distances as decimal-
+      exact sums via the posexplode+join layout — engine-exact argmin
+      incl. tie-breaks, which is what licenses the SQL oracle. Cost is
+      O(n·dim·ksub) join rows.
+    - ``exact=False`` (production): one Arrow matmul pass per batch
+      (:func:`_pq_assign_udf`) — ~dim× less data movement; float64
+      argmin may flip only exact-tie codewords (measured identical on
+      the test corpus; agreement pinned in tests). ``_qd`` is null.
+    """
     spark = emb.sparkSession
     memo = (
-        (spark.sparkContext.applicationId, cache_key, m, ksub, seed, col)
+        (spark.sparkContext.applicationId, cache_key, m, ksub, seed, col, exact)
         if cache_key is not None
         else None
     )
     if memo is not None and memo in _PQ_CODES_CACHE:
         return _PQ_CODES_CACHE[memo]
-    cb = spark.createDataFrame(
-        pq_codebook_rows(emb, m, ksub, col, seed, cache_key),
-        "s int, c int, i int, y double",
-    )
-    dists = _pq_subspace_dists(emb, "vec_id", cb, col)
-    codes = (
-        dists.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d", "c")).alias("_m"))
-        .select(
-            "vec_id",
-            F.col("s").alias("subspace"),
-            F.col("_m.c").alias("code"),
-            F.col("_m.d").alias("_qd"),
+    cb_rows = pq_codebook_rows(emb, m, ksub, col, seed, cache_key)
+    if exact:
+        cb = spark.createDataFrame(cb_rows, "s int, c int, i int, y double")
+        dists = _pq_subspace_dists(emb, "vec_id", cb, col)
+        codes = (
+            dists.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("d", "c")).alias("_m"))
+            .select(
+                "vec_id",
+                F.col("s").alias("subspace"),
+                F.col("_m.c").alias("code"),
+                F.col("_m.d").alias("_qd"),
+            )
         )
-    )
+    else:
+        dim = max(r[2] for r in cb_rows) + 1
+        assign = _pq_assign_udf(cb_rows, m, ksub, dim)
+        codes = emb.select(
+            "vec_id", F.posexplode(assign(F.col(col))).alias("subspace", "code")
+        ).withColumn("_qd", F.lit(None).cast("decimal(28,14)"))
     if memo is not None:
         codes = codes.localCheckpoint()
         _PQ_CODES_CACHE[memo] = codes
@@ -491,6 +539,7 @@ def knn_pq_adc(
     col: str = "embedding",
     seed: int = 42,
     cache_key: str | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """ANN cosine top-k via PQ + ADC (asymmetric distance computation)
     + exact rerank — the compressed-domain scan of an IVF-PQ stack.
@@ -513,7 +562,7 @@ def knn_pq_adc(
         pq_codebook_rows(emb, m, ksub, col, seed, cache_key),
         "s int, c int, i int, y double",
     )
-    codes = pq_encode(emb, m, ksub, col, seed, cache_key).select(
+    codes = pq_encode(emb, m, ksub, col, seed, cache_key, exact).select(
         "vec_id", F.col("subspace").alias("s"), F.col("code").alias("c")
     )
     lut = _pq_subspace_dists(queries, "query_id", cb, col)
@@ -544,6 +593,7 @@ def knn_ivfpq(
     col: str = "embedding",
     seed: int = 42,
     cache_key: str | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """The composite IVF-PQ search — how a production 100 TB ANN index
     actually serves queries: IVF cell pruning bounds WHICH vectors are
@@ -569,7 +619,7 @@ def knn_ivfpq(
         pq_codebook_rows(emb, m, ksub, col, seed, cache_key),
         "s int, c int, i int, y double",
     )
-    codes = pq_encode(emb, m, ksub, col, seed, cache_key).select(
+    codes = pq_encode(emb, m, ksub, col, seed, cache_key, exact).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("subspace").alias("s"),
         F.col("code").alias("c"),

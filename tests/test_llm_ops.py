@@ -308,6 +308,24 @@ def test_knn_ivfpq_recall_floor(spark):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_pq_fast_assign_matches_exact(spark):
+    """The Arrow-matmul fast path must produce the same codes as the
+    decimal-exact join path — float64 argmin can only diverge on exact
+    codeword-distance ties, which this corpus has none of."""
+    from ecommerce_realtime_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in SIM.pq_encode(emb, exact=True).collect()
+    }
+    fast = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in SIM.pq_encode(emb, exact=False).collect()
+    }
+    assert fast == exact
+
+
 def test_pq_codes_shape_and_self_quantization(spark):
     """Every vector gets exactly m=16 codes in [0,32); the 32
     md5-picked training vectors ARE codebook entries, so each must
