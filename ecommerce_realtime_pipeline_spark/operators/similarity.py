@@ -640,6 +640,89 @@ def knn_ivfpq(
     return _exact_rerank(cand, emb, queries, k, col)
 
 
+def kmeans_refine(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    col: str = "embedding",
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Lloyd k-means refinement of the md5-sampled coarse quantizer —
+    the training step that turns the sampled-init IVF/PQ quantizers
+    into proper ones (the swap every IVF/PQ docstring here references).
+    Runs a FIXED ``iters`` Lloyd iterations: assign every vector to its
+    nearest centroid (squared-L2, DECIMAL-exact sums → deterministic
+    argmin with min-cid tie-break), then recompute each centroid as
+    the member mean (exact decimal sum, ONE double division per
+    component). A fixed iteration count keeps the whole computation a
+    finite expression chain — which is what lets a SQL oracle replicate
+    it CTE-for-CTE; convergence-driven stopping would be a driver-side
+    loop like ``neardup_clusters``'s.
+
+    Empty clusters simply drop out (both engines group over assigned
+    members only) — the deterministic variant of the usual re-seed
+    heuristic.
+
+    Scale: per iteration, ONE broadcast join of the (k·dim)-row
+    centroid table against the exploded components + two partial-agg
+    shuffles of skinny rows. No driver collect inside the loop; the
+    component explode is checkpointed once and reused by every
+    iteration (at 100 TB it would be a persisted columnar table).
+
+    Output: per surviving centroid after ``iters`` rounds —
+    (cid, n_vecs, centroid_norm, mean_component)."""
+    spark = emb.sparkSession
+    train = ivf_centroids(emb, k, col, seed, cache_key=cache_key)
+    comp = (
+        emb.select("vec_id", F.posexplode(F.col(col)).alias("pos", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .localCheckpoint()
+    )
+    cents = spark.createDataFrame(
+        [(c, i, float(v)) for c, vec in enumerate(train) for i, v in enumerate(vec)],
+        "cid int, pos int, y double",
+    )
+    assign = None
+    for _ in range(iters):
+        sq = (F.col("x") - F.col("y")) * (F.col("x") - F.col("y"))
+        d = (
+            comp.join(F.broadcast(cents), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(sq.cast("decimal(28,14)")).alias("d"))
+        )
+        assign = (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid")).alias("_m"))
+            .select("vec_id", F.col("_m.cid").alias("cid"))
+        )
+        cents = (
+            comp.join(assign, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,14)")).cast("double")
+                    / F.count("*")
+                ).alias("y")
+            )
+        )
+    n_vecs = assign.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    stats = cents.groupBy("cid").agg(
+        F.round(
+            F.sqrt(
+                F.sum((F.col("y") * F.col("y")).cast("decimal(28,14)")).cast("double")
+            ),
+            4,
+        ).alias("centroid_norm"),
+        F.round(
+            F.sum(F.col("y").cast("decimal(28,14)")).cast("double") / F.count("*"), 6
+        ).alias("mean_component"),
+    )
+    return stats.join(n_vecs, "cid").select(
+        "cid", "n_vecs", "centroid_norm", "mean_component"
+    )
+
+
 def auto_lsh_params(
     n: int,
     threshold: float,

@@ -311,6 +311,16 @@ def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations refining the md5-sampled quantizer (the
+    IVF/PQ training step): DECIMAL-exact assignment distances make the
+    argmin engine-deterministic, centroid means are exact decimal sums
+    with one double division — so the oracle replicates both
+    iterations CTE-for-CTE and hash-checks the refined centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.kmeans_refine(emb, cache_key=f"{sf_dir}/embeddings").orderBy("cid")
+
+
 def _with_planted_dups(emb: DataFrame) -> DataFrame:
     """Corpus ∪ deterministic perturbed copies of every 10th vector
     (first component doubled, id offset by 1e6). The perturbation keeps
@@ -1316,6 +1326,81 @@ LLM_ORACLES["docs_bm25_search"] = f"""
 # Large-star/small-star CC computes the same per-component minimum as
 # min-label propagation — identical fixpoint, identical oracle.
 LLM_ORACLES["docs_neardup_clusters_lss"] = LLM_ORACLES["docs_neardup_clusters"]
+
+# Two Lloyd iterations as a finite CTE chain: d{t} = decimal-exact
+# squared-L2 to the iteration-(t-1) centroids, a{t} = argmin with
+# MIN(cid) tie-break, c{t} = member means (exact decimal sum, one
+# double division per component). Mirrors kmeans_refine step for step.
+LLM_ORACLES["emb_kmeans_refine"] = """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    comp AS (
+        SELECT vec_id, unnest(range(0, len(v))) AS pos, unnest(v) AS x
+        FROM base
+    ),
+    train AS (
+        SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+               ) - 1 AS cid, v
+        FROM base
+        ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+        LIMIT 16
+    ),
+    c0 AS (
+        SELECT CAST(cid AS INT) AS cid,
+               unnest(range(0, len(v))) AS pos, unnest(v) AS y
+        FROM train
+    ),
+    d1 AS (
+        SELECT comp.vec_id, c0.cid,
+               SUM(CAST((comp.x - c0.y) * (comp.x - c0.y)
+                        AS DECIMAL(28,14))) AS d
+        FROM comp JOIN c0 USING (pos) GROUP BY 1, 2
+    ),
+    m1 AS (SELECT vec_id, MIN(d) AS md FROM d1 GROUP BY 1),
+    a1 AS (
+        SELECT d1.vec_id, MIN(d1.cid) AS cid
+        FROM d1 JOIN m1 ON d1.vec_id = m1.vec_id AND d1.d = m1.md
+        GROUP BY 1
+    ),
+    c1 AS (
+        SELECT a1.cid, comp.pos,
+               CAST(SUM(CAST(comp.x AS DECIMAL(28,14))) AS DOUBLE)
+                   / COUNT(*) AS y
+        FROM comp JOIN a1 USING (vec_id) GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT comp.vec_id, c1.cid,
+               SUM(CAST((comp.x - c1.y) * (comp.x - c1.y)
+                        AS DECIMAL(28,14))) AS d
+        FROM comp JOIN c1 USING (pos) GROUP BY 1, 2
+    ),
+    m2 AS (SELECT vec_id, MIN(d) AS md FROM d2 GROUP BY 1),
+    a2 AS (
+        SELECT d2.vec_id, MIN(d2.cid) AS cid
+        FROM d2 JOIN m2 ON d2.vec_id = m2.vec_id AND d2.d = m2.md
+        GROUP BY 1
+    ),
+    c2 AS (
+        SELECT a2.cid, comp.pos,
+               CAST(SUM(CAST(comp.x AS DECIMAL(28,14))) AS DOUBLE)
+                   / COUNT(*) AS y
+        FROM comp JOIN a2 USING (vec_id) GROUP BY 1, 2
+    ),
+    nv AS (SELECT cid, count(*) AS n_vecs FROM a2 GROUP BY 1),
+    stats AS (
+        SELECT cid,
+               ROUND(sqrt(CAST(SUM(CAST(y * y AS DECIMAL(28,14)))
+                               AS DOUBLE)), 4) AS centroid_norm,
+               ROUND(CAST(SUM(CAST(y AS DECIMAL(28,14))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_component
+        FROM c2 GROUP BY 1
+    )
+    SELECT s.cid, nv.n_vecs, s.centroid_norm, s.mean_component
+    FROM stats s JOIN nv USING (cid)
+    ORDER BY s.cid
+"""
 
 # Duplicate-span fraction: same distinct-8-gram explode as the
 # decontamination oracle, df>=2 marks a gram as shared; k*1.0/m is

@@ -359,6 +359,38 @@ def test_pq_codes_shape_and_self_quantization(spark):
     assert zero["n"] == 32 * 16 and zero["mx"] == 0.0
 
 
+def test_kmeans_refine_converges_to_group_means(spark):
+    """On a corpus of two tight groups, 2 Lloyd iterations land each
+    centroid exactly on its group mean (means are exact decimal sums).
+    Group membership is built around the actual md5 pick so each
+    initial centroid starts inside a different group."""
+    import hashlib
+
+    ids = [0, 1, 2, 3]
+    order = sorted(ids, key=lambda d: (hashlib.md5(f"{d}|42".encode()).hexdigest(), d))
+    group_a = {order[0], order[2]}  # first pick + one friend
+    rows = [
+        (d, [0.0, 0.2] if d in group_a else [10.0, 10.4]) for d in ids
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["cid"]: r for r in SIM.kmeans_refine(emb, k=2, iters=2).collect()}
+    assert len(out) == 2
+    assert sorted(r["n_vecs"] for r in out.values()) == [2, 2]
+    norms = sorted(r["centroid_norm"] for r in out.values())
+    # group means are exactly the planted vectors (both members equal)
+    assert norms[0] == pytest.approx((0.0**2 + 0.2**2) ** 0.5, abs=1e-4)
+    assert norms[1] == pytest.approx((10.0**2 + 10.4**2) ** 0.5, abs=1e-4)
+
+
+def test_kmeans_refine_partition_independent(spark):
+    from ecommerce_realtime_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    a = sorted(map(tuple, SIM.kmeans_refine(emb).collect()))
+    b = sorted(map(tuple, SIM.kmeans_refine(emb.repartition(7)).collect()))
+    assert a == b
+
+
 def test_knn_bruteforce_is_top_k_sound(spark):
     out = llm.emb_knn_bruteforce(spark, SF)
     per_q = out.groupBy("query_id").agg(
