@@ -123,14 +123,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query (same column names/types/values).
 
-    Rows-only (no oracle): mm_feature_summary (Pandas byte-level path),
-    gen_corrupt_validate_metrics (hash-gated corruption),
-    streaming_ingest_roundtrip + streaming_windowed_kpi +
-    monitoring_stats (streaming/listener state) — each pinned by a
-    non-vacuous pytest counterpart instead.
+    Rows-only (no oracle): gen_corrupt_validate_metrics (hash-gated
+    corruption) and streaming_ingest_roundtrip (checkpoint/replay
+    state) — each pinned by a non-vacuous pytest counterpart instead.
     Everything else is oracle-checked, including the ANN pipelines
-    (LSH planes inlined as constants, IVF centroids md5-ordered) and
-    the analytic contract oracles (plans/gen.py GEN_ORACLES).
+    (LSH planes inlined as constants, IVF/PQ/k-means quantizers
+    md5-ordered and DECIMAL-exact), the multimodal decode round-trip
+    (md5-derived pixel streams rebuilt in SQL), the streaming fixtures
+    (analytic contract oracles, plans/gen.py GEN_ORACLES), and the
+    iterative algorithms (connected components via recursive CTE,
+    2-iteration Lloyd as a chained-CTE replica).
     """
     return {
         **KPI_ORACLES,
