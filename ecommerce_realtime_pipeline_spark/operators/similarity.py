@@ -640,6 +640,11 @@ def knn_ivfpq(
     return _exact_rerank(cand, emb, queries, k, col)
 
 
+#: Refined-quantizer memo (≤ k-row stats frames), session-scoped like
+#: the other index caches.
+_KMEANS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def kmeans_refine(
     emb: DataFrame,
     k: int = 16,
@@ -671,8 +676,18 @@ def kmeans_refine(
     iteration (at 100 TB it would be a persisted columnar table).
 
     Output: per surviving centroid after ``iters`` rounds —
-    (cid, n_vecs, centroid_norm, mean_component)."""
+    (cid, n_vecs, centroid_norm, mean_component). Like every quantizer
+    build here, training is build-once/serve-many: with ``cache_key``
+    the (≤ k)-row result is localCheckpointed and memoized per
+    session."""
     spark = emb.sparkSession
+    memo = (
+        (spark.sparkContext.applicationId, cache_key, k, iters, seed, col)
+        if cache_key is not None
+        else None
+    )
+    if memo is not None and memo in _KMEANS_CACHE:
+        return _KMEANS_CACHE[memo]
     train = ivf_centroids(emb, k, col, seed, cache_key=cache_key)
     comp = (
         emb.select("vec_id", F.posexplode(F.col(col)).alias("pos", "x"))
@@ -718,9 +733,13 @@ def kmeans_refine(
             F.sum(F.col("y").cast("decimal(28,14)")).cast("double") / F.count("*"), 6
         ).alias("mean_component"),
     )
-    return stats.join(n_vecs, "cid").select(
+    out = stats.join(n_vecs, "cid").select(
         "cid", "n_vecs", "centroid_norm", "mean_component"
     )
+    if memo is not None:
+        out = out.localCheckpoint()
+        _KMEANS_CACHE[memo] = out
+    return out
 
 
 def auto_lsh_params(
