@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.7 — stream-stream interval join (watermarked, bounded state)
         "streaming_attribution_join": gen.streaming_attribution_join,
         "streaming_neardup_dedup": gen.streaming_neardup_dedup,
+        "streaming_embdedup": gen.streaming_embdedup,
         # R18/R19 — monitoring tables (processing_stats + consumer_offsets)
         "monitoring_stats": gen.monitoring_stats,
     }

@@ -484,6 +484,61 @@ def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_embdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dup dedup as a driver-checkable query
+    (the vector twin of streaming_neardup_dedup): batch 1 lands 8
+    one-hot basis vectors (pairwise cos = 0 analytically); batch 2
+    lands 4 scaled copies of batch-1 vectors (scaling preserves
+    direction ⇒ cos = 1, and sign-LSH buckets are scale-invariant, so
+    recall is DETERMINISTIC — a scaled copy collides with its original
+    in every table) plus 4 new one-hots (cos 0 to everything; any
+    accidental bucket collision is rejected by exact-cosine verify).
+    Contract (analytic constants ⇒ literal VALUES oracle): batch 0 →
+    8 novel / 0 dup; batch 1 → 4 novel / 4 dup."""
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.streaming import embdedup as ED
+
+    dim = 16
+
+    def _onehot(i: int, pos: int, scale: float = 1.0) -> tuple[int, list[float]]:
+        v = [0.0] * dim
+        v[pos] = scale
+        return (i, v)
+
+    tmp = tempfile.mkdtemp(prefix="eng_embdedup_q_")
+    try:
+        src, work, ckpt = f"{tmp}/src", f"{tmp}/work", f"{tmp}/ckpt"
+        batch1 = [_onehot(i, i) for i in range(8)]
+        batch2 = [_onehot(1000 + i, i, scale=2.0) for i in range(4)] + [
+            _onehot(100 + i, 8 + i) for i in range(4)
+        ]
+        with _pinned_state_partitions(spark):
+            for batch in (batch1, batch2):
+                spark.createDataFrame(batch, ED.EMB_STREAM_SCHEMA).repartition(
+                    1
+                ).write.mode("append").parquet(src)
+                ED.run_embdedup_stream(spark, src, work, ckpt).awaitTermination(120)
+        return (
+            ED.read_decisions(spark, work)
+            .groupBy("batch_id")
+            .agg(
+                F.count("*").alias("n_vecs"),
+                F.sum(F.when(~F.col("is_dup"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_novel"),
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_dup"),
+            )
+            .orderBy("batch_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end DQ pipeline: generate → corrupt (forced rates) →
     validate every entity → per-rule quarantine counts (R18). The
@@ -575,6 +630,15 @@ GEN_ORACLES: dict[str, str] = {
                CAST(2 AS BIGINT) AS n_partitions,
                CAST(28 AS BIGINT) AS offsets_committed_sum,
                CAST(1 AS BIGINT) AS n_consumer_groups
+    """,
+    "streaming_embdedup": """
+        SELECT CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(n AS BIGINT) AS n_vecs,
+               CAST(nn AS BIGINT) AS n_novel,
+               CAST(nd AS BIGINT) AS n_dup
+        FROM (VALUES (0, 8, 8, 0), (1, 8, 4, 4))
+             AS t(batch_id, n, nn, nd)
+        ORDER BY batch_id
     """,
     "streaming_neardup_dedup": """
         SELECT CAST(batch_id AS BIGINT) AS batch_id,

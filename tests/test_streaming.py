@@ -328,3 +328,65 @@ def test_streaming_neardup_in_batch_min_id_canonical(spark, tmp_path):
     dec = {r["doc_id"]: r for r in ND.read_decisions(spark, work).collect()}
     assert not dec[7]["is_dup"]
     assert dec[9]["is_dup"] and dec[9]["matched_id"] == 7
+
+
+# -- streaming embedding near-dup (streaming/embdedup.py) --------------------
+
+
+def test_streaming_embdedup_decisions_index_and_replay(spark, tmp_path):
+    """The embedding twin of the doc dedup loop: batch-2 scaled copies
+    match their batch-1 canonicals (scale-invariant sign buckets ⇒
+    deterministic recall at cos=1), novel vectors grow the index, dups
+    do not; a replayed journal append (crash between journal commit and
+    checkpoint commit) is deduped on read."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.streaming import embdedup as ED
+
+    dim = 16
+
+    def onehot(i, pos, scale=1.0):
+        v = [0.0] * dim
+        v[pos] = scale
+        return (i, v)
+
+    src, work, ckpt = str(tmp_path / "src"), str(tmp_path / "work"), str(tmp_path / "ck")
+    b1 = spark.createDataFrame([onehot(i, i) for i in range(4)], ED.EMB_STREAM_SCHEMA)
+    b1.repartition(1).write.mode("append").parquet(src)
+    ED.run_embdedup_stream(spark, src, work, ckpt).awaitTermination(120)
+
+    b2 = spark.createDataFrame(
+        [onehot(100, 0, 3.0), onehot(101, 1, 0.5), onehot(200, 9)],
+        ED.EMB_STREAM_SCHEMA,
+    )
+    b2.repartition(1).write.mode("append").parquet(src)
+    ED.run_embdedup_stream(spark, src, work, ckpt).awaitTermination(120)
+
+    dec = {r["vec_id"]: r for r in ED.read_decisions(spark, work).collect()}
+    assert not any(dec[i]["is_dup"] for i in range(4))
+    assert dec[100]["is_dup"] and dec[100]["matched_id"] == 0
+    assert dec[101]["is_dup"] and dec[101]["matched_id"] == 1
+    assert not dec[200]["is_dup"] and dec[200]["matched_id"] is None
+
+    idx_ids = {r["vec_id"] for r in ED.read_index_vecs(spark, work).collect()}
+    assert idx_ids == {0, 1, 2, 3, 200}
+
+    # all three kinds ride one journal write per batch
+    journal = spark.read.parquet(os.path.join(work, "journal"))
+    kinds = {
+        r["batch_id"]: set(r["kinds"])
+        for r in journal.groupBy("batch_id")
+        .agg(F.collect_set("kind").alias("kinds"))
+        .collect()
+    }
+    assert kinds == {0: {"decision", "bucket", "vec"},
+                     1: {"decision", "bucket", "vec"}}
+
+    # replay: re-journal batch 1's rows (same batch_id) — readers dedup
+    batch1_df = spark.createDataFrame(
+        [onehot(i, i) for i in range(4)], ED.EMB_STREAM_SCHEMA
+    )
+    ED.dedup_batch(spark, batch1_df, work, batch_id=0)
+    dec2 = ED.read_decisions(spark, work)
+    assert dec2.count() == 7  # still one decision row per (batch, vec)
+    assert {r["vec_id"] for r in ED.read_index_vecs(spark, work).collect()} == idx_ids
