@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_feature_summary": llm.mm_feature_summary,
         "mm_decode_image_stats": llm.mm_decode_image_stats,
         "mm_frame_stats": llm.mm_frame_stats,
+        "mm_resize_stats": llm.mm_resize_stats,
         "docs_unigram_surprisal": llm.docs_unigram_surprisal,
         # §2.9 round-3 additions — training-data pipeline passes
         "docs_duplicate_spans": llm.docs_duplicate_spans,

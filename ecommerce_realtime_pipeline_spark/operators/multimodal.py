@@ -385,6 +385,52 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(_decode, DECODED_SCHEMA)
 
 
+def resize_image(
+    media: DataFrame, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """REAL image resize: decode (PPM/BMP) → nearest-neighbor resample
+    to ``out_w``×``out_h`` → re-encode as PPM. The sample grid is pure
+    integer arithmetic — src pixel of output (r, c) is
+    (r·h // out_h, c·w // out_w) — so the resampled raster is exactly
+    reproducible by any engine (no filtering kernel, no float). 1:1
+    Arrow pass; a production deployment swaps the inner resample for a
+    real kernel (bilinear/Lanczos), the plumbing is unchanged.
+
+    Replaces the byte-stride stand-in ``resize_payload`` for payloads
+    that really are images; the stand-in remains for opaque bytes."""
+    import hashlib
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        payloads, metas, ids = [], [], []
+        for pdf in batches:
+            payloads.clear(), metas.clear(), ids.clear()
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                _fmt, w, h, rgb = decode_image(bytes(b))
+                out = bytearray(out_w * out_h * 3)
+                for r in range(out_h):
+                    sy = r * h // out_h
+                    for c in range(out_w):
+                        sx = c * w // out_w
+                        si = (sy * w + sx) * 3
+                        oi = (r * out_w + c) * 3
+                        out[oi : oi + 3] = rgb[si : si + 3]
+                payload = encode_ppm(out_w, out_h, bytes(out))
+                ids.append(int(doc_id))
+                payloads.append(payload)
+                metas.append(
+                    {
+                        "format": "image/x-portable-pixmap",
+                        "n_bytes": len(payload),
+                        "checksum": hashlib.md5(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": list(ids), "payload": list(payloads), "media_meta": list(metas)}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def feature_summary(docs: DataFrame) -> DataFrame:
     """Per-source rollup of extracted features — metadata-only columns
     stay JVM-side; only the payload pass is Python (Arrow)."""

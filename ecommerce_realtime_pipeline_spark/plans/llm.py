@@ -480,6 +480,37 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("mean_surprisal"), "doc_id").limit(20)
 
 
+def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize round-trip: synthesize PPM/BMP payloads, decode,
+    nearest-neighbor resample to 4×4 (integer sample grid:
+    src = (r·h//4, c·w//4)), re-encode as PPM, decode AGAIN, and roll
+    up the resampled pixel stats per source format. The oracle picks
+    the identical sample positions out of the md5 pixel stream in SQL
+    — a wrong resample grid, row order, or re-encode breaks the hash.
+    Exercises decode→transform→encode→decode, i.e. every codec path
+    twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = MM.resize_image(MM.synthesize_media(docs), 4, 4)
+    feats = MM.decode_features(resized)
+    src_fmt = F.when(F.col("doc_id") % 2 == 0, F.lit("ppm")).otherwise(F.lit("bmp"))
+    per_doc_mean = (F.col("px_sum").cast("double") / (F.col("n_px") * 3)).cast(
+        "decimal(20,10)"
+    )
+    return (
+        feats.withColumn("src_format", src_fmt)
+        .groupBy("src_format")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.round(
+                F.sum(per_doc_mean).cast("double") / F.count("*"), 4
+            ).alias("avg_mean_px"),
+            F.max("max_px").alias("max_px"),
+            F.min("min_px").alias("min_px"),
+        )
+        .orderBy("src_format")
+    )
+
+
 def docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span fraction per doc (ExactSubstr-lite): share of a
     doc's distinct 8-grams appearing in any other document — the
@@ -1736,6 +1767,60 @@ LLM_ORACLES["mm_decode_image_stats"] = """
            count(*) AS n_images,
            CAST(SUM(n_px) AS BIGINT) AS total_pixels,
            CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           ROUND(CAST(SUM(CAST(CAST(psum AS DOUBLE) / nb
+                                AS DECIMAL(20,10))) AS DOUBLE)
+                 / count(*), 4) AS avg_mean_px,
+           MAX(pmax) AS max_px,
+           MIN(pmin) AS min_px
+    FROM perdoc
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+# mm_resize_stats: the 4×4 nearest-neighbor grid is integer-exact —
+# output pixel (r,c,ch) samples stream char ((r·h//4)·w + c·w//4)·3
+# + ch + 1 — so the oracle reads the same md5-hex bytes the resized
+# raster carries after the decode→resize→encode→decode round-trip.
+LLM_ORACLES["mm_resize_stats"] = """
+    WITH need AS (
+        SELECT doc_id,
+               4 + doc_id % 5 AS w,
+               4 + doc_id % 3 AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+               (4 + doc_id % 5) * (4 + doc_id % 3) * 3 AS n
+        FROM documents
+    ),
+    blk AS (
+        SELECT doc_id, unnest(range(CAST(CEIL(n / 32.0) AS BIGINT))) AS b
+        FROM need
+    ),
+    stream AS (
+        SELECT n.doc_id,
+               any_value(n.w) AS w, any_value(n.h) AS h,
+               any_value(n.fmt) AS fmt,
+               substr(string_agg(md5(n.doc_id || ':' || blk.b), ''
+                                 ORDER BY blk.b),
+                      1, any_value(n.n)) AS s
+        FROM need n JOIN blk USING (doc_id)
+        GROUP BY n.doc_id
+    ),
+    rc AS (SELECT *, unnest(range(4)) AS r FROM stream),
+    rcc AS (SELECT *, unnest(range(4)) AS c FROM rc),
+    pix AS (SELECT *, unnest(range(3)) AS ch FROM rcc),
+    val AS (
+        SELECT doc_id, fmt,
+               unicode(substr(s,
+                   CAST(((r * h // 4) * w + (c * w // 4)) * 3 + ch + 1
+                        AS INT), 1)) AS px
+        FROM pix
+    ),
+    perdoc AS (
+        SELECT doc_id, any_value(fmt) AS fmt, count(*) AS nb,
+               SUM(px) AS psum, MAX(px) AS pmax, MIN(px) AS pmin
+        FROM val GROUP BY 1
+    )
+    SELECT fmt AS src_format,
+           count(*) AS n_images,
            ROUND(CAST(SUM(CAST(CAST(psum AS DOUBLE) / nb
                                 AS DECIMAL(20,10))) AS DOUBLE)
                  / count(*), 4) AS avg_mean_px,

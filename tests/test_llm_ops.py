@@ -505,6 +505,27 @@ def test_resize_bounds_and_restamps_metadata(spark):
     assert out[1]["media_meta"]["checksum"] == hashlib.md5(bytes(out[1]["payload"])).hexdigest()
 
 
+def test_resize_image_exact_nearest_neighbor(spark):
+    """resize_image must sample exactly pixel (r·h//4, c·w//4) of the
+    decoded raster — checked pixel-for-pixel on an 8×6 image, through
+    both input codecs."""
+    w, h = 8, 6
+    rgb = bytes((i * 7) % 256 for i in range(w * h * 3))
+    for enc in (MM.encode_ppm, MM.encode_bmp):
+        media = spark.createDataFrame(
+            [(1, enc(w, h, rgb))], "doc_id long, payload binary"
+        )
+        out = MM.resize_image(media, 4, 4).collect()[0]
+        fmt, ow, oh, orgb = MM.decode_image(bytes(out["payload"]))
+        assert (fmt, ow, oh) == ("ppm", 4, 4)
+        for r in range(4):
+            for c in range(4):
+                si = ((r * h // 4) * w + (c * w // 4)) * 3
+                oi = (r * 4 + c) * 3
+                assert orgb[oi : oi + 3] == rgb[si : si + 3], (r, c)
+        assert out["media_meta"]["n_bytes"] == len(bytes(out["payload"]))
+
+
 def test_frame_sampling_strides_payload(spark):
     # 80 bytes / frame_size 16 = 5 frames; sample 4 evenly
     payload = bytes(range(80))
