@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_image_stats": llm.mm_decode_image_stats,
         "mm_frame_stats": llm.mm_frame_stats,
         "mm_resize_stats": llm.mm_resize_stats,
+        "mm_audio_stats": llm.mm_audio_stats,
         "docs_unigram_surprisal": llm.docs_unigram_surprisal,
         # §2.9 round-3 additions — training-data pipeline passes
         "docs_duplicate_spans": llm.docs_duplicate_spans,

@@ -160,6 +160,57 @@ def _decode_bmp(payload: bytes) -> tuple[str, int, int, bytes]:
     return "bmp", width, height, bytes(rgb)
 
 
+def encode_wav(
+    channels: int, sample_rate: int, pcm: bytes
+) -> bytes:
+    """WAV (RIFF) encoder: canonical 44-byte header + 16-bit PCM LE
+    interleaved frames — the uncompressed audio layout every .wav
+    uses."""
+    if len(pcm) % (2 * channels) != 0:
+        raise ValueError("PCM byte length must be a whole number of frames")
+    byte_rate = sample_rate * channels * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+    )
+    return header + pcm
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a PCM WAV → (channels, sample_rate, n_frames, samples as
+    signed ints, interleaved). Real decode: walks RIFF chunks (extra
+    chunks like LIST are skipped, as the spec allows), requires
+    format 1 (PCM) at 16 bits."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > len(payload):
+            raise ValueError("truncated RIFF chunk")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only 16-bit PCM supported")
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    return channels, sample_rate, len(samples) // channels, samples
+
+
 def decode_image(payload: bytes) -> tuple[str, int, int, bytes]:
     """Decode an uncompressed raster image → (format, width, height,
     RGB bytes row-major top-down). Real decode, pure Python: PPM (P6)
@@ -383,6 +434,86 @@ def decode_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(_decode, DECODED_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("sample_sum", T.LongType(), False),
+        T.StructField("max_sample", T.IntegerType(), False),
+        T.StructField("min_sample", T.IntegerType(), False),
+    ]
+)
+
+
+def _digest_stream(doc_id: int, n: int) -> bytes:
+    """Deterministic RAW bytes (0..255, not hex ASCII): concatenated
+    md5 DIGESTS keyed by (doc_id, block) — negative int16 samples need
+    high bytes ≥ 0x80, which hex-ASCII streams never produce. SQL
+    rebuilds a digest byte from its two hex chars via strpos
+    arithmetic."""
+    blocks = (n + 15) // 16
+    s = b"".join(
+        hashlib.md5(f"{doc_id}:{b}".encode()).digest() for b in range(blocks)
+    )
+    return s[:n]
+
+
+def synth_audio_dims(doc_id: int) -> tuple[int, int, int]:
+    """(channels, sample_rate, n_frames) per doc — pure function of the
+    id so the oracle recomputes it."""
+    return 1 + doc_id % 2, 8000 * (1 + doc_id % 2), 20 + doc_id % 13
+
+
+def synthesize_audio(docs: DataFrame) -> DataFrame:
+    """Encode a real PCM WAV payload per doc with md5-digest sample
+    bytes. 1:1 Arrow pass mirroring synthesize_media."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ch, rate, frames = synth_audio_dims(d)
+                pcm = _digest_stream(d, frames * ch * 2)
+                payload = encode_wav(ch, rate, pcm)
+                payloads.append(payload)
+                metas.append(
+                    {
+                        "format": "audio/wav",
+                        "n_bytes": len(payload),
+                        "checksum": hashlib.md5(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "media_meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, RESIZED_SCHEMA)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode pass: parse each WAV with :func:`decode_audio`
+    and emit shape + exact integer sample statistics. 1:1 Arrow pass."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in AUDIO_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ch, rate, frames, samples = decode_audio(bytes(payload))
+                rows["doc_id"].append(int(doc_id))
+                rows["channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(frames)
+                rows["sample_sum"].append(sum(samples))
+                rows["max_sample"].append(max(samples))
+                rows["min_sample"].append(min(samples))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(_decode, AUDIO_SCHEMA)
 
 
 def resize_image(

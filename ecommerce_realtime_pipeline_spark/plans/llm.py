@@ -480,6 +480,38 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("mean_surprisal"), "doc_id").limit(20)
 
 
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode round-trip: synthesize a PCM WAV per doc
+    (mono/stereo + sample rate by id parity, signed-int16 samples from
+    md5 DIGEST bytes — high bytes ≥ 0x80 exercise the sign path),
+    decode with the RIFF chunk-walking parser, and roll up exact
+    sample statistics per channel layout. The oracle rebuilds each
+    digest byte from its two hex chars (strpos arithmetic) and the
+    int16 little-endian reassembly in SQL — value-gating the audio
+    codec end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_audio(docs)
+    feats = MM.decode_audio_features(media)
+    per_doc_mean = (
+        F.col("sample_sum").cast("double")
+        / (F.col("n_frames") * F.col("channels"))
+    ).cast("decimal(20,10)")
+    return (
+        feats.groupBy("channels")
+        .agg(
+            F.first("sample_rate").alias("sample_rate"),
+            F.count("*").alias("n_clips"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.round(
+                F.sum(per_doc_mean).cast("double") / F.count("*"), 4
+            ).alias("avg_mean_sample"),
+            F.max("max_sample").alias("max_sample"),
+            F.min("min_sample").alias("min_sample"),
+        )
+        .orderBy("channels")
+    )
+
+
 def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL resize round-trip: synthesize PPM/BMP payloads, decode,
     nearest-neighbor resample to 4×4 (integer sample grid:
@@ -1775,6 +1807,71 @@ LLM_ORACLES["mm_decode_image_stats"] = """
     FROM perdoc
     GROUP BY 1
     ORDER BY 1
+"""
+
+# mm_audio_stats: sample bytes are md5 DIGESTS (raw 0..255), so the
+# oracle parses each byte from its two hex chars (strpos arithmetic),
+# reassembles little-endian int16 (lo + 256·hi, two's complement via
+# raw≥32768 → raw−65536), and aggregates the same exact integer stats
+# the WAV decoder extracts.
+LLM_ORACLES["mm_audio_stats"] = """
+    WITH dims AS (
+        SELECT doc_id,
+               1 + doc_id % 2 AS ch,
+               8000 * (1 + doc_id % 2) AS rate,
+               20 + doc_id % 13 AS frames,
+               (1 + doc_id % 2) * (20 + doc_id % 13) * 2 AS nbytes
+        FROM documents
+    ),
+    blk AS (
+        SELECT doc_id,
+               unnest(range(CAST(CEIL(nbytes / 16.0) AS BIGINT))) AS b
+        FROM dims
+    ),
+    hexs AS (
+        SELECT doc_id, b, md5(doc_id || ':' || b) AS hx FROM blk
+    ),
+    bytes AS (
+        SELECT h.doc_id, 16 * h.b + j.j AS idx,
+               (strpos('0123456789abcdef',
+                       substr(h.hx, CAST(2 * j.j + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                         substr(h.hx, CAST(2 * j.j + 2 AS INT), 1)) - 1)
+                   AS bv
+        FROM hexs h, (SELECT unnest(range(16)) AS j) j
+    ),
+    samp AS (
+        SELECT lo.doc_id, lo.bv + 256 * hi.bv AS raw
+        FROM bytes lo
+        JOIN bytes hi ON lo.doc_id = hi.doc_id AND hi.idx = lo.idx + 1
+        JOIN dims d ON d.doc_id = lo.doc_id
+        WHERE lo.idx % 2 = 0 AND lo.idx < d.nbytes
+    ),
+    sval AS (
+        SELECT doc_id,
+               CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        FROM samp
+    ),
+    perdoc AS (
+        SELECT s.doc_id,
+               any_value(d.ch) AS ch, any_value(d.rate) AS rate,
+               any_value(d.frames) AS frames,
+               count(*) AS ns, SUM(v) AS sv, MAX(v) AS mx, MIN(v) AS mn
+        FROM sval s JOIN dims d USING (doc_id)
+        GROUP BY 1
+    )
+    SELECT CAST(ch AS INT) AS channels,
+           CAST(any_value(rate) AS INT) AS sample_rate,
+           count(*) AS n_clips,
+           CAST(SUM(frames) AS BIGINT) AS total_frames,
+           ROUND(CAST(SUM(CAST(CAST(sv AS DOUBLE) / ns
+                                AS DECIMAL(20,10))) AS DOUBLE)
+                 / count(*), 4) AS avg_mean_sample,
+           MAX(mx) AS max_sample,
+           MIN(mn) AS min_sample
+    FROM perdoc
+    GROUP BY ch
+    ORDER BY channels
 """
 
 # mm_resize_stats: the 4×4 nearest-neighbor grid is integer-exact —

@@ -505,6 +505,52 @@ def test_resize_bounds_and_restamps_metadata(spark):
     assert out[1]["media_meta"]["checksum"] == hashlib.md5(bytes(out[1]["payload"])).hexdigest()
 
 
+def test_wav_codec_roundtrip_and_chunk_walk(spark):
+    """WAV encode→decode reproduces the exact signed samples (mono and
+    stereo); the decoder walks RIFF chunks, so an interposed LIST chunk
+    (spec-legal) must be skipped; truncated/foreign payloads raise."""
+    import struct
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345, 256]
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    for ch in (1, 2):
+        got = MM.decode_audio(MM.encode_wav(ch, 8000, pcm))
+        assert got == (ch, 8000, len(samples) // ch, samples)
+
+    wav = MM.encode_wav(1, 8000, pcm)
+    fmt_chunk = wav[12:36]  # "fmt " + body
+    data_chunk = wav[36:]
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    interposed = wav[:12] + fmt_chunk + lst + data_chunk
+    assert MM.decode_audio(interposed) == (1, 8000, len(samples), samples)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MM.decode_audio(b"OggS" + bytes(40))
+    with _pytest.raises(ValueError):
+        MM.decode_audio(wav[:20])
+
+
+def test_audio_features_match_digest_stream(spark):
+    """decode_audio_features must reproduce the synthesis contract:
+    dims from synth_audio_dims, sample stats from the md5 digest
+    stream parsed as little-endian signed int16."""
+    import struct
+
+    docs = spark.createDataFrame([(4,), (5,)], "doc_id long")
+    out = {r["doc_id"]: r for r in MM.decode_audio_features(MM.synthesize_audio(docs)).collect()}
+    for d in (4, 5):
+        ch, rate, frames = MM.synth_audio_dims(d)
+        pcm = MM._digest_stream(d, frames * ch * 2)
+        samples = list(struct.unpack(f"<{frames * ch}h", pcm))
+        r = out[d]
+        assert (r["channels"], r["sample_rate"], r["n_frames"]) == (ch, rate, frames)
+        assert r["sample_sum"] == sum(samples)
+        assert r["max_sample"] == max(samples)
+        assert r["min_sample"] == min(samples)
+
+
 def test_resize_image_exact_nearest_neighbor(spark):
     """resize_image must sample exactly pixel (r·h//4, c·w//4) of the
     decoded raster — checked pixel-for-pixel on an 8×6 image, through
