@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_search": llm.docs_bm25_search,
         "docs_pii_redact": llm.docs_pii_redact,
         "docs_stratified_sample": llm.docs_stratified_sample,
+        "docs_mixture_weights": llm.docs_mixture_weights,
         "emb_dim_reduce": llm.emb_dim_reduce,
         # §2.2-§2.3 — generation + corruption + validation pipeline
         "gen_batch_shape": gen.gen_batch_shape,

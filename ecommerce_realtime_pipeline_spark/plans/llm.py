@@ -543,6 +543,46 @@ def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.7  # mixture temperature (UnifiedQA/PaLM-style T=1/alpha)
+MIX_TOKEN_BUDGET = 10_000  # target tokens drawn across the mixture
+
+
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source mixture weighting for pretraining: per source,
+    weight ∝ tokens^alpha (temperature-flattened — alpha < 1 upweights
+    small sources relative to proportional sampling), normalized, then
+    converted to a per-source sampling rate against a token budget
+    (capped at 1 — no upsampling without repetition here; the
+    hash-Bernoulli sampler consumes these rates). One scan + a
+    20-row aggregate; the budget arithmetic is all on the tiny
+    per-source frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("long").alias("sum_tokens"),
+    )
+    w = per.withColumn("_pw", F.pow(F.col("sum_tokens").cast("double"), MIX_ALPHA))
+    tot = w.agg(F.sum("_pw").alias("_s"))
+    weight = F.col("_pw") / F.col("_s")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "sum_tokens",
+            F.round(weight, 6).alias("mix_weight"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    weight * MIX_TOKEN_BUDGET / F.col("sum_tokens"),
+                ),
+                6,
+            ).alias("sample_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span fraction per doc (ExactSubstr-lite): share of a
     doc's distinct 8-grams appearing in any other document — the
@@ -1463,6 +1503,26 @@ LLM_ORACLES["emb_kmeans_refine"] = """
     SELECT s.cid, nv.n_vecs, s.centroid_norm, s.mean_component
     FROM stats s JOIN nv USING (cid)
     ORDER BY s.cid
+"""
+
+# Mixture weights: pow(x, 0.7) is libm on both engines and the
+# normalized ratio is rounded to 6dp — same float stance as surprisal.
+LLM_ORACLES["docs_mixture_weights"] = """
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT *, pow(CAST(sum_tokens AS DOUBLE), 0.7) AS pw FROM per
+    ),
+    tot AS (SELECT SUM(pw) AS s FROM w)
+    SELECT source, n_docs, sum_tokens,
+           ROUND(pw / s, 6) AS mix_weight,
+           ROUND(least(1.0, (pw / s) * 10000 / sum_tokens), 6)
+               AS sample_rate
+    FROM w, tot
+    ORDER BY source
 """
 
 # Duplicate-span fraction: same distinct-8-gram explode as the

@@ -185,6 +185,27 @@ def test_lss_clusters_empty_and_star_fixpoints(spark):
     assert got == {1: 1, 5: 1, 6: 1, 7: 1}
 
 
+def test_mixture_weights_temperature_flattening(spark, monkeypatch):
+    """alpha=0.7 upweights small sources vs proportional sampling:
+    with sources of 100 vs 10000 tokens, the small source's mix share
+    must exceed its token share by exactly (ratio)^(alpha-1); rates
+    cap at 1."""
+    import ecommerce_realtime_pipeline_spark.catalog as CAT
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 100), "small"), (2, " ".join(["w"] * 10000), "big")],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(CAT, "load_table", lambda s, d, t: docs)
+    monkeypatch.setattr(llm, "load_table", lambda s, d, t: docs)
+    out = {r["source"]: r for r in llm.docs_mixture_weights(spark, "x").collect()}
+    token_share = 100 / 10100
+    assert out["small"]["mix_weight"] > token_share  # flattened up
+    expected = 100**0.7 / (100**0.7 + 10000**0.7)
+    assert out["small"]["mix_weight"] == pytest.approx(expected, abs=1e-6)
+    assert out["small"]["sample_rate"] <= 1.0 and out["big"]["sample_rate"] <= 1.0
+
+
 def test_duplicate_span_stats_planted(spark):
     """A doc sharing exactly its first 8-token run with another doc
     gets exactly the shared-gram count that run produces; a fully
