@@ -556,17 +556,19 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-Bernoulli sampler consumes these rates). One scan + a
     20-row aggregate; the budget arithmetic is all on the tiny
     per-source frame."""
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(TX.token_count("text")).cast("long").alias("sum_tokens"),
     )
     w = per.withColumn("_pw", F.pow(F.col("sum_tokens").cast("double"), MIX_ALPHA))
-    tot = w.agg(F.sum("_pw").alias("_s"))
-    weight = F.col("_pw") / F.col("_s")
+    # normalizer as a global window over the ~|sources|-row aggregate —
+    # ONE scan of documents (an agg+crossJoin re-reads the source)
+    weight = F.col("_pw") / F.sum("_pw").over(W.partitionBy())
     return (
-        w.crossJoin(F.broadcast(tot))
-        .select(
+        w.select(
             "source",
             "n_docs",
             "sum_tokens",

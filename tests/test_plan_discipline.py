@@ -147,11 +147,25 @@ def test_session_window_batch_single_shuffle(spark, sf_dir):
 
 
 def test_mm_decode_prunes_to_id_column(spark, sf_dir):
-    """The decode pipeline synthesizes payloads from doc_id alone — the
-    scan must prune to doc_id, never drag the text/source columns into
-    the Arrow passes."""
-    plan = _plan(spark, sf_dir, "mm_decode_image_stats")
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    assert m, plan
-    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
-    assert read_cols == {"doc_id"}, read_cols
+    """The synthesize→decode pipelines build payloads from doc_id alone
+    — every variant's scan must prune to doc_id, never drag text/source
+    into the Arrow passes."""
+    for name in ("mm_decode_image_stats", "mm_resize_stats", "mm_audio_stats"):
+        plan = _plan(spark, sf_dir, name)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, name + "\n" + plan
+        read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert read_cols == {"doc_id"}, (name, read_cols)
+
+
+def test_mixture_weights_single_scan(spark, sf_dir):
+    """All budget arithmetic rides the tiny per-source aggregate — one
+    scan of documents, and the 1-row total attaches via broadcast, not
+    a second pass."""
+    plan = _plan(spark, sf_dir, "docs_mixture_weights")
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_duplicate_spans_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "docs_duplicate_spans")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
