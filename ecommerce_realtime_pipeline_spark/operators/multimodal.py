@@ -516,6 +516,21 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(_decode, AUDIO_SCHEMA)
 
 
+def nn_resample(rgb: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample on the integer grid: output pixel
+    (r, c) is source pixel (r·h // out_h, c·w // out_w). Integer-only
+    ⇒ engine-exact (the property the mm_resize_stats oracle uses)."""
+    out = bytearray(out_w * out_h * 3)
+    for r in range(out_h):
+        sy = r * h // out_h
+        for c in range(out_w):
+            sx = c * w // out_w
+            si = (sy * w + sx) * 3
+            oi = (r * out_w + c) * 3
+            out[oi : oi + 3] = rgb[si : si + 3]
+    return bytes(out)
+
+
 def resize_image(
     media: DataFrame, out_w: int = 4, out_h: int = 4
 ) -> DataFrame:
@@ -529,7 +544,6 @@ def resize_image(
 
     Replaces the byte-stride stand-in ``resize_payload`` for payloads
     that really are images; the stand-in remains for opaque bytes."""
-    import hashlib
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         payloads, metas, ids = [], [], []
@@ -537,15 +551,9 @@ def resize_image(
             payloads.clear(), metas.clear(), ids.clear()
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
                 _fmt, w, h, rgb = decode_image(bytes(b))
-                out = bytearray(out_w * out_h * 3)
-                for r in range(out_h):
-                    sy = r * h // out_h
-                    for c in range(out_w):
-                        sx = c * w // out_w
-                        si = (sy * w + sx) * 3
-                        oi = (r * out_w + c) * 3
-                        out[oi : oi + 3] = rgb[si : si + 3]
-                payload = encode_ppm(out_w, out_h, bytes(out))
+                payload = encode_ppm(
+                    out_w, out_h, nn_resample(rgb, w, h, out_w, out_h)
+                )
                 ids.append(int(doc_id))
                 payloads.append(payload)
                 metas.append(
