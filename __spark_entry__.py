@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_pq": llm.emb_knn_pq,
         "emb_knn_ivfpq": llm.emb_knn_ivfpq,
         "emb_kmeans_refine": llm.emb_kmeans_refine,
+        "emb_knn_ivf_refined": llm.emb_knn_ivf_refined,
         "emb_cosine_neardup": llm.emb_cosine_neardup,
         "emb_quantize_int8": llm.emb_quantize_int8,
         "emb_label_centroids": llm.emb_label_centroids,

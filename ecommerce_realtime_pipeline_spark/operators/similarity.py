@@ -640,9 +640,76 @@ def knn_ivfpq(
     return _exact_rerank(cand, emb, queries, k, col)
 
 
-#: Refined-quantizer memo (≤ k-row stats frames), session-scoped like
-#: the other index caches.
+#: Refined-quantizer memos, session-scoped like the other index
+#: caches: final stats frames and (centroids, assignment) loop output.
 _KMEANS_CACHE: dict[tuple, DataFrame] = {}
+_KMEANS_LOOP_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _kmeans_decimal_dists(comp: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid, d): DECIMAL-exact squared-L2 of every vector to
+    every centroid — the shared assignment kernel of Lloyd training
+    AND refined-IVF serving."""
+    sq = (F.col("x") - F.col("y")) * (F.col("x") - F.col("y"))
+    return (
+        comp.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(sq.cast("decimal(28,14)")).alias("d"))
+    )
+
+
+def _kmeans_loop(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    col: str,
+    seed: int,
+    cache_key: str | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` Lloyd iterations → (centroids (cid, pos, y),
+    final member assignment (vec_id, cid)). Memoized per session under
+    ``cache_key`` — training is build-once/serve-many."""
+    spark = emb.sparkSession
+    memo = (
+        (spark.sparkContext.applicationId, cache_key, k, iters, seed, col)
+        if cache_key is not None
+        else None
+    )
+    if memo is not None and memo in _KMEANS_LOOP_CACHE:
+        return _KMEANS_LOOP_CACHE[memo]
+    train = ivf_centroids(emb, k, col, seed, cache_key=cache_key)
+    comp = (
+        emb.select("vec_id", F.posexplode(F.col(col)).alias("pos", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .localCheckpoint()
+    )
+    cents = spark.createDataFrame(
+        [(c, i, float(v)) for c, vec in enumerate(train) for i, v in enumerate(vec)],
+        "cid int, pos int, y double",
+    )
+    assign = None
+    for _ in range(iters):
+        d = _kmeans_decimal_dists(comp, cents)
+        assign = (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid")).alias("_m"))
+            .select("vec_id", F.col("_m.cid").alias("cid"))
+        )
+        cents = (
+            comp.join(assign, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,14)")).cast("double")
+                    / F.count("*")
+                ).alias("y")
+            )
+        )
+    if memo is not None:
+        cents = cents.localCheckpoint()
+        assign = assign.localCheckpoint()
+        _KMEANS_LOOP_CACHE[memo] = (cents, assign)
+    return cents, assign
 
 
 def kmeans_refine(
@@ -688,39 +755,7 @@ def kmeans_refine(
     )
     if memo is not None and memo in _KMEANS_CACHE:
         return _KMEANS_CACHE[memo]
-    train = ivf_centroids(emb, k, col, seed, cache_key=cache_key)
-    comp = (
-        emb.select("vec_id", F.posexplode(F.col(col)).alias("pos", "x"))
-        .withColumn("x", F.col("x").cast("double"))
-        .localCheckpoint()
-    )
-    cents = spark.createDataFrame(
-        [(c, i, float(v)) for c, vec in enumerate(train) for i, v in enumerate(vec)],
-        "cid int, pos int, y double",
-    )
-    assign = None
-    for _ in range(iters):
-        sq = (F.col("x") - F.col("y")) * (F.col("x") - F.col("y"))
-        d = (
-            comp.join(F.broadcast(cents), "pos")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum(sq.cast("decimal(28,14)")).alias("d"))
-        )
-        assign = (
-            d.groupBy("vec_id")
-            .agg(F.min(F.struct("d", "cid")).alias("_m"))
-            .select("vec_id", F.col("_m.cid").alias("cid"))
-        )
-        cents = (
-            comp.join(assign, "vec_id")
-            .groupBy("cid", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(28,14)")).cast("double")
-                    / F.count("*")
-                ).alias("y")
-            )
-        )
+    cents, assign = _kmeans_loop(emb, k, iters, col, seed, cache_key)
     n_vecs = assign.groupBy("cid").agg(F.count("*").alias("n_vecs"))
     stats = cents.groupBy("cid").agg(
         F.round(
@@ -740,6 +775,54 @@ def kmeans_refine(
         out = out.localCheckpoint()
         _KMEANS_CACHE[memo] = out
     return out
+
+
+def knn_ivf_refined(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    iters: int = 2,
+    n_probe: int = 4,
+    col: str = "embedding",
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF serving on the Lloyd-REFINED quantizer — training
+    (:func:`kmeans_refine`'s loop) feeding serving, the production
+    lifecycle: corpus vectors are assigned to their nearest refined
+    centroid (the posting lists), queries probe their ``n_probe``
+    nearest refined cells, exact cosine rerank inside probed cells.
+    Assignment and probing use the same DECIMAL-exact squared-L2
+    kernel as training, so cell membership is engine-deterministic and
+    the full train→index→probe→rerank pipeline is SQL-oracle-checkable.
+    Refined cells are tighter than the sampled-init ones, so recall at
+    equal n_probe only improves (pinned in tests vs plain IVF)."""
+    cents, _ = _kmeans_loop(emb, n_centroids, iters, col, seed, cache_key)
+    comp = emb.select("vec_id", F.posexplode(F.col(col)).alias("pos", "x")).withColumn(
+        "x", F.col("x").cast("double")
+    )
+    d_all = _kmeans_decimal_dists(comp, cents)
+    assign = (
+        d_all.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("_m"))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("_m.cid").alias("cid"))
+    )
+    q_ids = queries.select("vec_id").distinct()
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    probes = (
+        d_all.join(F.broadcast(q_ids), "vec_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _exact_rerank(cand, emb, queries, k, col)
 
 
 def auto_lsh_params(

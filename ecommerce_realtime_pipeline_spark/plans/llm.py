@@ -321,6 +321,17 @@ def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_refine(emb, cache_key=f"{sf_dir}/embeddings").orderBy("cid")
 
 
+def emb_knn_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 served from the Lloyd-refined quantizer — the
+    train→index→probe→rerank production lifecycle in one query, every
+    stage engine-deterministic (decimal assignment, min-cid ties) and
+    replicated in the SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_ivf_refined(
+        emb, _query_vectors(emb), k=KNN_K, cache_key=f"{sf_dir}/embeddings"
+    )
+
+
 def _with_planted_dups(emb: DataFrame) -> DataFrame:
     """Corpus ∪ deterministic perturbed copies of every 10th vector
     (first component doubled, id offset by 1e6). The perturbation keeps
@@ -1436,7 +1447,7 @@ LLM_ORACLES["docs_neardup_clusters_lss"] = LLM_ORACLES["docs_neardup_clusters"]
 # squared-L2 to the iteration-(t-1) centroids, a{t} = argmin with
 # MIN(cid) tie-break, c{t} = member means (exact decimal sum, one
 # double division per component). Mirrors kmeans_refine step for step.
-LLM_ORACLES["emb_kmeans_refine"] = """
+_KMEANS_CTES = """
     WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
@@ -1492,7 +1503,11 @@ LLM_ORACLES["emb_kmeans_refine"] = """
                CAST(SUM(CAST(comp.x AS DECIMAL(28,14))) AS DOUBLE)
                    / COUNT(*) AS y
         FROM comp JOIN a2 USING (vec_id) GROUP BY 1, 2
-    ),
+    )
+"""
+
+LLM_ORACLES["emb_kmeans_refine"] = _KMEANS_CTES + """
+    ,
     nv AS (SELECT cid, count(*) AS n_vecs FROM a2 GROUP BY 1),
     stats AS (
         SELECT cid,
@@ -1505,6 +1520,59 @@ LLM_ORACLES["emb_kmeans_refine"] = """
     SELECT s.cid, nv.n_vecs, s.centroid_norm, s.mean_component
     FROM stats s JOIN nv USING (cid)
     ORDER BY s.cid
+"""
+
+# Refined-IVF serving: assignment and probing re-run the same decimal
+# squared-L2 kernel against c2 (the shipped quantizer), then exact
+# cosine rerank — train→index→probe→rerank replicated end to end.
+LLM_ORACLES["emb_knn_ivf_refined"] = _KMEANS_CTES + """
+    ,
+    d3 AS (
+        SELECT comp.vec_id, c2.cid,
+               SUM(CAST((comp.x - c2.y) * (comp.x - c2.y)
+                        AS DECIMAL(28,14))) AS d
+        FROM comp JOIN c2 USING (pos) GROUP BY 1, 2
+    ),
+    m3 AS (SELECT vec_id, MIN(d) AS md FROM d3 GROUP BY 1),
+    a3 AS (
+        SELECT d3.vec_id AS neighbor_id, MIN(d3.cid) AS cid
+        FROM d3 JOIN m3 ON d3.vec_id = m3.vec_id AND d3.d = m3.md
+        GROUP BY 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d ASC, cid ASC
+                   ) AS rn
+            FROM d3 WHERE vec_id < 10
+        ) WHERE rn <= 4
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a3.neighbor_id
+        FROM probes p JOIN a3 USING (cid)
+        WHERE a3.neighbor_id <> p.query_id
+    ),
+    nb AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos_sim
+        FROM cand
+        JOIN nb q ON q.vec_id = cand.query_id
+        JOIN nb n ON n.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank,
+               cos_sim
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           ROUND(cos_sim, 4) AS cos_sim
+    FROM ranked WHERE rank <= 5
 """
 
 # Mixture weights: pow(x, 0.7) is libm on both engines and the
