@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_trend_daily": kpi.revenue_trend_daily,
         "orders_per_minute": kpi.orders_per_minute,
         "revenue_trend_hourly_by_type": kpi.revenue_trend_hourly_by_type,
+        "events_sliding_window": kpi.events_sliding_window,
         "top_products_by_revenue": kpi.top_products_by_revenue,
         "top_customers_by_spend": kpi.top_customers_by_spend,
         "pricing_summary": kpi.pricing_summary,
@@ -95,6 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize_stats": llm.mm_resize_stats,
         "mm_audio_stats": llm.mm_audio_stats,
         "docs_unigram_surprisal": llm.docs_unigram_surprisal,
+        "docs_bigram_surprisal": llm.docs_bigram_surprisal,
+        "docs_bpe_merges": llm.docs_bpe_merges,
         # §2.9 round-3 additions — training-data pipeline passes
         "docs_duplicate_spans": llm.docs_duplicate_spans,
         "docs_decontaminate": llm.docs_decontaminate,

@@ -337,3 +337,106 @@ def hash_bernoulli(
     if isinstance(rate, Column):
         return bucket < (rate * 65536).cast("long")
     return bucket < int(rate * 65536)
+
+
+# -- BPE merge learning (tokenizer training) --------------------------------
+
+
+def bpe_init_seqs(words: DataFrame) -> DataFrame:
+    """Character-level BPE start state: each (word, freq) row gets a
+    space-separated symbol sequence 'c1 c2 ... cn </w>' (the classic
+    end-of-word marker, so merges can't leak across word boundaries
+    and word-final units stay distinct)."""
+    return words.withColumn(
+        "seq",
+        F.concat(
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")), F.lit(" </w>")
+        ),
+    )
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol-pair counts of a symbol-
+    sequence table — the BPE objective. Pairs come from a pure array
+    expression (transform over the split sequence, no posexplode
+    self-join), one partial-agg shuffle on the pair key."""
+    return (
+        seqs.withColumn("syms", F.split("seq", " "))
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms)-2),"
+                    " i -> struct(syms[i] as w1, syms[i+1] as w2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+
+
+def apply_merge(seqs: DataFrame, w1: str, w2: str) -> DataFrame:
+    """Merge boundary-aligned occurrences of the symbol pair (w1, w2)
+    in the sequence column. Space-padded plain `replace` (no regex —
+    symbols stay escape-free), run TWICE because adjacent occurrences
+    share their boundary space and a single left-to-right pass
+    consumes it ('a b a b' → pass 1 merges occurrence 1, pass 2
+    catches occurrence 2 whose leading space was eaten). For w1 ≠ w2
+    occurrences are token-disjoint, so two passes reach the leftmost-
+    greedy fixpoint — exactly reference BPE. Known deviation, by
+    design: inside a run of ≥5 copies of ONE symbol ('a a a a a' for
+    pair (a,a)), the space-consuming scan pairs differently than
+    strict leftmost-greedy ([aa a aa] vs [aa aa a]) — the procedure
+    is still deterministic and IDENTICAL in Spark and DuckDB (both
+    engines' `replace` scans left-to-right non-overlapping), which is
+    the property the oracle needs; natural-language corpora have no
+    5-runs of one character, so the learned merge table coincides
+    with textbook BPE there. Narrow projection, no shuffle."""
+    pat = F.lit(f" {w1} {w2} ")
+    rep = F.lit(f" {w1}{w2} ")
+    padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+    return seqs.withColumn(
+        "seq", F.trim(F.replace(F.replace(padded, pat, rep), pat, rep))
+    )
+
+
+def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over a (word, freq)
+    vocabulary: per round, count adjacent symbol pairs (frequency-
+    weighted), take the most frequent (ties: lexicographic on the
+    pair — deterministic), fuse it everywhere, repeat. Returns the
+    merge table (merge_round, w1, w2, merged, pair_count) — i.e. the
+    tokenizer-training artifact itself.
+
+    Scale: the state is the WORD VOCABULARY (corpus-bounded, millions
+    of rows at 100 TB — not the corpus), so each round is one
+    partial-agg shuffle over vocab-sized data plus a narrow rewrite.
+    BPE is inherently sequential in the merge index, so each round
+    collects exactly ONE row (the argmax pair) to the driver — the
+    same bounded-collect class as the Lloyd centroid pick; sequences
+    are localCheckpointed per round so round k doesn't recompute
+    rounds 1..k-1."""
+    seqs = bpe_init_seqs(words).localCheckpoint(eager=False)
+    merges: list[tuple] = []
+    try:
+        for r in range(1, n_merges + 1):
+            top = (
+                _pair_counts(seqs)
+                .orderBy(F.desc("pair_count"), "w1", "w2")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            t = top[0]
+            merges.append((r, t.w1, t.w2, t.w1 + t.w2, t.pair_count))
+            nxt = apply_merge(seqs, t.w1, t.w2).localCheckpoint(eager=False)
+            seqs.unpersist()
+            seqs = nxt
+    finally:
+        seqs.unpersist()
+    spark = words.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_round int, w1 string, w2 string, merged string, pair_count long"
+    )

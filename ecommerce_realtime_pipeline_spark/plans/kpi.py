@@ -85,6 +85,35 @@ def revenue_trend_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13/R14 hopping-window variant: 10-minute windows sliding every
+    5 minutes over the event stream table (each event lands in exactly
+    2 overlapping windows). This is the batch-exact twin of the
+    streaming `window(ts, '10 minutes', '5 minutes')` aggregation —
+    the trend line dashboards actually plot (overlap smooths bucket
+    boundaries that tumbling windows cut arbitrarily).
+
+    Scale: `window()` explodes each row into duration/slide = 2 window
+    structs BEFORE the shuffle, so the plan stays one partial-agg
+    shuffle on the (low-cardinality) window-start key — identical
+    shape to the tumbling-bucket KPI, just 2× the pre-agg rows. No
+    self-join, no range join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _as_double(F.sum(F.col("value").cast(_D))).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def top_products_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R15 'top products': lineitem ⋈ part, top 10 by discounted revenue.
 

@@ -491,6 +491,137 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("mean_surprisal"), "doc_id").limit(20)
 
 
+N_BPE_MERGES = 8  # learned merge rounds for the tokenizer-training query
+
+
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING: learn the first 8 BPE merges from the
+    corpus (frequency-weighted adjacent-pair counts over the word
+    vocabulary, argmax-merge-repeat). The output IS the training
+    artifact — the ordered merge table a BPE tokenizer replays at
+    encode time.
+
+    Scale: state collapses to the word vocabulary immediately (one
+    corpus token explode + groupBy), so the 8 rounds each shuffle
+    vocab-sized data only; the per-round argmax is a 1-row bounded
+    collect (BPE is inherently sequential in the merge index — same
+    class as the Lloyd centroid pick). The oracle replays all 8
+    rounds CTE-for-CTE with the identical two-pass padded replace.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    return TX.bpe_learn_merges(words, N_BPE_MERGES).orderBy("merge_round")
+
+
+def _bpe_oracle_sql(n_merges: int = N_BPE_MERGES) -> str:
+    """Chained-CTE DuckDB replica of bpe_learn_merges: per round,
+    pair counts from the previous sequence table, a 1-row argmax CTE
+    (count desc, pair asc), and the sequence rewrite cross-joined
+    against it — the same two-pass space-padded replace."""
+    ctes = [
+        """words AS (
+        SELECT tok AS word, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    )""",
+        """seq0 AS (
+        SELECT word, freq,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS seq
+        FROM words
+    )""",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""p{r} AS (
+        SELECT syms[i] AS w1, syms[i + 1] AS w2,
+               CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM (SELECT freq, syms,
+                     unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM (SELECT freq, string_split(seq, ' ') AS syms FROM seq{r - 1}))
+        GROUP BY 1, 2
+    )""")
+        ctes.append(f"""m{r} AS (
+        SELECT {r} AS merge_round, w1, w2, w1 || w2 AS merged, pair_count
+        FROM p{r} ORDER BY pair_count DESC, w1, w2 LIMIT 1
+    )""")
+        ctes.append(f"""seq{r} AS (
+        SELECT word, freq,
+               trim(replace(replace(' ' || seq || ' ',
+                                    ' ' || w1 || ' ' || w2 || ' ',
+                                    ' ' || w1 || w2 || ' '),
+                            ' ' || w1 || ' ' || w2 || ' ',
+                            ' ' || w1 || w2 || ' ')) AS seq
+        FROM seq{r - 1}, m{r}
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, n_merges + 1))
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT CAST(merge_round AS INT) AS merge_round, w1, w2, merged,"
+        f" pair_count FROM ({union}) ORDER BY merge_round"
+    )
+
+
+BIGRAM_LAMBDA = 0.8  # interpolation weight on the bigram term
+
+
+def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-quality scoring, one order up from unigram: per-doc mean
+    surprisal under a Jelinek-Mercer-interpolated bigram model trained
+    on the corpus itself — P(w2|w1) = λ·c(w1,w2)/c(w1) + (1-λ)·c(w2)/N.
+    Bigram surprisal separates 'rare words' (unigram catches those)
+    from 'implausible word ORDER' (shuffled/boilerplate text), the
+    standard cheap step toward perplexity filtering. Output: top-20
+    most-surprising docs.
+
+    Scale: bigrams come from a pure array expression (transform over
+    the token array — no posexplode self-join), so the plan is one
+    explode feeding (a) the bigram-count shuffle and (b) the per-doc
+    scoring join. Count tables are vocabulary-sized: broadcast here;
+    at 100 TB a bigram table can outgrow the driver, in which case the
+    joins fall back to shuffle joins on w1/w2 — the plan shape is
+    unchanged, it is written as plain equi-joins. TakeOrdered top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("syms"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(syms)-2),"
+                " i -> struct(syms[i] as w1, syms[i+1] as w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    total = uni.agg(F.sum("tf").cast("long").alias("n_total"))
+    bigc = big.groupBy("w1", "w2").agg(F.count("*").alias("bf"))
+    lam = F.lit(BIGRAM_LAMBDA)
+    c1 = uni.select(F.col("tok").alias("w1"), F.col("tf").alias("c1_tf"))
+    c2 = uni.select(F.col("tok").alias("w2"), F.col("tf").alias("c2_tf"))
+    p = lam * (F.col("bf") / F.col("c1_tf")) + (F.lit(1.0) - lam) * (
+        F.col("c2_tf") / F.col("n_total")
+    )
+    scored = (
+        big.join(F.broadcast(bigc), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg(F.log(p)), 4).alias("mean_surprisal"),
+        )
+    )
+    return scored.orderBy(F.desc("mean_surprisal"), "doc_id").limit(20)
+
+
 def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode round-trip: synthesize a PCM WAV per doc
     (mono/stereo + sample rate by id parity, signed-int16 samples from
@@ -1875,6 +2006,45 @@ LLM_ORACLES["docs_unigram_surprisal"] = """
         GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, mean_surprisal
+    FROM scored
+    ORDER BY mean_surprisal DESC, doc_id
+    LIMIT 20
+"""
+
+LLM_ORACLES["docs_bpe_merges"] = _bpe_oracle_sql()
+
+# docs_bigram_surprisal: same determinism stance as unigram (IEEE ln +
+# 4dp round before the ordered top-k). The interpolation arithmetic is
+# written with the identical op order on both sides, all terms DOUBLE
+# (0.8 would otherwise be DECIMAL in DuckDB), and DuckDB's `/` on
+# BIGINTs already yields DOUBLE like Spark's.
+LLM_ORACLES["docs_bigram_surprisal"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS syms FROM documents
+    ),
+    flat AS (SELECT doc_id, unnest(syms) AS tok FROM toks),
+    uni AS (SELECT tok, count(*) AS tf FROM flat GROUP BY tok),
+    tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM uni),
+    idx AS (
+        SELECT doc_id, syms,
+               unnest(generate_series(1, len(syms) - 1)) AS i
+        FROM toks
+    ),
+    big AS (SELECT doc_id, syms[i] AS w1, syms[i + 1] AS w2 FROM idx),
+    bigc AS (SELECT w1, w2, count(*) AS bf FROM big GROUP BY w1, w2),
+    scored AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               ROUND(-AVG(ln(
+                   {BIGRAM_LAMBDA}::DOUBLE * (bf / c1.tf)
+                   + {1.0 - BIGRAM_LAMBDA}::DOUBLE * (c2.tf / n_total)
+               )), 4) AS mean_surprisal
+        FROM big
+        JOIN bigc USING (w1, w2)
+        JOIN uni c1 ON big.w1 = c1.tok
+        JOIN uni c2 ON big.w2 = c2.tok, tot
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, mean_surprisal
     FROM scored
     ORDER BY mean_surprisal DESC, doc_id
     LIMIT 20

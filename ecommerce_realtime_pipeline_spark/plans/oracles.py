@@ -34,6 +34,26 @@ KPI_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    # events_sliding_window: every ts is covered by exactly the two
+    # 10-min windows starting at trunc5(ts) and trunc5(ts)-5min
+    # (trunc5(ts) > ts-5min, so both starts are > ts-10min), which is
+    # precisely Spark's window(ts,'10 minutes','5 minutes') expansion.
+    "events_sliding_window": """
+        WITH expanded AS (
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, value
+            FROM events,
+                 unnest([date_trunc('minute', ts)
+                             - INTERVAL (EXTRACT(minute FROM ts)::INT % 5) MINUTE,
+                         date_trunc('minute', ts)
+                             - INTERVAL (EXTRACT(minute FROM ts)::INT % 5) MINUTE
+                             - INTERVAL 5 MINUTE]) AS t(ws)
+        )
+        SELECT window_start,
+               count(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+        FROM expanded
+        GROUP BY 1
+    """,
     "top_products_by_revenue": """
         SELECT p_partkey, p_name,
                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

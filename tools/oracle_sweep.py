@@ -51,6 +51,8 @@ def main():
 
     queries = em.queries()
     oracles = em.oracle_sql()
+    if len(sys.argv) > 1:  # optional name filter(s) for quick iteration
+        queries = {k: v for k, v in queries.items() if k in sys.argv[1:]}
     results = {}
     fails = []
     for name, fn in queries.items():
