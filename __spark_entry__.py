@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_refine": llm.emb_kmeans_refine,
         "emb_knn_ivf_refined": llm.emb_knn_ivf_refined,
         "emb_cosine_neardup": llm.emb_cosine_neardup,
+        "emb_semdedup": llm.emb_semdedup,
         "emb_quantize_int8": llm.emb_quantize_int8,
         "emb_label_centroids": llm.emb_label_centroids,
         "mm_feature_summary": llm.mm_feature_summary,

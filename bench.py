@@ -54,6 +54,10 @@ STRESS_QUERIES = [
     "docs_neardup_clusters_lss",
     "mm_decode_image_stats",
     "emb_knn_ivfpq",
+    # round-4 additions: cell-bounded semantic dedup (Σ|cell|² term)
+    # and the hopping-window explode (2× pre-agg rows)
+    "emb_semdedup",
+    "events_sliding_window",
 ]
 
 

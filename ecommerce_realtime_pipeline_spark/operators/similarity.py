@@ -932,6 +932,82 @@ def cosine_neardup_pairs(
     )
 
 
+def semdedup_drops(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    iters: int = 2,
+    col: str = "embedding",
+    seed: int = 42,
+    train: DataFrame | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells bound WHICH pairs are compared —
+    exact pairwise cosine runs only INSIDE a cell, and a vector is
+    dropped when a lower-id cell-mate sits at cos ≥ ``threshold``
+    (min-id keep rule, the same one-pass decision the LSH dedup
+    paths use). Cluster-then-compare converts the O(n²) semantic
+    near-dup scan into Σ|cell|² work: with k sized ~ n/1000 the
+    per-cell quadratic is bounded and embarrassingly parallel — the
+    published recipe for pruning web-scale pretraining corpora.
+
+    The quantizer is the Lloyd-refined one (``_kmeans_loop``), trained
+    on ``train`` (defaults to the corpus itself; production trains on
+    a sample and assigns the full corpus — pass the sample here).
+    Assignment reuses the DECIMAL-exact squared-L2 kernel, so cell
+    membership is engine-deterministic and the whole
+    train→assign→compare→drop pipeline is SQL-oracle-checkable.
+
+    Known (published) miss mode: near-dups straddling a cell boundary
+    are not compared — SemDeDup accepts this for the quadratic bound;
+    the LSH path (:func:`cosine_neardup_pairs`) is the recall-oriented
+    alternative.
+
+    Output: (vec_id, cid, first_match, n_matches) — one row per
+    DROPPED vector, ``first_match`` the smallest matching cell-mate.
+    """
+    train_emb = train if train is not None else corpus
+    cents, _ = _kmeans_loop(train_emb, n_centroids, iters, col, seed, cache_key)
+    comp = corpus.select(
+        "vec_id", F.posexplode(F.col(col)).alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    assign = (
+        _kmeans_decimal_dists(comp, cents)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("_m"))
+        .select("vec_id", F.col("_m.cid").alias("cid"))
+    )
+    sided = assign.join(with_norm(corpus, col), "vec_id").select(
+        "cid", "vec_id", F.col(col).alias("_v"), "_nrm"
+    )
+    a = sided.select(
+        "cid",
+        F.col("vec_id").alias("vec_a"),
+        F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = sided.select(
+        "cid",
+        F.col("vec_id").alias("vec_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    hits = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= threshold)
+    )
+    return (
+        hits.groupBy(F.col("vec_b").alias("vec_id"), "cid")
+        .agg(
+            F.min("vec_a").alias("first_match"),
+            F.count("*").alias("n_matches"),
+        )
+    )
+
+
 def label_centroids(emb: DataFrame, col: str = "embedding") -> DataFrame:
     """Per-label centroid statistics via posexplode → exact DECIMAL
     component sums. Everything stays exact (order-independent ⇒

@@ -370,6 +370,30 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b").orderBy("vec_a", "vec_b")
 
 
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the planted-dup corpus: k-means
+    cells (the session-cached Lloyd-refined quantizer, trained on the
+    RAW corpus — the production train-on-sample/assign-everything
+    split) bound which pairs get exact cosine; cos ≥ 0.9 against a
+    lower-id cell-mate drops the vector. The planted perturbed copies
+    (cos ≥ 0.9428 to their source) are the expected drop set wherever
+    source and copy land in one cell; the oracle replays training,
+    assignment, and the intra-cell compare CTE-for-CTE, so it also
+    pins WHICH planted pairs the cell partition finds — SemDeDup's
+    published boundary-miss mode is thereby exact, not hand-waved."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # localCheckpoint: the assignment + both pair sides re-scan the
+    # corpus; blocks are released by the bench harness post-query
+    corpus = _with_planted_dups(emb).localCheckpoint()
+    drops = SIM.semdedup_drops(
+        corpus,
+        threshold=0.9,
+        train=emb,
+        cache_key=f"{sf_dir}/embeddings",
+    )
+    return drops.orderBy("vec_id")
+
+
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus
     (4× storage cut for the ANN index). Engine-exact: the scale is a
@@ -2012,6 +2036,52 @@ LLM_ORACLES["docs_unigram_surprisal"] = """
 """
 
 LLM_ORACLES["docs_bpe_merges"] = _bpe_oracle_sql()
+
+# emb_semdedup: reuses the Lloyd-training CTEs verbatim (quantizer is
+# trained on the RAW corpus), then assigns the planted corpus to c2
+# cells with the same DECIMAL-exact kernel and compares only inside a
+# cell. Pair membership at cos ≥ 0.9 has the analytic planted-dup
+# margin (≥ 0.9428 vs ≤ ~0.51 natural), so no float column is output.
+LLM_ORACLES["emb_semdedup"] = _KMEANS_CTES + """
+    ,
+    planted AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_concat([v[1] * 2], v[2:]) AS v
+        FROM base WHERE vec_id % 10 = 0
+    ),
+    allv AS (
+        SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM planted
+    ),
+    compp AS (
+        SELECT vec_id, unnest(range(0, len(v))) AS pos, unnest(v) AS x
+        FROM allv
+    ),
+    dsd AS (
+        SELECT compp.vec_id, c2.cid,
+               SUM(CAST((compp.x - c2.y) * (compp.x - c2.y)
+                        AS DECIMAL(28,14))) AS d
+        FROM compp JOIN c2 USING (pos) GROUP BY 1, 2
+    ),
+    msd AS (SELECT vec_id, MIN(d) AS md FROM dsd GROUP BY 1),
+    asd AS (
+        SELECT dsd.vec_id, MIN(dsd.cid) AS cid
+        FROM dsd JOIN msd ON dsd.vec_id = msd.vec_id AND dsd.d = msd.md
+        GROUP BY 1
+    ),
+    nsd AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM allv
+    ),
+    hits AS (
+        SELECT sb.vec_id AS vec_id, sb.cid AS cid, sa.vec_id AS other
+        FROM asd sa
+        JOIN asd sb ON sa.cid = sb.cid AND sa.vec_id < sb.vec_id
+        JOIN nsd na ON na.vec_id = sa.vec_id
+        JOIN nsd nb ON nb.vec_id = sb.vec_id
+        WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.9
+    )
+    SELECT vec_id, cid, MIN(other) AS first_match, COUNT(*) AS n_matches
+    FROM hits GROUP BY 1, 2 ORDER BY vec_id
+"""
 
 # docs_bigram_surprisal: same determinism stance as unigram (IEEE ln +
 # 4dp round before the ordered top-k). The interpolation arithmetic is

@@ -703,3 +703,86 @@ def test_with_shingles_udf_matches_expression(spark, docs):
         .collect()
     }
     assert fast == ref
+
+
+# -- BPE merge learning -----------------------------------------------------
+
+
+def test_apply_merge_shared_boundary_pairs(spark):
+    """The two-pass padded replace must catch adjacent occurrences that
+    share their boundary space ('a b a b' → both merged)."""
+    seqs = spark.createDataFrame(
+        [("w", 1, "a b a b </w>"), ("x", 1, "c a b d </w>"), ("y", 1, "a c b </w>")],
+        "word string, freq int, seq string",
+    )
+    out = {r["word"]: r["seq"] for r in TX.apply_merge(seqs, "a", "b").collect()}
+    assert out["w"] == "ab ab </w>"
+    assert out["x"] == "c ab d </w>"
+    assert out["y"] == "a c b </w>"  # non-adjacent a..b untouched
+
+
+def test_apply_merge_is_boundary_aligned(spark):
+    """'xa b' must NOT merge on pair (a, b): symbols match whole tokens
+    only (the padded-space pattern can't fire inside a symbol)."""
+    seqs = spark.createDataFrame(
+        [("w", 1, "xa b </w>")], "word string, freq int, seq string"
+    )
+    assert TX.apply_merge(seqs, "a", "b").collect()[0]["seq"] == "xa b </w>"
+
+
+def test_bpe_learns_expected_merges(spark):
+    """Textbook miniature: vocabulary {low×5, lowest×2}. Round 1 must
+    merge the most frequent adjacent pair (l,o) count 7; round 2
+    (lo,w) count 7; round 3 then prefers the 5-weighted 'low </w>'
+    boundary merge over the 2-weighted 'lowest' interior pairs."""
+    words = spark.createDataFrame(
+        [("low", 5), ("lowest", 2)], "word string, freq long"
+    )
+    merges = [
+        (r["merge_round"], r["w1"], r["w2"], r["pair_count"])
+        for r in TX.bpe_learn_merges(words, 3).orderBy("merge_round").collect()
+    ]
+    assert merges == [(1, "l", "o", 7), (2, "lo", "w", 7), (3, "low", "</w>", 5)]
+
+
+def test_bpe_merge_table_partition_invariant(spark):
+    """Same merges regardless of input partitioning (the argmax is a
+    global agg with a total tie-break; nothing depends on task order)."""
+    docs = load_table(spark, SF, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    one = [tuple(r) for r in TX.bpe_learn_merges(words.coalesce(1), 4).collect()]
+    many = [tuple(r) for r in TX.bpe_learn_merges(words.repartition(13), 4).collect()]
+    assert one == many and len(one) == 4
+
+
+# -- SemDeDup ---------------------------------------------------------------
+
+
+def test_semdedup_drops_are_planted_copies(spark):
+    """Every dropped row must be a planted perturbed copy matched to
+    exactly its source (naturals max out near cos 0.51, far under the
+    0.9 threshold), i.e. (vec_id = v + 1e6, first_match = v,
+    n_matches = 1); and within-cell recall must be positive."""
+    drops = llm.emb_semdedup(spark, SF).collect()
+    assert len(drops) > 0
+    for r in drops:
+        assert r["vec_id"] >= 1_000_000
+        assert r["first_match"] == r["vec_id"] - 1_000_000
+        assert r["n_matches"] == 1
+
+
+def test_semdedup_subset_of_lsh_neardups(spark):
+    """Cell-bounded compare can only MISS pairs the unbounded LSH path
+    finds (the published boundary-miss mode) — never invent one."""
+    lsh_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in llm.emb_cosine_neardup(spark, SF).collect()
+    }
+    sem_pairs = {
+        (r["first_match"], r["vec_id"]) for r in llm.emb_semdedup(spark, SF).collect()
+    }
+    assert sem_pairs <= lsh_pairs

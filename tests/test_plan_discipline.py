@@ -169,3 +169,32 @@ def test_mixture_weights_single_scan(spark, sf_dir):
 def test_duplicate_spans_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "docs_duplicate_spans")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_sliding_window_single_scan_single_shuffle(spark, sf_dir):
+    """Hopping windows must come from the window() EXPLODE (2 structs
+    per row pre-shuffle) — one events scan, one partial-agg exchange,
+    never a self-join or range join against a window table."""
+    plan = _plan(spark, sf_dir, "events_sliding_window")
+    assert "Join" not in plan, plan
+    n = len(re.findall(r"events\.parquet", plan))
+    assert n == 1, f"events scanned {n}× (expected 1)"
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bigram_surprisal_broadcasts_and_takeordered(spark, sf_dir):
+    """Count tables join broadcast (vocabulary-sized), top-k is
+    TakeOrdered — no global sort, no shuffle join in the scoring path."""
+    plan = _plan(spark, sf_dir, "docs_bigram_surprisal")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semdedup_no_cartesian_and_broadcast_centroids(spark, sf_dir):
+    """The pair compare must be an equi-join on the cell id (the whole
+    point of SemDeDup) and centroid tables ride broadcasts — no
+    cartesian/nested-loop anywhere in train→assign→compare."""
+    plan = _plan(spark, sf_dir, "emb_semdedup")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
