@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_surprisal": llm.docs_unigram_surprisal,
         "docs_bigram_surprisal": llm.docs_bigram_surprisal,
         "docs_bpe_merges": llm.docs_bpe_merges,
+        "docs_bpe_encode": llm.docs_bpe_encode,
         # §2.9 round-3 additions — training-data pipeline passes
         "docs_duplicate_spans": llm.docs_duplicate_spans,
         "docs_decontaminate": llm.docs_decontaminate,

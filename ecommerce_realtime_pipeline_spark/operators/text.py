@@ -401,13 +401,19 @@ def apply_merge(seqs: DataFrame, w1: str, w2: str) -> DataFrame:
     )
 
 
-def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
+_BPE_CACHE: dict = {}
+
+
+def bpe_train(
+    words: DataFrame, n_merges: int, cache_key: str | None = None
+) -> tuple[list[tuple], DataFrame]:
     """Learn the first ``n_merges`` BPE merges over a (word, freq)
     vocabulary: per round, count adjacent symbol pairs (frequency-
     weighted), take the most frequent (ties: lexicographic on the
-    pair — deterministic), fuse it everywhere, repeat. Returns the
-    merge table (merge_round, w1, w2, merged, pair_count) — i.e. the
-    tokenizer-training artifact itself.
+    pair — deterministic), fuse it everywhere, repeat. Returns
+    (merge rows, final symbol-sequence vocabulary) — the training
+    artifact AND the encoder state, so serving (encode) replays
+    nothing.
 
     Scale: the state is the WORD VOCABULARY (corpus-bounded, millions
     of rows at 100 TB — not the corpus), so each round is one
@@ -416,27 +422,58 @@ def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
     collects exactly ONE row (the argmax pair) to the driver — the
     same bounded-collect class as the Lloyd centroid pick; sequences
     are localCheckpointed per round so round k doesn't recompute
-    rounds 1..k-1."""
+    rounds 1..k-1. Like the quantizer builds, training is build-once/
+    serve-many: memoized per session under ``cache_key``."""
+    spark = words.sparkSession
+    memo = (
+        (spark.sparkContext.applicationId, cache_key, n_merges)
+        if cache_key is not None
+        else None
+    )
+    if memo is not None and memo in _BPE_CACHE:
+        return _BPE_CACHE[memo]
     seqs = bpe_init_seqs(words).localCheckpoint(eager=False)
     merges: list[tuple] = []
-    try:
-        for r in range(1, n_merges + 1):
-            top = (
-                _pair_counts(seqs)
-                .orderBy(F.desc("pair_count"), "w1", "w2")
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            t = top[0]
-            merges.append((r, t.w1, t.w2, t.w1 + t.w2, t.pair_count))
-            nxt = apply_merge(seqs, t.w1, t.w2).localCheckpoint(eager=False)
-            seqs.unpersist()
-            seqs = nxt
-    finally:
+    for r in range(1, n_merges + 1):
+        top = (
+            _pair_counts(seqs)
+            .orderBy(F.desc("pair_count"), "w1", "w2")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        t = top[0]
+        merges.append((r, t.w1, t.w2, t.w1 + t.w2, t.pair_count))
+        nxt = apply_merge(seqs, t.w1, t.w2).localCheckpoint(eager=False)
         seqs.unpersist()
-    spark = words.sparkSession
-    return spark.createDataFrame(
+        seqs = nxt
+    if memo is not None:
+        _BPE_CACHE[memo] = (merges, seqs)
+    return merges, seqs
+
+
+def bpe_learn_merges(
+    words: DataFrame, n_merges: int, cache_key: str | None = None
+) -> DataFrame:
+    """The merge table (merge_round, w1, w2, merged, pair_count) from
+    :func:`bpe_train` — the ordered artifact a BPE tokenizer replays
+    at encode time."""
+    merges, _ = bpe_train(words, n_merges, cache_key)
+    return words.sparkSession.createDataFrame(
         merges, "merge_round int, w1 string, w2 string, merged string, pair_count long"
+    )
+
+
+def bpe_encoded_vocab(
+    words: DataFrame, n_merges: int, cache_key: str | None = None
+) -> DataFrame:
+    """Encode side: (word, freq, n_units) where n_units is the BPE
+    unit count of the word after the learned merges — word-level
+    because BPE encoding factors through the vocabulary (merges never
+    cross the </w> boundary), so corpora encode via a broadcast join
+    against this table instead of re-running merges per document."""
+    _, seqs = bpe_train(words, n_merges, cache_key)
+    return seqs.select(
+        "word", "freq", F.size(F.split("seq", " ")).alias("n_units")
     )

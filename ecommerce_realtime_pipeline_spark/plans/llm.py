@@ -532,13 +532,53 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     class as the Lloyd centroid pick). The oracle replays all 8
     rounds CTE-for-CTE with the identical two-pass padded replace.
     """
+    words = _corpus_words(spark, sf_dir)
+    return TX.bpe_learn_merges(
+        words, N_BPE_MERGES, cache_key=f"{sf_dir}/bpe"
+    ).orderBy("merge_round")
+
+
+def _corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    words = (
+    return (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    return TX.bpe_learn_merges(words, N_BPE_MERGES).orderBy("merge_round")
+
+
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer SERVING: encode the corpus with the merges learned by
+    :func:`docs_bpe_merges` (session-cached trained state — the same
+    build-once/serve-many split as the IVF quantizer) and roll up
+    per-source token statistics: BPE unit counts versus whitespace
+    word counts (units_per_word is the tokenizer-fertility metric
+    pretraining pipelines budget by).
+
+    Scale: encoding factors through the WORD VOCABULARY (merges never
+    cross the </w> boundary), so the corpus pass is one explode + a
+    broadcast join against the vocab-sized (word → n_units) table —
+    no per-document merge replay. The oracle extends the training CTE
+    chain with the same join."""
+    words = _corpus_words(spark, sf_dir)
+    enc = TX.bpe_encoded_vocab(words, N_BPE_MERGES, cache_key=f"{sf_dir}/bpe")
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        doc_words.join(F.broadcast(enc.select("word", "n_units")), "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("total_words"),
+            F.sum("n_units").cast("long").alias("total_units"),
+            F.round(
+                F.sum("n_units").cast("long") / F.count("*"), 4
+            ).alias("units_per_word"),
+        )
+        .orderBy("source")
+    )
 
 
 def _bpe_oracle_sql(n_merges: int = N_BPE_MERGES) -> str:
@@ -2036,6 +2076,30 @@ LLM_ORACLES["docs_unigram_surprisal"] = """
 """
 
 LLM_ORACLES["docs_bpe_merges"] = _bpe_oracle_sql()
+
+# docs_bpe_encode: the training chain's final seq table, joined back
+# to the exploded corpus — unit counts per word, aggregated per source.
+LLM_ORACLES["docs_bpe_encode"] = (
+    _bpe_oracle_sql().split("SELECT CAST(merge_round")[0]
+    + f""",
+    enc AS (
+        SELECT word, len(string_split(seq, ' ')) AS n_units
+        FROM seq{N_BPE_MERGES}
+    ),
+    dw AS (
+        SELECT source, doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS total_words,
+           CAST(SUM(n_units) AS BIGINT) AS total_units,
+           ROUND(CAST(SUM(n_units) AS BIGINT) / COUNT(*), 4) AS units_per_word
+    FROM dw JOIN enc USING (word)
+    GROUP BY source
+    ORDER BY source
+"""
+)
 
 # emb_semdedup: reuses the Lloyd-training CTEs verbatim (quantizer is
 # trained on the RAW corpus), then assigns the planted corpus to c2

@@ -786,3 +786,26 @@ def test_semdedup_subset_of_lsh_neardups(spark):
         (r["first_match"], r["vec_id"]) for r in llm.emb_semdedup(spark, SF).collect()
     }
     assert sem_pairs <= lsh_pairs
+
+
+def test_bpe_encode_fertility_bounds(spark):
+    """Per-source BPE fertility must be ≥ 1 unit/word and strictly
+    below chars+marker (the merges must actually compress), and the
+    unit totals must be consistent with the word totals."""
+    rows = llm.docs_bpe_encode(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_docs"] > 0 and r["total_words"] > 0
+        assert 1.0 <= r["units_per_word"]
+        assert r["total_units"] >= r["total_words"]  # ≥ 1 unit per word
+    # merges compress: the corpus-wide mean must beat the unmerged
+    # baseline (chars + </w> per word), by a wide margin on text
+    words = llm._corpus_words(spark, SF)
+    base = words.select(
+        F.sum(F.length("word") * F.col("freq")).alias("chars"),
+        F.sum((F.lit(1)) * F.col("freq")).alias("n"),
+    ).collect()[0]
+    baseline_upw = (base["chars"] + base["n"]) / base["n"]
+    total_units = sum(r["total_units"] for r in rows)
+    total_words = sum(r["total_words"] for r in rows)
+    assert total_units / total_words < baseline_upw

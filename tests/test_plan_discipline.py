@@ -198,3 +198,12 @@ def test_semdedup_no_cartesian_and_broadcast_centroids(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emb_semdedup")
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_encode_corpus_pass_broadcasts_vocab(spark, sf_dir):
+    """Encoding must factor through the vocabulary: the corpus explode
+    joins the (word → n_units) table via BROADCAST — never a shuffle
+    join keyed on the corpus, never a per-document merge replay."""
+    plan = _plan(spark, sf_dir, "docs_bpe_encode")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
