@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_realtime_pipeline_spark.catalog import load_table
 from ecommerce_realtime_pipeline_spark.operators import dedup as DD
+from ecommerce_realtime_pipeline_spark.operators import model as MODEL
 from ecommerce_realtime_pipeline_spark.operators import multimodal as MM
 from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
 from ecommerce_realtime_pipeline_spark.operators import text as TX
@@ -513,6 +514,68 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("mean_surprisal"), "doc_id").limit(20)
+
+
+LR_ITERS = 4  # full-batch GD steps for the quality classifier
+LR_RATE = 4.0
+LR_MIN_TOKENS = 50  # the explicit quality rule being distilled
+LR_FEATURES = ["x_distinct", "x_len", "x_tokens", "x_markers"]
+_EN_MARKERS = ("the", "a", "of", "and", "is")
+
+
+def _lr_features(docs: DataFrame) -> DataFrame:
+    """Quality features as plain double expressions (identical IEEE
+    arithmetic in both engines): distinct-token ratio, scaled mean
+    token length, scaled token count, stopword-marker density. Label:
+    the explicit length-based quality rule (n_tokens ≥ 50) — the
+    classifier DISTILLS the rule filter into a smooth linear model
+    (the weak-supervision recipe: train on rule labels, serve the
+    model where the rule's inputs are unavailable or the margin
+    matters). The corpus's `lang` column is deliberately NOT the
+    target: it is metadata over one shared vocabulary, unlearnable
+    from text by construction."""
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    markers = F.array(*[F.lit(m) for m in _EN_MARKERS])
+    return docs.select(
+        F.when(n_tok >= LR_MIN_TOKENS, 1).otherwise(0).alias("y"),
+        (F.size(F.array_distinct(toks)) / n_tok).alias("x_distinct"),
+        ((F.length("text") - n_tok + 1) / n_tok / F.lit(10)).alias("x_len"),
+        (n_tok / F.lit(100)).alias("x_tokens"),
+        (F.size(F.array_intersect(markers, toks)) / n_tok).alias("x_markers"),
+    )
+
+
+def docs_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality classification trained IN the engine:
+    LR_ITERS full-batch GD steps of logistic regression over the
+    quality features (the fastText-classifier role in published
+    pretraining recipes), distilling the explicit length rule into a
+    smooth model, then a scoring pass — output is the learned weight
+    vector + training accuracy, one row (accuracy lands well above
+    the majority baseline; pinned in tests). The whole train→score
+    pipeline is a single declarative DAG (no driver collect); the
+    oracle replays every GD step CTE-for-CTE with the same
+    DECIMAL-exact gradient sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _lr_features(docs)
+    w = MODEL.logistic_train(feats, LR_FEATURES, "y", iters=LR_ITERS, lr=LR_RATE)
+    scored = MODEL.logistic_score(feats, w, LR_FEATURES)
+    correct = F.when((F.col("z") >= 0) == (F.col("y") == 1), 1).otherwise(0)
+    agg = scored.agg(
+        F.count("*").alias("n_docs"),
+        *[F.first(f"_w_{c}").alias(f"_w_{c}") for c in ["bias", *LR_FEATURES]],
+        F.sum(correct).cast("long").alias("_n_correct"),
+    )
+    return agg.select(
+        "n_docs",
+        F.round("_w_bias", 6).alias("w_bias"),
+        F.round("_w_x_distinct", 6).alias("w_distinct"),
+        F.round("_w_x_len", 6).alias("w_len"),
+        F.round("_w_x_tokens", 6).alias("w_tokens"),
+        F.round("_w_x_markers", 6).alias("w_markers"),
+        F.round(F.col("_n_correct") / F.col("n_docs"), 4).alias("accuracy"),
+    )
 
 
 N_BPE_MERGES = 8  # learned merge rounds for the tokenizer-training query
@@ -2074,6 +2137,79 @@ LLM_ORACLES["docs_unigram_surprisal"] = """
     ORDER BY mean_surprisal DESC, doc_id
     LIMIT 20
 """
+
+def _lr_oracle_sql(iters: int = LR_ITERS, lr: float = LR_RATE) -> str:
+    """CTE-for-CTE replay of logistic_train + the scoring pass: same
+    feature expressions (int/int division → DOUBLE on both engines),
+    same left-associated w·x order, libm exp sigmoid, DECIMAL(28,14)
+    gradient casts before summing, one double division per weight."""
+    marker_list = "[" + ", ".join(f"'{m}'" for m in _EN_MARKERS) + "]"
+    sig = (
+        "1 / (1 + exp(-(wb + wd * x_distinct + wl * x_len"
+        " + wt * x_tokens + wm * x_markers)))"
+    )
+    ctes = [
+        f"""f AS (
+        SELECT CASE WHEN len(string_split(text, ' ')) >= {LR_MIN_TOKENS}
+                    THEN 1 ELSE 0 END AS y,
+               len(list_distinct(string_split(text, ' ')))
+                   / len(string_split(text, ' ')) AS x_distinct,
+               (length(text) - len(string_split(text, ' ')) + 1)
+                   / len(string_split(text, ' ')) / 10 AS x_len,
+               len(string_split(text, ' ')) / 100 AS x_tokens,
+               len(list_filter({marker_list},
+                               m -> list_contains(string_split(text, ' '), m)))
+                   / len(string_split(text, ' ')) AS x_markers
+        FROM documents
+    )""",
+        "nn AS (SELECT COUNT(*) AS n FROM f)",
+        """w0 AS (
+        SELECT CAST(0.0 AS DOUBLE) AS wb, CAST(0.0 AS DOUBLE) AS wd,
+               CAST(0.0 AS DOUBLE) AS wl, CAST(0.0 AS DOUBLE) AS wt,
+               CAST(0.0 AS DOUBLE) AS wm
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""g{i} AS (
+        SELECT wb, wd, wl, wt, wm,
+               SUM(CAST((y - {sig}) AS DECIMAL(28,14))) AS gb,
+               SUM(CAST((y - {sig}) * x_distinct AS DECIMAL(28,14))) AS gd,
+               SUM(CAST((y - {sig}) * x_len AS DECIMAL(28,14))) AS gl,
+               SUM(CAST((y - {sig}) * x_tokens AS DECIMAL(28,14))) AS gt,
+               SUM(CAST((y - {sig}) * x_markers AS DECIMAL(28,14))) AS gm
+        FROM f, w{i - 1}
+        GROUP BY wb, wd, wl, wt, wm
+    )""")
+        ctes.append(f"""w{i} AS (
+        SELECT wb + CAST({lr} AS DOUBLE) * (CAST(gb AS DOUBLE) / n) AS wb,
+               wd + CAST({lr} AS DOUBLE) * (CAST(gd AS DOUBLE) / n) AS wd,
+               wl + CAST({lr} AS DOUBLE) * (CAST(gl AS DOUBLE) / n) AS wl,
+               wt + CAST({lr} AS DOUBLE) * (CAST(gt AS DOUBLE) / n) AS wt,
+               wm + CAST({lr} AS DOUBLE) * (CAST(gm AS DOUBLE) / n) AS wm
+        FROM g{i}, nn
+    )""")
+    ctes.append(f"""scored AS (
+        SELECT y, wb, wd, wl, wt, wm,
+               wb + wd * x_distinct + wl * x_len + wt * x_tokens
+                  + wm * x_markers AS z
+        FROM f, w{iters}
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT COUNT(*) AS n_docs,
+           ROUND(wb, 6) AS w_bias, ROUND(wd, 6) AS w_distinct,
+           ROUND(wl, 6) AS w_len, ROUND(wt, 6) AS w_tokens,
+           ROUND(wm, 6) AS w_markers,
+           ROUND(CAST(SUM(CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END)
+                      AS BIGINT) / COUNT(*), 4) AS accuracy
+    FROM scored
+    GROUP BY wb, wd, wl, wt, wm
+"""
+    )
+
+
+LLM_ORACLES["docs_quality_lr"] = _lr_oracle_sql()
 
 LLM_ORACLES["docs_bpe_merges"] = _bpe_oracle_sql()
 

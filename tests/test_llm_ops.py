@@ -809,3 +809,39 @@ def test_bpe_encode_fertility_bounds(spark):
     total_units = sum(r["total_units"] for r in rows)
     total_words = sum(r["total_words"] for r in rows)
     assert total_units / total_words < baseline_upw
+
+
+# -- in-engine logistic-regression quality classifier -----------------------
+
+
+def test_quality_lr_beats_majority_baseline(spark):
+    """The trained classifier must actually LEARN: training accuracy
+    strictly above the majority-class baseline (otherwise GD collapsed
+    to the constant predictor and the query is decoration)."""
+    row = llm.docs_quality_lr(spark, SF).collect()[0]
+    docs = load_table(spark, SF, "documents")
+    pos_rate = docs.select(
+        F.avg(
+            F.when(
+                F.size(F.split("text", " ")) >= llm.LR_MIN_TOKENS, 1.0
+            ).otherwise(0.0)
+        )
+    ).collect()[0][0]
+    majority = max(pos_rate, 1.0 - pos_rate)
+    assert row["accuracy"] > majority + 0.05, (row["accuracy"], majority)
+    # the rule is length-based: the token-count weight must carry
+    # positive signal after training
+    assert row["w_tokens"] > 0
+
+
+def test_logistic_train_partition_invariant(spark):
+    """DECIMAL-exact gradient sums ⇒ identical weights under any input
+    partitioning (float sums would drift per partition order)."""
+    from ecommerce_realtime_pipeline_spark.operators import model as MODEL
+
+    docs = load_table(spark, SF, "documents")
+    feats = llm._lr_features(docs)
+    cols = llm.LR_FEATURES
+    w1 = MODEL.logistic_train(feats.coalesce(1), cols, "y", 2, 4.0).collect()[0]
+    w32 = MODEL.logistic_train(feats.repartition(32), cols, "y", 2, 4.0).collect()[0]
+    assert tuple(w1) == tuple(w32)
