@@ -935,12 +935,14 @@ def cosine_neardup_pairs(
 def semdedup_drops(
     corpus: DataFrame,
     threshold: float = 0.9,
-    n_centroids: int = 16,
+    cell_target: int = 64,
+    max_exact_cells: int = 32,
     iters: int = 2,
     col: str = "embedding",
     seed: int = 42,
     train: DataFrame | None = None,
     cache_key: str | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cells bound WHICH pairs are compared —
@@ -952,12 +954,27 @@ def semdedup_drops(
     per-cell quadratic is bounded and embarrassingly parallel — the
     published recipe for pruning web-scale pretraining corpora.
 
-    The quantizer is the Lloyd-refined one (``_kmeans_loop``), trained
-    on ``train`` (defaults to the corpus itself; production trains on
-    a sample and assigns the full corpus — pass the sample here).
-    Assignment reuses the DECIMAL-exact squared-L2 kernel, so cell
-    membership is engine-deterministic and the whole
-    train→assign→compare→drop pipeline is SQL-oracle-checkable.
+    The cell count SCALES with the corpus — k = max(16, n /
+    ``cell_target``) — which is what keeps the per-cell quadratic
+    bounded: fixed k would make the whole pass O(n²/k) i.e. quadratic
+    in n (measured: 19× cost at 10× rows before this auto-sizing).
+    Two assignment kernels behind one contract:
+
+    - k ≤ ``max_exact_cells`` (the scales the DuckDB oracle and the
+      driver's correctness gate run at): Lloyd-refined quantizer +
+      the DECIMAL-exact squared-L2 kernel — cell membership is
+      engine-deterministic, so the whole train→assign→compare→drop
+      pipeline is SQL-oracle-checkable CTE-for-CTE.
+    - k > ``max_exact_cells``: md5-sampled centroids + the Arrow
+      matmul cosine-cell assignment (the IVF serving kernel,
+      ``_probe_udf``) — one vectorized pass, O(n·dim·k) flops inside
+      BLAS instead of an O(n·dim·k)-row exploded join. Cell SHAPE
+      changes (that is inherent to scaling k — more cells, more
+      boundary misses), but the drop contract ("only true cos ≥ τ
+      pairs, min-id kept") is identical and stays test-pinned.
+
+    Training happens on ``train`` (defaults to the corpus;
+    production trains on a sample and assigns everything).
 
     Known (published) miss mode: near-dups straddling a cell boundary
     are not compared — SemDeDup accepts this for the quadratic bound;
@@ -968,16 +985,28 @@ def semdedup_drops(
     DROPPED vector, ``first_match`` the smallest matching cell-mate.
     """
     train_emb = train if train is not None else corpus
-    cents, _ = _kmeans_loop(train_emb, n_centroids, iters, col, seed, cache_key)
-    comp = corpus.select(
-        "vec_id", F.posexplode(F.col(col)).alias("pos", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    assign = (
-        _kmeans_decimal_dists(comp, cents)
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cid")).alias("_m"))
-        .select("vec_id", F.col("_m.cid").alias("cid"))
-    )
+    if n is None:
+        n = corpus.count()
+    k = max(16, n // cell_target)
+    if k <= max_exact_cells:
+        cents, _ = _kmeans_loop(train_emb, k, iters, col, seed, cache_key)
+        comp = corpus.select(
+            "vec_id", F.posexplode(F.col(col)).alias("pos", "x")
+        ).withColumn("x", F.col("x").cast("double"))
+        assign = (
+            _kmeans_decimal_dists(comp, cents)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid")).alias("_m"))
+            .select("vec_id", F.col("_m.cid").alias("cid"))
+        )
+    else:
+        # memo key already carries (cache_key, k, seed) — distinct from
+        # the fixed-16 IVF quantizer of the ANN queries
+        cent_list = ivf_centroids(train_emb, k, col, seed, cache_key=cache_key)
+        assign = corpus.select(
+            "vec_id",
+            F.element_at(_probe_udf(cent_list, 1)(F.col(col)), 1).alias("cid"),
+        )
     sided = assign.join(with_norm(corpus, col), "vec_id").select(
         "cid", "vec_id", F.col(col).alias("_v"), "_nrm"
     )

@@ -391,6 +391,9 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.9,
         train=emb,
         cache_key=f"{sf_dir}/embeddings",
+        # auto-sized cells: k = max(16, n/64) — the count is ~free on
+        # the checkpointed frame; keeps Σ|cell|² linear in n
+        n=corpus.count(),
     )
     return drops.orderBy("vec_id")
 

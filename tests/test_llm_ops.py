@@ -845,3 +845,24 @@ def test_logistic_train_partition_invariant(spark):
     w1 = MODEL.logistic_train(feats.coalesce(1), cols, "y", 2, 4.0).collect()[0]
     w32 = MODEL.logistic_train(feats.repartition(32), cols, "y", 2, 4.0).collect()[0]
     assert tuple(w1) == tuple(w32)
+
+
+def test_semdedup_fast_path_same_contract(spark):
+    """Force the Arrow-matmul large-k path (max_exact_cells=4) and
+    assert the drop CONTRACT holds across kernels: only true planted
+    pairs dropped (cells change shape, correctness doesn't), and the
+    drop set is a subset of the unbounded LSH near-dup pairs."""
+    emb = load_table(spark, SF, "embeddings")
+    corpus = llm._with_planted_dups(emb).localCheckpoint()
+    drops = SIM.semdedup_drops(
+        corpus, threshold=0.9, train=emb, max_exact_cells=4, n=corpus.count()
+    ).collect()
+    assert len(drops) > 0
+    for r in drops:
+        assert r["vec_id"] >= 1_000_000
+        assert r["first_match"] == r["vec_id"] - 1_000_000
+    lsh_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in llm.emb_cosine_neardup(spark, SF).collect()
+    }
+    assert {(r["first_match"], r["vec_id"]) for r in drops} <= lsh_pairs
