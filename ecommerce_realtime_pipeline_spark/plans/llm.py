@@ -191,6 +191,39 @@ def docs_neardup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.neardup_clusters_lss(pairs).orderBy("doc_id")
 
 
+def docs_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME stage: per near-dup cluster, keep the
+    best-quality member (here: longest doc, ties → smallest doc_id) —
+    production dedup keeps the best representative, not the first
+    seen. Clusters come from the large-star/small-star CC (the scale
+    path); the pick is a per-cluster argmax via max(struct), no window
+    over the corpus. Output: (cluster_id, n_members, rep_doc_id,
+    rep_n_chars, n_dropped).
+
+    Scale: the cluster table is dup-graph-sized (only docs with a
+    near-dup edge), broadcast into the doc join; everything after is
+    a cluster-keyed partial agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, threshold=JACCARD_T, n=3)
+    clusters = DD.neardup_clusters_lss(pairs)
+    mem = docs.select("doc_id", "n_chars").join(F.broadcast(clusters), "doc_id")
+    best = F.max(
+        F.struct(F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("nid"))
+    ).alias("_b")
+    return (
+        mem.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"), best)
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("_b.nid")).alias("rep_doc_id"),
+            F.col("_b.nc").alias("rep_n_chars"),
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by md5(doc_id) —
     leakage-safe (membership is a pure function of the id, stable
@@ -2213,6 +2246,32 @@ def _lr_oracle_sql(iters: int = LR_ITERS, lr: float = LR_RATE) -> str:
 
 
 LLM_ORACLES["docs_quality_lr"] = _lr_oracle_sql()
+
+# docs_cluster_representatives: the recursive-CTE cluster oracle with
+# a member join + per-cluster argmax (n_chars desc, doc_id asc) on top.
+_cl = LLM_ORACLES["docs_neardup_clusters"]
+_cl_head, _cl_tail = _cl.split("SELECT node AS doc_id", 1)
+LLM_ORACLES["docs_cluster_representatives"] = _cl_head + """,
+        cl AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        mem AS (
+            SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cl.cluster_id
+                       ORDER BY d.n_chars DESC, cl.doc_id ASC
+                   ) AS rn
+            FROM cl JOIN documents d USING (doc_id)
+        )
+        SELECT cluster_id,
+               COUNT(*) AS n_members,
+               MIN(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+               MIN(CASE WHEN rn = 1 THEN n_chars END) AS rep_n_chars,
+               COUNT(*) - 1 AS n_dropped
+        FROM mem GROUP BY cluster_id ORDER BY cluster_id
+    """
+del _cl, _cl_head, _cl_tail
 
 LLM_ORACLES["docs_bpe_merges"] = _bpe_oracle_sql()
 

@@ -866,3 +866,27 @@ def test_semdedup_fast_path_same_contract(spark):
         for r in llm.emb_cosine_neardup(spark, SF).collect()
     }
     assert {(r["first_match"], r["vec_id"]) for r in drops} <= lsh_pairs
+
+
+def test_cluster_representatives_pick_longest_member(spark, docs):
+    """Every representative must be a member of its cluster with the
+    maximal n_chars (ties → smallest doc_id), and the bookkeeping
+    (n_members/n_dropped) must reconcile with the cluster table."""
+    reps = llm.docs_cluster_representatives(spark, SF).collect()
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in llm.docs_neardup_clusters_lss(spark, SF).collect()
+    }
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    assert len(reps) > 0
+    by_cluster: dict = {}
+    for d, c in clusters.items():
+        by_cluster.setdefault(c, []).append(d)
+    assert sum(r["n_members"] for r in reps) == len(clusters)
+    for r in reps:
+        members = by_cluster[r["cluster_id"]]
+        assert r["n_members"] == len(members)
+        assert r["n_dropped"] == len(members) - 1
+        best = max(members, key=lambda d: (chars[d], -d))
+        assert r["rep_doc_id"] == best
+        assert r["rep_n_chars"] == chars[best]
