@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_per_minute": kpi.orders_per_minute,
         "revenue_trend_hourly_by_type": kpi.revenue_trend_hourly_by_type,
         "events_sliding_window": kpi.events_sliding_window,
+        "events_by_segment_salted": kpi.events_by_segment_salted,
         "top_products_by_revenue": kpi.top_products_by_revenue,
         "top_customers_by_spend": kpi.top_customers_by_spend,
         "pricing_summary": kpi.pricing_summary,
@@ -84,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_bruteforce": llm.emb_knn_bruteforce,
         "emb_knn_lsh": llm.emb_knn_lsh,
         "emb_knn_ivf": llm.emb_knn_ivf,
+        "emb_knn_ivf_persisted": llm.emb_knn_ivf_persisted,
         "emb_pq_codes": llm.emb_pq_codes,
         "emb_knn_pq": llm.emb_knn_pq,
         "emb_knn_ivfpq": llm.emb_knn_ivfpq,

@@ -347,6 +347,82 @@ def ivf_cell_tables(
     return corpus_cells, q_cells
 
 
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    col: str = "embedding",
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> None:
+    """Persist the IVF-flat index: posting lists written as parquet
+    PARTITIONED BY CELL (`<path>/cells/cell=<i>/`) with the vectors
+    stored inline (the IVF-flat layout — serving never rejoins the
+    corpus), plus the quantizer centroids (`<path>/centroids/`).
+    Partitioning by cell is the point: at query time the probed cells
+    become PartitionFilters, so the scan touches n_probe directories
+    out of n_centroids — the columnar analogue of an inverted-file
+    seek. At 100 TB each cell directory holds its own row groups and
+    the index is rebuilt (or merged) offline like any search index."""
+    cents = ivf_centroids(emb, n_centroids, col, seed, cache_key=cache_key)
+    spark = emb.sparkSession
+    assign = _probe_udf(cents, 1)
+    (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col(col).alias("_v"),
+            F.element_at(assign(F.col(col)), 1).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+        "cid int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def knn_ivf_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    col: str = "embedding",
+) -> DataFrame:
+    """Serve ANN top-k from a PERSISTED IVF index (built by
+    :func:`write_ivf_index`) — the load half of the index lifecycle:
+    read the (tiny) centroid table, probe each query's ``n_probe``
+    cells, read ONLY those cell partitions (partition pruning asserted
+    in tests), exact-cosine rerank on the vectors stored inline.
+    Given the same quantizer parameters this returns bit-identical
+    results to the in-session :func:`knn_ivf` — which is what lets the
+    persisted path share its SQL oracle.
+
+    The probed-cell id collect is bounded by |queries|·n_probe (the
+    same bounded-collect class as the centroid pick)."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cents = [list(r["centroid"]) for r in cent_rows]
+    probe = _probe_udf(cents, n_probe)
+    q_cells = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probe(F.col(col))).alias("cell"),
+    )
+    probed = sorted({int(r["cell"]) for r in q_cells.collect()})
+    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probed))
+    cand = (
+        cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    stored_vecs = cells.select(
+        F.col("neighbor_id").alias("vec_id"), F.col("_v").alias(col)
+    )
+    return _exact_rerank(cand, stored_vecs, queries, k, col)
+
+
 def _seq_l2(vals: list) -> float:
     """Sequential-fold L2 norm — the SAME accumulation order as
     Spark's ``aggregate`` fold and DuckDB's ``list_dot_product``, so

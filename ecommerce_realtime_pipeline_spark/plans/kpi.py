@@ -395,6 +395,42 @@ def throughput_per_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_by_segment_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event value totals per customer market segment, computed through
+    the SKEW-SALTED join (`temporal.salted_join`): the hot-key defense
+    for when one user dominates the event stream and the dim side
+    can't broadcast — the key is spread over 8 salts (deterministic
+    xxhash64 of the event id), the dim replicated 8×, and the join
+    runs on (key, salt). Salting is a PHYSICAL rewrite only: the
+    oracle is the plain unsalted join, so the hash-diff proves result
+    invariance — the property that licenses reaching for salt at all.
+
+    Scale: replication cost is 8× the DIM (small) side; the fact side
+    gets 8-way finer join groups. AQE skew splitting is the first
+    defense; this is the in-plan form for keys AQE can't split.
+    """
+    from ecommerce_realtime_pipeline_spark.operators.temporal import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(
+        events.select("event_id", "user_id", "value"),
+        customers,
+        on="user_id",
+        salt_from="event_id",
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            _as_double(F.sum(F.col("value").cast(_D))).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def top_products_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise top-K (R15/R22 windowed form): top-3 products by
     revenue within every nation — rank() over a per-nation window.

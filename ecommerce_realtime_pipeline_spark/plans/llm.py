@@ -13,6 +13,10 @@ against exact counterparts instead.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -296,6 +300,26 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_ivf(
         emb, _query_vectors(emb), k=KNN_K, n_probe=8,
         cache_key=f"{sf_dir}/embeddings",
+    )
+
+
+def emb_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED index lifecycle: build the IVF-flat index ONCE to
+    parquet posting-list directories (partitioned by cell, vectors
+    inline), then serve top-5 by loading centroids, probing, and
+    partition-pruned cell reads — write→load→probe→rerank, the
+    production serving path where the index outlives the session.
+    Same quantizer parameters as ``emb_knn_ivf`` ⇒ bit-identical
+    results ⇒ shares its DuckDB oracle verbatim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        SIM.write_ivf_index(emb, path, cache_key=f"{sf_dir}/embeddings")
+    return SIM.knn_ivf_from_index(
+        spark, path, _query_vectors(emb), k=KNN_K, n_probe=8
     )
 
 
@@ -2246,6 +2270,11 @@ def _lr_oracle_sql(iters: int = LR_ITERS, lr: float = LR_RATE) -> str:
 
 
 LLM_ORACLES["docs_quality_lr"] = _lr_oracle_sql()
+
+# emb_knn_ivf_persisted: same quantizer (seed/k/n_probe) as the
+# in-session IVF ⇒ identical cells, candidates, and rerank — the
+# persisted path is a storage-layout change, not a semantic one.
+LLM_ORACLES["emb_knn_ivf_persisted"] = LLM_ORACLES["emb_knn_ivf"]
 
 # docs_cluster_representatives: the recursive-CTE cluster oracle with
 # a member join + per-cluster argmax (n_chars desc, doc_id asc) on top.

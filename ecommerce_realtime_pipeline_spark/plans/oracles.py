@@ -34,6 +34,16 @@ KPI_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    # events_by_segment_salted: the oracle is the PLAIN join — salting
+    # is a physical rewrite and must not change a single row.
+    "events_by_segment_salted": """
+        SELECT c_mktsegment,
+               count(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+        ORDER BY 1
+    """,
     # events_sliding_window: every ts is covered by exactly the two
     # 10-min windows starting at trunc5(ts) and trunc5(ts)-5min
     # (trunc5(ts) > ts-5min, so both starts are > ts-10min), which is

@@ -890,3 +890,12 @@ def test_cluster_representatives_pick_longest_member(spark, docs):
         best = max(members, key=lambda d: (chars[d], -d))
         assert r["rep_doc_id"] == best
         assert r["rep_n_chars"] == chars[best]
+
+
+def test_persisted_ivf_equals_in_session(spark):
+    """write→load→serve must return bit-identical rows to the
+    in-session IVF (same quantizer): the persisted path is a storage
+    layout, not a semantic change."""
+    mem = [tuple(r) for r in llm.emb_knn_ivf(spark, SF).collect()]
+    disk = [tuple(r) for r in llm.emb_knn_ivf_persisted(spark, SF).collect()]
+    assert sorted(mem) == sorted(disk) and len(mem) > 0

@@ -207,3 +207,21 @@ def test_bpe_encode_corpus_pass_broadcasts_vocab(spark, sf_dir):
     plan = _plan(spark, sf_dir, "docs_bpe_encode")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_persisted_ivf_prunes_cell_partitions(spark, sf_dir):
+    """Serving from the persisted index must PARTITION-PRUNE to the
+    probed cells — the inverted-file seek property that makes probes
+    O(n_probe/n_centroids) of the index at any scale."""
+    plan = _plan(spark, sf_dir, "emb_knn_ivf_persisted")
+    m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
+    assert m, plan
+
+
+def test_salted_join_spreads_key_and_no_cartesian(spark, sf_dir):
+    """The salted join must plan as an equi-join whose key includes
+    the salt column (8-way spread of each hot key) with no cartesian
+    fallback — and the salt must exist on BOTH shuffle sides."""
+    plan = _plan(spark, sf_dir, "events_by_segment_salted")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    assert "_salt" in plan, plan
