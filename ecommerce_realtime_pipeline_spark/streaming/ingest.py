@@ -167,6 +167,44 @@ def upsert_batch(
     return touched
 
 
+def compact_buckets(
+    spark: SparkSession, silver_path: str, n_buckets: int = N_BUCKETS
+) -> dict[int, tuple[int, int]]:
+    """Small-files maintenance for the bucketed silver layout: after
+    many triggers a bucket directory holds one part-file per writing
+    task; this pass rewrites each FRAGMENTED bucket (≥2 files) to a
+    single file and leaves single-file buckets untouched byte-for-byte
+    (same swap primitive as the upsert, so crash semantics are
+    unchanged). Pure layout change — row content is identical, which
+    the tests assert. `repartition("bucket")` puts every row of a
+    bucket in exactly one task, so the rewrite emits exactly one file
+    per bucket directory.
+
+    Returns {bucket: (files_before, files_after)} for the compacted
+    buckets. At 100 TB this is the scheduled maintenance job every
+    streaming table needs (the parquet analogue of Delta OPTIMIZE);
+    run it off the write path — the swap is per-bucket atomic."""
+    report: dict[int, tuple[int, int]] = {}
+    frag: list[int] = []
+    for b in range(n_buckets):
+        d = os.path.join(silver_path, f"bucket={b}")
+        if not os.path.isdir(d):
+            continue
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        if len(files) > 1:
+            frag.append(b)
+            report[b] = (len(files), 1)
+    if not frag:
+        return report
+    df = (
+        spark.read.parquet(silver_path)
+        .filter(F.col("bucket").isin(frag))
+        .repartition("bucket")
+    )
+    _swap_buckets(df, silver_path, frag)
+    return report
+
+
 def record_offsets(
     spark: SparkSession, batch_df: DataFrame, offsets_path: str, group: str = "engine"
 ) -> None:

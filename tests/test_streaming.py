@@ -390,3 +390,48 @@ def test_streaming_embdedup_decisions_index_and_replay(spark, tmp_path):
     dec2 = ED.read_decisions(spark, work)
     assert dec2.count() == 7  # still one decision row per (batch, vec)
     assert {r["vec_id"] for r in ED.read_index_vecs(spark, work).collect()} == idx_ids
+
+
+def test_compact_buckets_layout_only(spark, tmp_path):
+    """Compaction must (a) reduce every fragmented bucket to ONE
+    parquet file, (b) change zero rows, and (c) leave single-file
+    buckets byte-identical (it reuses the per-bucket swap primitive)."""
+    silver = str(tmp_path / "silver")
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"c{i}", f"c{i}@x.com") for i in range(300)],
+        "customer_id string, email string",
+    ).withColumn("bucket", I.bucket_of("customer_id"))
+    # round-robin repartition spreads each bucket's rows over 8 tasks
+    # -> up to 8 part-files per bucket dir (real post-streaming state)
+    df.repartition(8).write.partitionBy("bucket").parquet(silver)
+
+    before_rows = sorted(
+        (r["customer_id"], r["email"])
+        for r in I.read_silver(spark, silver).collect()
+    )
+    before = _bucket_file_state(silver)
+    frag_dirs = {
+        d for d, files in before.items()
+        if len([f for f in files if f.endswith(".parquet")]) > 1
+    }
+    assert frag_dirs, "fixture failed to fragment any bucket (vacuous test)"
+    report = I.compact_buckets(spark, silver)
+    after = _bucket_file_state(silver)
+    # (a) every fragmented bucket now holds exactly one parquet file
+    assert {f"bucket={b}" for b in report} == frag_dirs
+    for d in frag_dirs:
+        assert len([f for f in after[d] if f.endswith(".parquet")]) == 1, d
+    # (c) untouched (already-compact) buckets byte-identical
+    for d, files in before.items():
+        if d not in frag_dirs:
+            assert after[d] == files, f"{d} was rewritten"
+    # (b) row content unchanged
+    after_rows = sorted(
+        (r["customer_id"], r["email"])
+        for r in I.read_silver(spark, silver).collect()
+    )
+    assert after_rows == before_rows
+    # idempotent: second pass is a no-op
+    assert I.compact_buckets(spark, silver) == {}
