@@ -1,0 +1,116 @@
+"""Sketch-based approximate aggregation (the 100 TB dashboard path):
+an ENGINE-PORTABLE HyperLogLog distinct-count sketch.
+
+Why not `approx_count_distinct`? Spark's built-in HLL++ is correct and
+fast but its hash (xxhash/HLL++ bias tables) is engine-private — its
+estimate can't be value-checked against another engine. This HLL
+derives its registers from md5 (shared by Spark and DuckDB), keeps the
+register fold EXACT (integer max per bucket, DECIMAL integer sum of
+2^(61-M_j)), and defers to ONE double division + the standard
+bias/linear-counting rule at the very end — so the ESTIMATE ITSELF is
+bit-identical across engines and hash-match oracled, not just "close".
+
+Standard HLL (Flajolet et al. 2007): p-bit bucket prefix, rho = 1 +
+leading zeros of the remaining bits, register M_j = max rho, estimate
+alpha_m · m² / Σ 2^-M_j with linear counting below 2.5·m. rho comes
+from floor(log2(v)) — safe across engines because log2 of an integer
+is exact at powers of two and > 1 ulp away from an integer elsewhere.
+
+Scale: one narrow projection (md5 + bit math) + a (group, 2^p)-key
+partial-agg shuffle + a group-key rollup — the register table IS the
+mergeable sketch state (max-merge), so shards/streams combine by a
+further groupBy-max, never by re-reading raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 8  # 2^8 = 256 registers
+_M = 1 << HLL_P
+_POW61 = float(1 << 61)
+
+
+def hll_register_cols(key: str | Column) -> tuple[Column, Column]:
+    """(bucket, rho) for one row: bucket = first 2 md5 hex chars,
+    rho = 1 + leading zeros of the next 60 bits (15 hex chars — fits
+    a signed 64-bit int, and '0x'||hex parses identically in DuckDB)."""
+    col = F.col(key) if isinstance(key, str) else key
+    h = F.md5(col.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    rho = (
+        F.when(v == 0, F.lit(61))
+        .otherwise(F.lit(60) - F.floor(F.log2(v)))
+        .cast("int")
+    )
+    return bucket, rho
+
+
+def hll_distinct(
+    df: DataFrame, key: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate, engine-deterministic.
+
+    Register fold: max(rho) per (group, bucket) — integer, exact.
+    Σ 2^-M_j is computed as the EXACT integer Σ 2^(61-M_j) in
+    DECIMAL(38,0) (2^(61-M) is float-exact, the decimal sum is
+    order-independent), divided once at the end; empty registers
+    contribute 1 each (the V term). Linear counting m·ln(m/V) applies
+    when E ≤ 2.5m and V > 0 — the textbook small-range rule.
+
+    Output: group_cols + (hll_estimate DOUBLE)."""
+    return hll_fold(hll_registers(df, key, group_cols), group_cols)
+
+
+def hll_registers(
+    df: DataFrame, key: str, group_cols: list[str]
+) -> DataFrame:
+    """The register table (group, _bkt, _m) — the sketch STATE. It is
+    max-mergeable: register tables from disjoint shards (or stream
+    epochs) combine by groupBy(group, _bkt).max(_m); the estimate of
+    the merge equals the estimate of the union (tested)."""
+    bucket, rho = hll_register_cols(key)
+    return (
+        df.select(*group_cols, bucket.alias("_bkt"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_bkt")
+        .agg(F.max("_rho").alias("_m"))
+    )
+
+
+def hll_merge(regs_list: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Max-merge register tables from disjoint shards."""
+    merged = regs_list[0]
+    for r in regs_list[1:]:
+        merged = merged.unionByName(r)
+    return merged.groupBy(*group_cols, "_bkt").agg(F.max("_m").alias("_m"))
+
+
+def hll_fold(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Registers → estimate (see :func:`hll_distinct` for the rules)."""
+    folded = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(61) - F.col("_m")).cast("decimal(38,0)")
+        ).alias("_s"),
+        F.count("*").alias("_present"),
+    )
+    v_empty = F.lit(_M) - F.col("_present")
+    sum_inv = v_empty + F.col("_s").cast("double") / F.lit(_POW61)
+    alpha = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(_M))
+    e_raw = alpha * F.lit(_M) * F.lit(_M) / sum_inv
+    est = F.when(
+        (e_raw <= F.lit(2.5) * F.lit(_M)) & (v_empty > 0),
+        F.lit(_M) * F.log(F.lit(_M) / v_empty),
+    ).otherwise(e_raw)
+    return folded.select(*group_cols, est.alias("hll_estimate"))
+
+
+def hll_oracle_exprs(key: str) -> dict[str, str]:
+    """The DuckDB-side spellings of the same register derivation —
+    kept next to the Spark forms so drift is a one-file diff."""
+    h = f"md5(CAST({key} AS VARCHAR))"
+    return {
+        "bucket": f"CAST(('0x' || substr({h}, 1, 2))::BIGINT AS INT)",
+        "v": f"('0x' || substr({h}, 3, 15))::BIGINT",
+    }

@@ -34,6 +34,61 @@ KPI_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    # events_hll_users: full HLL replica — md5 registers, exact integer
+    # register fold (DECIMAL sum of 2^(61-M_j)), one double division,
+    # textbook linear-counting rule. Bit-identical estimate by design.
+    "events_hll_users": """
+        WITH r AS (
+            SELECT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+                        AS INT) AS bkt,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 15))::BIGINT AS v
+            FROM events
+        ),
+        regs AS (
+            SELECT event_type, bkt,
+                   MAX(CASE WHEN v = 0 THEN 61
+                            ELSE 60 - CAST(FLOOR(log2(v)) AS INT) END) AS m
+            FROM r GROUP BY 1, 2
+        ),
+        folded AS (
+            SELECT event_type,
+                   SUM(CAST(pow(2, 61 - m) AS DECIMAL(38,0))) AS s,
+                   COUNT(*) AS present
+            FROM regs GROUP BY 1
+        ),
+        est AS (
+            SELECT event_type,
+                   (256 - present)
+                       + CAST(s AS DOUBLE) / CAST(2305843009213693952 AS DOUBLE)
+                       AS sum_inv,
+                   256 - present AS v_empty
+            FROM folded
+        ),
+        scored AS (
+            SELECT event_type,
+                   CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256)
+                       * 256 * 256 / sum_inv AS e_raw,
+                   v_empty
+            FROM est
+        ),
+        final AS (
+            SELECT event_type,
+                   CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * 256 AND v_empty > 0
+                        THEN 256 * ln(256 / v_empty)
+                        ELSE e_raw END AS hll_estimate
+            FROM scored
+        ),
+        exact AS (
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY 1
+        )
+        SELECT event_type, n_events, exact_distinct,
+               ROUND(hll_estimate, 2) AS hll_estimate
+        FROM exact JOIN final USING (event_type)
+        ORDER BY event_type
+    """,
     # events_by_segment_salted: the oracle is the PLAIN join — salting
     # is a physical rewrite and must not change a single row.
     "events_by_segment_salted": """

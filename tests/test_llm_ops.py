@@ -899,3 +899,61 @@ def test_persisted_ivf_equals_in_session(spark):
     mem = [tuple(r) for r in llm.emb_knn_ivf(spark, SF).collect()]
     disk = [tuple(r) for r in llm.emb_knn_ivf_persisted(spark, SF).collect()]
     assert sorted(mem) == sorted(disk) and len(mem) > 0
+
+
+# -- HLL sketch -------------------------------------------------------------
+
+
+def test_hll_accuracy_and_merge(spark):
+    """(a) Estimate within 3σ (~20%) of exact; (b) the register table
+    is max-mergeable: fold(merge(shard registers)) == fold(full
+    registers) EXACTLY (merge must be lossless on state)."""
+    from ecommerce_realtime_pipeline_spark.operators import sketch as SK
+
+    events = load_table(spark, SF, "events")
+    est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in SK.hll_distinct(events, "user_id", ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(est[et] - n) / n < 0.20, (et, est[et], n)
+    # mergeability
+    h1 = events.filter(F.col("event_id") % 2 == 0)
+    h2 = events.filter(F.col("event_id") % 2 == 1)
+    merged = SK.hll_merge(
+        [
+            SK.hll_registers(h1, "user_id", ["event_type"]),
+            SK.hll_registers(h2, "user_id", ["event_type"]),
+        ],
+        ["event_type"],
+    )
+    via_merge = {
+        r["event_type"]: r["hll_estimate"]
+        for r in SK.hll_fold(merged, ["event_type"]).collect()
+    }
+    assert via_merge == est
+
+
+def test_hll_partition_invariant(spark):
+    """Integer register max + DECIMAL fold ⇒ identical estimate under
+    any partitioning."""
+    from ecommerce_realtime_pipeline_spark.operators import sketch as SK
+
+    events = load_table(spark, SF, "events")
+    a = sorted(
+        tuple(r)
+        for r in SK.hll_distinct(events.coalesce(1), "user_id", ["event_type"]).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in SK.hll_distinct(
+            events.repartition(17), "user_id", ["event_type"]
+        ).collect()
+    )
+    assert a == b
