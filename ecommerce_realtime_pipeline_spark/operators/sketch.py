@@ -1,5 +1,6 @@
 """Sketch-based approximate aggregation (the 100 TB dashboard path):
-an ENGINE-PORTABLE HyperLogLog distinct-count sketch.
+ENGINE-PORTABLE HyperLogLog (distinct counts) and Count-Min
+(heavy-hitter frequencies) sketches.
 
 Why not `approx_count_distinct`? Spark's built-in HLL++ is correct and
 fast but its hash (xxhash/HLL++ bias tables) is engine-private — its
@@ -114,3 +115,47 @@ def hll_oracle_exprs(key: str) -> dict[str, str]:
         "bucket": f"CAST(('0x' || substr({h}, 1, 2))::BIGINT AS INT)",
         "v": f"('0x' || substr({h}, 3, 15))::BIGINT",
     }
+
+
+# -- Count-Min sketch (heavy-hitter frequency estimation) -------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # counters per row
+
+
+def _cms_col(key_col: Column, row: Column) -> Column:
+    """Counter column for (row, key): salted md5, first 4 hex chars
+    mod w — integer-only, so the whole sketch is engine-exact."""
+    h = F.md5(F.concat(row.cast("string"), F.lit("|"), key_col.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(CMS_W))
+
+
+def cms_counters(df: DataFrame, key: str) -> DataFrame:
+    """Build the Count-Min state (_r, _c, cnt): each row increments one
+    counter per hash row. All-integer ⇒ exact, order-independent, and
+    mergeable by (r, c) SUM — the streaming/sharded combine. State is
+    d·w counters regardless of data size: the 100 TB heavy-hitter
+    query reads a 2048-row table, not the corpus."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("_r")
+    keyed = df.select(F.col(key).alias("_k")).select("_k", rows)
+    return (
+        keyed.select("_r", _cms_col(F.col("_k"), F.col("_r")).alias("_c"))
+        .groupBy("_r", "_c")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(counters: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+    """Point-frequency estimates: min over the d counters a key hashes
+    to — the classic CM upper bound (estimate ≥ true count always;
+    error ≤ εN with ε = e/w at the usual guarantees). Broadcast the
+    (d·w)-row counter table; per-key work is d lookups."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("_r")
+    probes = keys.select(F.col(key).alias("_k")).distinct().select("_k", rows)
+    probes = probes.select("_k", "_r", _cms_col(F.col("_k"), F.col("_r")).alias("_c"))
+    return (
+        probes.join(F.broadcast(counters), ["_r", "_c"])
+        .groupBy("_k")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(F.col("_k").alias(key), "cms_estimate")
+    )

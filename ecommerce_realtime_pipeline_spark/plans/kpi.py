@@ -426,6 +426,32 @@ def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter frequency estimation via the engine-portable
+    Count-Min sketch: build the (d·w = 2048)-counter state over the
+    event stream, probe every user, report the top-10 by estimated
+    count next to exact counts. All-integer (md5-derived columns,
+    count/min folds) ⇒ the estimates hash-match the DuckDB oracle
+    exactly; the CM overestimate bound (estimate ≥ true count) is
+    pinned in tests. At 100 TB the heavy-hitter dashboard reads the
+    2048-row state, not the corpus — and states merge by (r,c) SUM."""
+    from ecommerce_realtime_pipeline_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    counters = cms_counters(events, "user_id")
+    est = cms_estimate(counters, events, "user_id")
+    exact = events.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    return (
+        exact.join(est, "user_id")
+        .select("user_id", "exact_n", "cms_estimate")
+        .orderBy(F.desc("cms_estimate"), "user_id")
+        .limit(10)
+    )
+
+
 def events_by_segment_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event value totals per customer market segment, computed through
     the SKEW-SALTED join (`temporal.salted_join`): the hot-key defense

@@ -34,6 +34,39 @@ KPI_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    # events_cms_user_counts: Count-Min replica — salted-md5 counter
+    # columns, integer count/min folds. Exact parity by construction.
+    "events_cms_user_counts": """
+        WITH hashed AS (
+            SELECT user_id, r,
+                   ('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                                        || CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 512 AS c
+            FROM events, unnest([0, 1, 2, 3]) AS t(r)
+        ),
+        counters AS (
+            SELECT r, c, count(*) AS cnt FROM hashed GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT DISTINCT user_id, r,
+                   ('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                                        || CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 512 AS c
+            FROM events, unnest([0, 1, 2, 3]) AS t(r)
+        ),
+        est AS (
+            SELECT user_id, MIN(cnt) AS cms_estimate
+            FROM probes JOIN counters USING (r, c)
+            GROUP BY 1
+        ),
+        exact AS (
+            SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
+        )
+        SELECT user_id, exact_n, cms_estimate
+        FROM exact JOIN est USING (user_id)
+        ORDER BY cms_estimate DESC, user_id
+        LIMIT 10
+    """,
     # events_hll_users: full HLL replica — md5 registers, exact integer
     # register fold (DECIMAL sum of 2^(61-M_j)), one double division,
     # textbook linear-counting rule. Bit-identical estimate by design.

@@ -957,3 +957,40 @@ def test_hll_partition_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_cms_overestimate_bound_and_merge(spark):
+    """(a) CM never underestimates (min-of-counters ≥ true count);
+    (b) the error is within εN for ε = e/w at these parameters;
+    (c) counter states from disjoint shards merge by (r,c) SUM into
+    exactly the full state."""
+    import math
+
+    from ecommerce_realtime_pipeline_spark.operators import sketch as SK
+
+    events = load_table(spark, SF, "events")
+    n_total = events.count()
+    counters = SK.cms_counters(events, "user_id")
+    est = {
+        r["user_id"]: r["cms_estimate"]
+        for r in SK.cms_estimate(counters, events, "user_id").collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    eps_n = math.e / SK.CMS_W * n_total
+    for u, n in exact.items():
+        assert est[u] >= n, (u, est[u], n)
+        assert est[u] - n <= 4 * eps_n, (u, est[u], n, eps_n)
+    # shard merge: sum counters by (r,c)
+    h1 = SK.cms_counters(events.filter(F.col("event_id") % 2 == 0), "user_id")
+    h2 = SK.cms_counters(events.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = (
+        h1.unionByName(h2).groupBy("_r", "_c").agg(F.sum("cnt").alias("cnt"))
+    )
+    est_m = {
+        r["user_id"]: r["cms_estimate"]
+        for r in SK.cms_estimate(merged, events, "user_id").collect()
+    }
+    assert est_m == est
