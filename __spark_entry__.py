@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": llm.docs_quality,
         "docs_lang_id": llm.docs_lang_id,
         "docs_fingerprint_minhash": llm.docs_fingerprint_minhash,
+        "docs_winnow_overlap": llm.docs_winnow_overlap,
         "docs_exact_dedup": llm.docs_exact_dedup,
         "docs_neardup_jaccard": llm.docs_neardup_jaccard,
         "docs_neardup_jaccard_cutoff": llm.docs_neardup_jaccard_cutoff,

@@ -477,3 +477,70 @@ def bpe_encoded_vocab(
     return seqs.select(
         "word", "freq", F.size(F.split("seq", " ")).alias("n_units")
     )
+
+
+# -- winnowing fingerprints (Schleimer et al. 2003) -------------------------
+
+WINNOW_K = 3  # k-gram size
+WINNOW_W = 4  # window size (guarantee: any match ≥ w+k-1 tokens is caught)
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing (the MOSS fingerprinting scheme): hash every k-gram,
+    slide a w-window over the hash sequence, select the RIGHTMOST
+    MINIMUM of each window, dedup — a position-aware fingerprint set
+    ~1/w the gram count with the guarantee that any shared run of
+    ≥ w+k-1 tokens yields a shared fingerprint. Complements the
+    order-free shingle/minhash family (winnowing localizes WHERE the
+    overlap is).
+
+    Implementation is the definition, not a clever recurrence: each
+    gram explodes into the ≤ w windows containing it (bounded w×
+    fan-out BEFORE the shuffle), per-window min, join-back for the
+    rightmost argmin, distinct — three partial-agg shuffles on
+    (doc, window) keys, identical structure in the SQL oracle. Gram
+    hashes are the first 8 md5 hex digits (engine-portable).
+
+    Output: (doc_id, p, h) — fingerprint hash h at gram position p.
+    Docs with fewer than k+w-1 tokens emit nothing (no full window).
+    """
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    base = docs.select("doc_id", toks.alias("_t"), n.alias("_n")).filter(
+        F.col("_n") >= k + w - 1
+    )
+    gram_hash = (
+        f"transform(sequence(0, _n - {k}), i -> "
+        f"cast(conv(substring(md5(concat_ws(' ', slice(_t, i + 1, {k}))), 1, 8),"
+        f" 16, 10) as long))"
+    )
+    grams = base.select(
+        "doc_id",
+        (F.col("_n") - k + 1).alias("_ng"),
+        F.posexplode(F.expr(gram_hash)).alias("p", "h"),
+    )
+    win = grams.select(
+        "doc_id",
+        "p",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("p") - w + 1),
+                F.least(F.col("p"), F.col("_ng") - w),
+            )
+        ).alias("j"),
+    )
+    wmin = win.groupBy("doc_id", "j").agg(F.min("h").alias("minh"))
+    sel = (
+        win.join(wmin, ["doc_id", "j"])
+        .filter(F.col("h") == F.col("minh"))
+        .groupBy("doc_id", "j")
+        .agg(F.max("p").alias("p"))
+    )
+    return (
+        sel.join(grams.select("doc_id", "p", "h"), ["doc_id", "p"])
+        .select("doc_id", "p", "h")
+        .distinct()
+    )

@@ -195,6 +195,31 @@ def docs_neardup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.neardup_clusters_lss(pairs).orderBy("doc_id")
 
 
+def docs_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint overlap detection (the MOSS scheme): build
+    each doc's position-aware fingerprint set (rightmost-min of every
+    w-window over k-gram hashes), then find the top-15 doc pairs by
+    DISTINCT shared fingerprints — overlap detection that LOCALIZES
+    shared runs, complementing the set-similarity dedup family
+    (guarantee: any shared run of ≥ w+k-1 tokens produces a shared
+    fingerprint, so long verbatim overlaps cannot hide).
+
+    Scale: fingerprints are ~1/w of the gram stream; the pair join is
+    an inverted-index equi-join on the fingerprint hash — never
+    all-pairs. TakeOrdered top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = TX.winnow_fingerprints(docs).select("doc_id", "h").distinct()
+    a = fps.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    return pairs.orderBy(F.desc("shared_fps"), "doc_a", "doc_b").limit(15)
+
+
 def docs_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ENDGAME stage: per near-dup cluster, keep the
     best-quality member (here: longest doc, ties → smallest doc_id) —
@@ -2270,6 +2295,55 @@ def _lr_oracle_sql(iters: int = LR_ITERS, lr: float = LR_RATE) -> str:
 
 
 LLM_ORACLES["docs_quality_lr"] = _lr_oracle_sql()
+
+# docs_winnow_overlap: the same three-step winnowing (window min →
+# rightmost argmin join-back → distinct) CTE-for-CTE; 1-based DuckDB
+# list slices mirror the 0-based Spark `slice` grams exactly.
+LLM_ORACLES["docs_winnow_overlap"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    base AS (
+        SELECT doc_id, t, len(t) AS n FROM toks
+        WHERE len(t) >= {TX.WINNOW_K + TX.WINNOW_W - 1}
+    ),
+    idx AS (
+        SELECT doc_id, t, n,
+               unnest(generate_series(1, n - {TX.WINNOW_K} + 1)) AS i
+        FROM base
+    ),
+    grams AS (
+        SELECT doc_id, n - {TX.WINNOW_K} + 1 AS ng, i - 1 AS p,
+               ('0x' || substr(md5(
+                   array_to_string(t[i:i + {TX.WINNOW_K - 1}], ' ')), 1, 8)
+               )::BIGINT AS h
+        FROM idx
+    ),
+    widx AS (
+        SELECT doc_id, p, h,
+               unnest(generate_series(greatest(0, p - {TX.WINNOW_W} + 1),
+                                      least(p, ng - {TX.WINNOW_W}))) AS j
+        FROM grams
+    ),
+    wmin AS (SELECT doc_id, j, MIN(h) AS minh FROM widx GROUP BY 1, 2),
+    sel AS (
+        SELECT w.doc_id, w.j, MAX(w.p) AS p
+        FROM widx w
+        JOIN wmin m ON w.doc_id = m.doc_id AND w.j = m.j AND w.h = m.minh
+        GROUP BY 1, 2
+    ),
+    fps AS (
+        SELECT DISTINCT s.doc_id, g.h
+        FROM sel s JOIN grams g ON g.doc_id = s.doc_id AND g.p = s.p
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+        FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared_fps
+    FROM pairs ORDER BY shared_fps DESC, doc_a, doc_b LIMIT 15
+"""
 
 # emb_knn_ivf_persisted: same quantizer (seed/k/n_probe) as the
 # in-session IVF ⇒ identical cells, candidates, and rerank — the

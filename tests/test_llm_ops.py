@@ -994,3 +994,31 @@ def test_cms_overestimate_bound_and_merge(spark):
         for r in SK.cms_estimate(merged, events, "user_id").collect()
     }
     assert est_m == est
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing guarantee: two docs sharing a run of ≥ w+k-1
+    tokens MUST share a fingerprint (regardless of surrounding text);
+    and the fingerprint set is a proper sample: ≥ n_grams/w (every
+    window selects something) and ≤ n_grams."""
+    run = "alpha beta gamma delta epsilon zeta"  # w+k-1 = 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {run} three four five six"),
+            (2, f"seven eight nine ten {run} eleven twelve"),
+            (3, "unrelated words only here nothing shared at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = TX.winnow_fingerprints(docs).collect()
+    by_doc: dict = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run produced no shared fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    for d in (1, 2, 3):
+        n_grams = len(docs.filter(F.col("doc_id") == d).collect()[0]["text"].split()) - TX.WINNOW_K + 1
+        n_windows = n_grams - TX.WINNOW_W + 1
+        # each window picks one position; dedup can only shrink it to
+        # no fewer than ceil(n_windows / w) distinct picks
+        assert (n_windows + TX.WINNOW_W - 1) // TX.WINNOW_W <= len(by_doc[d]) <= n_grams
