@@ -539,6 +539,57 @@ def streaming_embdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 + sketches: approximate distinct users maintained over a
+    STREAM — three availableNow runs feed a foreachBatch that
+    max-merges HLL registers into a persisted table (bounded state:
+    256 rows per event type, forever; replay-idempotent because max
+    is idempotent). Fixture batches carry view-users 0..99, 50..149,
+    100..199 (overlapping!) and click-users 0..49, so the stream's
+    TRUE distinct sets are exactly views 0..199 / clicks 0..49 — and
+    because HLL over a multiset equals HLL over its support, the
+    DuckDB oracle COMPUTES the same registers from generate_series
+    and must reproduce the estimate bit-for-bit. A real algorithmic
+    oracle for a streaming query, not a literal: it proves the
+    cross-batch register merge is lossless."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.streaming import sketchstream as SS
+
+    tmp = tempfile.mkdtemp(prefix="eng_hllstream_")
+    try:
+        src, regs, ckpt = (os.path.join(tmp, d) for d in ("src", "regs", "ckpt"))
+        batches = [
+            [(i, "view") for i in range(0, 100)],
+            [(i, "view") for i in range(50, 150)],
+            [(i, "view") for i in range(100, 200)]
+            + [(i, "click") for i in range(0, 50)],
+        ]
+        os.makedirs(src, exist_ok=True)
+        with _pinned_state_partitions(spark):
+            for bi, rows in enumerate(batches):
+                with open(os.path.join(src, f"b{bi}.json"), "w") as f:
+                    f.write(
+                        "\n".join(
+                            json.dumps({"user_id": i, "event_type": t})
+                            for i, t in rows
+                        )
+                        + "\n"
+                    )
+                q = SS.run_hll_stream(spark, src, regs, ckpt)
+                q.awaitTermination(120)
+        return (
+            SS.estimates(spark, regs)
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end DQ pipeline: generate → corrupt (forced rates) →
     validate every entity → per-rule quarantine counts (R18). The
@@ -580,6 +631,60 @@ def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GEN_ORACLES: dict[str, str] = {
+    # streaming_hll_users: a COMPUTED oracle — DuckDB rebuilds the
+    # stream's distinct user sets from generate_series (HLL over a
+    # multiset == HLL over its support) and runs the identical HLL:
+    # md5 registers, exact integer fold, linear counting. Equality
+    # proves the streaming cross-batch register merge is lossless.
+    "streaming_hll_users": """
+        WITH rows_ AS (
+            SELECT unnest(generate_series(0, 199)) AS user_id,
+                   'view' AS event_type
+            UNION ALL
+            SELECT unnest(generate_series(0, 49)) AS user_id,
+                   'click' AS event_type
+        ),
+        r AS (
+            SELECT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+                        AS INT) AS bkt,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 15))::BIGINT AS v
+            FROM rows_
+        ),
+        regs AS (
+            SELECT event_type, bkt,
+                   MAX(CASE WHEN v = 0 THEN 61
+                            ELSE 60 - CAST(FLOOR(log2(v)) AS INT) END) AS m
+            FROM r GROUP BY 1, 2
+        ),
+        folded AS (
+            SELECT event_type,
+                   SUM(CAST(pow(2, 61 - m) AS DECIMAL(38,0))) AS s,
+                   COUNT(*) AS present
+            FROM regs GROUP BY 1
+        ),
+        est AS (
+            SELECT event_type,
+                   (256 - present)
+                       + CAST(s AS DOUBLE) / CAST(2305843009213693952 AS DOUBLE)
+                       AS sum_inv,
+                   256 - present AS v_empty
+            FROM folded
+        ),
+        scored AS (
+            SELECT event_type,
+                   CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256)
+                       * 256 * 256 / sum_inv AS e_raw,
+                   v_empty
+            FROM est
+        )
+        SELECT event_type,
+               ROUND(CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * 256 AND v_empty > 0
+                          THEN 256 * ln(256 / v_empty)
+                          ELSE e_raw END, 2) AS hll_estimate
+        FROM scored
+        ORDER BY event_type
+    """,
     "gen_batch_shape": """
         SELECT CAST(10 AS BIGINT) AS n_products,
                CAST(10 AS BIGINT) AS n_customers,

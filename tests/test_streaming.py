@@ -435,3 +435,23 @@ def test_compact_buckets_layout_only(spark, tmp_path):
     assert after_rows == before_rows
     # idempotent: second pass is a no-op
     assert I.compact_buckets(spark, silver) == {}
+
+
+def test_streaming_hll_replay_idempotent(spark, tmp_path):
+    """Max-merge is idempotent: re-merging an already-merged batch
+    (crash/replay) must leave the register table unchanged — the
+    property that makes the streaming HLL safe WITHOUT the journal
+    treatment the near-dup indexes need."""
+    from ecommerce_realtime_pipeline_spark.streaming import sketchstream as SS
+
+    regs_path = str(tmp_path / "regs")
+    batch = spark.createDataFrame(
+        [(i, "view") for i in range(50)], "user_id long, event_type string"
+    )
+    SS.merge_hll_batch(spark, batch, regs_path)
+    before = sorted(tuple(r) for r in spark.read.parquet(regs_path).collect())
+    SS.merge_hll_batch(spark, batch, regs_path)  # replay
+    after = sorted(tuple(r) for r in spark.read.parquet(regs_path).collect())
+    assert after == before
+    est = SS.estimates(spark, regs_path).collect()
+    assert len(est) == 1 and abs(est[0]["hll_estimate"] - 50) / 50 < 0.25
