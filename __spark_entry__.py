@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_segment_salted": kpi.events_by_segment_salted,
         "events_hll_users": kpi.events_hll_users,
         "events_cms_user_counts": kpi.events_cms_user_counts,
+        "events_value_quantile_sketch": kpi.events_value_quantile_sketch,
         "top_products_by_revenue": kpi.top_products_by_revenue,
         "top_customers_by_spend": kpi.top_customers_by_spend,
         "pricing_summary": kpi.pricing_summary,

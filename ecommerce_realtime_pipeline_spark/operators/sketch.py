@@ -25,7 +25,7 @@ further groupBy-max, never by re-reading raw data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HLL_P = 8  # 2^8 = 256 registers
@@ -159,3 +159,77 @@ def cms_estimate(counters: DataFrame, keys: DataFrame, key: str) -> DataFrame:
         .agg(F.min("cnt").alias("cms_estimate"))
         .select(F.col("_k").alias(key), "cms_estimate")
     )
+
+
+# -- histogram quantile sketch ----------------------------------------------
+
+HIST_BINS = 64
+
+
+def hist_quantiles(
+    df: DataFrame,
+    val: str,
+    group_cols: list[str],
+    qs: list[float],
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Approximate per-group quantiles from an equi-width histogram —
+    the third sketch family (distinct → HLL, frequency → CMS,
+    quantiles → histogram): n_bins counters per group are the WHOLE
+    state, mergeable by (group, bin) SUM, so a 100 TB percentile
+    dashboard reads counters, not rows. Error is bounded by one bin
+    width of the value range (the classic grid trade; t-digest tips
+    the accuracy/mergeability balance differently and is the
+    documented production alternative for heavy-tailed ranges).
+
+    Engine-exact by construction: min/max are order-independent,
+    bin = floor((v-mn)/width) is the same IEEE expression on both
+    engines, counts are integers, and the final interpolation is a
+    fixed arithmetic sequence — so even the ESTIMATES hash-match.
+
+    Estimate for q: with target = q·n, find the first bin whose
+    cumulative count reaches target, interpolate linearly inside it:
+    mn + width·(bin + (target − cum_prev)/bin_count).
+
+    Output: group_cols + (q, approx_value)."""
+    g = list(group_cols)
+    stats = df.groupBy(*g).agg(
+        F.min(val).alias("_mn"),
+        F.max(val).alias("_mx"),
+        F.count(val).alias("_n"),
+    )
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(n_bins)
+    binned = df.join(F.broadcast(stats), g).select(
+        *g,
+        "_mn",
+        "_mx",
+        "_n",
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col(val) - F.col("_mn")) / width).cast("int"),
+            )
+        )
+        .alias("_bin"),
+    )
+    counts = binned.groupBy(*g, "_mn", "_mx", "_n", "_bin").agg(
+        F.count("*").alias("_cnt")
+    )
+    w = Window.partitionBy(*g).orderBy("_bin")
+    cum = counts.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
+        "_prev", F.col("_cum") - F.col("_cnt")
+    )
+    qdf = df.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+    hit = cum.crossJoin(F.broadcast(qdf)).filter(
+        F.col("_cum") >= F.col("q") * F.col("_n")
+    )
+    first = hit.groupBy(*g, "q").agg(
+        F.min(F.struct("_bin", "_mn", "_mx", "_n", "_cnt", "_prev")).alias("_f")
+    )
+    width_f = (F.col("_f._mx") - F.col("_f._mn")) / F.lit(n_bins)
+    est = F.col("_f._mn") + width_f * (
+        F.col("_f._bin")
+        + (F.col("q") * F.col("_f._n") - F.col("_f._prev")) / F.col("_f._cnt")
+    )
+    return first.select(*g, "q", est.alias("approx_value"))

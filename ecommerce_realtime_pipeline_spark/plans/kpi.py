@@ -452,6 +452,23 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of event value per type from the 64-bin histogram
+    sketch (`operators/sketch.hist_quantiles`) — quantiles the way a
+    100 TB dashboard serves them: from mergeable per-group counters,
+    not a per-group sort. Deterministic grid + integer counts + a
+    fixed interpolation expression ⇒ the ESTIMATES hash-match the
+    DuckDB oracle; accuracy vs the exact percentiles is bounded in
+    tests by one bin width."""
+    from ecommerce_realtime_pipeline_spark.operators.sketch import hist_quantiles
+
+    events = load_table(spark, sf_dir, "events")
+    out = hist_quantiles(events, "value", ["event_type"], [0.5, 0.9, 0.99])
+    return out.select(
+        "event_type", "q", F.round("approx_value", 4).alias("approx_value")
+    ).orderBy("event_type", "q")
+
+
 def events_by_segment_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event value totals per customer market segment, computed through
     the SKEW-SALTED join (`temporal.salted_join`): the hot-key defense

@@ -34,6 +34,50 @@ KPI_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    # events_value_quantile_sketch: histogram-sketch replica — same
+    # grid (floor((v-mn)/((mx-mn)/64)), clamp 63), integer cumulative
+    # counts, identical interpolation expression. Estimates match
+    # bit-for-bit because every float op is the same IEEE sequence.
+    "events_value_quantile_sketch": """
+        WITH stats AS (
+            SELECT event_type, MIN(value) AS mn, MAX(value) AS mx,
+                   COUNT(value) AS n
+            FROM events GROUP BY 1
+        ),
+        binned AS (
+            SELECT e.event_type, s.mn, s.mx, s.n,
+                   CASE WHEN s.mx = s.mn THEN 0
+                        ELSE LEAST(63, CAST(FLOOR((e.value - s.mn)
+                                 / ((s.mx - s.mn) / 64)) AS INT)) END AS bin
+            FROM events e JOIN stats s USING (event_type)
+        ),
+        counts AS (
+            SELECT event_type, mn, mx, n, bin, COUNT(*) AS cnt
+            FROM binned GROUP BY 1, 2, 3, 4, 5
+        ),
+        cum AS (
+            SELECT *, SUM(cnt) OVER (PARTITION BY event_type
+                                     ORDER BY bin) AS cum
+            FROM counts
+        ),
+        hit AS (
+            SELECT c.*, c.cum - c.cnt AS prev, q.q
+            FROM cum c,
+                 (SELECT CAST(q AS DOUBLE) AS q
+                  FROM (VALUES (0.5), (0.9), (0.99)) AS v(q)) q
+            WHERE c.cum >= q.q * c.n
+        ),
+        first_hit AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, q
+                                         ORDER BY bin) AS rn
+            FROM hit
+        )
+        SELECT event_type, q,
+               ROUND(mn + ((mx - mn) / 64)
+                     * (bin + (q * n - prev) / cnt), 4) AS approx_value
+        FROM first_hit WHERE rn = 1
+        ORDER BY event_type, q
+    """,
     # events_cms_user_counts: Count-Min replica — salted-md5 counter
     # columns, integer count/min folds. Exact parity by construction.
     "events_cms_user_counts": """

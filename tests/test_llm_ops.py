@@ -1022,3 +1022,37 @@ def test_winnowing_guarantee_and_density(spark):
         # each window picks one position; dedup can only shrink it to
         # no fewer than ceil(n_windows / w) distinct picks
         assert (n_windows + TX.WINNOW_W - 1) // TX.WINNOW_W <= len(by_doc[d]) <= n_grams
+
+
+def test_hist_quantile_within_one_bin_of_exact(spark):
+    """The grid guarantee, stated precisely: the estimate lands inside
+    the bin that contains the ceil(q·n)-th smallest value, so it is
+    within one bin width of that ORDER STATISTIC (the interpolated
+    percentile can drift further in sparse tails — that is the grid
+    trade the docstring names). Also monotone in q."""
+    import math
+
+    from ecommerce_realtime_pipeline_spark.operators import sketch as SK
+
+    events = load_table(spark, SF, "events")
+    approx = {
+        (r["event_type"], r["q"]): r["approx_value"]
+        for r in SK.hist_quantiles(
+            events, "value", ["event_type"], [0.5, 0.9, 0.99]
+        ).collect()
+    }
+    groups = {
+        r["event_type"]: (sorted(r["vals"]), r["w"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.collect_list("value").alias("vals"),
+            ((F.max("value") - F.min("value")) / SK.HIST_BINS).alias("w"),
+        )
+        .collect()
+    }
+    for et, (vals, w) in groups.items():
+        for q in [0.5, 0.9, 0.99]:
+            kth = vals[min(len(vals) - 1, math.ceil(q * len(vals)) - 1)]
+            got = approx[(et, q)]
+            assert abs(got - kth) <= w + 1e-9, (et, q, got, kth, w)
+        assert approx[(et, 0.5)] <= approx[(et, 0.9)] <= approx[(et, 0.99)]
