@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardup_clusters_lss": llm.docs_neardup_clusters_lss,
         "docs_cluster_representatives": llm.docs_cluster_representatives,
         "docs_train_split": llm.docs_train_split,
+        "docs_leakage_safe_split": llm.docs_leakage_safe_split,
         "docs_quality_filter": llm.docs_quality_filter,
         "docs_quality_lr": llm.docs_quality_lr,
         "emb_knn_bruteforce": llm.emb_knn_bruteforce,

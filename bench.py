@@ -54,10 +54,13 @@ STRESS_QUERIES = [
     "docs_neardup_clusters_lss",
     "mm_decode_image_stats",
     "emb_knn_ivfpq",
-    # round-4 additions: cell-bounded semantic dedup (Σ|cell|² term)
-    # and the hopping-window explode (2× pre-agg rows)
+    # round-4 additions: cell-bounded semantic dedup (Σ|cell|² term),
+    # the hopping-window explode (2× pre-agg rows), the w×-gram-explode
+    # winnowing pass, and the sketch family (must stay flat-linear)
     "emb_semdedup",
     "events_sliding_window",
+    "docs_winnow_overlap",
+    "events_hll_users",
 ]
 
 

@@ -253,6 +253,38 @@ def docs_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split: hash on the NEAR-DUP
+    CLUSTER id (min-label = the canonical member), not the doc id —
+    so a document and its near-duplicates can never land on opposite
+    sides of the train/test wall (the leakage mode a naive per-doc
+    hash split silently commits, demonstrated in tests). Singleton
+    docs hash on their own id; the cluster label IS the min member
+    id, so the group key needs no extra canonicalization pass.
+
+    Scale: the cluster table is dup-graph-sized and broadcast; the
+    split stays a pure function of the group key (stable across
+    engines/partitionings like `hash_split`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, threshold=JACCARD_T, n=3)
+    clusters = DD.neardup_clusters_lss(pairs)
+    keyed = docs.select("doc_id").join(F.broadcast(clusters), "doc_id", "left")
+    group_key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    tagged = keyed.select(
+        "doc_id",
+        group_key.alias("group_key"),
+        TX.hash_split(group_key).alias("split"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("group_key").alias("n_groups"),
+        )
+        .orderBy("split")
+    )
+
+
 def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by md5(doc_id) —
     leakage-safe (membership is a pure function of the id, stable
@@ -337,9 +369,19 @@ def emb_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same quantizer parameters as ``emb_knn_ivf`` ⇒ bit-identical
     results ⇒ shares its DuckDB oracle verbatim."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # path key includes the source file's (size, mtime): a regenerated
+    # corpus invalidates the on-disk index instead of serving stale
+    # cells (the poor man's index-freshness check; production tracks a
+    # source snapshot id in the index manifest)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        stamp = sf_dir
     path = os.path.join(
         tempfile.gettempdir(),
-        "spark_graft_ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "spark_graft_ivf_" + hashlib.md5(stamp.encode()).hexdigest()[:12],
     )
     if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
         SIM.write_ivf_index(emb, path, cache_key=f"{sf_dir}/embeddings")
@@ -2374,6 +2416,31 @@ LLM_ORACLES["docs_cluster_representatives"] = _cl_head + """,
                COUNT(*) - 1 AS n_dropped
         FROM mem GROUP BY cluster_id ORDER BY cluster_id
     """
+# docs_leakage_safe_split: same recursive-CTE clusters; split buckets
+# on COALESCE(cluster_id, doc_id) exactly like text.hash_split.
+LLM_ORACLES["docs_leakage_safe_split"] = _cl_head + """,
+        cl AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        keyed AS (
+            SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS gk
+            FROM documents d LEFT JOIN cl USING (doc_id)
+        ),
+        tagged AS (
+            SELECT gk,
+                   CAST('0x' || substr(md5(CAST(gk AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 100 AS bucket
+            FROM keyed
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT gk) AS n_groups
+        FROM tagged GROUP BY 1 ORDER BY 1
+    """
+
 del _cl, _cl_head, _cl_tail
 
 LLM_ORACLES["docs_bpe_merges"] = _bpe_oracle_sql()

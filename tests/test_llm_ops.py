@@ -1056,3 +1056,36 @@ def test_hist_quantile_within_one_bin_of_exact(spark):
             got = approx[(et, q)]
             assert abs(got - kth) <= w + 1e-9, (et, q, got, kth, w)
         assert approx[(et, 0.5)] <= approx[(et, 0.9)] <= approx[(et, 0.99)]
+
+
+def test_leakage_safe_split_vs_naive(spark, docs):
+    """(a) The cluster-aware split NEVER separates near-dup cluster
+    members across splits; (b) on this corpus the naive per-doc hash
+    split DOES (the leakage mode being fixed) — i.e. the query isn't
+    vacuously equal to the naive one."""
+    pairs = DD.jaccard_pairs(docs, threshold=0.5, n=3)
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in DD.neardup_clusters_lss(pairs).collect()
+    }
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in docs.select(
+            "doc_id", TX.hash_split("doc_id").alias("split")
+        ).collect()
+    }
+    import hashlib
+
+    def cluster_split(gk: int) -> str:
+        b = int(hashlib.md5(str(gk).encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    by_cluster: dict = {}
+    naive_by_cluster: dict = {}
+    for d, c in clusters.items():
+        by_cluster.setdefault(c, set()).add(cluster_split(c))
+        naive_by_cluster.setdefault(c, set()).add(split_of[d])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert any(len(s) > 1 for s in naive_by_cluster.values()), (
+        "corpus has no naive-split leakage; test can't demonstrate the fix"
+    )
