@@ -141,18 +141,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query (same column names/types/values).
-
-    Rows-only (no oracle): gen_corrupt_validate_metrics (hash-gated
-    corruption) and streaming_ingest_roundtrip (checkpoint/replay
-    state) — each pinned by a non-vacuous pytest counterpart instead.
-    Everything else is oracle-checked, including the ANN pipelines
-    (LSH planes inlined as constants, IVF/PQ/k-means quantizers
-    md5-ordered and DECIMAL-exact), the multimodal decode round-trip
-    (md5-derived pixel streams rebuilt in SQL), the streaming fixtures
-    (analytic contract oracles, plans/gen.py GEN_ORACLES), and the
-    iterative algorithms (connected components via recursive CTE,
-    2-iteration Lloyd as a chained-CTE replica).
+    """DuckDB oracle SQL per query (same column names/types/values) —
+    one for EVERY queries() entry. Three oracle classes, each named at
+    its definition: computed replicas (the ANN pipelines with LSH
+    planes/quantizers inlined, the multimodal decode round-trip, the
+    iterative algorithms as recursive/chained CTEs, the sketches whose
+    ESTIMATES match bit-for-bit, the streaming HLL whose oracle
+    re-derives the registers from first principles), analytic contract
+    oracles (streaming fixtures whose outputs are paper-derivable
+    constants), and two FROZEN-CONTRACT (golden) oracles for the
+    seed-deterministic generator outputs (gen_corrupt_validate_metrics,
+    streaming_ingest_roundtrip) — weaker than computed oracles but
+    still a full value-hash gate, and double-pinned by pytest.
     """
     return {
         **KPI_ORACLES,
