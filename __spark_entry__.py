@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_total_reagg": dq.order_total_reagg,
         "dq_metrics": dq.dq_metrics,
         "dedup_lineitem_latest": dq.dedup_lineitem_latest,
+        "customers_snapshot_diff": dq.customers_snapshot_diff,
         "set_ops_actors": dq.set_ops_actors,
         "revenue_grouping_sets": dq.revenue_grouping_sets,
         # §2.9 — LLM-data-pipeline operators (driver-mandated)

@@ -122,3 +122,46 @@ def normalize_entity(raw: DataFrame, entity: str) -> tuple[DataFrame, DataFrame]
     typed, bad = parse_envelope(dedup_offsets(raw), entity)
     silver = stamp_audit(latest_by_key(typed, id_field, ORDER_COLS[entity]))
     return silver, bad
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Change-data-capture diff of two snapshots of the same table:
+    one full-outer equi-join on the key, non-key columns compared via
+    an md5 of their concatenated string forms (null-tagged so NULL vs
+    'null' can't collide). Output: the key columns + `op` ∈
+    {'insert','delete','update'} — unchanged rows are dropped, which
+    is the point: the diff IS the change feed a downstream consumer
+    replays.
+
+    Scale: ONE shuffle per side on the key (the join), comparison is
+    a narrow projection. This is the backfill/repair primitive for
+    the bucketed silver layer — at 100 TB run it per bucket
+    (partition-pruned on both sides) so each diff unit is
+    executor-sized."""
+    val_cols = [c for c in old.columns if c not in key_cols]
+    if set(val_cols) != set(c for c in new.columns if c not in key_cols):
+        raise ValueError("snapshot_diff: schemas differ beyond key columns")
+
+    def fp(df: DataFrame) -> F.Column:
+        parts = []
+        for c in val_cols:
+            parts.append(
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            )
+        return F.md5(F.concat_ws("\x01", *parts))
+
+    o = old.select(*key_cols, fp(old).alias("_fp_old"))
+    n = new.select(*key_cols, fp(new).alias("_fp_new"))
+    joined = o.join(n, key_cols, "full_outer")
+    op = (
+        F.when(F.col("_fp_old").isNull(), F.lit("insert"))
+        .when(F.col("_fp_new").isNull(), F.lit("delete"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*key_cols, "op")
+    )

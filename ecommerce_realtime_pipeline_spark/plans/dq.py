@@ -488,3 +488,57 @@ DQ_ORACLES: dict[str, str] = {
         FROM ranked WHERE _rn = 1
     """,
 }
+
+
+def customers_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (`normalize.snapshot_diff`) exercised on a
+    deterministically perturbed copy of `customer`: keys %97 deleted,
+    %13 get acctbal+10 (update), %31 re-inserted under key+1e6 — so
+    the correct change feed is ANALYTIC (each op's key set is a pure
+    modular predicate) and the oracle derives it without running the
+    diff: a wrong join side, fingerprint collision, or op
+    misclassification breaks the hash. Output: per-op key counts and
+    key ranges. The operator itself is the backfill/repair primitive
+    for the bucketed silver layer (one equi-join per side; run
+    per-bucket at 100 TB)."""
+    from ecommerce_realtime_pipeline_spark.operators.normalize import snapshot_diff
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    new = (
+        cust.filter(k % 97 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(k % 13 == 0, F.col("c_acctbal") + 10).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .unionByName(
+            cust.filter(k % 31 == 0).withColumn("c_custkey", k + 1_000_000)
+        )
+    )
+    diff = snapshot_diff(cust, new, ["c_custkey"])
+    return (
+        diff.groupBy("op")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("op")
+    )
+
+
+DQ_ORACLES["customers_snapshot_diff"] = """
+    SELECT 'delete' AS op, COUNT(*) AS n_keys,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer WHERE c_custkey % 97 = 0
+    UNION ALL
+    SELECT 'insert', COUNT(*),
+           MIN(c_custkey + 1000000), MAX(c_custkey + 1000000)
+    FROM customer WHERE c_custkey % 31 = 0
+    UNION ALL
+    SELECT 'update', COUNT(*), MIN(c_custkey), MAX(c_custkey)
+    FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 97 <> 0
+    ORDER BY op
+"""

@@ -161,3 +161,36 @@ def test_order_col_map_covers_all_entities():
     assert set(N.ORDER_COLS) == set(ENTITY_SCHEMAS)
     for entity, col in N.ORDER_COLS.items():
         assert col in [f.name for f in ENTITY_SCHEMAS[entity].fields], (entity, col)
+
+
+def test_snapshot_diff_classification(spark):
+    """insert/delete/update/unchanged classification, including the
+    null-vs-'null' fingerprint distinction."""
+    from ecommerce_realtime_pipeline_spark.operators.normalize import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "id long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),        # unchanged -> absent from feed
+            (2, "b", 99),        # update
+            (3, "null", 30),     # NULL -> 'null' string must be an update
+            (5, "e", 50),        # insert
+        ],                        # 4 deleted
+        "id long, s string, v long",
+    )
+    got = {r["id"]: r["op"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+
+
+def test_snapshot_diff_rejects_schema_drift(spark):
+    from ecommerce_realtime_pipeline_spark.operators.normalize import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a")], "id long, s string")
+    new = spark.createDataFrame([(1, "a", 2)], "id long, s string, extra long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        snapshot_diff(old, new, ["id"])
