@@ -498,10 +498,11 @@ def winnow_fingerprints(
 
     Implementation is the definition, not a clever recurrence: each
     gram explodes into the ≤ w windows containing it (bounded w×
-    fan-out BEFORE the shuffle), per-window min, join-back for the
-    rightmost argmin, distinct — three partial-agg shuffles on
-    (doc, window) keys, identical structure in the SQL oracle. Gram
-    hashes are the first 8 md5 hex digits (engine-portable).
+    fan-out BEFORE the shuffle), then the rightmost-min per window is
+    ONE lexicographic min(struct(h, -p)) partial-agg shuffle +
+    distinct. Gram hashes are the first 8 md5 hex digits
+    (engine-portable); the oracle spells the same selection as the
+    equivalent two-step (window-min then rightmost argmin) SQL.
 
     Output: (doc_id, p, h) — fingerprint hash h at gram position p.
     Docs with fewer than k+w-1 tokens emit nothing (no full window).
@@ -532,15 +533,15 @@ def winnow_fingerprints(
             )
         ).alias("j"),
     )
-    wmin = win.groupBy("doc_id", "j").agg(F.min("h").alias("minh"))
-    sel = (
-        win.join(wmin, ["doc_id", "j"])
-        .filter(F.col("h") == F.col("minh"))
-        .groupBy("doc_id", "j")
-        .agg(F.max("p").alias("p"))
+    # rightmost-min in ONE partial-agg shuffle: lexicographic
+    # min(struct(h, -p)) = (min hash, then max position) — no
+    # join-back (the struct already carries the winning hash). The
+    # oracle keeps the expanded two-step spelling; results are equal.
+    wmin = win.groupBy("doc_id", "j").agg(
+        F.min(F.struct(F.col("h"), (-F.col("p")).alias("np"))).alias("_m")
     )
-    return (
-        sel.join(grams.select("doc_id", "p", "h"), ["doc_id", "p"])
-        .select("doc_id", "p", "h")
-        .distinct()
-    )
+    return wmin.select(
+        "doc_id",
+        (-F.col("_m.np")).alias("p"),
+        F.col("_m.h").alias("h"),
+    ).distinct()
