@@ -129,11 +129,14 @@ def snapshot_diff(
 ) -> DataFrame:
     """Change-data-capture diff of two snapshots of the same table:
     one full-outer equi-join on the key, non-key columns compared via
-    an md5 of their concatenated string forms (null-tagged so NULL vs
-    'null' can't collide). Output: the key columns + `op` ∈
-    {'insert','delete','update'} — unchanged rows are dropped, which
-    is the point: the diff IS the change feed a downstream consumer
-    replays.
+    a row fingerprint built from PER-COLUMN md5s (fixed-width parts,
+    so no separator byte inside a value can shift column boundaries —
+    hashing the raw concatenation would mis-equate
+    ('a\\x01','b') with ('a','\\x01b'); NULL maps to a non-hex marker
+    distinct from any md5, so NULL vs 'null' can't collide either).
+    Output: the key columns + `op` ∈ {'insert','delete','update'} —
+    unchanged rows are dropped, which is the point: the diff IS the
+    change feed a downstream consumer replays.
 
     Scale: ONE shuffle per side on the key (the join), comparison is
     a narrow projection. This is the backfill/repair primitive for
@@ -145,12 +148,11 @@ def snapshot_diff(
         raise ValueError("snapshot_diff: schemas differ beyond key columns")
 
     def fp(df: DataFrame) -> F.Column:
-        parts = []
-        for c in val_cols:
-            parts.append(
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-            )
-        return F.md5(F.concat_ws("\x01", *parts))
+        parts = [
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("@null"))
+            for c in val_cols
+        ]
+        return F.md5(F.concat(*parts))
 
     o = old.select(*key_cols, fp(old).alias("_fp_old"))
     n = new.select(*key_cols, fp(new).alias("_fp_new"))

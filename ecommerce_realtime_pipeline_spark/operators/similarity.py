@@ -18,6 +18,7 @@ Scale stance (100 TB):
 from __future__ import annotations
 
 import math
+import os
 import random
 
 import numpy as np
@@ -363,10 +364,21 @@ def write_ivf_index(
     become PartitionFilters, so the scan touches n_probe directories
     out of n_centroids — the columnar analogue of an inverted-file
     seek. At 100 TB each cell directory holds its own row groups and
-    the index is rebuilt (or merged) offline like any search index."""
+    the index is rebuilt (or merged) offline like any search index.
+
+    PUBLICATION IS ATOMIC: both tables are staged into a scratch
+    directory and a single `os.rename` exposes them — a concurrent
+    reader sees either no index or a complete one, and if two
+    builders race, the loser's rename fails and it discards its
+    staging dir (the winner's identical index serves both). Object
+    stores swap the rename for a manifest flip."""
+    import shutil as _sh
+    import uuid as _uuid
+
     cents = ivf_centroids(emb, n_centroids, col, seed, cache_key=cache_key)
     spark = emb.sparkSession
     assign = _probe_udf(cents, 1)
+    stage = f"{path}.stage-{_uuid.uuid4().hex[:8]}"
     (
         emb.select(
             F.col("vec_id").alias("neighbor_id"),
@@ -375,12 +387,17 @@ def write_ivf_index(
         )
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{path}/cells")
+        .parquet(f"{stage}/cells")
     )
     spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
         "cid int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).write.mode("overwrite").parquet(f"{stage}/centroids")
+    try:
+        os.rename(stage, path)
+    except OSError:
+        # another builder published first; its index is identical
+        _sh.rmtree(stage, ignore_errors=True)
 
 
 def knn_ivf_from_index(
@@ -405,12 +422,21 @@ def knn_ivf_from_index(
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     cents = [list(r["centroid"]) for r in cent_rows]
     probe = _probe_udf(cents, n_probe)
-    q_cells = queries.select(
+    q_rows = queries.select(
         F.col("vec_id").alias("query_id"),
         F.explode(probe(F.col(col))).alias("cell"),
+    ).collect()  # bounded: |queries|·n_probe — the probe pass runs ONCE
+    q_cells = spark.createDataFrame(
+        [(r["query_id"], int(r["cell"])) for r in q_rows],
+        "query_id long, cell int",
     )
-    probed = sorted({int(r["cell"]) for r in q_cells.collect()})
-    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probed))
+    probed = sorted({int(r["cell"]) for r in q_rows})
+    # one pruned scan serves both candidate generation and the rerank
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(probed))
+        .localCheckpoint()
+    )
     cand = (
         cells.join(F.broadcast(q_cells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1012,7 +1038,7 @@ def semdedup_drops(
     corpus: DataFrame,
     threshold: float = 0.9,
     cell_target: int = 64,
-    max_exact_cells: int = 32,
+    max_exact_cells: int = 16,
     iters: int = 2,
     col: str = "embedding",
     seed: int = 42,
@@ -1036,11 +1062,15 @@ def semdedup_drops(
     in n (measured: 19× cost at 10× rows before this auto-sizing).
     Two assignment kernels behind one contract:
 
-    - k ≤ ``max_exact_cells`` (the scales the DuckDB oracle and the
-      driver's correctness gate run at): Lloyd-refined quantizer +
-      the DECIMAL-exact squared-L2 kernel — cell membership is
-      engine-deterministic, so the whole train→assign→compare→drop
-      pipeline is SQL-oracle-checkable CTE-for-CTE.
+    - k ≤ ``max_exact_cells`` (defaults to 16 EXACTLY because the
+      SQL oracle replays a fixed-16 quantizer: k = max(16, n/64)
+      means k ≤ 16 ⇔ k = 16, so there is no band where the exact
+      kernel trains a k the oracle doesn't — this is the regime the
+      driver's correctness gate and the tests run at): Lloyd-refined
+      quantizer + the DECIMAL-exact squared-L2 kernel — cell
+      membership is engine-deterministic, so the whole
+      train→assign→compare→drop pipeline is SQL-oracle-checkable
+      CTE-for-CTE.
     - k > ``max_exact_cells``: md5-sampled centroids + the Arrow
       matmul cosine-cell assignment (the IVF serving kernel,
       ``_probe_udf``) — one vectorized pass, O(n·dim·k) flops inside

@@ -107,15 +107,11 @@ def hll_fold(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     return folded.select(*group_cols, est.alias("hll_estimate"))
 
 
-def hll_oracle_exprs(key: str) -> dict[str, str]:
-    """The DuckDB-side spellings of the same register derivation —
-    kept next to the Spark forms so drift is a one-file diff."""
-    h = f"md5(CAST({key} AS VARCHAR))"
-    return {
-        "bucket": f"CAST(('0x' || substr({h}, 1, 2))::BIGINT AS INT)",
-        "v": f"('0x' || substr({h}, 3, 15))::BIGINT",
-    }
-
+# DuckDB-side register derivation (the oracle spelling of
+# hll_register_cols) lives inline in plans/oracles.py
+# (events_hll_users) and plans/gen.py (streaming_hll_users) — change
+# hll_register_cols and BOTH oracles must follow (the oracle hash
+# check is what catches a missed one).
 
 # -- Count-Min sketch (heavy-hitter frequency estimation) -------------------
 

@@ -445,9 +445,11 @@ def bpe_train(
             break
         t = top[0]
         merges.append((r, t.w1, t.w2, t.w1 + t.w2, t.pair_count))
-        nxt = apply_merge(seqs, t.w1, t.w2).localCheckpoint(eager=False)
-        seqs.unpersist()
-        seqs = nxt
+        # superseded checkpoints are reclaimed by the ContextCleaner
+        # once unreferenced (DataFrame.unpersist would be a no-op on
+        # localCheckpoint blocks); vocab-sized state keeps the window
+        # of live copies small
+        seqs = apply_merge(seqs, t.w1, t.w2).localCheckpoint(eager=False)
     if memo is not None:
         _BPE_CACHE[memo] = (merges, seqs)
     return merges, seqs

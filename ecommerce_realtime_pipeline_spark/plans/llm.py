@@ -2491,6 +2491,10 @@ LLM_ORACLES["docs_bpe_encode"] = (
 # cells with the same DECIMAL-exact kernel and compares only inside a
 # cell. Pair membership at cos ≥ 0.9 has the analytic planted-dup
 # margin (≥ 0.9428 vs ≤ ~0.51 natural), so no float column is output.
+# NOTE: this SQL pins the k=16 regime. max_exact_cells defaults to 16
+# so the exact kernel NEVER trains any other k (k = max(16, n/64) ≤ 16
+# ⇔ k = 16); every larger corpus takes the Arrow kernel, whose
+# contract is test-pinned instead. No n leaves both paths un-gated.
 LLM_ORACLES["emb_semdedup"] = _KMEANS_CTES + """
     ,
     planted AS (

@@ -194,3 +194,15 @@ def test_snapshot_diff_rejects_schema_drift(spark):
 
     with _pt.raises(ValueError):
         snapshot_diff(old, new, ["id"])
+
+
+def test_snapshot_diff_separator_byte_not_ambiguous(spark):
+    """('a\\x01','b') -> ('a','\\x01b') moves a byte across the column
+    boundary: per-column hashing must classify it as an update (a raw
+    concat fingerprint would see identical bytes and drop it)."""
+    from ecommerce_realtime_pipeline_spark.operators.normalize import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a\x01", "b")], "id long, x string, y string")
+    new = spark.createDataFrame([(1, "a", "\x01b")], "id long, x string, y string")
+    got = [tuple(r) for r in snapshot_diff(old, new, ["id"]).collect()]
+    assert got == [(1, "update")]
