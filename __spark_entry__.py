@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_stats": llm.mm_audio_stats,
         "docs_unigram_surprisal": llm.docs_unigram_surprisal,
         "docs_bigram_surprisal": llm.docs_bigram_surprisal,
+        "docs_collocations": llm.docs_collocations,
         "docs_bpe_merges": llm.docs_bpe_merges,
         "docs_bpe_encode": llm.docs_bpe_encode,
         # §2.9 round-3 additions — training-data pipeline passes

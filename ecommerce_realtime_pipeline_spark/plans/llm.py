@@ -893,6 +893,57 @@ def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("mean_surprisal"), "doc_id").limit(20)
 
 
+PMI_MIN_COUNT = 5  # collocation support floor (kills noise pairs)
+
+
+def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (phrase detection, the word2vec-phrases
+    pass): top-20 adjacent token pairs by pointwise mutual
+    information, PMI = ln(c12·N / (c1·c2)), with a support floor of
+    5 — the standard corpus-statistics step that decides which token
+    pairs a tokenizer/phraser should fuse. Reuses the bigram explode;
+    count tables are vocabulary-sized broadcasts; TakeOrdered top-k.
+    Determinism: counts are integers, ONE ln over an exact integer
+    ratio expression per pair, 4dp round before the ordered cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("syms"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(syms)-2),"
+                " i -> struct(syms[i] as w1, syms[i+1] as w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    total = big.count()  # N = number of bigram positions (1-row scalar)
+    bigc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    c1 = uni.select(F.col("tok").alias("w1"), F.col("tf").alias("c1"))
+    c2 = uni.select(F.col("tok").alias("w2"), F.col("tf").alias("c2"))
+    pmi = F.round(
+        F.log(
+            F.col("c12").cast("double")
+            * F.lit(total)
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        4,
+    )
+    scored = (
+        bigc.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(20)
+
+
 def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode round-trip: synthesize a PCM WAV per doc
     (mono/stereo + sample rate by id parity, signed-int16 samples from
@@ -2459,6 +2510,36 @@ LLM_ORACLES["docs_leakage_safe_split"] = _cl_head + """,
     """
 
 del _cl, _cl_head, _cl_tail
+
+# docs_collocations: integer counts, one ln per surviving pair over
+# the identical (c12·N)/(c1·c2) double expression, 4dp round.
+LLM_ORACLES["docs_collocations"] = f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS syms FROM documents),
+    idx AS (
+        SELECT syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM toks
+    ),
+    big AS (SELECT syms[i] AS w1, syms[i + 1] AS w2 FROM idx),
+    uni AS (
+        SELECT tok, count(*) AS tf
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big),
+    bigc AS (
+        SELECT w1, w2, count(*) AS c12 FROM big
+        GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}
+    ),
+    scored AS (
+        SELECT w1, w2, c12,
+               ROUND(ln(CAST(c12 AS DOUBLE) * n
+                        / (CAST(c1.tf AS DOUBLE) * c2.tf)), 4) AS pmi
+        FROM bigc
+        JOIN uni c1 ON bigc.w1 = c1.tok
+        JOIN uni c2 ON bigc.w2 = c2.tok, tot
+    )
+    SELECT w1, w2, c12, pmi FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
 
 LLM_ORACLES["docs_bpe_merges"] = _bpe_oracle_sql()
 
