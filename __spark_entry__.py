@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_ivf_refined": llm.emb_knn_ivf_refined,
         "emb_cosine_neardup": llm.emb_cosine_neardup,
         "emb_semdedup": llm.emb_semdedup,
+        "emb_decontaminate": llm.emb_decontaminate,
         "emb_quantize_int8": llm.emb_quantize_int8,
         "emb_label_centroids": llm.emb_label_centroids,
         "mm_feature_summary": llm.mm_feature_summary,

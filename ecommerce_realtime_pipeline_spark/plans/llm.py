@@ -539,6 +539,44 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drops.orderBy("vec_id")
 
 
+SEM_DECON_EVAL = 50  # eval set: vec_id < 50
+SEM_DECON_T = 0.9
+
+
+def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of
+    the 8-gram `docs_decontaminate`: flag training vectors whose
+    cosine to ANY eval-set vector reaches 0.9 (paraphrase-level
+    contamination that n-gram overlap misses). The planted perturbed
+    copies of eval members are the analytic positives (cos ≥ 0.9428
+    to their source vs ≤ ~0.51 for naturals).
+
+    Scale stance: eval sets are SMALL by nature, so the right 100 TB
+    plan is exact — broadcast the eval vectors and run one narrow
+    cosine pass over the corpus (no LSH, no shuffle, no recall loss);
+    the corpus side streams through in one scan. Output: flagged
+    (vec_id, closest_eval, n_matches)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_planted_dups(emb)
+    eval_set = emb.filter(F.col("vec_id") < SEM_DECON_EVAL).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("_ev"),
+    )
+    train = corpus.filter(F.col("vec_id") >= SEM_DECON_EVAL)
+    ev = eval_set.withColumn("_en", SIM._norm(F.col("_ev")))
+    tr = SIM.with_norm(train).select("vec_id", F.col("embedding").alias("_tv"), "_nrm")
+    cos = SIM._dot(F.col("_tv"), F.col("_ev")) / (F.col("_nrm") * F.col("_en"))
+    hits = tr.crossJoin(F.broadcast(ev)).filter(cos >= SEM_DECON_T)
+    return (
+        hits.groupBy("vec_id")
+        .agg(
+            F.min("eval_id").alias("closest_eval"),
+            F.count("*").alias("n_matches"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus
     (4× storage cut for the ANN index). Engine-exact: the scale is a
@@ -2510,6 +2548,40 @@ LLM_ORACLES["docs_leakage_safe_split"] = _cl_head + """,
     """
 
 del _cl, _cl_head, _cl_tail
+
+# emb_decontaminate: planted corpus + all-pairs vs the 50-vector eval
+# set (small side — the oracle mirrors the broadcast-exact plan), id
+# output only (0.9428-vs-0.51 analytic margin).
+LLM_ORACLES["emb_decontaminate"] = f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    planted AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_concat([v[1] * 2], v[2:]) AS v
+        FROM base WHERE vec_id % 10 = 0
+    ),
+    allv AS (
+        SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM planted
+    ),
+    ev AS (
+        SELECT vec_id AS eval_id, v,
+               sqrt(list_dot_product(v, v)) AS nrm
+        FROM base WHERE vec_id < {SEM_DECON_EVAL}
+    ),
+    tr AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        FROM allv WHERE vec_id >= {SEM_DECON_EVAL}
+    ),
+    hits AS (
+        SELECT tr.vec_id, ev.eval_id
+        FROM tr, ev
+        WHERE list_dot_product(tr.v, ev.v) / (tr.nrm * ev.nrm)
+              >= {SEM_DECON_T}
+    )
+    SELECT vec_id, MIN(eval_id) AS closest_eval, COUNT(*) AS n_matches
+    FROM hits GROUP BY vec_id ORDER BY vec_id
+"""
 
 # docs_collocations: integer counts, one ln per surviving pair over
 # the identical (c12·N)/(c1·c2) double expression, 4dp round.
