@@ -431,12 +431,12 @@ def knn_ivf_from_index(
         "query_id long, cell int",
     )
     probed = sorted({int(r["cell"]) for r in q_rows})
-    # one pruned scan serves both candidate generation and the rerank
-    cells = (
-        spark.read.parquet(f"{path}/cells")
-        .filter(F.col("cell").isin(probed))
-        .localCheckpoint()
-    )
+    # candidate generation and rerank each read the PRUNED cell
+    # partitions (n_probe of n_centroids directories — PartitionFilters
+    # pinned in tests); two pruned scans beat caching here because a
+    # localCheckpoint would hide the scan (and its pruning) from the
+    # serving plan and pin the blocks past the query's lifetime
+    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probed))
     cand = (
         cells.join(F.broadcast(q_cells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
