@@ -958,7 +958,7 @@ def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("tf"))
     )
-    total = big.count()  # N = number of bigram positions (1-row scalar)
+    total = big.agg(F.count("*").cast("long").alias("n"))  # 1-row broadcast
     bigc = (
         big.groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
@@ -969,7 +969,7 @@ def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmi = F.round(
         F.log(
             F.col("c12").cast("double")
-            * F.lit(total)
+            * F.col("n")
             / (F.col("c1").cast("double") * F.col("c2"))
         ),
         4,
@@ -977,6 +977,7 @@ def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         bigc.join(F.broadcast(c1), "w1")
         .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(total))
         .select("w1", "w2", "c12", pmi.alias("pmi"))
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(20)
