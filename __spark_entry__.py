@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_stats": llm.mm_frame_stats,
         "mm_resize_stats": llm.mm_resize_stats,
         "mm_audio_stats": llm.mm_audio_stats,
+        "mm_audio_decimate_stats": llm.mm_audio_decimate_stats,
         "docs_unigram_surprisal": llm.docs_unigram_surprisal,
         "docs_bigram_surprisal": llm.docs_bigram_surprisal,
         "docs_collocations": llm.docs_collocations,

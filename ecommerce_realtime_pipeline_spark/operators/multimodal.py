@@ -592,3 +592,46 @@ def feature_summary(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def decimate_samples(
+    samples: list[int], channels: int, frames: int, factor: int
+) -> list[int]:
+    """Pure decimation kernel: keep every ``factor``-th frame's full
+    channel group, interleaved order preserved (property-tested)."""
+    kept: list[int] = []
+    for f in range(0, frames, factor):
+        kept.extend(samples[f * channels : (f + 1) * channels])
+    return kept
+
+
+def decimate_audio(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio transform: decode each WAV, keep every ``factor``-th
+    FRAME (all channels of frame f survive together iff f % factor
+    == 0 — the naive-decimation resampler; a production pipeline puts
+    an anti-alias low-pass first, noted here because naive decimation
+    aliases), re-encode at sample_rate/factor. The audio twin of the
+    image resize pass: decode → transform → encode, 1:1 Arrow batch
+    pass, so the downstream decode round-trips the whole chain."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ch, rate, frames, samples = decode_audio(bytes(payload))
+                kept = decimate_samples(samples, ch, frames, factor)
+                pcm = b"".join(struct.pack("<h", v) for v in kept)
+                out = encode_wav(ch, rate // factor, pcm)
+                payloads.append(out)
+                metas.append(
+                    {
+                        "format": "audio/wav",
+                        "n_bytes": len(out),
+                        "checksum": hashlib.md5(out).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "media_meta": metas}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(_dec, RESIZED_SCHEMA)

@@ -1015,6 +1015,37 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_audio_decimate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio transform round-trip — the audio twin of
+    `mm_resize_stats`: synthesize WAVs, decimate by 2 (keep even
+    frames, halve the rate), decode AGAIN, roll up exact sample stats
+    per channel layout. The oracle selects exactly the even-frame
+    int16 samples out of the md5 digest stream — a wrong frame
+    stride, channel interleave, or re-encode header breaks the hash.
+    Exercises decode→transform→encode→decode for the audio codec."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.decimate_audio(MM.synthesize_audio(docs), 2)
+    feats = MM.decode_audio_features(media)
+    per_doc_mean = (
+        F.col("sample_sum").cast("double")
+        / (F.col("n_frames") * F.col("channels"))
+    ).cast("decimal(20,10)")
+    return (
+        feats.groupBy("channels")
+        .agg(
+            F.first("sample_rate").alias("sample_rate"),
+            F.count("*").alias("n_clips"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.round(
+                F.sum(per_doc_mean).cast("double") / F.count("*"), 4
+            ).alias("avg_mean_sample"),
+            F.max("max_sample").alias("max_sample"),
+            F.min("min_sample").alias("min_sample"),
+        )
+        .orderBy("channels")
+    )
+
+
 def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL resize round-trip: synthesize PPM/BMP payloads, decode,
     nearest-neighbor resample to 4×4 (integer sample grid:
@@ -2841,6 +2872,71 @@ LLM_ORACLES["mm_audio_stats"] = """
            CAST(any_value(rate) AS INT) AS sample_rate,
            count(*) AS n_clips,
            CAST(SUM(frames) AS BIGINT) AS total_frames,
+           ROUND(CAST(SUM(CAST(CAST(sv AS DOUBLE) / ns
+                                AS DECIMAL(20,10))) AS DOUBLE)
+                 / count(*), 4) AS avg_mean_sample,
+           MAX(mx) AS max_sample,
+           MIN(mn) AS min_sample
+    FROM perdoc
+    GROUP BY ch
+    ORDER BY channels
+"""
+
+# mm_audio_decimate_stats: the mm_audio_stats stream selection with
+# the even-frame filter (frame = byte_idx//2//ch), kept-frame counts,
+# and the halved rate — value-gating the decimate→encode→decode chain.
+LLM_ORACLES["mm_audio_decimate_stats"] = """
+    WITH dims AS (
+        SELECT doc_id,
+               1 + doc_id % 2 AS ch,
+               8000 * (1 + doc_id % 2) AS rate,
+               20 + doc_id % 13 AS frames,
+               (20 + doc_id % 13 + 1) // 2 AS kept,
+               (1 + doc_id % 2) * (20 + doc_id % 13) * 2 AS nbytes
+        FROM documents
+    ),
+    blk AS (
+        SELECT doc_id,
+               unnest(range(CAST(CEIL(nbytes / 16.0) AS BIGINT))) AS b
+        FROM dims
+    ),
+    hexs AS (
+        SELECT doc_id, b, md5(doc_id || ':' || b) AS hx FROM blk
+    ),
+    bytes AS (
+        SELECT h.doc_id, 16 * h.b + j.j AS idx,
+               (strpos('0123456789abcdef',
+                       substr(h.hx, CAST(2 * j.j + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                         substr(h.hx, CAST(2 * j.j + 2 AS INT), 1)) - 1)
+                   AS bv
+        FROM hexs h, (SELECT unnest(range(16)) AS j) j
+    ),
+    samp AS (
+        SELECT lo.doc_id, lo.bv + 256 * hi.bv AS raw
+        FROM bytes lo
+        JOIN bytes hi ON lo.doc_id = hi.doc_id AND hi.idx = lo.idx + 1
+        JOIN dims d ON d.doc_id = lo.doc_id
+        WHERE lo.idx % 2 = 0 AND lo.idx < d.nbytes
+          AND ((lo.idx // 2) // d.ch) % 2 = 0
+    ),
+    sval AS (
+        SELECT doc_id,
+               CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        FROM samp
+    ),
+    perdoc AS (
+        SELECT s.doc_id,
+               any_value(d.ch) AS ch, any_value(d.rate) AS rate,
+               any_value(d.kept) AS kept,
+               count(*) AS ns, SUM(v) AS sv, MAX(v) AS mx, MIN(v) AS mn
+        FROM sval s JOIN dims d USING (doc_id)
+        GROUP BY 1
+    )
+    SELECT CAST(ch AS INT) AS channels,
+           CAST(any_value(rate) // 2 AS INT) AS sample_rate,
+           count(*) AS n_clips,
+           CAST(SUM(kept) AS BIGINT) AS total_frames,
            ROUND(CAST(SUM(CAST(CAST(sv AS DOUBLE) / ns
                                 AS DECIMAL(20,10))) AS DOUBLE)
                  / count(*), 4) AS avg_mean_sample,

@@ -62,3 +62,28 @@ def test_resize_grid_is_exact_sampling(dims, ow, oh, rnd):
     assert got == bytes(expect)
     if (ow, oh) == (w, h):
         assert got == rgb  # identity resize is a no-op
+
+
+@given(
+    st.integers(1, 2),
+    st.integers(1, 40),
+    st.integers(1, 4),
+    st.randoms(),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_decimate_roundtrip(channels, frames, factor, rnd):
+    """decode(encode(decimate(decode(wav)))) must equal the direct
+    frame slice for ANY channel count / frame count / factor — the
+    invariant mm_audio_decimate_stats stands on."""
+    samples = [rnd.randrange(-32768, 32768) for _ in range(frames * channels)]
+    pcm = b"".join(struct.pack("<h", v) for v in samples)
+    wav = MM.encode_wav(channels, 8000, pcm)
+    ch, rate, fr, dec = MM.decode_audio(wav)
+    assert (ch, rate, fr, dec) == (channels, 8000, frames, samples)
+    kept = MM.decimate_samples(dec, ch, fr, factor)
+    out = MM.encode_wav(ch, rate // factor, b"".join(struct.pack("<h", v) for v in kept))
+    ch2, rate2, fr2, dec2 = MM.decode_audio(out)
+    expect = [s for f in range(0, frames, factor) for s in samples[f * channels : (f + 1) * channels]]
+    assert dec2 == expect
+    assert fr2 == len(expect) // channels and ch2 == channels
+    assert rate2 == rate // factor
