@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup_dedup": gen.streaming_neardup_dedup,
         "streaming_embdedup": gen.streaming_embdedup,
         "streaming_hll_users": gen.streaming_hll_users,
+        "streaming_cms_user_counts": gen.streaming_cms_user_counts,
         # R18/R19 — monitoring tables (processing_stats + consumer_offsets)
         "monitoring_stats": gen.monitoring_stats,
     }

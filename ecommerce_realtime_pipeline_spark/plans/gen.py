@@ -590,6 +590,62 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 + sketches, the SUM-merged counterpart of
+    streaming_hll_users: Count-Min counter DELTAS journaled per epoch
+    over the same 3-batch user stream (sum-merge is NOT
+    replay-idempotent, so the journal + dedup-by-epoch fold carries
+    the exactly-once burden — the treatment the HLL's max-merge
+    doesn't need). Probes five fixed users afterwards. The stream's
+    user multiset is exactly [0..99]+[50..149]+[100..199]+[0..49], so
+    the DuckDB oracle recomputes the identical all-integer CMS from
+    generate_series — equality proves the journaled cross-epoch sum
+    is lossless."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.operators import sketch as SK
+    from ecommerce_realtime_pipeline_spark.streaming import sketchstream as SS
+
+    tmp = tempfile.mkdtemp(prefix="eng_cmsstream_")
+    try:
+        src, journal, ckpt = (
+            os.path.join(tmp, d) for d in ("src", "journal", "ckpt")
+        )
+        batches = [
+            [(i, "view") for i in range(0, 100)],
+            [(i, "view") for i in range(50, 150)],
+            [(i, "view") for i in range(100, 200)]
+            + [(i, "click") for i in range(0, 50)],
+        ]
+        os.makedirs(src, exist_ok=True)
+        with _pinned_state_partitions(spark):
+            for bi, rows in enumerate(batches):
+                with open(os.path.join(src, f"b{bi}.json"), "w") as f:
+                    f.write(
+                        "\n".join(
+                            json.dumps({"user_id": i, "event_type": t})
+                            for i, t in rows
+                        )
+                        + "\n"
+                    )
+                q = SS.run_cms_stream(spark, src, journal, ckpt)
+                q.awaitTermination(120)
+        counters = SS.cms_counters_from_journal(spark, journal)
+        probes = spark.createDataFrame(
+            [(i,) for i in (0, 25, 75, 125, 175)], "user_id long"
+        )
+        return (
+            SK.cms_estimate(counters, probes, "user_id")
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end DQ pipeline: generate → corrupt (forced rates) →
     validate every entity → per-rule quarantine counts (R18). The
@@ -753,6 +809,39 @@ GEN_ORACLES: dict[str, str] = {
             ('eaf0b928-e749-430f-0646-f3c3e2af4d6b', 'customer.plex.nex@mail.local', 'Customer Plex Nex', '2025-01-07 22:48:13', '2025-01-07 22:48:13')
         ) AS t(customer_id, email, name, ca, ua)
         ORDER BY customer_id
+    """,
+    # streaming_cms_user_counts: COMPUTED oracle — the stream's user
+    # multiset rebuilt from generate_series, the identical all-integer
+    # CMS (salted md5 columns, count/min folds). Equality proves the
+    # journaled per-epoch delta sum is lossless.
+    "streaming_cms_user_counts": """
+        WITH rows_ AS (
+            SELECT unnest(generate_series(0, 99)) AS user_id
+            UNION ALL SELECT unnest(generate_series(50, 149))
+            UNION ALL SELECT unnest(generate_series(100, 199))
+            UNION ALL SELECT unnest(generate_series(0, 49))
+        ),
+        hashed AS (
+            SELECT user_id, r,
+                   ('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                                        || CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 512 AS c
+            FROM rows_, unnest([0, 1, 2, 3]) AS t(r)
+        ),
+        counters AS (
+            SELECT r, c, count(*) AS cnt FROM hashed GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT u AS user_id, r,
+                   ('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                                        || CAST(u AS VARCHAR)), 1, 4))::BIGINT
+                       % 512 AS c
+            FROM (VALUES (0), (25), (75), (125), (175)) AS v(u),
+                 unnest([0, 1, 2, 3]) AS t(r)
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id, MIN(cnt) AS cms_estimate
+        FROM probes JOIN counters USING (r, c)
+        GROUP BY 1 ORDER BY 1
     """,
     "gen_batch_shape": """
         SELECT CAST(10 AS BIGINT) AS n_products,

@@ -69,3 +69,44 @@ def estimates(spark: SparkSession, regs_path: str) -> DataFrame:
     return SK.hll_fold(regs, ["event_type"]).select(
         "event_type", F.round("hll_estimate", 2).alias("hll_estimate")
     )
+
+
+# -- streaming Count-Min (journaled: SUM-merge needs replay protection) -----
+
+
+def merge_cms_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, journal_path: str
+) -> None:
+    """foreachBatch hook for the SUM-merged sketch: append this
+    micro-batch's counter DELTAS tagged with the epoch id. Unlike the
+    HLL max-merge, summing is NOT idempotent — a replayed batch would
+    double-count — so the journal carries (batch_id, r, c, cnt) and
+    the fold dedups by epoch first (same one-job journal + replay-
+    idempotent-reader semantics as the streaming near-dup indexes)."""
+    deltas = SK.cms_counters(batch_df, "user_id").select(
+        F.lit(int(batch_id)).alias("batch_id"), "_r", "_c", "cnt"
+    )
+    deltas.write.mode("append").parquet(journal_path)
+
+
+def run_cms_stream(spark: SparkSession, src: str, journal_path: str, ckpt: str):
+    """One availableNow pass of the user-event stream into the
+    counter journal."""
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, eid: merge_cms_batch(spark, b, eid, journal_path)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_counters_from_journal(spark: SparkSession, journal_path: str) -> DataFrame:
+    """Replay-idempotent fold: a re-appended epoch writes identical
+    delta rows, so max-per-(epoch, r, c) dedups them exactly; the
+    epoch sum then equals the true multiset counters."""
+    j = spark.read.parquet(journal_path)
+    per_epoch = j.groupBy("batch_id", "_r", "_c").agg(F.max("cnt").alias("cnt"))
+    return per_epoch.groupBy("_r", "_c").agg(F.sum("cnt").alias("cnt"))

@@ -455,3 +455,37 @@ def test_streaming_hll_replay_idempotent(spark, tmp_path):
     assert after == before
     est = SS.estimates(spark, regs_path).collect()
     assert len(est) == 1 and abs(est[0]["hll_estimate"] - 50) / 50 < 0.25
+
+
+def test_streaming_cms_journal_replay_idempotent(spark, tmp_path):
+    """SUM-merge is NOT idempotent, so the journal must carry it: a
+    replayed epoch (same batch_id, same deltas appended AGAIN) must
+    not change the folded counters — dedup-by-epoch is the exactly-
+    once mechanism, mirroring the near-dup index journals."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.operators import sketch as SK
+    from ecommerce_realtime_pipeline_spark.streaming import sketchstream as SS
+
+    journal = str(tmp_path / "journal")
+    batch = spark.createDataFrame(
+        [(i, "view") for i in range(40)], "user_id long, event_type string"
+    )
+    SS.merge_cms_batch(spark, batch, 0, journal)
+    before = sorted(
+        tuple(r) for r in SS.cms_counters_from_journal(spark, journal).collect()
+    )
+    SS.merge_cms_batch(spark, batch, 0, journal)  # crash replay of epoch 0
+    after = sorted(
+        tuple(r) for r in SS.cms_counters_from_journal(spark, journal).collect()
+    )
+    assert after == before
+    # and a NEW epoch does sum in
+    SS.merge_cms_batch(spark, batch, 1, journal)
+    doubled = {
+        r["user_id"]: r["cms_estimate"]
+        for r in SK.cms_estimate(
+            SS.cms_counters_from_journal(spark, journal), batch, "user_id"
+        ).collect()
+    }
+    assert all(v >= 2 for v in doubled.values())
