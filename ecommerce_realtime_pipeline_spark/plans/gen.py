@@ -646,6 +646,111 @@ def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_funnel_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 CUSTOM STATEFUL operator (``applyInPandasWithState``):
+    ordered-funnel CEP matching — page_view → add_to_cart → purchase
+    per customer, with an event-time abandonment timeout. Semantics a
+    session_window cannot express (ordered pattern + mid-stream
+    emission + timeout obituaries); see ``streaming/stateful.py``.
+
+    Fixture (2 availableNow runs, gap=5 min, watermark=1 min):
+    - c1 completes the funnel inside run 1 — its three stage events are
+      DELIVERED OUT OF ORDER in the file (purchase first) plus a
+      neutral product_view, proving in-batch event-time ordering and
+      stage-neutral events; emits (converted, 10:00:00 → 10:02:00, 3)
+      during run 1.
+    - c2 reaches add_to_cart (10:00:30 → 10:01:30) then goes quiet;
+      its timeout (10:06:30) fires once run 2 advances the watermark
+      past it — emits (abandoned, add_to_cart, 2).
+    - c3/c4 are run-2 watermark advancers (page_view 10:20 / 10:30).
+      c4's funnel stays OPEN (in state, emits nothing: the watermark
+      never passes its 10:35 timeout); c3's own timeout (10:25) is
+      passed by c4's advance (watermark 10:29) in run 2's trailing
+      no-data batch — it emits the single-stage obituary (abandoned,
+      page_view, 1), covering the stage-1 abandonment path too.
+    - run 2 also replays a LATE purchase for c2 (event time 10:00:50,
+      below run 1's 10:01:00 watermark): the lateness bound must drop
+      it — no resurrection, no spurious conversion.
+
+    All three emitted rows are analytic constants → literal contract
+    oracle (the state machinery itself is not DuckDB-expressible)."""
+    import datetime as _dt
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.streaming import stateful as ST
+
+    base = _dt.datetime(2025, 3, 1, 10, 0, 0)
+
+    def line(offset: int, mm: int, ss: int, cust: str, etype: str) -> str:
+        ts = (base + _dt.timedelta(minutes=mm, seconds=ss)).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        payload = json.dumps(
+            {
+                "event_id": f"e{offset}",
+                "event_type": etype,
+                "customer_id": cust,
+                "timestamp": ts,
+            }
+        )
+        return json.dumps(
+            {
+                "topic": "events",
+                "topic_partition": 0,
+                "topic_offset": offset,
+                "message_key": f"e{offset}",
+                "payload": payload,
+                "consumed_at": "2025-03-01T10:00:00Z",
+            }
+        )
+
+    tmp = tempfile.mkdtemp(prefix="eng_funnel_cep_")
+    try:
+        src, sink, ckpt = (os.path.join(tmp, d) for d in ("src", "sink", "ckpt"))
+        os.makedirs(src, exist_ok=True)
+        batches = [
+            [  # run 1: c1 full funnel OUT OF ORDER + neutral event;
+               # c2 partial funnel
+                line(1, 2, 0, "c1", "purchase"),
+                line(2, 0, 0, "c1", "page_view"),
+                line(3, 0, 20, "c1", "product_view"),
+                line(4, 1, 0, "c1", "add_to_cart"),
+                line(5, 0, 30, "c2", "page_view"),
+                line(6, 1, 30, "c2", "add_to_cart"),
+            ],
+            [  # run 2: both advancers + LATE purchase for c2, event
+               # time 10:00:50 < the 10:01:00 watermark run 1 left
+               # behind (10:02:00 max − 1 min delay) — the lateness
+               # bound must drop it, else it would wrongly convert c2.
+               # The data batch lifts the watermark to 10:29; the
+               # trailing NO-DATA batch (Spark runs one whenever a
+               # watermark advance can fire timeouts — availableNow
+               # included) then abandons c2 and c3 in the same run.
+                line(7, 20, 0, "c3", "page_view"),
+                line(8, 30, 0, "c4", "page_view"),
+                line(9, 0, 50, "c2", "purchase"),
+            ],
+        ]
+        # 1 state partition (not the usual 4): the stateful pandas op
+        # spins an Arrow python-worker per state partition per run —
+        # at 4 customers that is pure fixture overhead (~3× wall).
+        with _pinned_state_partitions(spark, 1):
+            for bi, lines in enumerate(batches):
+                with open(os.path.join(src, f"b{bi}.json"), "w") as f:
+                    f.write("\n".join(lines) + "\n")
+                q = ST.run_funnel_matcher(
+                    spark, src, sink, ckpt, gap_s=300, watermark="1 minute"
+                )
+                q.awaitTermination(120)
+        out = spark.read.parquet(sink)
+        return out.orderBy("customer_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end DQ pipeline: generate → corrupt (forced rates) →
     validate every entity → per-rule quarantine counts (R18). The
@@ -911,6 +1016,27 @@ GEN_ORACLES: dict[str, str] = {
         FROM (VALUES (0, 10, 10, 0), (1, 10, 5, 5))
              AS t(batch_id, n, nn, nd)
         ORDER BY batch_id
+    """,
+    # streaming_funnel_cep: ANALYTIC constants — the three funnel
+    # resolutions are derived on paper in the fixture docstring (c1
+    # converts inside run 1; c2's and c3's event-time timeouts fire
+    # once later advancers push the watermark past them; c4 stays open
+    # and emits nothing; the late replay is dropped by the lateness
+    # bound).
+    "streaming_funnel_cep": """
+        SELECT customer_id, outcome, last_stage,
+               CAST(sa AS TIMESTAMP) AS started_at,
+               CAST(la AS TIMESTAMP) AS last_event_at,
+               CAST(n AS INT) AS n_events
+        FROM (VALUES
+            ('c1', 'converted', 'purchase',
+             '2025-03-01 10:00:00', '2025-03-01 10:02:00', 3),
+            ('c2', 'abandoned', 'add_to_cart',
+             '2025-03-01 10:00:30', '2025-03-01 10:01:30', 2),
+            ('c3', 'abandoned', 'page_view',
+             '2025-03-01 10:20:00', '2025-03-01 10:20:00', 1)
+        ) AS t(customer_id, outcome, last_stage, sa, la, n)
+        ORDER BY customer_id
     """,
     "produce_envelopes_shape": """
         SELECT topic,
