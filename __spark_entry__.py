@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_redact": llm.docs_pii_redact,
         "docs_stratified_sample": llm.docs_stratified_sample,
         "docs_mixture_weights": llm.docs_mixture_weights,
+        "docs_chunk_overlap": llm.docs_chunk_overlap,
+        "docs_weighted_sample": llm.docs_weighted_sample,
+        "docs_training_order": llm.docs_training_order,
         "emb_dim_reduce": llm.emb_dim_reduce,
         # §2.2-§2.3 — generation + corruption + validation pipeline
         "gen_batch_shape": gen.gen_batch_shape,

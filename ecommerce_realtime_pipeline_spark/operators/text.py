@@ -339,6 +339,49 @@ def hash_bernoulli(
     return bucket < int(rate * 65536)
 
 
+def chunk_tokens(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style overlapping token chunking: one row per chunk, chunk
+    ``i`` covering tokens ``[i·stride, i·stride + size)``; the last
+    chunk may be short, and ``stride < size`` gives ``size − stride``
+    tokens of overlap between neighbors (the retrieval-context recipe:
+    no sentence straddles a hard boundary unseen).
+
+    Contract: chunk starts are exactly 0, stride, 2·stride, … < n_tok
+    (every token belongs to ≥ 1 chunk; with stride ≥ size this becomes
+    non-overlapping striding). Empty docs yield no chunks. Output:
+    (doc_id, chunk_idx, start_tok, n_tok, chunk_hash) with chunk_hash
+    = md5 of the space-joined chunk — a value-verifiable stand-in for
+    shipping the chunk text itself.
+
+    Scale: narrow projection + explode, NO shuffle — chunking rides
+    the scan and emits ~n_tokens/stride rows; downstream embedding /
+    indexing partitions on (doc_id, chunk_idx)."""
+    base = (
+        docs.select("doc_id", tokens(text_col).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    ex = base.select(
+        "doc_id",
+        "toks",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, size)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start_tok"),
+        F.size(chunk).alias("n_tok"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
 # -- BPE merge learning (tokenizer training) --------------------------------
 
 

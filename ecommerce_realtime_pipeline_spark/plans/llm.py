@@ -1184,6 +1184,114 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking of the corpus (64-token chunks,
+    stride 48 → 16-token overlap): the retrieval-context preparation
+    pass. One row per chunk with a value-verifiable md5 of the chunk
+    text (see ``text.chunk_tokens``). ORDER BY is for the driver's
+    row-hash only.
+
+    Scale: narrow map + explode, NO shuffle — emits ~n_tokens/48 rows
+    straight off the scan; the downstream embed/index stage partitions
+    on (doc_id, chunk_idx)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.chunk_tokens(docs, size=64, stride=48).orderBy("doc_id", "chunk_idx")
+
+
+#: Weighted-sample size and salt (docs_weighted_sample).
+WSAMPLE_K = 20
+WSAMPLE_SALT = "ws7"
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res): each doc gets key = ln(u)/w with u a deterministic
+    md5-derived uniform and w = n_chars; the k largest keys are a
+    exact weighted k-sample without replacement. Deterministic (no RNG
+    state) and engine-portable: u is exact integer arithmetic; the
+    only float ops are one ln and one divide, shared by the oracle.
+    The emitted columns are id/weight/rank — the float key itself
+    stays internal so last-ulp libm differences can't touch the hash
+    (they could reorder only keys within ~1e-15, far below the
+    corpus's key spacing).
+
+    Scale: ONE scan, no per-group state, TakeOrdered top-k (per-
+    partition heaps + driver merge of k) — the standard way to draw a
+    quality-weighted subset from 100 TB without a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    u_int = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(WSAMPLE_SALT), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    # 13 hex chars = 52 bits — exactly representable in a double; +0.5
+    # keeps u strictly inside (0, 1) so ln(u) is finite.
+    u = (u_int + 0.5) / float(1 << 52)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    top = (
+        docs.select("doc_id", "n_chars", key.alias("_k"))
+        .orderBy(F.desc("_k"), "doc_id")
+        .limit(WSAMPLE_K)
+    )
+    from pyspark.sql import Window as W
+
+    rank = F.row_number().over(W.orderBy(F.desc("_k"), "doc_id"))
+    return top.select(
+        "doc_id", "n_chars", rank.cast("int").alias("sample_rank")
+    ).orderBy("sample_rank")
+
+
+#: Training-order shuffle: shard count + salt (docs_training_order).
+SHUF_SHARDS = 8
+SHUF_SALT = "shuf42"
+
+
+def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL training-data shuffle: every doc gets a
+    position in one corpus-wide pseudo-random order (key = md5 of
+    salt‖doc_id), realized WITHOUT a global sort barrier — the shard
+    id is the key's first hex nibble bucketed into 8 ranges, so
+    (shard, key) order IS key order; positions within a shard are a
+    per-shard window, and shard offsets come from an 8-row cumulative
+    join. global_pos = shard_offset + shard_pos. Emits the first 50
+    docs of the epoch ordering (the driver-hashable head); the full
+    mapping is the same frame without the limit.
+
+    Scale: this is the distributed total order recipe — range-
+    partition on a key prefix, sort within partitions, prefix-sum the
+    8 (or 8192) shard counts driver-side/broadcast. No single-reducer
+    global window anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(SHUF_SALT), F.col("doc_id").cast("string")))
+    # first hex char ∈ [0,16) → 8 equal ranges: monotone prefix bucket
+    shard = (F.conv(F.substring(key, 1, 1), 16, 10).cast("int") / 2).cast("int")
+    keyed = docs.select("doc_id", key.alias("k"), shard.alias("shard"))
+    from pyspark.sql import Window as W
+
+    shard_pos = F.row_number().over(W.partitionBy("shard").orderBy("k"))
+    pos = keyed.select("doc_id", "k", "shard", shard_pos.alias("shard_pos"))
+    counts = keyed.groupBy("shard").agg(F.count("*").alias("n"))
+    offs = counts.select(
+        "shard",
+        (
+            F.sum("n").over(
+                W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+            )
+        ).alias("off"),
+    ).fillna(0, subset=["off"])
+    out = pos.join(F.broadcast(offs), "shard").select(
+        (F.col("off") + F.col("shard_pos")).cast("long").alias("global_pos"),
+        F.col("shard").cast("int").alias("shard"),
+        F.col("shard_pos").cast("int").alias("shard_pos"),
+        "doc_id",
+    )
+    return out.orderBy("global_pos").limit(50)
+
+
 def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-100 tokens by occurrence count with
     document frequency — the vocab-building / stopword-audit pass.
@@ -3119,3 +3227,73 @@ def _projection_oracle_sql(dim: int = 64, out_dim: int = 8, seed: int = 7) -> st
 
 
 LLM_ORACLES["emb_dim_reduce"] = _projection_oracle_sql()
+
+# docs_chunk_overlap: the oracle replays the chunking contract —
+# starts 0,48,96,… < n_tok, 64-token slices (clamped at the tail),
+# md5 of the space-joined chunk.
+LLM_ORACLES["docs_chunk_overlap"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    b AS (
+        SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, n - 1, 48)) AS start
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start_tok,
+           CAST(len(list_slice(toks, start + 1, start + 64)) AS INT) AS n_tok,
+           md5(array_to_string(list_slice(toks, start + 1, start + 64), ' '))
+               AS chunk_hash
+    FROM s
+    ORDER BY doc_id, chunk_idx
+"""
+
+# docs_weighted_sample: identical A-Res keys — u from the same 52-bit
+# md5 prefix (+0.5, /2^52), the same single ln and divide. The float
+# key stays internal on both sides; only id/weight/rank are hashed.
+LLM_ORACLES["docs_weighted_sample"] = """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5('ws7' || CAST(doc_id AS VARCHAR)),
+                                        1, 13))::BIGINT AS DOUBLE) + 0.5)
+                  / 4503599627370496.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT)
+               AS sample_rank
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 20
+"""
+
+# docs_training_order: a plain global row_number over the md5 key —
+# equality with the engine's shard-offset + within-shard composition
+# PROVES the sharded realization reconstructs the exact total order.
+LLM_ORACLES["docs_training_order"] = """
+    WITH h AS (
+        SELECT doc_id,
+               md5('shuf42' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, k,
+               CAST(('0x' || substr(k, 1, 1))::BIGINT // 2 AS INT) AS shard,
+               row_number() OVER (ORDER BY k) AS global_pos
+        FROM h
+    )
+    SELECT CAST(global_pos AS BIGINT) AS global_pos,
+           shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k) AS INT)
+               AS shard_pos,
+           doc_id
+    FROM g
+    ORDER BY global_pos
+    LIMIT 50
+"""

@@ -1089,3 +1089,40 @@ def test_leakage_safe_split_vs_naive(spark, docs):
     assert any(len(s) > 1 for s in naive_by_cluster.values()), (
         "corpus has no naive-split leakage; test can't demonstrate the fix"
     )
+
+
+class TestChunkTokens:
+    """Contract properties of the RAG chunking operator."""
+
+    def _chunks(self, spark, text, size=5, stride=3):
+        from ecommerce_realtime_pipeline_spark.operators.text import chunk_tokens
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return sorted(
+            chunk_tokens(df, size=size, stride=stride).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+
+    def test_every_token_covered_and_overlap_exact(self, spark):
+        toks = [f"t{i}" for i in range(11)]
+        rows = self._chunks(spark, " ".join(toks), size=5, stride=3)
+        # starts 0,3,6,9 — 4 chunks; tail chunk short (2 tokens)
+        assert [r["start_tok"] for r in rows] == [0, 3, 6, 9]
+        assert [r["n_tok"] for r in rows] == [5, 5, 5, 2]
+        covered = set()
+        for r in rows:
+            covered |= set(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+        assert covered == set(range(11))  # no token falls in a gap
+
+    def test_chunk_hash_matches_slice(self, spark):
+        import hashlib
+
+        toks = [f"w{i}" for i in range(8)]
+        rows = self._chunks(spark, " ".join(toks), size=4, stride=4)
+        for r in rows:
+            want = " ".join(toks[r["start_tok"] : r["start_tok"] + 4])
+            assert r["chunk_hash"] == hashlib.md5(want.encode()).hexdigest()
+
+    def test_single_short_doc_one_chunk(self, spark):
+        rows = self._chunks(spark, "a b", size=5, stride=3)
+        assert len(rows) == 1 and rows[0]["n_tok"] == 2

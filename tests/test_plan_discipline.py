@@ -225,3 +225,34 @@ def test_salted_join_spreads_key_and_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_by_segment_salted")
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
     assert "_salt" in plan, plan
+
+
+def test_chunk_overlap_has_no_shuffle(spark, sf_dir):
+    """Chunking must ride the scan: narrow map + generator only — any
+    Exchange means someone added an accidental shuffle to a pass that
+    emits ~n_tokens/stride rows straight off 100 TB of input."""
+    plan = _plan(spark, sf_dir, "docs_chunk_overlap")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # the only allowed Exchange is the driver-hash orderBy at the root
+    assert body.count("Exchange") <= 1, body
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """The A-Res k-sample must be TakeOrdered (per-partition heaps +
+    driver merge of k), never a global Sort of the corpus."""
+    plan = _plan(spark, sf_dir, "docs_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_training_order_windows_are_sharded(spark, sf_dir):
+    """The global-shuffle realization must never fall back to a
+    single-partition window over the corpus: every Window node's
+    partition spec is non-empty EXCEPT the 8-row shard-offset cumsum
+    (whose input is the 8-row counts agg, not the corpus)."""
+    df = QUERIES["docs_training_order"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    corpus_windows = [ln for ln in lines if "shard_pos" in ln]
+    assert corpus_windows, plan
+    for ln in corpus_windows:
+        assert "windowspecdefinition(shard" in ln, ln
