@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_stage_counts": kpi.funnel_stage_counts,
         "funnel_conversion": kpi.funnel_conversion,
         "sessionization": kpi.sessionization,
+        "market_basket_pairs": kpi.market_basket_pairs,
+        "cohort_retention": kpi.cohort_retention,
+        "repurchase_intervals": kpi.repurchase_intervals,
         "sessionization_session_window": kpi.sessionization_session_window,
         "jsonb_adhoc": kpi.jsonb_adhoc,
         "throughput_per_topic": kpi.throughput_per_topic,

@@ -582,3 +582,124 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (a-priori level 2): top-20 part pairs
+    by co-purchase order count, with per-part support and lift — the
+    classic e-commerce cross-sell analysis over order baskets.
+
+    Scale shape (the order of operations IS the design):
+    - the within-order self-join is keyed on l_orderkey (co-partitioned
+      equi-join) and bounded by Σ|basket|² with |basket| ≤ 7 — linear
+      in orders, never corpus-quadratic;
+    - pair counts take ONE shuffle on (part_a, part_b), then the
+      top-20 is TakeOrdered;
+    - only THEN are the 20 survivor rows enriched with per-part order
+      counts — broadcasting the 20-row side into the part-counts
+      table, never the reverse (part counts are corpus-sized at
+      100 TB; the survivors are k rows).
+    - lift = n_both·n_orders/(n_a·n_b): exact integer inputs, one
+      double divide — bit-identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    top_pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+        .orderBy(F.desc("n_both"), "part_a", "part_b")
+        .limit(20)
+    )
+    part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    # 1-row scalar attachment (total basket count), not a cartesian
+    totals = items.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    e1 = part_orders.join(
+        F.broadcast(top_pairs), part_orders.l_partkey == top_pairs.part_a
+    ).select("part_a", "part_b", "n_both", F.col("n_part").alias("n_a"))
+    pob = part_orders.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    e2 = pob.join(F.broadcast(e1), "part_b").crossJoin(F.broadcast(totals))
+    return e2.select(
+        "part_a",
+        "part_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        (
+            (F.col("n_both") * F.col("n_orders")).cast("double")
+            / (F.col("n_a") * F.col("n_b"))
+        ).alias("lift"),
+    ).orderBy(F.desc("n_both"), "part_a", "part_b")
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week; for
+    each (cohort_week, weeks-since-cohort) the count of distinct
+    users still active — the canonical growth-dashboard triangle.
+
+    Scale: first-activity and per-user activity weeks are two aggs on
+    user_id sharing one shuffle partitioning (AQE reuses the
+    exchange); the cohort join is user-co-partitioned; the final agg
+    shuffles on (cohort_week, week_offset) — cardinality weeks², tiny.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    active = (
+        events.select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+        )
+        .distinct()
+    )
+    joined = active.join(firsts, "user_id")
+    return (
+        joined.groupBy(
+            # string date: hashable the same way both engines emit it
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("week", "cohort_day") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of days between a
+    customer's consecutive orders, bucketed into the merchandising
+    bands (≤7, 8-30, 31-90, >90 days) with the average gap per band.
+
+    Scale: one shuffle+sort on (custkey, orderdate) for the lag; the
+    band agg is 4 rows. avg_days is one exact-integer sum divided
+    once — engine-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+    gaps = orders.select(gap.alias("days")).filter(F.col("days").isNotNull())
+    band = (
+        F.when(F.col("days") <= 7, "a_week")
+        .when(F.col("days") <= 30, "b_month")
+        .when(F.col("days") <= 90, "c_quarter")
+        .otherwise("d_longer")
+    )
+    return (
+        gaps.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").alias("n_intervals"),
+            (F.sum("days").cast("double") / F.count("*")).alias("avg_days"),
+        )
+        .orderBy("band")
+    )

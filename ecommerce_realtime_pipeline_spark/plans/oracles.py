@@ -409,3 +409,82 @@ KPI_ORACLES.update(
         """,
     }
 )
+
+KPI_ORACLES.update(
+    {
+        # market_basket_pairs: same order of operations — distinct
+        # (order, part), within-order pair counts, top-20, enrich.
+        "market_basket_pairs": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       COUNT(*) AS n_both
+                FROM items a
+                JOIN items b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT * FROM pairs
+                ORDER BY n_both DESC, part_a, part_b LIMIT 20
+            ),
+            pc AS (
+                SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY 1
+            ),
+            tot AS (
+                SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items
+            )
+            SELECT t.part_a, t.part_b, t.n_both,
+                   pa.n_part AS n_a, pb.n_part AS n_b,
+                   CAST(t.n_both * tot.n_orders AS DOUBLE)
+                       / (pa.n_part * pb.n_part) AS lift
+            FROM top t
+            JOIN pc pa ON t.part_a = pa.l_partkey
+            JOIN pc pb ON t.part_b = pb.l_partkey, tot
+            ORDER BY n_both DESC, part_a, part_b
+        """,
+        # cohort_retention: ISO Monday week truncation on both engines.
+        "cohort_retention": """
+            WITH firsts AS (
+                SELECT user_id,
+                       CAST(date_trunc('week', MIN(ts)) AS DATE)
+                           AS cohort_week
+                FROM events GROUP BY 1
+            ),
+            active AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS week
+                FROM events
+            )
+            SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('day', f.cohort_week, a.week) // 7 AS INT)
+                       AS week_offset,
+                   COUNT(DISTINCT a.user_id) AS n_users
+            FROM active a JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        # repurchase_intervals: exact integer day gaps; one divide.
+        "repurchase_intervals": """
+            WITH g AS (
+                SELECT date_diff('day',
+                           lag(o_orderdate) OVER (
+                               PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey),
+                           o_orderdate) AS days
+                FROM orders
+            )
+            SELECT CASE WHEN days <= 7 THEN 'a_week'
+                        WHEN days <= 30 THEN 'b_month'
+                        WHEN days <= 90 THEN 'c_quarter'
+                        ELSE 'd_longer' END AS band,
+                   COUNT(*) AS n_intervals,
+                   CAST(SUM(days) AS DOUBLE) / COUNT(*) AS avg_days
+            FROM g WHERE days IS NOT NULL
+            GROUP BY 1
+            ORDER BY 1
+        """,
+    }
+)
