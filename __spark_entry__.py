@@ -18,6 +18,7 @@ from ecommerce_realtime_pipeline_spark.plans.dq import DQ_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.gen import GEN_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.llm import LLM_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.oracles import KPI_ORACLES
+from ecommerce_realtime_pipeline_spark.plans.sqlhints import materialize_all
 from ecommerce_realtime_pipeline_spark.plans.temporal import TEMPORAL_ORACLES
 
 
@@ -167,10 +168,16 @@ def oracle_sql() -> dict[str, str]:
     streaming_ingest_roundtrip) — weaker than computed oracles but
     still a full value-hash gate, and double-pinned by pytest.
     """
-    return {
-        **KPI_ORACLES,
-        **DQ_ORACLES,
-        **LLM_ORACLES,
-        **GEN_ORACLES,
-        **TEMPORAL_ORACLES,
-    }
+    # AS MATERIALIZED on every non-recursive CTE: identical results,
+    # but stops DuckDB re-inlining shared CTEs (the shingle self-joins)
+    # and re-running them per RECURSIVE iteration (the CC oracles went
+    # 12-14 s → <2 s; suite oracle time 77 s → ~25 s). See sqlhints.py.
+    return materialize_all(
+        {
+            **KPI_ORACLES,
+            **DQ_ORACLES,
+            **LLM_ORACLES,
+            **GEN_ORACLES,
+            **TEMPORAL_ORACLES,
+        }
+    )
