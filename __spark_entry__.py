@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_trend_hourly_by_type": kpi.revenue_trend_hourly_by_type,
         "events_sliding_window": kpi.events_sliding_window,
         "events_by_segment_salted": kpi.events_by_segment_salted,
+        "events_bloom_semijoin": kpi.events_bloom_semijoin,
         "events_hll_users": kpi.events_hll_users,
         "events_cms_user_counts": kpi.events_cms_user_counts,
         "events_value_quantile_sketch": kpi.events_value_quantile_sketch,
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": kpi.funnel_conversion,
         "sessionization": kpi.sessionization,
         "market_basket_pairs": kpi.market_basket_pairs,
+        "parts_copurchase_pagerank": kpi.parts_copurchase_pagerank,
         "cohort_retention": kpi.cohort_retention,
         "repurchase_intervals": kpi.repurchase_intervals,
         "sessionization_session_window": kpi.sessionization_session_window,
@@ -72,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_metrics": dq.dq_metrics,
         "dedup_lineitem_latest": dq.dedup_lineitem_latest,
         "customers_snapshot_diff": dq.customers_snapshot_diff,
+        "customers_incremental_agg": dq.customers_incremental_agg,
         "set_ops_actors": dq.set_ops_actors,
         "revenue_grouping_sets": dq.revenue_grouping_sets,
         # §2.9 — LLM-data-pipeline operators (driver-mandated)
@@ -85,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardup_jaccard_cutoff": llm.docs_neardup_jaccard_cutoff,
         "docs_neardup_minhash": llm.docs_neardup_minhash,
         "docs_neardup_simhash": llm.docs_neardup_simhash,
+        "docs_neardup_editdist": llm.docs_neardup_editdist,
         "docs_neardup_clusters": llm.docs_neardup_clusters,
         "docs_neardup_clusters_lss": llm.docs_neardup_clusters_lss,
         "docs_cluster_representatives": llm.docs_cluster_representatives,

@@ -61,6 +61,13 @@ STRESS_QUERIES = [
     "events_sliding_window",
     "docs_winnow_overlap",
     "events_hll_users",
+    # round-4 additions: the iterative edge-propagation workload (must
+    # stay rounds × linear-in-edges), the Bloom-pruned fact scan, and
+    # the segment-blocked fuzzy join (candidates linear in rows unless
+    # a hot segment appears)
+    "parts_copurchase_pagerank",
+    "events_bloom_semijoin",
+    "docs_neardup_editdist",
 ]
 
 

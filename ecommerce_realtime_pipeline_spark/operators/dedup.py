@@ -511,3 +511,80 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("shingle").alias("n_shared"))
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_dist: int = 3,
+    key_len: int = 40,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Typo-level fuzzy duplicate pairs by Levenshtein distance over a
+    fixed-width prefix key — the string-similarity join that catches
+    character-level near-dups (OCR noise, keystroke typos, trailing
+    edits) that token-set measures (Jaccard/MinHash) dilute and
+    SimHash's token hashing misses entirely.
+
+    Key: the first ``key_len`` chars, space-padded to fixed width, so
+    (a) the distance is over a bounded prefix (O(key_len²) per verify,
+    independent of doc length) and (b) the blocking segments below are
+    well-defined for short docs.
+
+    Candidate generation is PIGEONHOLE SEGMENT BLOCKING: the key is cut
+    into ``max_dist + 1`` equal segments; two keys within distance
+    ``max_dist`` under aligned (substitution-only) edits must agree on
+    at least one whole segment, so candidates are an EQUI-JOIN on
+    (segment_idx, segment_text) — never all-pairs. For unaligned edits
+    (indels) a shift can break every downstream segment — the same
+    candidate-gen-only contract as ``jaccard_pairs``'s df-cutoff: the
+    blocker can only lose pairs, never distort a distance, and the
+    oracle replicates block → verify exactly. The production swap for
+    full indel coverage is PassJoin-style positional q-gram blocking
+    (segments matched against a ±max_dist position window), which keeps
+    the same equi-join shape at ~(2·max_dist+1)× the candidate volume.
+
+    Verify: exact ``levenshtein`` (JVM codegen, no UDF) on the padded
+    keys; emitted pairs carry the true distance.
+
+    Scale: one narrow projection + one inverted-index equi-join whose
+    bucket sizes are capped by natural key diversity (hot segments —
+    boilerplate openings — are the ``max_shingle_df`` analogue; add a
+    segment-frequency cutoff before the join if a corpus has them).
+    Output: (doc_a, doc_b, dist), doc_a < doc_b.
+    """
+    n_seg = max_dist + 1
+    seg_len = key_len // n_seg
+    if seg_len * n_seg != key_len:
+        raise ValueError("key_len must be a multiple of max_dist + 1")
+    key = F.rpad(F.substring(F.col(col), 1, key_len), key_len, " ")
+    keys = docs.select(F.col(id_col).alias("_id"), key.alias("_key"))
+    seg_idx = F.explode(F.array(*[F.lit(i) for i in range(n_seg)])).alias(
+        "seg_idx"
+    )
+    segs = keys.select("_id", "_key", seg_idx).select(
+        "_id",
+        "_key",
+        "seg_idx",
+        F.substring(
+            F.col("_key"), F.col("seg_idx") * seg_len + 1, seg_len
+        ).alias("seg"),
+    )
+    a = segs.select(
+        F.col("_id").alias("doc_a"), F.col("_key").alias("_ka"), "seg_idx", "seg"
+    )
+    b = segs.select(
+        F.col("_id").alias("doc_b"), F.col("_key").alias("_kb"), "seg_idx", "seg"
+    )
+    cand = (
+        a.join(b, ["seg_idx", "seg"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_ka", "_kb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    dist = F.levenshtein(F.col("_ka"), F.col("_kb"))
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )

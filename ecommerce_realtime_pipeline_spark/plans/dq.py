@@ -529,6 +529,64 @@ def customers_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance end-to-end: the same
+    deterministic perturbation as ``customers_snapshot_diff`` produces
+    snapshot B; the per-segment (count, sum acctbal) aggregate is then
+    refreshed from snapshot A's aggregate + the CDC feed ONLY
+    (`normalize.incremental_agg` — |diff| rows touched, no rescan of
+    B). The oracle aggregates snapshot B directly, so the hash-diff
+    proves the retract/add algebra: a missed retraction, a
+    double-counted update, or a float-ordering drift breaks it.
+    DECIMAL contributions make incremental ≡ recompute bit-for-bit."""
+    from ecommerce_realtime_pipeline_spark.operators.normalize import (
+        incremental_agg,
+        snapshot_diff,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    new = (
+        cust.filter(k % 97 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(k % 13 == 0, F.col("c_acctbal") + 10).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .unionByName(
+            cust.filter(k % 31 == 0).withColumn("c_custkey", k + 1_000_000)
+        )
+    )
+    diff = snapshot_diff(cust, new, ["c_custkey"])
+    out = incremental_agg(
+        cust, new, diff, ["c_custkey"], "c_mktsegment", "c_acctbal"
+    )
+    return out.select(
+        "c_mktsegment",
+        F.col("n_rows").alias("n_customers"),
+        F.round(F.col("sum_val").cast("double"), 2).alias("total_acctbal"),
+    ).orderBy("c_mktsegment")
+
+
+DQ_ORACLES["customers_incremental_agg"] = """
+    WITH newsnap AS (
+        SELECT c_mktsegment,
+               CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 10
+                    ELSE c_acctbal END AS bal
+        FROM customer WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey % 31 = 0
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(bal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_acctbal
+    FROM newsnap GROUP BY 1 ORDER BY 1
+"""
+
+
 DQ_ORACLES["customers_snapshot_diff"] = """
     SELECT 'delete' AS op, COUNT(*) AS n_keys,
            MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key

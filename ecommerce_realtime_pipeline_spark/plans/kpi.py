@@ -505,6 +505,86 @@ def events_by_segment_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event KPI over ONE customer segment via Bloom-pruned semi-join
+    (`bloom.bloom_semi_join`): the fact scan is prefiltered by an
+    8 KiB engine-portable Bloom filter over the segment's customer
+    keys BEFORE the exact semi-join removes the ~0.2% false-positive
+    trickle. Like the salted join, the pruning is a PHYSICAL rewrite:
+    the oracle is the plain semi-join, so the hash-diff proves the
+    no-false-negative property end to end (a single build/probe hash
+    divergence would drop rows and break the hash).
+
+    Scale: this is the shape for dim subsets too big to broadcast as
+    exact key sets — the filter stays kilobytes as the subset grows
+    to tens of millions of keys; the fact side discards non-matches
+    at the scan, before any shuffle."""
+    from ecommerce_realtime_pipeline_spark.operators.bloom import bloom_semi_join
+
+    events = load_table(spark, sf_dir, "events")
+    seg_keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    matched = bloom_semi_join(
+        events.select("event_id", "user_id", "event_type", "value"),
+        seg_keys,
+        fact_key="user_id",
+        dim_key="c_custkey",
+    )
+    return (
+        matched.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _as_double(F.sum(F.col("value").cast(_D))).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-graph centrality: fixed-iteration PageRank
+    (`graph.pagerank`, 3 rounds, d=0.85) over the co-purchase graph
+    (parts linked when they share an order basket — the level-2
+    market-basket graph symmetrized), top-20 parts by rank. The
+    "anchor products" analysis: high-rank parts co-occur with many
+    well-connected parts, a recommendation/merchandising signal the
+    raw pair counts miss.
+
+    Oracle: DuckDB replays the 3 propagation rounds CTE-for-CTE —
+    contributions are one IEEE double divide each, summed in DECIMAL
+    (order-independent), so every intermediate rank is bit-identical
+    across engines (the kmeans/logistic-GD exactness pattern).
+
+    Scale: basket self-join is bounded by Σ|basket|² (|basket| ≤ 7);
+    each round is one edge-list equi-join + one partial-agg shuffle on
+    dst; node table and 1-row N are broadcast. TakeOrdered top-20."""
+    from ecommerce_realtime_pipeline_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.select("ok", F.col("pk").alias("src"))
+    b = items.select("ok", F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return (
+        ranks.select(
+            F.col("node").alias("part_key"), F.round("rank", 8).alias("rank")
+        )
+        .orderBy(F.desc("rank"), "part_key")
+        .limit(20)
+    )
+
+
 def top_products_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise top-K (R15/R22 windowed form): top-3 products by
     revenue within every nation — rank() over a per-nation window.

@@ -171,6 +171,21 @@ def docs_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(docs, max_hamming=3, portable_hash=True)
 
 
+def docs_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level fuzzy-dup pairs: Levenshtein ≤ 3 over the space-padded
+    40-char prefix key, candidates via pigeonhole segment blocking
+    (4 equal segments, equi-join on (segment_idx, segment) — exact for
+    aligned/substitution edits, candidate-gen-only for indels; see
+    ``dedup.edit_distance_pairs``). Completes the near-dup family with
+    the character-edit metric the token-set measures dilute. Oracle
+    replicates block → exact-levenshtein verify (both engines implement
+    classic Levenshtein, so the distances hash-match bit-for-bit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.edit_distance_pairs(docs, max_dist=3, key_len=40).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: exact-Jaccard pairs (J ≥ 0.5) → connected
     components via iterative min-label propagation → (doc_id,
@@ -1752,6 +1767,34 @@ LLM_ORACLES: dict[str, str] = {
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    # block → verify replicated exactly: same padded 40-char key, same
+    # 4-segment pigeonhole equi-join, same classic-Levenshtein verify.
+    "docs_neardup_editdist": """
+        WITH k AS (
+            SELECT doc_id, rpad(substr(text, 1, 40), 40, ' ') AS key
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, key, unnest([0, 1, 2, 3]) AS seg_idx FROM k
+        ),
+        s2 AS (
+            SELECT doc_id, key, seg_idx,
+                   substr(key, seg_idx * 10 + 1, 10) AS seg
+            FROM segs
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.key AS ka, b.key AS kb
+            FROM s2 a
+            JOIN s2 b
+              ON a.seg_idx = b.seg_idx AND a.seg = b.seg
+                 AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, levenshtein(ka, kb) AS dist
+        FROM cand
+        WHERE levenshtein(ka, kb) <= 3
+        ORDER BY doc_a, doc_b
     """,
     # md5-ordered centroid pick → the oracle replicates the IVF
     # quantizer, probes, and exact rerank (all-pairs against 16

@@ -176,6 +176,86 @@ KPI_ORACLES: dict[str, str] = {
         GROUP BY 1
         ORDER BY 1
     """,
+    # parts_copurchase_pagerank: the 3 propagation rounds replayed
+    # CTE-for-CTE; contributions are one double divide each, summed in
+    # DECIMAL(28,14) so every intermediate rank is bit-identical.
+    "parts_copurchase_pagerank": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        edges AS (
+            SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
+        ),
+        deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (
+            SELECT u AS node, CAST(1.0 AS DOUBLE) / n AS rank FROM deg, nn
+        ),
+        c1 AS (
+            SELECT e.v AS node,
+                   CAST(r.rank / d.deg AS DECIMAL(28,14)) AS c
+            FROM edges e JOIN deg d ON e.u = d.u JOIN r0 r ON e.u = r.node
+        ),
+        s1 AS (SELECT node, SUM(c) AS s FROM c1 GROUP BY 1),
+        r1 AS (
+            SELECT dg.u AS node,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                   + CAST(0.85 AS DOUBLE)
+                     * COALESCE(CAST(s1.s AS DOUBLE), CAST(0.0 AS DOUBLE))
+                       AS rank
+            FROM deg dg LEFT JOIN s1 ON dg.u = s1.node, nn
+        ),
+        c2 AS (
+            SELECT e.v AS node,
+                   CAST(r.rank / d.deg AS DECIMAL(28,14)) AS c
+            FROM edges e JOIN deg d ON e.u = d.u JOIN r1 r ON e.u = r.node
+        ),
+        s2 AS (SELECT node, SUM(c) AS s FROM c2 GROUP BY 1),
+        r2 AS (
+            SELECT dg.u AS node,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                   + CAST(0.85 AS DOUBLE)
+                     * COALESCE(CAST(s2.s AS DOUBLE), CAST(0.0 AS DOUBLE))
+                       AS rank
+            FROM deg dg LEFT JOIN s2 ON dg.u = s2.node, nn
+        ),
+        c3 AS (
+            SELECT e.v AS node,
+                   CAST(r.rank / d.deg AS DECIMAL(28,14)) AS c
+            FROM edges e JOIN deg d ON e.u = d.u JOIN r2 r ON e.u = r.node
+        ),
+        s3 AS (SELECT node, SUM(c) AS s FROM c3 GROUP BY 1),
+        r3 AS (
+            SELECT dg.u AS node,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                   + CAST(0.85 AS DOUBLE)
+                     * COALESCE(CAST(s3.s AS DOUBLE), CAST(0.0 AS DOUBLE))
+                       AS rank
+            FROM deg dg LEFT JOIN s3 ON dg.u = s3.node, nn
+        )
+        SELECT node AS part_key, ROUND(rank, 8) AS rank
+        FROM r3
+        ORDER BY ROUND(rank, 8) DESC, node
+        LIMIT 20
+    """,
+    # events_bloom_semijoin: the oracle is the PLAIN semi-join — Bloom
+    # pruning is a physical prefilter with no false negatives, so the
+    # bloom→exact pipeline must reproduce it row-for-row.
+    "events_bloom_semijoin": """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS total_value
+        FROM events e
+        WHERE EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING'
+        )
+        GROUP BY 1
+        ORDER BY 1
+    """,
     # events_sliding_window: every ts is covered by exactly the two
     # 10-min windows starting at trunc5(ts) and trunc5(ts)-5min
     # (trunc5(ts) > ts-5min, so both starts are > ts-10min), which is

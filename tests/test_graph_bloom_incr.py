@@ -1,0 +1,214 @@
+"""Unit pins for the round-4 operator additions: edit-distance fuzzy
+dedup (pigeonhole blocking semantics), Bloom semi-join (no false
+negatives + real pruning), incremental aggregate maintenance (the
+retract/add algebra incl. group-moving updates), and fixed-iteration
+PageRank (hand-computed graphs + mass conservation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_realtime_pipeline_spark.operators import bloom as B
+from ecommerce_realtime_pipeline_spark.operators import dedup as DD
+from ecommerce_realtime_pipeline_spark.operators import graph as G
+from ecommerce_realtime_pipeline_spark.operators.normalize import (
+    incremental_agg,
+    snapshot_diff,
+)
+
+
+# -- edit_distance_pairs ----------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_editdist_substitution_pairs_always_found(spark):
+    """Pigeonhole guarantee: ≤ max_dist SUBSTITUTIONS leave at least
+    one of the max_dist+1 segments untouched, so the pair must
+    surface — and the emitted distance is the exact Levenshtein."""
+    base = "abcdefghijklmnopqrstuvwxyz0123456789abcd"  # 40 chars
+    mut = list(base)
+    mut[0], mut[12], mut[25] = "X", "Y", "Z"  # 3 substitutions
+    out = DD.edit_distance_pairs(
+        _docs(spark, [(1, base), (2, "".join(mut))]), max_dist=3
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["doc_a"], out[0]["doc_b"], out[0]["dist"]) == (1, 2, 3)
+
+
+def test_editdist_exact_dup_distance_zero(spark):
+    out = DD.edit_distance_pairs(
+        _docs(spark, [(1, "same text here"), (2, "same text here")])
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["dist"]) for r in out] == [(1, 2, 0)]
+
+
+def test_editdist_indel_miss_mode_is_the_documented_one(spark):
+    """A LEADING insertion shifts every downstream segment — the
+    documented candidate-generation miss (same contract as the
+    df-cutoff Jaccard blocker: can lose pairs, never distort a
+    distance). This pin makes the limitation explicit; the PassJoin
+    positional swap named in the docstring would recover it."""
+    base = "abcdefghijklmnopqrstuvwxyz0123456789abcd"
+    shifted = "Q" + base[:-1]  # distance 2 (insert + tail change), all segments shifted
+    out = DD.edit_distance_pairs(_docs(spark, [(1, base), (2, shifted)])).collect()
+    assert out == []  # blocked: no segment agrees → candidate never generated
+
+
+def test_editdist_far_pair_rejected_by_verify(spark):
+    """Shared segment (same first 10 chars) generates the candidate,
+    but the exact-Levenshtein verify rejects distance > max_dist."""
+    a = "shared-seg" + "a" * 30
+    b = "shared-seg" + "z" * 30
+    out = DD.edit_distance_pairs(_docs(spark, [(1, a), (2, b)])).collect()
+    assert out == []
+
+
+# -- bloom semi-join --------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_prunes(spark, sf_dir):
+    """Every true key passes the probe (bloom ∘ exact ≡ exact), and
+    the prefilter really prunes: strictly fewer rows pass the bloom
+    than exist, and at least as many as truly match."""
+    from ecommerce_realtime_pipeline_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    n_total = events.count()
+    n_exact = events.join(
+        keys.select(F.col("c_custkey").alias("user_id")).distinct(),
+        "user_id",
+        "left_semi",
+    ).count()
+    pruned = events.crossJoin(F.broadcast(B.bloom_build(keys, "c_custkey"))).filter(
+        B.bloom_might_contain("user_id")
+    )
+    n_bloom = pruned.count()
+    n_final = B.bloom_semi_join(
+        events, keys, fact_key="user_id", dim_key="c_custkey"
+    ).count()
+    assert n_final == n_exact  # no false negatives, FPs removed
+    assert n_exact <= n_bloom < n_total  # superset of matches, real pruning
+
+
+def test_bloom_exact_join_is_broadcast_semi(spark, sf_dir):
+    from ecommerce_realtime_pipeline_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    plan = (
+        B.bloom_semi_join(events, keys, fact_key="user_id", dim_key="c_custkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+# -- incremental_agg --------------------------------------------------------
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, grp string, val double")
+
+
+def test_incremental_agg_group_moving_update(spark):
+    """An update that MOVES a row between groups must retract from the
+    old group and add to the new one; deletes can empty a group (it
+    drops out), inserts can create one."""
+    old = _snap(spark, [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)])
+    new = _snap(spark, [(1, "b", 10.0), (2, "a", 6.0), (4, "c", 1.0)])
+    diff = snapshot_diff(old, new, ["k"])
+    got = {
+        r["grp"]: (r["n_rows"], float(r["sum_val"]))
+        for r in incremental_agg(old, new, diff, ["k"], "grp", "val").collect()
+    }
+    # direct recompute over `new`:
+    want = {
+        r["grp"]: (r["n"], float(r["s"]))
+        for r in new.groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("val").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert got["b"] == (1, 10.0)  # moved row landed in b; old b row deleted
+    assert "c" in got  # insert created a fresh group
+
+
+def test_incremental_agg_equals_direct_recompute_on_customer(spark, sf_dir):
+    from ecommerce_realtime_pipeline_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    new = cust.filter(k % 7 != 0).unionByName(
+        cust.filter(k % 11 == 0).withColumn("c_custkey", k + 500_000)
+    )
+    diff = snapshot_diff(cust, new, ["c_custkey"])
+    inc = {
+        r["c_mktsegment"]: (r["n_rows"], str(r["sum_val"]))
+        for r in incremental_agg(
+            cust, new, diff, ["c_custkey"], "c_mktsegment", "c_acctbal"
+        ).collect()
+    }
+    direct = {
+        r["c_mktsegment"]: (r["n"], str(r["s"]))
+        for r in new.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert inc == direct
+
+
+# -- pagerank ---------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    sym = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sorted(set(sym)), "src long, dst long")
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    """On a vertex-transitive graph (3-cycle) the rank stays uniform
+    1/N at every iteration — any deviation means a deg/contribution
+    bug."""
+    ranks = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(_edges(spark, [(1, 2), (2, 3), (3, 1)]), iters=3).collect()
+    }
+    for v in ranks.values():
+        assert v == pytest.approx(1.0 / 3.0, abs=1e-12)
+
+
+def test_pagerank_star_center_dominates_and_mass_conserved(spark):
+    """Star K1,4: the hub must outrank every leaf, leaves are
+    symmetric-equal, and (no dangling nodes on a symmetrized edge
+    list) total mass stays 1."""
+    ranks = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(
+            _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4)]), iters=3
+        ).collect()
+    }
+    assert ranks[0] > max(ranks[i] for i in (1, 2, 3, 4))
+    leaf_vals = {round(ranks[i], 12) for i in (1, 2, 3, 4)}
+    assert len(leaf_vals) == 1
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
