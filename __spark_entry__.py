@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": kpi.sessionization,
         "market_basket_pairs": kpi.market_basket_pairs,
         "parts_copurchase_pagerank": kpi.parts_copurchase_pagerank,
+        "events_zorder_roundtrip": kpi.events_zorder_roundtrip,
         "cohort_retention": kpi.cohort_retention,
         "repurchase_intervals": kpi.repurchase_intervals,
         "sessionization_session_window": kpi.sessionization_session_window,

@@ -585,6 +585,48 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering rewrite round-trip (`layout.write_zordered`):
+    events re-laid out on the Morton curve over (user_id, value) —
+    the multi-column file-skipping layout — then read back and
+    aggregated per event_type. The oracle aggregates the RAW table:
+    layout is a physical permutation, so the hash-diff proves the
+    rewrite loses/duplicates nothing (count, distinct users, decimal
+    value total, and min/max key all survive). The file-skipping WIN
+    (fewer files intersect a 2-D box predicate than under a 1-D sort)
+    is pinned separately in tests via per-file span stats.
+
+    Scale: the rewrite is one range exchange + in-file sort — the
+    scheduled clustering job (per day-partition at 100 TB), same
+    maintenance slot as ``compact_buckets``."""
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.operators.layout import write_zordered
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="eng_zorder_q_")
+    try:
+        write_zordered(events, f"{tmp}/events_z", ["user_id", "value"])
+        back = spark.read.parquet(f"{tmp}/events_z")
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                _as_double(F.sum(F.col("value").cast(_D))).alias("total_value"),
+                F.min("event_id").alias("min_event_id"),
+                F.max("event_id").alias("max_event_id"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def top_products_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise top-K (R15/R22 windowed form): top-3 products by
     revenue within every nation — rank() over a per-nation window.

@@ -176,6 +176,21 @@ KPI_ORACLES: dict[str, str] = {
         GROUP BY 1
         ORDER BY 1
     """,
+    # events_zorder_roundtrip: the oracle aggregates the RAW table —
+    # the z-order rewrite is a physical permutation and must preserve
+    # every row exactly.
+    "events_zorder_roundtrip": """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS total_value,
+               MIN(event_id) AS min_event_id,
+               MAX(event_id) AS max_event_id
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
     # parts_copurchase_pagerank: the 3 propagation rounds replayed
     # CTE-for-CTE; contributions are one double divide each, summed in
     # DECIMAL(28,14) so every intermediate rank is bit-identical.
