@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_basket_pairs": kpi.market_basket_pairs,
         "parts_copurchase_pagerank": kpi.parts_copurchase_pagerank,
         "events_zorder_roundtrip": kpi.events_zorder_roundtrip,
+        "events_heavy_hitters_mg": kpi.events_heavy_hitters_mg,
+        "events_type_transitions": kpi.events_type_transitions,
+        "events_volume_anomalies": kpi.events_volume_anomalies,
         "cohort_retention": kpi.cohort_retention,
         "repurchase_intervals": kpi.repurchase_intervals,
         "sessionization_session_window": kpi.sessionization_session_window,

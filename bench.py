@@ -68,6 +68,8 @@ STRESS_QUERIES = [
     "parts_copurchase_pagerank",
     "events_bloom_semijoin",
     "docs_neardup_editdist",
+    "events_heavy_hitters_mg",
+    "events_type_transitions",
 ]
 
 

@@ -229,3 +229,85 @@ def hist_quantiles(
         + (F.col("q") * F.col("_f._n") - F.col("_f._prev")) / F.col("_f._cnt")
     )
     return first.select(*g, "q", est.alias("approx_value"))
+
+
+# -- Misra-Gries heavy hitters ----------------------------------------------
+
+
+def mg_partition_summaries(
+    df: DataFrame, key: str, capacity: int = 64
+) -> DataFrame:
+    """Per-partition MERGEABLE Misra-Gries summaries (Arrow
+    ``mapInPandas``) — at most ``capacity`` (key, weight) counters per
+    partition, built by the batch-merge rule from the mergeable-
+    summaries literature: fold each Arrow batch's value_counts into the
+    running summary; when the summary exceeds capacity, subtract the
+    (capacity+1)-th largest weight from everything and drop ≤ 0.
+
+    GUARANTEE (pigeonhole over partitions): any key whose GLOBAL count
+    exceeds N/(capacity+1) must exceed n_p/(capacity+1) in at least one
+    partition and therefore survives in that partition's summary — so
+    the union of summaries is a certified candidate superset for every
+    such key. Summaries themselves depend on row order (eviction
+    order); the downstream exact recount is what restores determinism.
+
+    Why imperative (mapInPandas, not expressions): MG's whole point is
+    BOUNDED state under eviction — a declarative groupBy materializes
+    the full key cardinality (the thing being avoided); there is no
+    expression-level equivalent of "decrement-and-evict". State is
+    O(capacity) per partition; output is ≤ capacity rows per partition.
+    """
+    key_field = df.schema[key]
+    out_schema = f"{key} {key_field.dataType.simpleString()}, weight long"
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for k_val, c in pdf[key].value_counts().items():
+                counters[k_val] = counters.get(k_val, 0) + int(c)
+            if len(counters) > capacity:
+                thr = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    k_val: w - thr for k_val, w in counters.items() if w - thr > 0
+                }
+        yield pd.DataFrame(
+            {key: list(counters.keys()), "weight": list(counters.values())}
+        )
+
+    return df.select(key).mapInPandas(summarize, out_schema)
+
+
+def heavy_hitters_exact(
+    df: DataFrame, key: str, k: int = 5, capacity: int = 64
+) -> DataFrame:
+    """Exact top-k heavy hitters WITHOUT a full-cardinality shuffle:
+    Misra-Gries candidate generation (bounded per-partition state) →
+    ONE tiny shuffle of ≤ partitions×capacity candidate rows → exact
+    recount of candidates only (broadcast semi-join into the scan) →
+    TakeOrdered top-k.
+
+    Correctness certificate: the result IS the true top-k whenever the
+    k-th true count exceeds N/(capacity+1) (then every top-k key is a
+    certified MG survivor). The certificate is data-checkable — pinned
+    in tests on the planted-skew corpus — and the oracle (plain top-k
+    SQL) hash-proves result invariance under it, eviction-order
+    nondeterminism notwithstanding.
+
+    Scale: the raw table is scanned twice but SHUFFLED never — the
+    first pass moves ≤ partitions×capacity rows, the second aggregates
+    only candidate keys pre-filtered at the scan. The classic skew
+    regime (few hot keys at 100 TB) is exactly where the certificate
+    margin is widest."""
+    cands = (
+        mg_partition_summaries(df, key, capacity)
+        .select(key)
+        .distinct()
+    )
+    exact = (
+        df.join(F.broadcast(cands), key, "left_semi")
+        .groupBy(key)
+        .agg(F.count("*").alias("n_rows"))
+    )
+    return exact.orderBy(F.desc("n_rows"), key).limit(k)

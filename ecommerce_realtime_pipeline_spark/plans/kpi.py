@@ -627,6 +627,99 @@ def events_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def events_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 hot users via Misra-Gries candidate generation +
+    exact recount (`sketch.heavy_hitters_exact`) — the heavy-hitter
+    query shape that never shuffles the raw table (bounded
+    per-partition summaries → broadcast candidate filter → TakeOrdered).
+
+    The natural corpus is uniform, so the skew regime is PLANTED like
+    the embedding dup queries: users 0-7 get their events quadrupled
+    (4× count ≈ 300 vs natural max ≈ 86 at sf0.01 — the ratio is
+    sf-invariant), which puts the top-5 counts far above the
+    N/(capacity+1) certificate threshold (pinned in tests). Oracle =
+    plain top-5 SQL over the same planted corpus: a result-invariance
+    proof that holds despite eviction-order nondeterminism inside the
+    MG summaries."""
+    from ecommerce_realtime_pipeline_spark.operators.sketch import (
+        heavy_hitters_exact,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    hot = events.filter(F.col("user_id") < 8)
+    corpus = events.unionByName(hot).unionByName(hot).unionByName(hot)
+    return heavy_hitters_exact(corpus, "user_id", k=5, capacity=64).select(
+        "user_id", F.col("n_rows").alias("n_events")
+    )
+
+
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: top-15 consecutive event-type
+    transitions (src → dst) across each user's time-ordered stream —
+    the first-order Markov structure of the funnel (which steps
+    actually follow which). Deterministic ordering via (ts, event_id)
+    tie-break on both engines.
+
+    Scale: ONE shuffle to partition by user for the lag window (the
+    same exchange sessionization pays), then a tiny (|types|²)-key agg;
+    top-k is TakeOrdered."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("src_type"),
+            F.col("event_type").alias("dst_type"),
+        )
+        .filter(F.col("src_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    return trans.orderBy(
+        F.desc("n_transitions"), "src_type", "dst_type"
+    ).limit(15)
+
+
+def events_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly scan: per-minute event counts z-scored against
+    the whole series, top-10 most anomalous minutes — the monitoring
+    query behind rate alerts. Exactness: counts are integers, so the
+    first/second moments are EXACT integer sums (partition-order
+    independent); mean/variance/z are then a fixed chain of IEEE
+    double ops — bit-identical across engines (the PageRank/kmeans
+    pattern applied to descriptive stats).
+
+    Scale: one time-bucket partial agg (R13's shuffle), a 1-row moment
+    broadcast, TakeOrdered top-k."""
+    events = load_table(spark, sf_dir, "events")
+    per_min = events.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count("*").alias("n_events"))
+    moments = per_min.agg(
+        F.count("*").alias("_n"),
+        F.sum("n_events").alias("_s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("_s2"),
+    )
+    with_m = per_min.crossJoin(F.broadcast(moments))
+    mean = F.col("_s1").cast("double") / F.col("_n")
+    var = (
+        F.col("_s2").cast("double") - F.col("_s1").cast("double") * mean
+    ) / (F.col("_n") - 1)
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    return (
+        with_m.select(
+            "minute", "n_events", F.round(z, 6).alias("zscore")
+        )
+        .orderBy(F.desc(F.abs(F.col("zscore"))), "minute")
+        .limit(10)
+    )
+
+
 def top_products_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise top-K (R15/R22 windowed form): top-3 products by
     revenue within every nation — rank() over a per-nation window.

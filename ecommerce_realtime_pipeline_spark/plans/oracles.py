@@ -176,6 +176,70 @@ KPI_ORACLES: dict[str, str] = {
         GROUP BY 1
         ORDER BY 1
     """,
+    # events_heavy_hitters_mg: plain top-5 over the planted-skew
+    # corpus — result invariance despite MG eviction-order
+    # nondeterminism (certificate pinned in tests).
+    "events_heavy_hitters_mg": """
+        WITH corpus AS (
+            SELECT user_id FROM events
+            UNION ALL
+            SELECT user_id FROM events, unnest([1, 2, 3]) AS t(i)
+            WHERE user_id < 8
+        )
+        SELECT user_id, count(*) AS n_events
+        FROM corpus
+        GROUP BY 1
+        ORDER BY n_events DESC, user_id
+        LIMIT 5
+    """,
+    # events_type_transitions: identical lag window, (ts, event_id)
+    # tie-broken on both engines (both see µs timestamps).
+    "events_type_transitions": """
+        WITH seq AS (
+            SELECT user_id, event_type AS dst_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src_type
+            FROM events
+        )
+        SELECT src_type, dst_type,
+               count(*) AS n_transitions,
+               count(DISTINCT user_id) AS n_users
+        FROM seq
+        WHERE src_type IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY n_transitions DESC, src_type, dst_type
+        LIMIT 15
+    """,
+    # events_volume_anomalies: integer moments are exact sums; the
+    # mean/var/z chain is the same fixed IEEE op sequence as Spark's.
+    "events_volume_anomalies": """
+        WITH per_min AS (
+            SELECT date_trunc('minute', ts) AS minute,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        ),
+        mom AS (
+            SELECT count(*) AS n, SUM(n_events) AS s1,
+                   SUM(n_events * n_events) AS s2
+            FROM per_min
+        ),
+        scored AS (
+            SELECT minute, n_events,
+                   ROUND(
+                       (CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                       / sqrt((CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE)
+                                 * (CAST(s1 AS DOUBLE) / n)) / (n - 1)),
+                       6
+                   ) AS zscore
+            FROM per_min, mom
+        )
+        SELECT minute, n_events, zscore
+        FROM scored
+        ORDER BY abs(zscore) DESC, minute
+        LIMIT 10
+    """,
     # events_zorder_roundtrip: the oracle aggregates the RAW table —
     # the z-order rewrite is a physical permutation and must preserve
     # every row exactly.

@@ -212,3 +212,52 @@ def test_pagerank_star_center_dominates_and_mass_conserved(spark):
     leaf_vals = {round(ranks[i], 12) for i in (1, 2, 3, 4)}
     assert len(leaf_vals) == 1
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+# -- Misra-Gries heavy hitters ----------------------------------------------
+
+
+def test_mg_summary_bounded_and_heavy_key_survives(spark):
+    """High-cardinality input with one planted heavy key: summaries
+    stay ≤ capacity rows per partition (eviction really happens:
+    capacity ≪ distinct keys) and the heavy key survives in some
+    partition — the pigeonhole guarantee the exact recount relies on."""
+    from ecommerce_realtime_pipeline_spark.operators import sketch as SK
+
+    base = spark.range(0, 20_000).select((F.col("id") % 5000).alias("k"))
+    heavy = spark.range(0, 4_000).select(F.lit(-1).cast("long").alias("k"))
+    df = base.unionByName(heavy).repartition(4)
+    summ = SK.mg_partition_summaries(df, "k", capacity=32).collect()
+    assert len(summ) <= 4 * 32
+    assert -1 in {r["k"] for r in summ}  # count 4000 > 24000/33 ≈ 727
+
+
+def test_mg_exact_topk_partitioning_invariant_with_certificate(spark, sf_dir):
+    """The full operator returns the TRUE top-k on the planted-skew
+    corpus for any partitioning, and the certificate (k-th count >
+    N/(capacity+1)) actually holds — the condition under which the
+    MG candidate set provably covers the top-k."""
+    from ecommerce_realtime_pipeline_spark.catalog import load_table
+    from ecommerce_realtime_pipeline_spark.operators import sketch as SK
+
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    hot = events.filter(F.col("user_id") < 8)
+    corpus = events.unionByName(hot).unionByName(hot).unionByName(hot)
+    true_top = [
+        (r["user_id"], r["n"])
+        for r in corpus.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(5)
+        .collect()
+    ]
+    n_total = corpus.count()
+    assert true_top[-1][1] > n_total / 65  # the certificate, capacity=64
+    for parts in (1, 16):
+        got = [
+            (r["user_id"], r["n_rows"])
+            for r in SK.heavy_hitters_exact(
+                corpus.repartition(parts), "user_id", k=5, capacity=64
+            ).collect()
+        ]
+        assert got == true_top, parts
