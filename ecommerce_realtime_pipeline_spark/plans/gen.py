@@ -333,6 +333,109 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 continuous aggregate as a driver-checkable query: the
+    revenue-by-status view maintained INCREMENTALLY per micro-batch by
+    `streaming/contagg.run_ingest_with_agg` (epoch-marker exactly-once,
+    refresh-from-pre-image before the idempotent upsert), over two
+    availableNow runs of an order-envelope stream:
+
+    - batch 1: 12 pending orders o01..o12, totals 10..120.
+    - batch 2: o01..o04 transition to 'shipped' (same totals, later
+      updated_at — exercising the RETRACT side: pending loses those 4
+      orders and 100.00 of revenue) + 3 new pending o13..o15
+      (130+140+150).
+
+    Final view is an analytic constant: pending (8 survivors: 680) +
+    (3 new: 420) = 11 orders / 1100.00; shipped = 4 orders / 100.00 —
+    value-gated by a literal oracle. Refresh ≡ full recompute over the
+    final silver is additionally asserted in tests (incl. epoch
+    replay)."""
+    import datetime as _dt
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.streaming import contagg as CA
+
+    day = _dt.datetime(2025, 3, 1)
+
+    def line(offset: int, oid: str, total: float, status: str, upd_min: int) -> str:
+        created = day.strftime("%Y-%m-%dT%H:%M:%SZ")
+        updated = (day + _dt.timedelta(minutes=upd_min)).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        payload = json.dumps(
+            {
+                "order_id": oid,
+                "customer_id": "c1",
+                "items": [],
+                "total": total,
+                "status": status,
+                "created_at": created,
+                "updated_at": updated,
+            }
+        )
+        return json.dumps(
+            {
+                "topic": "orders",
+                "topic_partition": 0,
+                "topic_offset": offset,
+                "message_key": oid,
+                "payload": payload,
+                "consumed_at": created,
+            }
+        )
+
+    def write(src: str, name: str, lines: list[str]) -> None:
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    tmp = tempfile.mkdtemp(prefix="eng_contagg_q_")
+    try:
+        src, silver, agg, ckpt = (
+            os.path.join(tmp, d) for d in ("src", "silver", "agg", "ckpt")
+        )
+        batches = [
+            [
+                line(i, f"o{i:02d}", i * 10.0, "pending", 0)
+                for i in range(1, 13)
+            ],
+            [
+                line(100 + i, f"o{i:02d}", i * 10.0, "shipped", 30)
+                for i in range(1, 5)
+            ]
+            + [
+                line(100 + i, f"o{i:02d}", i * 10.0, "pending", 30)
+                for i in range(13, 16)
+            ],
+        ]
+        with _pinned_state_partitions(spark):
+            for i, lines in enumerate(batches):
+                write(src, f"b{i}.json", lines)
+                q = CA.run_ingest_with_agg(
+                    spark, src, "orders", silver, agg, ckpt,
+                    group_col="status", sum_col="total",
+                )
+                q.awaitTermination(120)
+        view = CA.read_continuous_agg(spark, agg)
+        return (
+            view.select(
+                "status",
+                F.col("n_rows").alias("n_orders"),
+                F.round(F.col("sum_val").cast("double"), 2).alias(
+                    "total_revenue"
+                ),
+            )
+            .orderBy("status")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def monitoring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R18/R19 monitoring as a driver-checkable query: run a tiny
     seeded ingest with the StatsListener attached and return the
@@ -990,6 +1093,20 @@ GEN_ORACLES: dict[str, str] = {
             ('p3', 'c1', 1740824400000000, 'c12', 1740823200000000)
         ) AS t(purchase_id, customer_id, pus, click_id, cus)
         ORDER BY purchase_id, click_id
+    """,
+    # streaming_continuous_agg: analytic constants derived in the
+    # docstring (batch arithmetic + the retract of the 4 status
+    # transitions); the maintenance machinery itself is not
+    # DuckDB-expressible but its contracted output is value-gated.
+    "streaming_continuous_agg": """
+        SELECT status,
+               CAST(n AS BIGINT) AS n_orders,
+               CAST(rev AS DOUBLE) AS total_revenue
+        FROM (VALUES
+            ('pending', 11, 1100.00),
+            ('shipped', 4, 100.00)
+        ) AS t(status, n, rev)
+        ORDER BY status
     """,
     "monitoring_stats": """
         SELECT 'customers_silver' AS table_name,

@@ -1,0 +1,179 @@
+"""Continuous aggregate: a streaming-maintained materialized view
+refreshed INCREMENTALLY per micro-batch — the batch
+``normalize.incremental_agg`` algebra fused into the ingest stream, so
+a per-group KPI table (here: order count + revenue by status) stays
+current at the cost of |batch| per trigger instead of a table rescan.
+This is the "hypertable continuous aggregate" workload shape on plain
+parquet.
+
+Exactly-once design (the crash windows, named):
+- Each refresh writes a FULL new aggregate version to
+  ``{agg_path}/v=<epoch>`` via stage + atomic rename. The aggregate is
+  group-cardinality-sized (|statuses| rows), so a full version per
+  epoch is cheaper than any delta log — and versions double as the
+  time-travel history.
+- Replay protection is the EPOCH MARKER: a committed ``v=<epoch>``
+  directory means this epoch was applied; ``refresh_epoch`` returns
+  immediately on replay. This matters because the delta is computed
+  against the silver PRE-IMAGE — after the upsert lands, the same
+  batch would produce a zero delta, so "recompute on replay" is NOT
+  an option; skip-if-committed is.
+- Ordering inside the foreachBatch: refresh FIRST (pre-image intact),
+  silver upsert second (idempotent last-write-wins). Crash between
+  them → replay skips the committed refresh and redoes the upsert;
+  crash before the rename → replay recomputes the identical delta
+  from the unchanged pre-image. Both windows converge.
+
+Scale: the pre-image lookup is bucket-pruned exactly like the upsert
+(only buckets containing batch keys are read); the delta aggregation
+touches |batch| rows; the version write is |groups| rows. DECIMAL
+contributions keep refresh ≡ recompute bit-for-bit (asserted against a
+full silver aggregation in tests and the driver fixture query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_realtime_pipeline_spark.operators import normalize as N
+from ecommerce_realtime_pipeline_spark.schemas import ENTITY_SCHEMAS
+from ecommerce_realtime_pipeline_spark.streaming.ingest import (
+    _atomic_overwrite,
+    bucket_of,
+    deduped_stream,
+    stream_envelopes,
+    upsert_batch,
+)
+
+_SUM_TYPE = "decimal(18,2)"
+
+
+def _committed_epochs(agg_path: str) -> list[int]:
+    if not os.path.isdir(agg_path):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(agg_path)
+        if d.startswith("v=")
+    )
+
+
+def read_continuous_agg(spark: SparkSession, agg_path: str) -> DataFrame:
+    """Latest committed aggregate version (empty-schema-safe only
+    after the first epoch commits)."""
+    epochs = _committed_epochs(agg_path)
+    if not epochs:
+        raise FileNotFoundError(f"no committed aggregate version in {agg_path}")
+    return spark.read.parquet(os.path.join(agg_path, f"v={epochs[-1]}"))
+
+
+def refresh_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    entity: str,
+    silver_path: str,
+    agg_path: str,
+    epoch_id: int,
+    group_col: str,
+    sum_col: str,
+    n_buckets: int = 16,
+) -> None:
+    """Incrementally refresh the aggregate for one micro-batch AGAINST
+    THE SILVER PRE-IMAGE (call before the upsert). Skip-if-committed
+    makes it exactly-once under foreachBatch replay."""
+    version_dir = os.path.join(agg_path, f"v={epoch_id}")
+    if os.path.isdir(version_dir):
+        return  # replayed epoch: already applied
+    typed, _bad = N.parse_envelope(batch_df, entity)
+    id_field = ENTITY_SCHEMAS[entity].fields[0].name
+    batch_rows = N.latest_by_key(typed, id_field, N.ORDER_COLS[entity])
+    d_val = F.col(sum_col).cast(_SUM_TYPE)
+    add = batch_rows.select(
+        F.col(group_col).alias("_g"),
+        F.lit(1).cast("long").alias("_dn"),
+        d_val.alias("_ds"),
+    )
+    deltas = add
+    if os.path.isdir(silver_path):
+        keys = batch_rows.select(id_field).distinct()
+        buckets = [
+            r[0]
+            for r in keys.select(
+                bucket_of(id_field, n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        pre = (
+            spark.read.parquet(silver_path)
+            .filter(F.col("bucket").isin(buckets))
+            .join(F.broadcast(keys), id_field, "left_semi")
+        )
+        retract = pre.select(
+            F.col(group_col).alias("_g"),
+            F.lit(-1).cast("long").alias("_dn"),
+            (-d_val).alias("_ds"),
+        )
+        deltas = deltas.unionByName(retract)
+    delta_agg = deltas.groupBy("_g").agg(
+        F.sum("_dn").alias("_dn"), F.sum("_ds").alias("_ds")
+    )
+    epochs = _committed_epochs(agg_path)
+    if epochs:
+        prev = read_continuous_agg(spark, agg_path)
+    else:
+        prev = spark.createDataFrame(
+            [], f"{group_col} string, n_rows long, sum_val {_SUM_TYPE}"
+        )
+    merged = prev.join(delta_agg, prev[group_col] == delta_agg["_g"], "full_outer").select(
+        F.coalesce(F.col(group_col), F.col("_g")).alias(group_col),
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias("n_rows"),
+        (
+            F.coalesce(F.col("sum_val"), F.lit(0).cast(_SUM_TYPE))
+            + F.coalesce(F.col("_ds"), F.lit(0).cast(_SUM_TYPE))
+        ).cast(_SUM_TYPE).alias("sum_val"),
+    ).filter(F.col("n_rows") > 0)
+    _atomic_overwrite(merged, version_dir)
+
+
+def run_ingest_with_agg(
+    spark: SparkSession,
+    source_dir: str,
+    entity: str,
+    silver_path: str,
+    agg_path: str,
+    checkpoint_dir: str,
+    group_col: str,
+    sum_col: str,
+    watermark: str = "10 minutes",
+):
+    """Ingest stream with the continuous aggregate fused in: per
+    micro-batch, refresh the view from the pre-image (exactly-once via
+    the epoch marker), then run the idempotent silver upsert."""
+    stream = deduped_stream(stream_envelopes(spark, source_dir), watermark)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        refresh_epoch(
+            spark,
+            batch_df,
+            entity,
+            silver_path,
+            agg_path,
+            int(epoch_id),
+            group_col,
+            sum_col,
+        )
+        upsert_batch(spark, batch_df, entity, silver_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

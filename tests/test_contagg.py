@@ -1,0 +1,130 @@
+"""Pins for the streaming continuous aggregate: refresh ≡ full
+recompute over the resulting silver, the retract side on status
+transitions, and epoch-marker replay idempotence (the crash-window
+defense — a replayed epoch must NOT re-apply its delta)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_realtime_pipeline_spark.streaming import contagg as CA
+from ecommerce_realtime_pipeline_spark.streaming.ingest import upsert_batch
+
+
+def _env_batch(spark, rows):
+    """rows: (offset, order_id, total, status, upd_min)"""
+    recs = []
+    for off, oid, total, status, upd in rows:
+        payload = json.dumps(
+            {
+                "order_id": oid,
+                "customer_id": "c1",
+                "items": [],
+                "total": total,
+                "status": status,
+                "created_at": "2025-03-01T00:00:00Z",
+                "updated_at": f"2025-03-01T00:{upd:02d}:00Z",
+            }
+        )
+        recs.append(("orders", 0, off, oid, payload, "2025-03-01T00:00:00Z"))
+    return spark.createDataFrame(
+        recs,
+        "topic string, topic_partition int, topic_offset long, "
+        "message_key string, payload string, consumed_at string",
+    )
+
+
+@pytest.fixture()
+def dirs():
+    tmp = tempfile.mkdtemp(prefix="eng_contagg_t_")
+    yield (os.path.join(tmp, "silver"), os.path.join(tmp, "agg"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _apply(spark, batch, epoch, silver, agg):
+    CA.refresh_epoch(
+        spark, batch, "orders", silver, agg, epoch, "status", "total"
+    )
+    upsert_batch(spark, batch, "orders", silver)
+
+
+def test_refresh_equals_recompute_with_status_transition(spark, dirs):
+    silver, agg = dirs
+    b0 = _env_batch(
+        spark, [(i, f"o{i}", float(i), "pending", 0) for i in range(1, 6)]
+    )
+    _apply(spark, b0, 0, silver, agg)
+    # o1, o2 transition to shipped (retract from pending), o6 arrives
+    b1 = _env_batch(
+        spark,
+        [
+            (101, "o1", 1.0, "shipped", 30),
+            (102, "o2", 2.0, "shipped", 30),
+            (106, "o6", 6.0, "pending", 30),
+        ],
+    )
+    _apply(spark, b1, 1, silver, agg)
+    view = {
+        r["status"]: (r["n_rows"], float(r["sum_val"]))
+        for r in CA.read_continuous_agg(spark, agg).collect()
+    }
+    direct = {
+        r["status"]: (r["n"], float(r["s"]))
+        for r in spark.read.parquet(silver)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("total").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert view == direct
+    assert view["pending"] == (4, 3.0 + 4.0 + 5.0 + 6.0)
+    assert view["shipped"] == (2, 3.0)
+
+
+def test_replayed_epoch_is_skipped(spark, dirs):
+    """Replaying an already-committed epoch AFTER its upsert landed is
+    exactly the dangerous window (the pre-image is gone, so a
+    recomputed delta would be zero/retractive garbage) — the epoch
+    marker must make it a no-op."""
+    silver, agg = dirs
+    b0 = _env_batch(
+        spark, [(i, f"o{i}", float(i), "pending", 0) for i in range(1, 4)]
+    )
+    _apply(spark, b0, 0, silver, agg)
+    before = sorted(
+        tuple(r) for r in CA.read_continuous_agg(spark, agg).collect()
+    )
+    # replay epoch 0 post-upsert (foreachBatch redelivery)
+    CA.refresh_epoch(spark, b0, "orders", silver, agg, 0, "status", "total")
+    after = sorted(
+        tuple(r) for r in CA.read_continuous_agg(spark, agg).collect()
+    )
+    assert before == after
+    assert CA._committed_epochs(agg) == [0]
+
+
+def test_within_batch_last_write_wins(spark, dirs):
+    """Two envelopes for one key in a single batch: only the newest
+    row contributes to the view (same rule the silver upsert applies)."""
+    silver, agg = dirs
+    b0 = _env_batch(
+        spark,
+        [
+            (1, "o1", 10.0, "pending", 0),
+            (2, "o1", 10.0, "shipped", 5),  # newer updated_at wins
+        ],
+    )
+    _apply(spark, b0, 0, silver, agg)
+    view = {
+        r["status"]: (r["n_rows"], float(r["sum_val"]))
+        for r in CA.read_continuous_agg(spark, agg).collect()
+    }
+    assert view == {"shipped": (1, 10.0)}
