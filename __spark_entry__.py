@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_products_per_nation": kpi.top_products_per_nation,
         "customer_running_totals": kpi.customer_running_totals,
         "order_value_percentiles": kpi.order_value_percentiles,
+        "orders_exact_quantiles_twopass": kpi.orders_exact_quantiles_twopass,
         # temporal joins — as-of + range (funnel attribution workload)
         "events_asof_attribution": temporal.events_asof_attribution,
         "events_range_attribution": temporal.events_range_attribution,
@@ -132,8 +133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": llm.docs_pack_sequences,
         "vocab_top_terms": llm.vocab_top_terms,
         "docs_bm25_search": llm.docs_bm25_search,
+        "docs_bm25_from_index": llm.docs_bm25_from_index,
         "docs_pii_redact": llm.docs_pii_redact,
         "docs_stratified_sample": llm.docs_stratified_sample,
+        "docs_stratified_exact_k": llm.docs_stratified_exact_k,
         "docs_mixture_weights": llm.docs_mixture_weights,
         "docs_chunk_overlap": llm.docs_chunk_overlap,
         "docs_weighted_sample": llm.docs_weighted_sample,

@@ -311,3 +311,76 @@ def heavy_hitters_exact(
         .agg(F.count("*").alias("n_rows"))
     )
     return exact.orderBy(F.desc("n_rows"), key).limit(k)
+
+
+# -- two-pass EXACT quantiles ------------------------------------------------
+
+
+def exact_quantiles_twopass(
+    df: DataFrame, col: str, qs: list[float], n_bins: int = 256
+) -> list[tuple[float, float]]:
+    """EXACT order-statistic quantiles without ever sorting the table —
+    the scalable exact-median algorithm: one histogram pass localizes
+    each target rank to a value bin, one filtered pass extracts the
+    exact element from that (table/n_bins-sized) bin.
+
+    For each q the result is the k-th smallest with k = ceil(q·n) —
+    the discrete quantile an ORDER BY ... OFFSET k-1 oracle replays.
+    Bin assignment orders consistently with the value (bins are value
+    ranges), so duplicates and boundary values cannot misplace a rank.
+
+    Scale: pass 1 is one partial-agg shuffle of ≤ n_bins keys + a
+    bounded ≤ n_bins-row collect (same class as the quantizer-table
+    collects); pass 2 touches ~n/n_bins rows per quantile with a
+    TakeOrdered-style limit. Compare ``hist_quantiles``: that one is
+    the STREAMING/mergeable approximation (within-one-bin guarantee);
+    this one buys exactness for one extra bounded pass — the batch
+    report path. A production variant pushes the bin range to the scan
+    with epsilon margins; here the filter reuses the bin EXPRESSION so
+    boundary floats can't disagree between passes.
+
+    Returns [(q, value), ...] in input order.
+    """
+    lo, hi, n = df.agg(
+        F.min(col).cast("double"),
+        F.max(col).cast("double"),
+        F.count(col),
+    ).collect()[0]
+    if n == 0:
+        raise ValueError("exact_quantiles_twopass: empty input")
+    if hi == lo:
+        return [(q, lo) for q in qs]
+    width = (hi - lo) / n_bins
+    bin_expr = F.least(
+        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    counts = {
+        r["b"]: r["c"]
+        for r in df.select(bin_expr.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    out: list[tuple[float, float]] = []
+    for q in qs:
+        k = int(-(-q * n // 1))  # ceil(q*n)
+        k = max(1, min(k, n))
+        cum = 0
+        target_bin, rank_in_bin = n_bins - 1, 1
+        for b in range(n_bins):
+            c = counts.get(b, 0)
+            if cum + c >= k:
+                target_bin, rank_in_bin = b, k - cum
+                break
+            cum += c
+        val = (
+            df.filter(bin_expr == target_bin)
+            .select(F.col(col).cast("double").alias("_v"))
+            .orderBy("_v")
+            .limit(rank_in_bin)
+            .agg(F.max("_v"))
+            .collect()[0][0]
+        )
+        out.append((q, float(val)))
+    return out

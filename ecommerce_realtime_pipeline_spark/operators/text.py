@@ -590,3 +590,51 @@ def winnow_fingerprints(
         (-F.col("_m.np")).alias("p"),
         F.col("_m.h").alias("h"),
     ).distinct()
+
+
+def write_text_index(docs: DataFrame, path: str) -> None:
+    """Persist the inverted TEXT index — the keyword-search twin of
+    ``similarity.write_ivf_index``: postings written as parquet
+    PARTITIONED BY TOKEN (``<path>/postings/token=<t>/``) carrying
+    (doc_id, tf, dl) — Lucene's docid/freq/norm triple in columnar
+    form — plus the |vocab|-row document-frequency table and the 1-row
+    corpus stats. At query time the query's terms become
+    PartitionFilters, so serving touches |query terms| directories out
+    of |vocab| — the columnar posting-list seek (pinned in tests).
+
+    PUBLICATION IS ATOMIC, same contract as the IVF index: everything
+    stages into a scratch dir and one ``os.rename`` exposes it; a
+    losing concurrent builder discards its stage. At 100 TB the index
+    rebuilds/merges offline like any search index; token partitions
+    are the merge unit (hot stopword partitions are the skew knob —
+    df-cutoff them out of the index exactly like the Jaccard blocker).
+    """
+    import os as _os
+    import shutil as _sh
+    import uuid as _uuid
+
+    spark = docs.sparkSession
+    base = docs.select(
+        "doc_id",
+        token_count("text").alias("dl"),
+        tokens("text").alias("_toks"),
+    ).localCheckpoint()
+    postings = (
+        base.select("doc_id", "dl", F.explode("_toks").alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    stage = f"{path}.stage-{_uuid.uuid4().hex[:8]}"
+    postings.write.mode("overwrite").partitionBy("token").parquet(
+        f"{stage}/postings"
+    )
+    postings.groupBy("token").agg(F.count("*").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/dfreq")
+    base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).write.mode("overwrite").parquet(f"{stage}/stats")
+    try:
+        _os.rename(stage, path)
+    except OSError:
+        _sh.rmtree(stage, ignore_errors=True)

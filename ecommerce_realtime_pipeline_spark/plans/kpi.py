@@ -720,6 +720,27 @@ def events_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_exact_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90 of order value WITHOUT a global sort
+    (`sketch.exact_quantiles_twopass`): histogram pass localizes each
+    rank to one of 256 value bins, a filtered second pass extracts the
+    exact k-th smallest (k = ceil(q·n)) from the ~n/256-row bin. The
+    complement of `order_value_percentiles` (window-exact, one sort
+    shuffle) and `events_value_quantile_sketch` (mergeable approx):
+    this is the batch-report path that stays exact at 100 TB. Oracle:
+    the same order statistics via ORDER BY ... OFFSET k-1."""
+    from ecommerce_realtime_pipeline_spark.operators.sketch import (
+        exact_quantiles_twopass,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = exact_quantiles_twopass(orders, "o_totalprice", [0.5, 0.9])
+    rows = [(f"p{int(q * 100)}", v) for q, v in got]
+    return spark.createDataFrame(rows, "quantile string, value double").orderBy(
+        "quantile"
+    )
+
+
 def top_products_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise top-K (R15/R22 windowed form): top-3 products by
     revenue within every nation — rank() over a per-nation window.

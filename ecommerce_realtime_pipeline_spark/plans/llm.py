@@ -1218,6 +1218,33 @@ WSAMPLE_K = 20
 WSAMPLE_SALT = "ws7"
 
 
+def docs_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k-per-stratum sampling (the reservoir complement of the
+    Bernoulli `docs_stratified_sample`, which only hits its rate in
+    expectation): rank every doc inside its language stratum by a
+    deterministic md5 key and keep the k smallest — a uniform exact-k
+    draw per group, engine-portable (hex-string comparison, no floats)
+    and stable under any repartitioning.
+
+    Scale: ONE shuffle on the stratum key for the rank window over
+    (id, hash) — the same exchange any per-group operation pays; no
+    per-group reservoir state, no RNG. At 100 TB with a heavy-tailed
+    stratum this is the window form; the TakeOrdered-per-group
+    rewrite (aggregate min-k heaps) drops even the sort."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("lang", "doc_id", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 8)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
 def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     A-Res): each doc gets key = ln(u)/w with u a deterministic
@@ -1366,6 +1393,17 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = postings.groupBy("token").agg(F.count("*").alias("df"))
+    return _bm25_rank(postings, dfreq, stats)
+
+
+def _bm25_rank(
+    postings: DataFrame, dfreq: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """Shared BM25 serve-side scoring over (doc_id, token, tf, dl)
+    postings + |terms|-row df broadcast + 1-row stats broadcast —
+    used identically by the in-session search and the persisted-index
+    serve so both share one oracle. Per-term scores are fixed-order
+    columns (never a float SUM across terms) for determinism."""
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0)
@@ -1403,6 +1441,40 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+def docs_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED inverted text index
+    (`text.write_text_index` — token-partitioned postings, atomic
+    publication): the keyword-search index lifecycle next to
+    `emb_knn_ivf_persisted`'s ANN one. The query's terms become
+    PartitionFilters on the postings read (|terms| directories out of
+    |vocab| — pinned in tests), df/stats ride the same broadcasts, and
+    the scoring is the SHARED `_bm25_rank`, so the result is
+    bit-identical to `docs_bm25_search` and shares its oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.operators.text import write_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="eng_textidx_q_")
+    try:
+        path = os.path.join(tmp, "index")
+        write_text_index(docs, path)
+        postings = spark.read.parquet(f"{path}/postings").filter(
+            F.col("token").isin(*BM25_TERMS)
+        )
+        dfreq = spark.read.parquet(f"{path}/dfreq").filter(
+            F.col("token").isin(*BM25_TERMS)
+        )
+        stats = spark.read.parquet(f"{path}/stats")
+        return _bm25_rank(
+            postings.select("doc_id", "token", "tf", "dl"), dfreq, stats
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 #: Deterministic PII-bearing rows unioned into the corpus by
@@ -2106,6 +2178,11 @@ LLM_ORACLES["docs_bm25_search"] = f"""
     ORDER BY score DESC, doc_id
     LIMIT 20
 """
+
+# persisted-index serve is bit-identical to the in-session search
+# (shared _bm25_rank scoring) -> same oracle.
+LLM_ORACLES["docs_bm25_from_index"] = LLM_ORACLES["docs_bm25_search"]
+
 
 
 # The multimodal payload is encode(text,'UTF-8') over an all-ASCII
@@ -3210,6 +3287,23 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LLM_ORACLES.update(
     {
+        "docs_stratified_exact_k": """
+            WITH keyed AS (
+                SELECT lang, doc_id,
+                       md5('strat:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ),
+            rk AS (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY h, doc_id
+                       ) AS rk
+                FROM keyed
+            )
+            SELECT lang, doc_id, CAST(rk AS INT) AS rk
+            FROM rk WHERE rk <= 8
+            ORDER BY lang, rk
+        """,
         "docs_stratified_sample": """
             WITH scored AS (
                 SELECT lang,

@@ -176,6 +176,23 @@ KPI_ORACLES: dict[str, str] = {
         GROUP BY 1
         ORDER BY 1
     """,
+    # orders_exact_quantiles_twopass: the k-th order statistic
+    # (k = ceil(q*n)) via explicit ORDER BY/OFFSET — the definitionally
+    # exact form the two-pass algorithm must reproduce.
+    "orders_exact_quantiles_twopass": """
+        WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+        n AS (SELECT count(*) AS n FROM s)
+        SELECT 'p50' AS quantile,
+               (SELECT v FROM s ORDER BY v
+                LIMIT 1 OFFSET (SELECT CAST(ceil(0.5 * n) AS BIGINT) - 1
+                                FROM n)) AS value
+        UNION ALL
+        SELECT 'p90',
+               (SELECT v FROM s ORDER BY v
+                LIMIT 1 OFFSET (SELECT CAST(ceil(0.9 * n) AS BIGINT) - 1
+                                FROM n))
+        ORDER BY quantile
+    """,
     # events_heavy_hitters_mg: plain top-5 over the planted-skew
     # corpus — result invariance despite MG eviction-order
     # nondeterminism (certificate pinned in tests).

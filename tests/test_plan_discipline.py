@@ -256,3 +256,71 @@ def test_training_order_windows_are_sharded(spark, sf_dir):
     assert corpus_windows, plan
     for ln in corpus_windows:
         assert "windowspecdefinition(shard" in ln, ln
+
+
+def test_editdist_is_equi_join_not_cartesian(spark, sf_dir):
+    """Fuzzy-dup candidate generation must stay an inverted-index
+    equi-join on (segment_idx, segment) — an accidental cartesian or
+    broadcast-nested-loop here is the all-pairs regression the blocker
+    exists to prevent."""
+    plan = _plan(spark, sf_dir, "docs_neardup_editdist")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_pagerank_no_cartesian_and_single_edge_build(spark, sf_dir):
+    """Each propagation round is an equi-join against the edge list;
+    the only crossJoins are the 1-row N broadcasts."""
+    plan = _plan(spark, sf_dir, "parts_copurchase_pagerank")
+    assert "CartesianProduct" not in plan
+    # 1-row scalar attachments appear as BroadcastNestedLoopJoin over
+    # a 1-row side — allowed; a non-broadcast NLJ is not.
+    assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_zorder_write_uses_range_exchange(spark, sf_dir):
+    """The clustering write must range-partition on the curve key
+    (contiguous curve segments per file) — a hash exchange would
+    scatter the curve and void the per-file span tightness."""
+    from ecommerce_realtime_pipeline_spark.catalog import load_table
+    from ecommerce_realtime_pipeline_spark.operators.layout import with_zorder_key
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    keyed = with_zorder_key(events, ["user_id", "value"]).repartitionByRange(8, "_z")
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_heavy_hitters_recount_is_broadcast_filtered(spark, sf_dir):
+    """The exact recount must reach the scan through a BROADCAST
+    semi-join of the tiny MG candidate set — a shuffled join here
+    means the full-cardinality shuffle the operator exists to avoid."""
+    plan = _plan(spark, sf_dir, "events_heavy_hitters_mg")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_text_index_serve_prunes_token_partitions(spark, sf_dir, tmp_path):
+    """The persisted inverted text index must serve queries through
+    PARTITION FILTERS on the token directories — |query terms| dirs
+    read out of |vocab|, the columnar posting-list seek (the keyword
+    twin of the IVF cell-pruning pin)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.catalog import load_table
+    from ecommerce_realtime_pipeline_spark.operators.text import write_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "tindex")
+    write_text_index(docs, path)
+    plan = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("token").isin("spark", "join", "stream"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "token" in m.group(1), plan[:800]
