@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window-analytics family: group-wise top-k, running totals,
         # exact percentiles
         "top_products_per_nation": kpi.top_products_per_nation,
+        "top_products_per_nation_heap": kpi.top_products_per_nation_heap,
         "customer_running_totals": kpi.customer_running_totals,
         "order_value_percentiles": kpi.order_value_percentiles,
         "orders_exact_quantiles_twopass": kpi.orders_exact_quantiles_twopass,

@@ -384,3 +384,51 @@ def exact_quantiles_twopass(
         )
         out.append((q, float(val)))
     return out
+
+
+def grouped_topk_candidates(
+    df: DataFrame,
+    group: str,
+    sort_cols: list[str],
+    ascending: list[bool],
+    k: int,
+) -> DataFrame:
+    """Per-partition top-k candidates for EXACT group-wise top-k
+    without sorting whole groups: inside each partition keep only the
+    k best rows per group (Arrow pass, state bounded at
+    groups-in-partition × k + one batch), so the downstream global
+    rank runs over ≤ partitions×k candidates per group instead of the
+    full group.
+
+    EXACTNESS (no certificate needed, unlike Misra-Gries): every row
+    of a group's global top-k is by definition among the top-k of its
+    own partition, so the candidate union always covers the true
+    top-k — the final rank just discards the rest. Requires a total
+    order (no ties across rows in the sort columns), which callers get
+    by including a unique tie-break column.
+
+    Why imperative: the declarative form is a rank window over the
+    FULL frame — one hash exchange + sort of everything. A per-
+    physical-partition window would need an exchange on the partition
+    id anyway; the Arrow pass is the only way to pre-prune without
+    shuffling. Same mapInPandas-is-legitimate argument as
+    ``mg_partition_summaries``.
+    """
+    out_schema = df.schema
+
+    def per_partition(batches):
+        import pandas as pd
+
+        cur: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if cur is None else pd.concat([cur, pdf])
+            cur = (
+                cur.sort_values(sort_cols, ascending=ascending)
+                .groupby(group, sort=False)
+                .head(k)
+            )
+        yield cur if cur is not None else pd.DataFrame(
+            {f.name: [] for f in out_schema.fields}
+        )
+
+    return df.mapInPandas(per_partition, out_schema)

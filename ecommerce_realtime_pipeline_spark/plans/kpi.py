@@ -772,6 +772,46 @@ def top_products_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_products_per_nation_heap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for group-wise top-k, next to
+    `top_products_per_nation`'s window form (same output, same oracle —
+    the clusters/clusters_lss precedent): per-partition top-3
+    candidates (`sketch.grouped_topk_candidates`, bounded Arrow state)
+    pre-prune the aggregated frame to ≤ partitions×3 rows per nation,
+    and only the candidate set pays the rank exchange+sort. With
+    millions of products per nation the window form sorts them all;
+    this form shuffles a few rows per partition. Exact by the
+    top-k-covers-top-k argument (unique (rev, product) ordering = total
+    order, so rank ≡ row_number and candidates ⊇ the true top-3)."""
+    from pyspark.sql import Window as W
+
+    from ecommerce_realtime_pipeline_spark.operators.sketch import (
+        grouped_topk_candidates,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    revenue = _money("l_extendedprice") * (F.lit(1).cast(_D) - _money("l_discount"))
+    per = (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_name").alias("product"))
+        .agg(F.sum(revenue).alias("_rev"))
+    )
+    cands = grouped_topk_candidates(
+        per, "nation", ["_rev", "product"], [False, True], 3
+    )
+    w = W.partitionBy("nation").orderBy(F.col("_rev").desc(), F.col("product"))
+    return (
+        cands.withColumn("rank", F.rank().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("nation", "product", "rank", _as_double(F.col("_rev")).alias("revenue"))
+    )
+
+
 def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order time-series with window analytics (R17
     windowed form): order sequence number, running lifetime value, and

@@ -557,6 +557,7 @@ KPI_ORACLES.update(
                    CAST(ROUND(rev, 2) AS DOUBLE) AS revenue
             FROM ranked WHERE rank <= 3
         """,
+
         "customer_running_totals": """
             SELECT o_custkey AS custkey,
                    o_orderkey AS orderkey,
@@ -664,3 +665,7 @@ KPI_ORACLES.update(
         """,
     }
 )
+
+# The heap scale-path variant produces the identical result by
+# construction (candidates cover the true top-k) -> same oracle.
+KPI_ORACLES["top_products_per_nation_heap"] = KPI_ORACLES["top_products_per_nation"]

@@ -177,3 +177,22 @@ def run_ingest_with_agg(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def prune_versions(agg_path: str, keep: int = 3) -> list[int]:
+    """Retention maintenance for the version history: drop all but the
+    newest ``keep`` committed versions (the epoch markers double as the
+    replay ledger, so ``keep`` must stay ≥ 1 and in practice ≥ the
+    foreachBatch redelivery horizon — one version — plus whatever
+    time-travel window consumers need). Deletion order is oldest-first
+    and the newest version is never touched, so a crash mid-prune
+    leaves a valid (just longer) history. Returns the pruned epochs."""
+    if keep < 1:
+        raise ValueError("prune_versions: keep must be >= 1")
+    epochs = _committed_epochs(agg_path)
+    victims = epochs[:-keep] if len(epochs) > keep else []
+    import shutil
+
+    for e in victims:
+        shutil.rmtree(os.path.join(agg_path, f"v={e}"), ignore_errors=True)
+    return victims

@@ -128,3 +128,16 @@ def test_within_batch_last_write_wins(spark, dirs):
         for r in CA.read_continuous_agg(spark, agg).collect()
     }
     assert view == {"shipped": (1, 10.0)}
+
+
+def test_prune_versions_keeps_newest(spark, dirs):
+    silver, agg = dirs
+    for e in range(4):
+        b = _env_batch(spark, [(100 * e + 1, f"o{e}", 1.0, "pending", e)])
+        _apply(spark, b, e, silver, agg)
+    assert CA._committed_epochs(agg) == [0, 1, 2, 3]
+    pruned = CA.prune_versions(agg, keep=2)
+    assert pruned == [0, 1]
+    assert CA._committed_epochs(agg) == [2, 3]
+    # the surviving latest version still serves
+    assert CA.read_continuous_agg(spark, agg).count() == 1

@@ -261,3 +261,47 @@ def test_mg_exact_topk_partitioning_invariant_with_certificate(spark, sf_dir):
             ).collect()
         ]
         assert got == true_top, parts
+
+
+# -- grouped top-k heap path ------------------------------------------------
+
+
+def test_grouped_topk_heap_equals_window_form(spark, sf_dir):
+    """The per-partition-heap scale path must reproduce the window
+    form row-for-row (candidates provably cover the true top-k), for
+    any partitioning of the aggregated frame."""
+    from ecommerce_realtime_pipeline_spark.plans.kpi import (
+        top_products_per_nation,
+        top_products_per_nation_heap,
+    )
+
+    win = sorted(tuple(r) for r in top_products_per_nation(spark, sf_dir).collect())
+    heap = sorted(
+        tuple(r) for r in top_products_per_nation_heap(spark, sf_dir).collect()
+    )
+    assert win == heap
+
+
+def test_grouped_topk_candidates_bounded_and_covering(spark):
+    """Candidates per (partition, group) are capped at k and always
+    include the group's global top-k rows."""
+    from ecommerce_realtime_pipeline_spark.operators.sketch import (
+        grouped_topk_candidates,
+    )
+
+    df = (
+        spark.range(0, 10_000)
+        .select(
+            (F.col("id") % 7).alias("g"),
+            F.col("id").alias("v"),
+        )
+        .repartition(8)
+    )
+    cands = grouped_topk_candidates(df, "g", ["v"], [False], 3).collect()
+    assert len(cands) <= 8 * 7 * 3
+    got = {(r["g"], r["v"]) for r in cands}
+    # true top-3 per group: the 3 largest ids congruent to g mod 7
+    for g in range(7):
+        top = sorted((v for v in range(10_000) if v % 7 == g), reverse=True)[:3]
+        for v in top:
+            assert (g, v) in got, (g, v)
