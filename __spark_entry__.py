@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_products_per_nation": kpi.top_products_per_nation,
         "top_products_per_nation_heap": kpi.top_products_per_nation_heap,
         "customer_running_totals": kpi.customer_running_totals,
+        "customer_value_deciles": kpi.customer_value_deciles,
+        "orders_status_pivot": kpi.orders_status_pivot,
+        "events_metrics_unpivot": kpi.events_metrics_unpivot,
         "order_value_percentiles": kpi.order_value_percentiles,
         "orders_exact_quantiles_twopass": kpi.orders_exact_quantiles_twopass,
         # temporal joins — as-of + range (funnel attribution workload)

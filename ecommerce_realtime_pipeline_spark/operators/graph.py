@@ -48,22 +48,26 @@ def pagerank(
     Output: (node, rank) for every node in the edge list, rank as the
     raw double after ``iters`` rounds.
     """
+    # The edge list (and its out-degree) is STATIC across iterations —
+    # fuse deg INTO the edge table and pin both ONCE, otherwise every
+    # round's contrib subtree re-evaluates the edge lineage (here a
+    # basket self-join; 3 rounds ⇒ ~7 recomputations) and re-joins deg.
+    # Per round only the node-sized rank table moves — the local-mode
+    # form of "pre-partition the static edge table" from the module
+    # docstring.
     e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
     deg = e.groupBy("_u").agg(F.count("*").alias("_deg"))
-    nodes = deg.select(F.col("_u").alias("node"))
+    ew = e.join(deg, "_u").localCheckpoint()
+    nodes = ew.select(F.col("_u").alias("node")).distinct().localCheckpoint()
     # 1-row scalar broadcast (node count), not a cartesian blowup
     n_row = nodes.agg(F.count("*").alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
     for _ in range(iters):
-        contrib = (
-            e.join(deg, "_u")
-            .join(ranks, e["_u"] == ranks["node"])
-            .select(
-                F.col("_v").alias("node"),
-                (F.col("rank") / F.col("_deg")).cast(_DEC).alias("_c"),
-            )
+        contrib = ew.join(ranks, ew["_u"] == ranks["node"]).select(
+            F.col("_v").alias("node"),
+            (F.col("rank") / F.col("_deg")).cast(_DEC).alias("_c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
         ranks = (

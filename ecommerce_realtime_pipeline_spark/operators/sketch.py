@@ -427,8 +427,7 @@ def grouped_topk_candidates(
                 .groupby(group, sort=False)
                 .head(k)
             )
-        yield cur if cur is not None else pd.DataFrame(
-            {f.name: [] for f in out_schema.fields}
-        )
+        if cur is not None:  # empty partition → yield nothing (Arrow
+            yield cur  # infers no batch; avoids dtype-less empty frames)
 
     return df.mapInPandas(per_partition, out_schema)

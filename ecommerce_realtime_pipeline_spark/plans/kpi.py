@@ -812,6 +812,96 @@ def top_products_per_nation_heap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value DECILES (ntile window): per-customer
+    spend (DECIMAL-exact, so the ordering is engine-identical) →
+    ntile(10) over (spend desc, custkey) → per-decile count/sum/range.
+    The marketing segmentation query (whale vs tail deciles); ntile's
+    remainder-to-first-buckets rule is SQL-standard and shared by both
+    engines, and the total order (tie-break on custkey) makes bucket
+    membership deterministic.
+
+    Scale: one partial-agg shuffle per customer, then the ntile window
+    over the customer-level frame — a GLOBAL sort of |customers| rows
+    (ntile needs a total order); the per-decile rollup prunes to 10
+    rows. At 100 TB swap the exact ntile for decile BOUNDARIES from
+    `exact_quantiles_twopass` + a range join."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_money("o_totalprice")).alias("_spend")
+    )
+    w = W.orderBy(F.col("_spend").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _as_double(F.sum("_spend")).alias("total_spend"),
+            _as_double(F.max("_spend")).alias("max_spend"),
+            _as_double(F.min("_spend")).alias("min_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24 companion: PIVOT (long → wide) — monthly order counts and
+    revenue spread across one column pair per status, via the native
+    `DataFrame.pivot` operator (compiles to one partial-aggregated
+    shuffle with a fixed value list — providing the list skips the
+    extra distinct-values job, which at 100 TB is the difference
+    between one scan and two).
+
+    Oracle: conditional aggregation (FILTER/CASE), the relational
+    definition of pivot."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+    wide = (
+        orders.select(month.alias("month"), "o_orderstatus",
+                      _money("o_totalprice").alias("_rev"))
+        .groupBy("month")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_rev").alias("rev"))
+    )
+    # a month with zero orders of a status pivots to NULL cells —
+    # coalesce to 0 like the oracle's FILTER/COALESCE form.
+    zero = F.lit(0).cast(_D)
+    return wide.select(
+        "month",
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        _as_double(F.coalesce("F_rev", zero)).alias("rev_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        _as_double(F.coalesce("O_rev", zero)).alias("rev_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        _as_double(F.coalesce("P_rev", zero)).alias("rev_p"),
+    ).orderBy("month")
+
+
+def events_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse operator — UNPIVOT/MELT (wide → long) via the native
+    `DataFrame.unpivot`: the per-type KPI row (n_events / n_users /
+    total_value) melted into (event_type, metric, value) rows, the
+    shape metric stores and plotting layers consume. Narrow map-side
+    expansion, no shuffle beyond the feeding aggregate.
+
+    Oracle: the UNION ALL per metric column — the relational
+    definition of unpivot."""
+    events = load_table(spark, sf_dir, "events")
+    wide = events.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+        _as_double(F.sum(F.col("value").cast(_D))).alias("total_value"),
+    )
+    return wide.unpivot(
+        ["event_type"],
+        ["n_events", "n_users", "total_value"],
+        "metric",
+        "value",
+    ).orderBy("event_type", "metric")
+
+
 def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order time-series with window analytics (R17
     windowed form): order sequence number, running lifetime value, and

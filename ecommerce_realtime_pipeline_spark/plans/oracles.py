@@ -669,3 +669,58 @@ KPI_ORACLES.update(
 # The heap scale-path variant produces the identical result by
 # construction (candidates cover the true top-k) -> same oracle.
 KPI_ORACLES["top_products_per_nation_heap"] = KPI_ORACLES["top_products_per_nation"]
+
+# ntile decile segmentation: SQL-standard remainder-to-first-buckets
+# rule + a total order (spend DECIMAL-exact, custkey tie-break) make
+# bucket membership engine-identical.
+KPI_ORACLES["customer_value_deciles"] = """
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT o_custkey, s,
+               ntile(10) OVER (ORDER BY s DESC, o_custkey) AS decile
+        FROM spend
+    )
+    SELECT decile,
+           count(*) AS n_customers,
+           CAST(ROUND(SUM(s), 2) AS DOUBLE) AS total_spend,
+           CAST(ROUND(MAX(s), 2) AS DOUBLE) AS max_spend,
+           CAST(ROUND(MIN(s), 2) AS DOUBLE) AS min_spend
+    FROM t GROUP BY 1 ORDER BY 1
+"""
+
+# pivot == conditional aggregation (its relational definition).
+KPI_ORACLES["orders_status_pivot"] = """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS DOUBLE) AS rev_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS DOUBLE) AS rev_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS DOUBLE) AS rev_p
+    FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+# unpivot == UNION ALL per metric column (its relational definition).
+KPI_ORACLES["events_metrics_unpivot"] = """
+    WITH wide AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n_events,
+               CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, 'n_events' AS metric, n_events AS value FROM wide
+    UNION ALL
+    SELECT event_type, 'n_users', n_users FROM wide
+    UNION ALL
+    SELECT event_type, 'total_value', total_value FROM wide
+    ORDER BY event_type, metric
+"""

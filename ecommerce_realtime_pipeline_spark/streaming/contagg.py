@@ -52,13 +52,17 @@ _SUM_TYPE = "decimal(18,2)"
 
 
 def _committed_epochs(agg_path: str) -> list[int]:
+    """Committed = directories named exactly ``v=<int>``. The staging
+    artifacts of an in-flight or crashed write are siblings named
+    ``v=<int>__tmp_*`` / ``__old_*`` — they must be ignored, not
+    parsed (a crashed writer would otherwise wedge every reader)."""
     if not os.path.isdir(agg_path):
         return []
-    return sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(agg_path)
-        if d.startswith("v=")
-    )
+    out = []
+    for d in os.listdir(agg_path):
+        if d.startswith("v=") and d[2:].isdigit():
+            out.append(int(d[2:]))
+    return sorted(out)
 
 
 def read_continuous_agg(spark: SparkSession, agg_path: str) -> DataFrame:

@@ -141,3 +141,15 @@ def test_prune_versions_keeps_newest(spark, dirs):
     assert CA._committed_epochs(agg) == [2, 3]
     # the surviving latest version still serves
     assert CA.read_continuous_agg(spark, agg).count() == 1
+
+
+def test_crashed_stage_dirs_do_not_wedge_readers(spark, dirs):
+    """A crash mid-write leaves v=<e>__tmp_* / __old_* staging
+    siblings; epoch listing and serving must ignore them."""
+    silver, agg = dirs
+    b0 = _env_batch(spark, [(1, "o1", 10.0, "pending", 0)])
+    _apply(spark, b0, 0, silver, agg)
+    os.makedirs(os.path.join(agg, "v=1__tmp_deadbeef"))
+    os.makedirs(os.path.join(agg, "v=0__old_cafebabe"))
+    assert CA._committed_epochs(agg) == [0]
+    assert CA.read_continuous_agg(spark, agg).count() == 1
