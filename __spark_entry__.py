@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_incremental_agg": dq.customers_incremental_agg,
         "set_ops_actors": dq.set_ops_actors,
         "revenue_grouping_sets": dq.revenue_grouping_sets,
+        "revenue_cube": dq.revenue_cube,
         # §2.9 — LLM-data-pipeline operators (driver-mandated)
         "docs_text_stats": llm.docs_text_stats,
         "docs_quality": llm.docs_quality,

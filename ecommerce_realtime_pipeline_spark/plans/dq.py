@@ -333,11 +333,60 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24 completed: CUBE — all 2^k grouping combinations of
+    (region, status) including the grand total, via the native
+    `DataFrame.cube` operator (one expanded partial-agg shuffle; the
+    4-set expansion is planned as ONE Expand node, not four scans).
+    `grouping()` disambiguates real NULLs from subtotal rows — the
+    COALESCE('ALL') labeling matches the grouping-sets precedent."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.cube("r_name", "o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("region", "status")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (driver runs these side-by-side at sf0.01)
 # ---------------------------------------------------------------------------
 
 DQ_ORACLES: dict[str, str] = {
+    "revenue_cube": """
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, o_orderstatus)
+        ORDER BY region, status
+    """,
     "dq_fk_orphans": """
         SELECT
           (SELECT count(*) FROM orders o
