@@ -101,12 +101,26 @@ def bloom_semi_join(
     join to remove false positives. Result ≡ plain semi-join (proved by
     the invariance oracle); the win is that at scale the Bloom filter
     is kilobytes where the exact key set is gigabytes, and the fact
-    scan discards non-matches before any shuffle."""
+    scan discards non-matches before any shuffle.
+
+    The exact join carries NO broadcast hint on purpose: in the regime
+    this operator exists for, the dim key set is exactly what could
+    NOT be broadcast — the FP-removal join is a shuffle join of the
+    (bloom-pruned, now small) fact side against the keys, and when the
+    keys DO fit, AQE promotes it to a broadcast at runtime on its own.
+    Hard-coding the hint would reintroduce the gigabyte broadcast the
+    filter replaces.
+
+    The verify step is an INNER join against the DISTINCT key set
+    (row-equivalent to a semi-join) rather than a LEFT SEMI, because
+    Catalyst's ``PushDownLeftSemiAntiJoin`` rule would push a semi
+    join BELOW the bloom probe — running the full-fact shuffle first
+    and demoting the filter to dead weight. Inner joins are not
+    subject to that rule, so prune-then-join survives optimization
+    (pinned in tests on the optimized plan)."""
     bloom = bloom_build(dim_keys, dim_key, m, k)
     pruned = fact.crossJoin(F.broadcast(bloom)).filter(
         bloom_might_contain(fact_key, "bloom", m, k)
     )
     exact = dim_keys.select(F.col(dim_key).alias(fact_key)).distinct()
-    return pruned.drop("bloom").join(
-        F.broadcast(exact), fact_key, "left_semi"
-    )
+    return pruned.drop("bloom").join(exact, fact_key, "inner")

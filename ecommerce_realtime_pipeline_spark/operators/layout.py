@@ -52,10 +52,15 @@ def _normalized(col: str, lo: Column, hi: Column, bits: int) -> Column:
         / span
         * F.lit((1 << bits) - 1)
     )
-    return (
+    # the outer coalesce realizes the NULLs→0 contract: a NULL value
+    # (or an all-NULL column, where span itself is NULL) would
+    # otherwise propagate NULL through floor() and leave rows with a
+    # NULL clustering key in the NULLs-first range partition.
+    return F.coalesce(
         F.when(span <= 0, F.lit(0))
         .otherwise(F.floor(scaled + F.lit(0.5)))
-        .cast("long")
+        .cast("long"),
+        F.lit(0).cast("long"),
     )
 
 

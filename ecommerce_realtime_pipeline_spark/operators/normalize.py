@@ -234,18 +234,34 @@ def incremental_agg(
         .groupBy("_g")
         .agg(F.sum("_dn").alias("_dn"), F.sum("_ds").alias("_ds"))
     )
-    merged = old_agg.join(
-        delta, old_agg[group_col] == delta["_g"], "full_outer"
+    prev = old_agg.select(
+        group_col, F.col("_n").alias("n_rows"), F.col("_s").alias("sum_val")
+    )
+    return merge_agg_delta(prev, delta, group_col, sum_type)
+
+
+def merge_agg_delta(
+    prev: DataFrame, delta: DataFrame, group_col: str, sum_type: str
+) -> DataFrame:
+    """The (count, sum) view-maintenance MERGE shared by the batch
+    :func:`incremental_agg` and the streaming continuous aggregate
+    (``streaming/contagg``): full-outer join the previous aggregate
+    ``(group, n_rows, sum_val)`` with the delta ``(_g, _dn, _ds)``,
+    coalesce both sides, drop groups whose maintained count reaches 0
+    (exactly what a recompute would drop). ONE implementation so the
+    batch and streaming paths cannot drift."""
+    merged = prev.join(
+        delta, prev[group_col] == delta["_g"], "full_outer"
     ).select(
         F.coalesce(F.col(group_col), F.col("_g")).alias(group_col),
         (
-            F.coalesce(F.col("_n"), F.lit(0))
+            F.coalesce(F.col("n_rows"), F.lit(0))
             + F.coalesce(F.col("_dn"), F.lit(0))
         ).alias("_n"),
         (
-            F.coalesce(F.col("_s"), F.lit(0).cast(sum_type))
+            F.coalesce(F.col("sum_val"), F.lit(0).cast(sum_type))
             + F.coalesce(F.col("_ds"), F.lit(0).cast(sum_type))
-        ).alias("_s"),
+        ).cast(sum_type).alias("_s"),
     )
     return merged.filter(F.col("_n") > 0).select(
         group_col, F.col("_n").alias("n_rows"), F.col("_s").alias("sum_val")

@@ -329,15 +329,18 @@ def exact_quantiles_twopass(
     Bin assignment orders consistently with the value (bins are value
     ranges), so duplicates and boundary values cannot misplace a rank.
 
-    Scale: pass 1 is one partial-agg shuffle of ≤ n_bins keys + a
-    bounded ≤ n_bins-row collect (same class as the quantizer-table
-    collects); pass 2 touches ~n/n_bins rows per quantile with a
-    TakeOrdered-style limit. Compare ``hist_quantiles``: that one is
-    the STREAMING/mergeable approximation (within-one-bin guarantee);
-    this one buys exactness for one extra bounded pass — the batch
-    report path. A production variant pushes the bin range to the scan
-    with epsilon margins; here the filter reuses the bin EXPRESSION so
-    boundary floats can't disagree between passes.
+    Scale: THREE scans total, independent of |qs| — (1) min/max/count
+    (needed before any binning), (2) the histogram (one partial-agg
+    shuffle of ≤ n_bins keys + a bounded ≤ n_bins-row collect, same
+    class as the quantizer-table collects), (3) ONE fused extraction
+    job filtering to the union of target bins and ranking within each
+    (a per-bin window over ~n/n_bins rows each). Compare
+    ``hist_quantiles``: that one is the STREAMING/mergeable
+    approximation (within-one-bin guarantee); this one buys exactness
+    for one extra bounded pass — the batch report path. A production
+    variant pushes the bin range to the scan with epsilon margins;
+    here the filter reuses the bin EXPRESSION so boundary floats can't
+    disagree between passes.
 
     Returns [(q, value), ...] in input order.
     """
@@ -362,7 +365,7 @@ def exact_quantiles_twopass(
         .agg(F.count("*").alias("c"))
         .collect()
     }
-    out: list[tuple[float, float]] = []
+    targets: list[tuple[float, int, int]] = []  # (q, bin, rank_in_bin)
     for q in qs:
         k = int(-(-q * n // 1))  # ceil(q*n)
         k = max(1, min(k, n))
@@ -374,16 +377,30 @@ def exact_quantiles_twopass(
                 target_bin, rank_in_bin = b, k - cum
                 break
             cum += c
-        val = (
-            df.filter(bin_expr == target_bin)
-            .select(F.col(col).cast("double").alias("_v"))
-            .orderBy("_v")
-            .limit(rank_in_bin)
-            .agg(F.max("_v"))
-            .collect()[0][0]
+        targets.append((q, target_bin, rank_in_bin))
+    # ONE extraction job for every quantile: filter to the union of
+    # target bins, rank within each bin, pick the wanted ranks.
+    wanted_bins = sorted({b for _, b, _ in targets})
+    ranked = (
+        df.select(F.col(col).cast("double").alias("_v"), bin_expr.alias("_b"))
+        .filter(F.col("_b").isin(wanted_bins))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_b").orderBy("_v")
+            ),
         )
-        out.append((q, float(val)))
-    return out
+    )
+    want = {(b, r) for _, b, r in targets}
+    picked = {
+        (row["_b"], row["_rn"]): row["_v"]
+        for row in ranked.filter(
+            F.struct(F.col("_b"), F.col("_rn")).isin(
+                [F.struct(F.lit(b), F.lit(r)) for b, r in want]
+            )
+        ).collect()
+    }
+    return [(q, float(picked[(b, r)])) for q, b, r in targets]
 
 
 def grouped_topk_candidates(

@@ -358,10 +358,20 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
             F.count("*").alias("n_orders"),
+            # grouping() (not coalesce) labels subtotal rows: a REAL
+            # NULL in the data would otherwise be merged into the
+            # 'ALL' subtotal indistinguishably. Must be computed inside
+            # agg — it reads the grouping-set bitmask.
+            F.grouping("r_name").alias("_gr"),
+            F.grouping("o_orderstatus").alias("_gs"),
         )
         .select(
-            F.coalesce("r_name", F.lit("ALL")).alias("region"),
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.when(F.col("_gr") == 1, F.lit("ALL"))
+            .otherwise(F.col("r_name"))
+            .alias("region"),
+            F.when(F.col("_gs") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
             "revenue",
             "n_orders",
         )
@@ -375,8 +385,10 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DQ_ORACLES: dict[str, str] = {
     "revenue_cube": """
-        SELECT COALESCE(r_name, 'ALL') AS region,
-               COALESCE(o_orderstatus, 'ALL') AS status,
+        SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL'
+                    ELSE r_name END AS region,
+               CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                    ELSE o_orderstatus END AS status,
                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
                     AS DOUBLE) AS revenue,
                count(*) AS n_orders

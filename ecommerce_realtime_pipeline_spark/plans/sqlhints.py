@@ -30,25 +30,42 @@ import re
 # captured so we can inspect what precedes it.
 _CTE_DEF = re.compile(r"\b(\w+)(\s+AS\s*)\(", re.IGNORECASE)
 
-#: names of genuinely self-recursive CTEs across the oracle suite —
-#: the only ones where MATERIALIZED would be rejected. (`reach` is the
-#: reachability fixpoint in the connected-components oracles.)
-_RECURSIVE_CTES = frozenset({"reach"})
+def _cte_body_self_references(sql: str, name: str, open_paren: int) -> bool:
+    """STRUCTURAL recursion check: scan the balanced-paren CTE body
+    starting at ``open_paren`` and report whether it mentions its own
+    name — the property that makes MATERIALIZED invalid. Detecting it
+    (rather than keeping a name list) means a future recursive CTE
+    with any name is exempted automatically, and a non-recursive CTE
+    that happens to reuse a recursive one's name still gets the hint."""
+    depth = 0
+    i = open_paren
+    while i < len(sql):
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    body = sql[open_paren : i + 1]
+    return re.search(rf"\b{re.escape(name)}\b", body[1:]) is not None
 
 
 def materialize_ctes(sql: str) -> str:
     """Rewrite every CTE definition ``name AS (`` to
-    ``name AS MATERIALIZED (`` except self-recursive CTEs and named
-    WINDOW clauses. Idempotent (already-hinted SQL passes through)."""
+    ``name AS MATERIALIZED (`` except self-recursive CTEs (detected
+    structurally — the body references its own name) and named WINDOW
+    clauses. Idempotent (already-hinted SQL passes through)."""
     out = []
     last = 0
     for m in _CTE_DEF.finditer(sql):
         name = m.group(1)
         prefix = sql[: m.start()].rstrip()
         if (
-            name.lower() in _RECURSIVE_CTES
-            or name.upper() == "MATERIALIZED"  # already hinted
+            name.upper() == "MATERIALIZED"  # already hinted
             or prefix.upper().endswith("WINDOW")  # named window, not CTE
+            or _cte_body_self_references(sql, name, m.end() - 1)
         ):
             continue
         out.append(sql[last : m.end(2)])

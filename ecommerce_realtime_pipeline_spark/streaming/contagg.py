@@ -23,6 +23,11 @@ Exactly-once design (the crash windows, named):
   them → replay skips the committed refresh and redoes the upsert;
   crash before the rename → replay recomputes the identical delta
   from the unchanged pre-image. Both windows converge.
+- Out-of-order envelopes: a batch row contributes ONLY if it wins the
+  upsert's last-write-wins comparison against the silver pre-image
+  (the same ``latest_by_key`` over the tagged union decides) — a stale
+  redelivery that the upsert would discard leaves the view untouched
+  too, keeping refresh ≡ recompute under reordering (test-pinned).
 
 Scale: the pre-image lookup is bucket-pruned exactly like the upsert
 (only buckets containing batch keys are read); the delta aggregation
@@ -95,12 +100,6 @@ def refresh_epoch(
     id_field = ENTITY_SCHEMAS[entity].fields[0].name
     batch_rows = N.latest_by_key(typed, id_field, N.ORDER_COLS[entity])
     d_val = F.col(sum_col).cast(_SUM_TYPE)
-    add = batch_rows.select(
-        F.col(group_col).alias("_g"),
-        F.lit(1).cast("long").alias("_dn"),
-        d_val.alias("_ds"),
-    )
-    deltas = add
     if os.path.isdir(silver_path):
         keys = batch_rows.select(id_field).distinct()
         buckets = [
@@ -116,12 +115,40 @@ def refresh_epoch(
             .filter(F.col("bucket").isin(buckets))
             .join(F.broadcast(keys), id_field, "left_semi")
         )
-        retract = pre.select(
+        # A batch row only contributes if it WINS the upsert's
+        # last-write-wins comparison against the silver pre-image —
+        # replicated by running the SAME latest_by_key over the tagged
+        # union (an out-of-order/stale envelope loses to the silver row
+        # and must leave the view untouched; test-pinned).
+        tagged = pre.withColumn("_src", F.lit("pre")).unionByName(
+            batch_rows.withColumn("_src", F.lit("batch")),
+            allowMissingColumns=True,
+        )
+        winner_keys = (
+            N.latest_by_key(tagged, id_field, N.ORDER_COLS[entity])
+            .filter(F.col("_src") == "batch")
+            .select(id_field)
+            .localCheckpoint()
+        )
+        retract = pre.join(F.broadcast(winner_keys), id_field, "left_semi").select(
             F.col(group_col).alias("_g"),
             F.lit(-1).cast("long").alias("_dn"),
             (-d_val).alias("_ds"),
         )
-        deltas = deltas.unionByName(retract)
+        add = batch_rows.join(
+            F.broadcast(winner_keys), id_field, "left_semi"
+        ).select(
+            F.col(group_col).alias("_g"),
+            F.lit(1).cast("long").alias("_dn"),
+            d_val.alias("_ds"),
+        )
+        deltas = add.unionByName(retract)
+    else:
+        deltas = batch_rows.select(
+            F.col(group_col).alias("_g"),
+            F.lit(1).cast("long").alias("_dn"),
+            d_val.alias("_ds"),
+        )
     delta_agg = deltas.groupBy("_g").agg(
         F.sum("_dn").alias("_dn"), F.sum("_ds").alias("_ds")
     )
@@ -132,18 +159,9 @@ def refresh_epoch(
         prev = spark.createDataFrame(
             [], f"{group_col} string, n_rows long, sum_val {_SUM_TYPE}"
         )
-    merged = prev.join(delta_agg, prev[group_col] == delta_agg["_g"], "full_outer").select(
-        F.coalesce(F.col(group_col), F.col("_g")).alias(group_col),
-        (
-            F.coalesce(F.col("n_rows"), F.lit(0))
-            + F.coalesce(F.col("_dn"), F.lit(0))
-        ).alias("n_rows"),
-        (
-            F.coalesce(F.col("sum_val"), F.lit(0).cast(_SUM_TYPE))
-            + F.coalesce(F.col("_ds"), F.lit(0).cast(_SUM_TYPE))
-        ).cast(_SUM_TYPE).alias("sum_val"),
-    ).filter(F.col("n_rows") > 0)
-    _atomic_overwrite(merged, version_dir)
+    _atomic_overwrite(
+        N.merge_agg_delta(prev, delta_agg, group_col, _SUM_TYPE), version_dir
+    )
 
 
 def run_ingest_with_agg(

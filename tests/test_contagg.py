@@ -153,3 +153,30 @@ def test_crashed_stage_dirs_do_not_wedge_readers(spark, dirs):
     os.makedirs(os.path.join(agg, "v=0__old_cafebabe"))
     assert CA._committed_epochs(agg) == [0]
     assert CA.read_continuous_agg(spark, agg).count() == 1
+
+
+def test_out_of_order_stale_envelope_leaves_view_untouched(spark, dirs):
+    """A later BATCH carrying an OLDER updated_at for an existing key
+    loses the upsert's last-write-wins comparison — the view must not
+    apply its delta either, or it diverges from silver forever."""
+    silver, agg = dirs
+    b0 = _env_batch(spark, [(1, "o1", 10.0, "shipped", 30)])
+    _apply(spark, b0, 0, silver, agg)
+    # stale redelivery: older updated_at, different offset, new batch
+    b1 = _env_batch(spark, [(50, "o1", 10.0, "pending", 0)])
+    _apply(spark, b1, 1, silver, agg)
+    view = {
+        r["status"]: (r["n_rows"], float(r["sum_val"]))
+        for r in CA.read_continuous_agg(spark, agg).collect()
+    }
+    direct = {
+        r["status"]: (r["n"], float(r["s"]))
+        for r in spark.read.parquet(silver)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("total").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert view == direct == {"shipped": (1, 10.0)}

@@ -99,7 +99,11 @@ def test_bloom_no_false_negatives_and_prunes(spark, sf_dir):
     assert n_exact <= n_bloom < n_total  # superset of matches, real pruning
 
 
-def test_bloom_exact_join_is_broadcast_semi(spark, sf_dir):
+def test_bloom_probe_filters_before_semi_join(spark, sf_dir):
+    """The Bloom probe must sit as a FILTER below the exact LEFT SEMI
+    join (prune-then-join), and the exact join carries no hard-coded
+    broadcast — at scale the dim keys are precisely what couldn't be
+    broadcast (AQE may still promote small cases at runtime)."""
     from ecommerce_realtime_pipeline_spark.catalog import load_table
 
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
@@ -108,14 +112,15 @@ def test_bloom_exact_join_is_broadcast_semi(spark, sf_dir):
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    plan = (
-        B.bloom_semi_join(events, keys, fact_key="user_id", dim_key="c_custkey")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    joined = B.bloom_semi_join(events, keys, fact_key="user_id", dim_key="c_custkey")
+    optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+    # inner (not LeftSemi) on purpose: PushDownLeftSemiAntiJoin would
+    # hoist a semi join above the probe and kill the pruning
+    join_at = optimized.find("Join Inner")
+    probe_at = optimized.find("md5")
+    assert join_at != -1 and probe_at != -1 and probe_at > join_at, (
+        "probe filter must be BELOW (after, in plan text) the exact join"
     )
-    assert "LeftSemi" in plan
-    assert "BroadcastHashJoin" in plan
 
 
 # -- incremental_agg --------------------------------------------------------
