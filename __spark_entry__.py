@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lineitem_latest": dq.dedup_lineitem_latest,
         "customers_snapshot_diff": dq.customers_snapshot_diff,
         "customers_incremental_agg": dq.customers_incremental_agg,
+        "customers_segment_drift": dq.customers_segment_drift,
         "set_ops_actors": dq.set_ops_actors,
         "revenue_grouping_sets": dq.revenue_grouping_sets,
         "revenue_cube": dq.revenue_cube,

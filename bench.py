@@ -70,6 +70,9 @@ STRESS_QUERIES = [
     "docs_neardup_editdist",
     "events_heavy_hitters_mg",
     "events_type_transitions",
+    "customers_incremental_agg",
+    "orders_exact_quantiles_twopass",
+    "events_zorder_roundtrip",
 ]
 
 

@@ -333,6 +333,50 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_segment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-DRIFT monitor between two snapshots (the DQ alarm
+    that catches a bad backfill or skewed ingest): per market segment,
+    old/new counts and the chi-square contribution
+    (n_new − E)²/E with E = n_old · N_new/N_old — computed from EXACT
+    integer counts through a fixed IEEE chain (the anomaly-scan
+    pattern), so the scores hash-match. Snapshot B reuses the CDC
+    fixture perturbation (modular predicates ⇒ the oracle derives both
+    distributions analytically).
+
+    Scale: two count-aggregates (one per snapshot — in production the
+    old side is the already-materialized aggregate, i.e. free) + a
+    |segments|-row join; nothing row-level crosses the network."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    new = cust.filter(k % 97 != 0).unionByName(
+        cust.filter(k % 31 == 0).withColumn("c_custkey", k + 1_000_000)
+    )
+    old_c = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n_old"))
+    new_c = new.groupBy("c_mktsegment").agg(F.count("*").alias("n_new"))
+    tot = (
+        old_c.agg(F.sum("n_old").alias("_no"))
+        .crossJoin(new_c.agg(F.sum("n_new").alias("_nn")))
+    )
+    j = old_c.join(new_c, "c_mktsegment").crossJoin(F.broadcast(tot))
+    expected = (
+        F.col("n_old").cast("double")
+        * (F.col("_nn").cast("double") / F.col("_no"))
+    )
+    chi = (F.col("n_new").cast("double") - expected) * (
+        F.col("n_new").cast("double") - expected
+    ) / expected
+    return (
+        j.select(
+            "c_mktsegment",
+            "n_old",
+            "n_new",
+            F.round(expected, 6).alias("expected_new"),
+            F.round(chi, 6).alias("chi2_contrib"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R24 completed: CUBE — all 2^k grouping combinations of
     (region, status) including the grand total, via the native
@@ -384,6 +428,38 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DQ_ORACLES: dict[str, str] = {
+    # drift: both distributions derived from the modular perturbation
+    # predicates; chi2 chain is the same fixed IEEE sequence.
+    "customers_segment_drift": """
+        WITH old_c AS (
+            SELECT c_mktsegment, count(*) AS n_old FROM customer GROUP BY 1
+        ),
+        new_c AS (
+            SELECT c_mktsegment, count(*) AS n_new
+            FROM (
+                SELECT c_mktsegment FROM customer WHERE c_custkey % 97 <> 0
+                UNION ALL
+                SELECT c_mktsegment FROM customer WHERE c_custkey % 31 = 0
+            ) GROUP BY 1
+        ),
+        tot AS (
+            SELECT (SELECT SUM(n_old) FROM old_c) AS no_,
+                   (SELECT SUM(n_new) FROM new_c) AS nn_
+        )
+        SELECT c_mktsegment,
+               CAST(n_old AS BIGINT) AS n_old,
+               CAST(n_new AS BIGINT) AS n_new,
+               ROUND(CAST(n_old AS DOUBLE)
+                     * (CAST(nn_ AS DOUBLE) / no_), 6) AS expected_new,
+               ROUND((CAST(n_new AS DOUBLE)
+                      - CAST(n_old AS DOUBLE) * (CAST(nn_ AS DOUBLE) / no_))
+                     * (CAST(n_new AS DOUBLE)
+                        - CAST(n_old AS DOUBLE) * (CAST(nn_ AS DOUBLE) / no_))
+                     / (CAST(n_old AS DOUBLE) * (CAST(nn_ AS DOUBLE) / no_)),
+                     6) AS chi2_contrib
+        FROM old_c JOIN new_c USING (c_mktsegment), tot
+        ORDER BY c_mktsegment
+    """,
     "revenue_cube": """
         SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL'
                     ELSE r_name END AS region,
