@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.7 — custom stateful CEP (applyInPandasWithState funnel)
         "streaming_funnel_cep": gen.streaming_funnel_cep,
         "streaming_continuous_agg": gen.streaming_continuous_agg,
+        "pipeline_end_to_end": gen.pipeline_end_to_end,
         "streaming_neardup_dedup": gen.streaming_neardup_dedup,
         "streaming_embdedup": gen.streaming_embdedup,
         "streaming_hll_users": gen.streaming_hll_users,

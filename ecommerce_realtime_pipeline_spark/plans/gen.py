@@ -436,6 +436,38 @@ def streaming_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 as ONE driver-checkable query: the full declared pipeline —
+    seeded produce → 4 exactly-once entity ingests (incl. the
+    order_items cascade) → gold marts — run in a temp workspace; the
+    output is the layer-by-layer row inventory. Counts are analytic
+    (they equal the requested batch shape; marts row counts follow
+    from the generator's domains) except order_items = 66, which is
+    seed-deterministic generator output — FROZEN-CONTRACT (golden),
+    double-pinned by the pipeline pytest."""
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.pipeline import run_pipeline
+
+    tmp = tempfile.mkdtemp(prefix="eng_pipe_q_")
+    try:
+        with _pinned_state_partitions(spark):
+            s = run_pipeline(spark, tmp)
+        rows = [
+            ("published", k, int(v)) for k, v in sorted(s["published"].items())
+        ] + [
+            ("silver", k, int(v)) for k, v in sorted(s["silver_counts"].items())
+        ] + [
+            ("gold", k, int(v)) for k, v in sorted(s["marts"].items())
+        ]
+        return spark.createDataFrame(
+            rows, "layer string, name string, n_rows long"
+        ).orderBy("layer", "name")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def monitoring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R18/R19 monitoring as a driver-checkable query: run a tiny
     seeded ingest with the StatsListener attached and return the
@@ -1107,6 +1139,28 @@ GEN_ORACLES: dict[str, str] = {
             ('shipped', 4, 100.00)
         ) AS t(status, n, rev)
         ORDER BY status
+    """,
+    # pipeline_end_to_end: batch-shape counts are analytic; the
+    # order_items 66 is FROZEN-CONTRACT (seed-deterministic generator
+    # output, double-pinned by the pipeline pytest).
+    "pipeline_end_to_end": """
+        SELECT layer, name, CAST(n AS BIGINT) AS n_rows
+        FROM (VALUES
+            ('published', 'customers', 10),
+            ('published', 'events', 50),
+            ('published', 'orders', 25),
+            ('published', 'products', 10),
+            ('silver', 'customers', 10),
+            ('silver', 'events', 50),
+            ('silver', 'order_items', 66),
+            ('silver', 'orders', 25),
+            ('silver', 'products', 10),
+            ('gold', 'event_type_counts', 5),
+            ('gold', 'orders_per_minute', 25),
+            ('gold', 'revenue_by_status', 1),
+            ('gold', 'top_products_by_quantity', 10)
+        ) AS t(layer, name, n)
+        ORDER BY layer, name
     """,
     "monitoring_stats": """
         SELECT 'customers_silver' AS table_name,

@@ -489,3 +489,24 @@ def test_streaming_cms_journal_replay_idempotent(spark, tmp_path):
         ).collect()
     }
     assert all(v >= 2 for v in doubled.values())
+
+
+def test_pipeline_end_to_end_rerun_stable(spark, tmp_path):
+    """EP3 orchestration: a full produce→ingest→marts cycle, then the
+    SAME batch re-published at higher offsets (same seed ⇒ same entity
+    ids) — the replay must upsert to identical silver counts and
+    rebuild identical marts (exactly-once + last-write-wins end to
+    end)."""
+    from ecommerce_realtime_pipeline_spark.pipeline import run_pipeline
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        s1 = run_pipeline(spark, str(tmp_path / "p"))
+        s2 = run_pipeline(spark, str(tmp_path / "p"), base_offset=1000)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert s1["silver_counts"] == s2["silver_counts"]
+    assert s1["marts"] == s2["marts"]
+    assert s1["silver_counts"]["orders"] == 25
+    assert s1["silver_counts"]["order_items"] == 66  # frozen contract
