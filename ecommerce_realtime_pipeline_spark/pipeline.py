@@ -90,11 +90,43 @@ def build_marts(spark: SparkSession, silver_dir: str, gold_dir: str) -> dict[str
             .orderBy("event_type")
         ),
     }
+    marts["dq_gate"] = dq_gate(spark, silver_dir)
     for name, df in marts.items():
         path = os.path.join(gold_dir, name)
         _atomic_snapshot(df, path)
         out[name] = spark.read.parquet(path).count()
     return out
+
+
+def dq_gate(spark: SparkSession, silver_dir: str) -> DataFrame:
+    """The validation stage as a mart: run the full constraint pass
+    (row rules + uniqueness + FKs against the ingested parents —
+    ``validation.validate_entity``) over every silver table and emit
+    the per-table valid/quarantine tally. Even the "clean" seeded
+    batch quarantines the generator's duplicate (order_id, product_id)
+    item lines — exactly the rows the reference's
+    UNIQUE(order_id, product_id) would reject (seed-frozen at 5 in
+    tests); corruption-enabled runs light up the other rules too."""
+    from ecommerce_realtime_pipeline_spark.operators import validation as V
+
+    silver = {
+        e: I.read_silver(spark, os.path.join(silver_dir, e)) for e in ENTITIES
+    }
+    silver["order_items"] = spark.read.parquet(
+        os.path.join(silver_dir, "order_items")
+    )
+    parents = {
+        "customers": silver["customers"],
+        "products": silver["products"],
+        "orders": silver["orders"],
+    }
+    rows = []
+    for name in (*ENTITIES, "order_items"):
+        valid, quarantine, _m = V.validate_entity(name, silver[name], parents)
+        rows.append((name, valid.count(), quarantine.count()))
+    return spark.createDataFrame(
+        sorted(rows), "table_name string, n_valid long, n_quarantined long"
+    )
 
 
 def run_pipeline(

@@ -1155,6 +1155,7 @@ GEN_ORACLES: dict[str, str] = {
             ('silver', 'order_items', 66),
             ('silver', 'orders', 25),
             ('silver', 'products', 10),
+            ('gold', 'dq_gate', 5),
             ('gold', 'event_type_counts', 5),
             ('gold', 'orders_per_minute', 25),
             ('gold', 'revenue_by_status', 1),

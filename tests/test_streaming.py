@@ -510,3 +510,45 @@ def test_pipeline_end_to_end_rerun_stable(spark, tmp_path):
     assert s1["marts"] == s2["marts"]
     assert s1["silver_counts"]["orders"] == 25
     assert s1["silver_counts"]["order_items"] == 66  # frozen contract
+
+
+def test_pipeline_dq_gate_clean_and_corrupted(spark, tmp_path):
+    """The pipeline's DQ gate: a clean seeded batch quarantines
+    nothing; the corruption-enabled twin (same seed) must light up the
+    quarantine side — the fault-injection path survives the full
+    produce→ingest→validate flow, not just unit tests."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.pipeline import run_pipeline
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        clean = run_pipeline(spark, str(tmp_path / "clean"))
+        dirty = run_pipeline(
+            spark, str(tmp_path / "dirty"), corruption_enabled=True
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert clean["marts"]["dq_gate"] == 5
+
+    def gate(base):
+        return {
+            r["table_name"]: (r["n_valid"], r["n_quarantined"])
+            for r in spark.read.parquet(str(base / "gold" / "dq_gate")).collect()
+        }
+
+    g_clean = gate(tmp_path / "clean")
+    # the seeded generator legitimately emits 5 duplicate
+    # (order_id, product_id) item lines — the reference's
+    # UNIQUE(order_id, product_id) would reject exactly these, and the
+    # gate quarantines them even on the "clean" batch (frozen
+    # seed-deterministic contract); every other table is clean.
+    assert g_clean["order_items"] == (61, 5)
+    assert all(
+        q == 0 for t, (_v, q) in g_clean.items() if t != "order_items"
+    ), g_clean
+    g_dirty = gate(tmp_path / "dirty")
+    assert sum(q for _v, q in g_dirty.values()) > sum(
+        q for _v, q in g_clean.values()
+    ), g_dirty
