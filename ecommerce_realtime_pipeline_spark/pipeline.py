@@ -47,15 +47,20 @@ def _atomic_snapshot(df: DataFrame, path: str) -> None:
 
 
 def build_marts(spark: SparkSession, silver_dir: str, gold_dir: str) -> dict[str, int]:
-    """Materialize the gold marts from silver (the dbt ``marts/``
-    layer): revenue by order status, orders per minute, top products
-    by ordered quantity, and the per-table DQ row-count mart. Each
-    mart is a full (mart-sized, tiny) snapshot written atomically.
-    Returns mart → row count."""
+    """Materialize the gold marts (the dbt ``marts/`` layer): revenue
+    by order status, orders per minute, top products by ordered
+    quantity, event-type counts, and the DQ-gate tally. The KPI marts
+    consume the gate's VALID side — a quarantined row (duplicate item
+    line, corrupt total, FK orphan) must not flow into the dashboards
+    it was flagged out of (gate and marts would otherwise contradict
+    each other; test-pinned on the duplicate item lines). Each mart is
+    a full (mart-sized, tiny) snapshot written atomically. Returns
+    mart → row count."""
     out: dict[str, int] = {}
-    orders = I.read_silver(spark, os.path.join(silver_dir, "orders"))
-    items = spark.read.parquet(os.path.join(silver_dir, "order_items"))
-    events = I.read_silver(spark, os.path.join(silver_dir, "events"))
+    gate, valid_frames = dq_gate(spark, silver_dir)
+    orders = valid_frames["orders"]
+    items = valid_frames["order_items"]
+    events = valid_frames["events"]
 
     marts: dict[str, DataFrame] = {
         "revenue_by_status": (
@@ -90,7 +95,7 @@ def build_marts(spark: SparkSession, silver_dir: str, gold_dir: str) -> dict[str
             .orderBy("event_type")
         ),
     }
-    marts["dq_gate"] = dq_gate(spark, silver_dir)
+    marts["dq_gate"] = gate
     for name, df in marts.items():
         path = os.path.join(gold_dir, name)
         _atomic_snapshot(df, path)
@@ -98,15 +103,24 @@ def build_marts(spark: SparkSession, silver_dir: str, gold_dir: str) -> dict[str
     return out
 
 
-def dq_gate(spark: SparkSession, silver_dir: str) -> DataFrame:
-    """The validation stage as a mart: run the full constraint pass
-    (row rules + uniqueness + FKs against the ingested parents —
-    ``validation.validate_entity``) over every silver table and emit
-    the per-table valid/quarantine tally. Even the "clean" seeded
-    batch quarantines the generator's duplicate (order_id, product_id)
-    item lines — exactly the rows the reference's
+def dq_gate(
+    spark: SparkSession, silver_dir: str
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """The validation stage: run the full constraint pass (row rules +
+    uniqueness + FKs against the ingested parents —
+    ``validation.validate_entity``) over every silver table. Returns
+    (tally mart, valid frames) — the tally is the DQ mart, the valid
+    side feeds the KPI marts. Even the "clean" seeded batch
+    quarantines the generator's duplicate (order_id, product_id) item
+    lines — exactly the rows the reference's
     UNIQUE(order_id, product_id) would reject (seed-frozen at 5 in
-    tests); corruption-enabled runs light up the other rules too."""
+    tests); corruption-enabled runs light up the other rules too.
+
+    Cost: ONE validation execution per table — the valid side is
+    localCheckpointed (that materialization is the only run of the
+    rule DAG; its count is then free) and the quarantine count is
+    total − valid with the total a cheap footer-count scan; the mart
+    builds reuse the checkpointed valid frames."""
     from ecommerce_realtime_pipeline_spark.operators import validation as V
 
     silver = {
@@ -121,12 +135,18 @@ def dq_gate(spark: SparkSession, silver_dir: str) -> DataFrame:
         "orders": silver["orders"],
     }
     rows = []
+    valid_frames: dict[str, DataFrame] = {}
     for name in (*ENTITIES, "order_items"):
-        valid, quarantine, _m = V.validate_entity(name, silver[name], parents)
-        rows.append((name, valid.count(), quarantine.count()))
-    return spark.createDataFrame(
+        valid, _quarantine, _m = V.validate_entity(name, silver[name], parents)
+        valid = valid.localCheckpoint()
+        valid_frames[name] = valid
+        n_total = silver[name].count()
+        n_valid = valid.count()
+        rows.append((name, n_valid, n_total - n_valid))
+    tally = spark.createDataFrame(
         sorted(rows), "table_name string, n_valid long, n_quarantined long"
     )
+    return tally, valid_frames
 
 
 def run_pipeline(
@@ -140,12 +160,14 @@ def run_pipeline(
     corruption_enabled: bool = False,
     base_offset: int = 0,
 ) -> dict:
-    """One full produce → ingest → marts cycle. Call again with a
-    larger ``base_offset`` (and/or different seed) to simulate the
-    next batch: ingest is exactly-once across calls (checkpointed
-    offset dedup), silver upserts are last-write-wins, marts rebuild
-    from the updated silver. Returns a summary dict
-    {published, silver_counts, marts}."""
+    """One full produce → ingest → marts cycle. To feed the NEXT
+    batch, call again with a LARGER ``base_offset`` — offsets are the
+    exactly-once identity, so a second publish at the same offsets is
+    (by design) swallowed as a replay by the checkpointed offset
+    dedup, even under a different seed. With advanced offsets: ingest
+    stays exactly-once across calls, silver upserts are
+    last-write-wins, marts rebuild from the updated valid silver.
+    Returns a summary dict {published, silver_counts, marts}."""
     topics = os.path.join(work_dir, "topics")
     silver = os.path.join(work_dir, "silver")
     offsets = os.path.join(work_dir, "offsets")

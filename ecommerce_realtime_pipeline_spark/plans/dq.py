@@ -357,19 +357,31 @@ def customers_segment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         old_c.agg(F.sum("n_old").alias("_no"))
         .crossJoin(new_c.agg(F.sum("n_new").alias("_nn")))
     )
-    j = old_c.join(new_c, "c_mktsegment").crossJoin(F.broadcast(tot))
-    expected = (
-        F.col("n_old").cast("double")
-        * (F.col("_nn").cast("double") / F.col("_no"))
+    # FULL OUTER + zero-fill: the loudest drift signals are a segment
+    # VANISHING (n_new = 0) or APPEARING (n_old = 0) — an inner join
+    # would silence the alarm exactly when drift is maximal. A new
+    # segment has expected 0 (chi2 undefined → NULL, the count columns
+    # carry the signal); a vanished one contributes its full expected
+    # mass.
+    j = old_c.join(new_c, "c_mktsegment", "full_outer").crossJoin(
+        F.broadcast(tot)
     )
-    chi = (F.col("n_new").cast("double") - expected) * (
-        F.col("n_new").cast("double") - expected
-    ) / expected
+    n_old = F.coalesce("n_old", F.lit(0))
+    n_new = F.coalesce("n_new", F.lit(0))
+    expected = n_old.cast("double") * (
+        F.col("_nn").cast("double") / F.col("_no")
+    )
+    chi = F.when(
+        expected > 0,
+        (n_new.cast("double") - expected)
+        * (n_new.cast("double") - expected)
+        / expected,
+    )
     return (
         j.select(
             "c_mktsegment",
-            "n_old",
-            "n_new",
+            n_old.alias("n_old"),
+            n_new.alias("n_new"),
             F.round(expected, 6).alias("expected_new"),
             F.round(chi, 6).alias("chi2_contrib"),
         )
@@ -447,17 +459,22 @@ DQ_ORACLES: dict[str, str] = {
                    (SELECT SUM(n_new) FROM new_c) AS nn_
         )
         SELECT c_mktsegment,
-               CAST(n_old AS BIGINT) AS n_old,
-               CAST(n_new AS BIGINT) AS n_new,
-               ROUND(CAST(n_old AS DOUBLE)
+               CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+               CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+               ROUND(CAST(COALESCE(n_old, 0) AS DOUBLE)
                      * (CAST(nn_ AS DOUBLE) / no_), 6) AS expected_new,
-               ROUND((CAST(n_new AS DOUBLE)
-                      - CAST(n_old AS DOUBLE) * (CAST(nn_ AS DOUBLE) / no_))
-                     * (CAST(n_new AS DOUBLE)
-                        - CAST(n_old AS DOUBLE) * (CAST(nn_ AS DOUBLE) / no_))
-                     / (CAST(n_old AS DOUBLE) * (CAST(nn_ AS DOUBLE) / no_)),
-                     6) AS chi2_contrib
-        FROM old_c JOIN new_c USING (c_mktsegment), tot
+               CASE WHEN COALESCE(n_old, 0) > 0 THEN
+                   ROUND((CAST(COALESCE(n_new, 0) AS DOUBLE)
+                          - CAST(COALESCE(n_old, 0) AS DOUBLE)
+                            * (CAST(nn_ AS DOUBLE) / no_))
+                         * (CAST(COALESCE(n_new, 0) AS DOUBLE)
+                            - CAST(COALESCE(n_old, 0) AS DOUBLE)
+                              * (CAST(nn_ AS DOUBLE) / no_))
+                         / (CAST(COALESCE(n_old, 0) AS DOUBLE)
+                            * (CAST(nn_ AS DOUBLE) / no_)),
+                         6)
+               END AS chi2_contrib
+        FROM old_c FULL OUTER JOIN new_c USING (c_mktsegment), tot
         ORDER BY c_mktsegment
     """,
     "revenue_cube": """

@@ -39,14 +39,18 @@ def _cte_body_self_references(sql: str, name: str, open_paren: int) -> bool:
     that happens to reuse a recursive one's name still gets the hint."""
     depth = 0
     i = open_paren
-    while i < len(sql):
+    in_str = False  # inside a '...' SQL string literal: parens there
+    while i < len(sql):  # must not count ('' escapes net out cleanly)
         c = sql[i]
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-            if depth == 0:
-                break
+        if c == "'":
+            in_str = not in_str
+        elif not in_str:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
         i += 1
     body = sql[open_paren : i + 1]
     return re.search(rf"\b{re.escape(name)}\b", body[1:]) is not None

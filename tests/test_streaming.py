@@ -513,10 +513,12 @@ def test_pipeline_end_to_end_rerun_stable(spark, tmp_path):
 
 
 def test_pipeline_dq_gate_clean_and_corrupted(spark, tmp_path):
-    """The pipeline's DQ gate: a clean seeded batch quarantines
-    nothing; the corruption-enabled twin (same seed) must light up the
-    quarantine side — the fault-injection path survives the full
-    produce→ingest→validate flow, not just unit tests."""
+    """The pipeline's DQ gate: the clean seeded batch quarantines
+    EXACTLY the generator's 5 duplicate (order_id, product_id) item
+    lines (the reference's UNIQUE constraint victims — seed-frozen)
+    and nothing else; the corruption-enabled twin (same seed) must
+    quarantine strictly more — the fault-injection path survives the
+    full produce→ingest→validate flow, not just unit tests."""
     from pyspark.sql import functions as F
 
     from ecommerce_realtime_pipeline_spark.pipeline import run_pipeline
