@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardup_clusters": llm.docs_neardup_clusters,
         "docs_neardup_clusters_lss": llm.docs_neardup_clusters_lss,
         "docs_cluster_representatives": llm.docs_cluster_representatives,
+        "docs_cluster_size_distribution": llm.docs_cluster_size_distribution,
         "docs_train_split": llm.docs_train_split,
         "docs_leakage_safe_split": llm.docs_leakage_safe_split,
         "docs_quality_filter": llm.docs_quality_filter,
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_decontaminate": llm.emb_decontaminate,
         "emb_quantize_int8": llm.emb_quantize_int8,
         "emb_label_centroids": llm.emb_label_centroids,
+        "emb_label_drift": llm.emb_label_drift,
         "mm_feature_summary": llm.mm_feature_summary,
         "mm_decode_image_stats": llm.mm_decode_image_stats,
         "mm_frame_stats": llm.mm_frame_stats,

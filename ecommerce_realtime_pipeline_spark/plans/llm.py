@@ -229,6 +229,29 @@ def _clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl
 
 
+def docs_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-YIELD report: histogram of near-dup cluster sizes —
+    per size, how many clusters, how many docs they hold, and how many
+    are droppable (size − 1 per cluster; the headline number a dedup
+    pass reports at 100 TB). Rides the session-cached cluster table
+    (`_clusters_cached` — computed once for the representatives/split/
+    report consumers), so the marginal cost is two tiny aggregations.
+    Same recursive-CTE oracle family as the other cluster consumers."""
+    clusters = _clusters_cached(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            (F.sum("cluster_size") - F.count("*")).alias("n_droppable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def docs_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed-fingerprint overlap detection (the MOSS scheme): build
     each doc's position-aware fingerprint set (rightmost-min of every
@@ -606,6 +629,56 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = SIM.quantize_int8(emb)
     return q.select(
         "vec_id", "scale", F.posexplode("q").alias("pos", "code")
+    )
+
+
+def emb_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING drift monitor — the vector twin of
+    `customers_segment_drift`: per label, the L2 distance between the
+    old corpus centroid and the new snapshot's (corpus ∪ planted
+    perturbed copies, the `_with_planted_dups` fixture), plus the count
+    movement. The alarm for a shifted upstream encoder or a skewed
+    refresh batch.
+
+    Exactness: per-(label, pos) component means come from DECIMAL-exact
+    sums (the `label_centroids` contract) divided once in double;
+    squared diffs are cast back to DECIMAL and summed exactly, so the
+    distance is partition-order independent and hash-matches.
+
+    Scale: two posexplode partial-agg shuffles of skinny decimal rows
+    (labels × dim keys) + a labels-sized join — at 100 TB the old side
+    is the already-materialized centroid table, i.e. free."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = _with_planted_dups(emb)
+
+    def per_label_means(df: DataFrame, mean_name: str) -> DataFrame:
+        comp = df.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        ).select(
+            "label", "pos", F.col("v").cast("decimal(20,10)").alias("vd")
+        )
+        return comp.groupBy("label", "pos").agg(
+            (
+                F.sum("vd").cast("double") / F.count("*")
+            ).alias(mean_name),
+            F.count("*").alias(f"_n_{mean_name}"),
+        )
+
+    old_m = per_label_means(emb, "m_old")
+    new_m = per_label_means(new, "m_new")
+    j = old_m.join(new_m, ["label", "pos"])
+    d = F.col("m_new") - F.col("m_old")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.max("_n_m_old").alias("n_old"),
+            F.max("_n_m_new").alias("n_new"),
+            F.round(
+                F.sqrt(F.sum((d * d).cast("decimal(28,14)")).cast("double")),
+                6,
+            ).alias("centroid_l2_drift"),
+        )
+        .orderBy("label")
     )
 
 
@@ -1990,6 +2063,52 @@ LLM_ORACLES: dict[str, str] = {
                unnest(codes) AS code
         FROM q
     """,
+    # emb_label_drift: per-(label,pos) means from DECIMAL-exact sums,
+    # one double divide, squared diffs re-summed in DECIMAL — the same
+    # fixed IEEE chain as the Spark side; the planted snapshot reuses
+    # the cosine-neardup perturbation CTE.
+    "emb_label_drift": """
+        WITH base AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        newsnap AS (
+            SELECT label, v FROM base
+            UNION ALL
+            SELECT label, list_concat([v[1] * 2], v[2:]) AS v
+            FROM base WHERE vec_id % 10 = 0
+        ),
+        old_comp AS (
+            SELECT label, unnest(range(1, len(v) + 1)) AS pos,
+                   CAST(unnest(v) AS DECIMAL(20,10)) AS vd
+            FROM base
+        ),
+        new_comp AS (
+            SELECT label, unnest(range(1, len(v) + 1)) AS pos,
+                   CAST(unnest(v) AS DECIMAL(20,10)) AS vd
+            FROM newsnap
+        ),
+        old_m AS (
+            SELECT label, pos,
+                   CAST(SUM(vd) AS DOUBLE) / COUNT(*) AS m_old,
+                   COUNT(*) AS n_old
+            FROM old_comp GROUP BY 1, 2
+        ),
+        new_m AS (
+            SELECT label, pos,
+                   CAST(SUM(vd) AS DOUBLE) / COUNT(*) AS m_new,
+                   COUNT(*) AS n_new
+            FROM new_comp GROUP BY 1, 2
+        )
+        SELECT label,
+               CAST(MAX(n_old) AS BIGINT) AS n_old,
+               CAST(MAX(n_new) AS BIGINT) AS n_new,
+               ROUND(sqrt(CAST(SUM(CAST((m_new - m_old) * (m_new - m_old)
+                                        AS DECIMAL(28,14))) AS DOUBLE)), 6)
+                   AS centroid_l2_drift
+        FROM old_m JOIN new_m USING (label, pos)
+        GROUP BY label
+        ORDER BY label
+    """,
     "emb_label_centroids": """
         WITH comp AS (
             SELECT label,
@@ -2807,6 +2926,23 @@ LLM_ORACLES["docs_leakage_safe_split"] = _cl_head + """,
         FROM tagged GROUP BY 1 ORDER BY 1
     """
 
+# docs_cluster_size_distribution: same recursive-CTE clusters; group
+# cluster sizes into the dedup-yield histogram.
+LLM_ORACLES["docs_cluster_size_distribution"] = _cl_head + """,
+        cl AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM cl GROUP BY cluster_id
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               COUNT(*) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+               CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_droppable
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
 del _cl, _cl_head, _cl_tail
 
 # emb_decontaminate: planted corpus + all-pairs vs the 50-vector eval
