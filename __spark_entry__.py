@@ -164,13 +164,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.7 — custom stateful CEP (applyInPandasWithState funnel)
         "streaming_funnel_cep": gen.streaming_funnel_cep,
         "streaming_continuous_agg": gen.streaming_continuous_agg,
-        "pipeline_end_to_end": gen.pipeline_end_to_end,
         "streaming_neardup_dedup": gen.streaming_neardup_dedup,
         "streaming_embdedup": gen.streaming_embdedup,
         "streaming_hll_users": gen.streaming_hll_users,
         "streaming_cms_user_counts": gen.streaming_cms_user_counts,
         # R18/R19 — monitoring tables (processing_stats + consumer_offsets)
         "monitoring_stats": gen.monitoring_stats,
+        # LAST on purpose: the single most expensive fixture (full
+        # produce→ingest→marts cycle) — if a harness wall-budget cuts
+        # the sweep short, it costs one row, not several cheaper ones.
+        "pipeline_end_to_end": gen.pipeline_end_to_end,
     }
     return q
 
