@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_segment_salted": kpi.events_by_segment_salted,
         "events_bloom_semijoin": kpi.events_bloom_semijoin,
         "events_hll_users": kpi.events_hll_users,
+        "events_decayed_engagement": kpi.events_decayed_engagement,
         "events_cms_user_counts": kpi.events_cms_user_counts,
         "events_value_quantile_sketch": kpi.events_value_quantile_sketch,
         "top_products_by_revenue": kpi.top_products_by_revenue,

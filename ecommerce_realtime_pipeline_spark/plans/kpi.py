@@ -812,6 +812,44 @@ def top_products_per_nation_heap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAYED engagement scoring: per event type, the
+    half-life-weighted value total Σ value·0.5^(age_days/7) — the
+    recency weighting every trending/engagement dashboard applies so
+    last week's burst outranks last month's. The decay anchor is the
+    corpus max timestamp (1-row broadcast), making the score a pure
+    function of the data — deterministic and oracle-checkable.
+
+    Exactness: per-row weight = one pow(0.5, age/7) double (the
+    IEEE-chain pattern); weighted terms are cast to DECIMAL(28,14) and
+    summed exactly, so the fold is partition-order independent.
+
+    Scale: one scan + one tiny groupBy; the anchor rides a broadcast.
+    Streaming twin: the decayed sum is mergeable by re-anchoring
+    (multiply a shard's sum by 0.5^(Δanchor/7)), so shards/epochs
+    combine without re-reading rows."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max(F.unix_micros(F.col("ts"))).alias("_amax"))
+    age_days = (
+        F.col("_amax") - F.unix_micros(F.col("ts"))
+    ).cast("double") / F.lit(86_400_000_000.0)
+    weight = F.pow(F.lit(0.5), age_days / F.lit(7.0))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(
+                    (F.col("value") * weight).cast("decimal(28,14)")
+                ).cast("double"),
+                4,
+            ).alias("decayed_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-lifetime-value DECILES (ntile window): per-customer
     spend (DECIMAL-exact, so the ordering is engine-identical) →

@@ -724,3 +724,17 @@ KPI_ORACLES["events_metrics_unpivot"] = """
     SELECT event_type, 'total_value', total_value FROM wide
     ORDER BY event_type, metric
 """
+
+# events_decayed_engagement: per-row pow(0.5, age/7) double, DECIMAL
+# fold — same fixed IEEE chain on both engines; anchor = max epoch_us.
+KPI_ORACLES["events_decayed_engagement"] = """
+    WITH a AS (SELECT MAX(epoch_us(ts)) AS amax FROM events)
+    SELECT event_type,
+           count(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value * pow(0.5,
+                    (CAST(amax - epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                    / 7.0) AS DECIMAL(28,14))) AS DOUBLE), 4)
+               AS decayed_value
+    FROM events, a
+    GROUP BY 1 ORDER BY 1
+"""
