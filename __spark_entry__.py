@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters_mg": kpi.events_heavy_hitters_mg,
         "events_type_transitions": kpi.events_type_transitions,
         "events_volume_anomalies": kpi.events_volume_anomalies,
+        "events_value_outliers_per_type": kpi.events_value_outliers_per_type,
         "cohort_retention": kpi.cohort_retention,
         "repurchase_intervals": kpi.repurchase_intervals,
         "sessionization_session_window": kpi.sessionization_session_window,

@@ -850,6 +850,51 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_outliers_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED outlier detection — the per-type companion of the
+    global `events_volume_anomalies`: standardize each event's value
+    against its OWN type's moments and surface the top-3 most extreme
+    events per type. The per-segment fraud/telemetry screen (a value
+    normal for 'purchase' is an outlier for 'view').
+
+    Exactness: values carry 2 decimals, so S₁/S₂ are EXACT
+    DECIMAL(18,2)/(38,4) sums (partition-order independent); mean, var
+    and each z are then a fixed IEEE double chain — scores hash-match.
+
+    Scale: one partial-agg moments shuffle (|types| keys, broadcast
+    back) + the per-type rank window over candidate rows; with the
+    grouped-top-k heap pass in front the window would see only
+    partitions×3 rows per type (the `top_products_per_nation_heap`
+    rewrite applies verbatim)."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,2)")
+    mom = events.groupBy("event_type").agg(
+        F.count("*").alias("_n"),
+        F.sum(vd).alias("_s1"),
+        F.sum((vd * vd).cast("decimal(38,4)")).alias("_s2"),
+    )
+    j = events.join(F.broadcast(mom), "event_type")
+    mean = F.col("_s1").cast("double") / F.col("_n")
+    var = (
+        F.col("_s2").cast("double") - F.col("_s1").cast("double") * mean
+    ) / (F.col("_n") - 1)
+    z = (F.col("value").cast("double") - mean) / F.sqrt(var)
+    scored = j.select(
+        "event_type", "event_id", "value", F.round(z, 6).alias("zscore")
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("zscore")).desc(), F.col("event_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "rk", "event_id", "value", "zscore")
+        .orderBy("event_type", "rk")
+    )
+
+
 def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-lifetime-value DECILES (ntile window): per-customer
     spend (DECIMAL-exact, so the ordering is engine-identical) →

@@ -738,3 +738,36 @@ KPI_ORACLES["events_decayed_engagement"] = """
     FROM events, a
     GROUP BY 1 ORDER BY 1
 """
+
+# events_value_outliers_per_type: exact decimal moments per type, the
+# same mean/var/z IEEE chain, |z| rank with event_id tie-break.
+KPI_ORACLES["events_value_outliers_per_type"] = """
+    WITH mom AS (
+        SELECT event_type, count(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+               SUM(CAST(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))
+                        AS DECIMAL(38,4))) AS s2
+        FROM events GROUP BY 1
+    ),
+    scored AS (
+        SELECT e.event_type, e.event_id, e.value,
+               ROUND((CAST(e.value AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                     / sqrt((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE)
+                               * (CAST(s1 AS DOUBLE) / n)) / (n - 1)),
+                     6) AS zscore
+        FROM events e JOIN mom USING (event_type)
+    ),
+    ranked AS (
+        SELECT event_type, event_id, value, zscore,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(zscore) DESC, event_id
+               ) AS INT) AS rk
+        FROM scored
+    )
+    SELECT event_type, rk, event_id, value, zscore
+    FROM ranked WHERE rk <= 3
+    ORDER BY event_type, rk
+"""
