@@ -40,6 +40,11 @@ from pyspark.sql import functions as F
 BLOOM_M = 8192
 BLOOM_K = 4
 
+#: internal name for the 1-row filter column — '_'-prefixed like every
+#: other internal column so it can never collide with (or silently
+#: shadow) a fact column named "bloom".
+BLOOM_COL = "__bloom_filter"
+
 
 def _hash_sql(key_sql: str, salt: int, m: int) -> str:
     """Engine-portable position hash: first 8 md5 hex chars of
@@ -69,12 +74,12 @@ def bloom_build(
     return words.agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("w", "word")))
-        ).alias("bloom")
+        ).alias(BLOOM_COL)
     )
 
 
 def bloom_might_contain(
-    key_col: str, bloom_col: str = "bloom", m: int = BLOOM_M, k: int = BLOOM_K
+    key_col: str, bloom_col: str = BLOOM_COL, m: int = BLOOM_M, k: int = BLOOM_K
 ) -> Column:
     """Probe predicate: all k positions set. Pure expressions
     (element_at + shift/mask), codegen'd, O(k) per row."""
@@ -120,7 +125,7 @@ def bloom_semi_join(
     (pinned in tests on the optimized plan)."""
     bloom = bloom_build(dim_keys, dim_key, m, k)
     pruned = fact.crossJoin(F.broadcast(bloom)).filter(
-        bloom_might_contain(fact_key, "bloom", m, k)
+        bloom_might_contain(fact_key, BLOOM_COL, m, k)
     )
     exact = dim_keys.select(F.col(dim_key).alias(fact_key)).distinct()
-    return pruned.drop("bloom").join(exact, fact_key, "inner")
+    return pruned.drop(BLOOM_COL).join(exact, fact_key, "inner")

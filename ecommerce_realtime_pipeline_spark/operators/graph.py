@@ -31,6 +31,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    edge_partitions: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (for an
     undirected graph pass both directions).
@@ -49,15 +50,40 @@ def pagerank(
     raw double after ``iters`` rounds.
     """
     # The edge list (and its out-degree) is STATIC across iterations —
-    # fuse deg INTO the edge table and pin both ONCE, otherwise every
-    # round's contrib subtree re-evaluates the edge lineage (here a
-    # basket self-join; 3 rounds ⇒ ~7 recomputations) and re-joins deg.
-    # Per round only the node-sized rank table moves — the local-mode
-    # form of "pre-partition the static edge table" from the module
-    # docstring.
+    # fuse deg INTO the edge table, PRE-PARTITION IT BY src, and pin
+    # both ONCE. Otherwise every round's contrib subtree re-evaluates
+    # the edge lineage (here a basket self-join; 3 rounds ⇒ ~7
+    # recomputations), re-joins deg, AND re-shuffles the edge-sized
+    # side. The checkpointed frame carries hashpartitioning(_u), which
+    # already satisfies the per-round join's required distribution —
+    # so each iteration exchanges only the NODE-sized rank table, never
+    # the edge table (pinned in test_plan_discipline: zero Exchange on
+    # _u in the executed plan). At 100 TB this is the difference
+    # between moving the graph every round and moving the ranks.
     e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
     deg = e.groupBy("_u").agg(F.count("*").alias("_deg"))
-    ew = e.join(deg, "_u").localCheckpoint()
+    # Two-step pin. Step 1 materializes the (possibly expensive) edge
+    # LINEAGE under normal AQE planning. Step 2 is the pre-partitioning
+    # itself: one shuffle of the already-materialized edge rows, run
+    # with AQE off because under AQE the checkpoint's physical root is
+    # an adaptive wrapper whose output partitioning is NOT captured
+    # into the LogicalRDD — every iteration would silently re-shuffle
+    # the edges (verified empirically; with AQE off at creation the
+    # hashpartitioning(_u) survives and downstream AQE-planned joins
+    # consume it). The partition count is explicit — AQE can't coalesce
+    # a preserved partitioning, so inheriting a large session
+    # shuffle-partition count would pin tiny tasks into every
+    # iteration; size it to the cluster (defaultParallelism here, edge
+    # volume / target task size in production).
+    spark = edges.sparkSession
+    n_parts = edge_partitions or spark.sparkContext.defaultParallelism
+    rows = e.join(deg, "_u").localCheckpoint()
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ew = rows.repartition(n_parts, F.col("_u")).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     nodes = ew.select(F.col("_u").alias("node")).distinct().localCheckpoint()
     # 1-row scalar broadcast (node count), not a cartesian blowup
     n_row = nodes.agg(F.count("*").alias("_n"))

@@ -209,6 +209,29 @@ def incremental_agg(
     old_agg = old.groupBy(group_col).agg(
         F.count("*").alias("_n"), F.sum(d_val).alias("_s")
     )
+    delta = cdc_delta(old, new, diff, key_cols, group_col, sum_col, sum_type)
+    prev = old_agg.select(
+        group_col, F.col("_n").alias("n_rows"), F.col("_s").alias("sum_val")
+    )
+    return merge_agg_delta(prev, delta, group_col, sum_type)
+
+
+def cdc_delta(
+    old: DataFrame,
+    new: DataFrame,
+    diff: DataFrame,
+    key_cols: list[str],
+    group_col: str,
+    sum_col: str,
+    sum_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """The retract/add delta kernel shared by :func:`incremental_agg`
+    and the bucketed per-bucket CDC loop (``ingest.cdc_refresh_buckets``):
+    (_g, _dn, _ds) per touched group from the diff's value lookups.
+    ``old``/``new`` may be PRUNED to the touched buckets — every diff
+    key's pre/post row lives in those buckets by construction (the
+    bucket function is a pure function of the key)."""
+    d_val = F.col(sum_col).cast(sum_type)
     retract = (
         diff.filter(F.col("op") != "insert")
         .select(*key_cols)
@@ -229,15 +252,11 @@ def incremental_agg(
             d_val.alias("_ds"),
         )
     )
-    delta = (
+    return (
         retract.unionByName(add)
         .groupBy("_g")
         .agg(F.sum("_dn").alias("_dn"), F.sum("_ds").alias("_ds"))
     )
-    prev = old_agg.select(
-        group_col, F.col("_n").alias("n_rows"), F.col("_s").alias("sum_val")
-    )
-    return merge_agg_delta(prev, delta, group_col, sum_type)
 
 
 def merge_agg_delta(

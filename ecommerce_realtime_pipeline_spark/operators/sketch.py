@@ -187,8 +187,15 @@ def hist_quantiles(
     cumulative count reaches target, interpolate linearly inside it:
     mn + width·(bin + (target − cum_prev)/bin_count).
 
+    NULL values carry no quantile information and would otherwise
+    corrupt the cumulative walk (Spark windows order NULL bins FIRST
+    while ``count(val)`` excludes them — and DuckDB orders NULLS LAST,
+    so the engines would also diverge): they are dropped up front, the
+    same normalization an oracle-side ``WHERE val IS NOT NULL`` does.
+
     Output: group_cols + (q, approx_value)."""
     g = list(group_cols)
+    df = df.filter(F.col(val).isNotNull())
     stats = df.groupBy(*g).agg(
         F.min(val).alias("_mn"),
         F.max(val).alias("_mx"),

@@ -186,21 +186,39 @@ def run_pipeline(
         base_offset=base_offset,
         n_partitions=2,
     )
-    for entity in ENTITIES:
-        q = I.run_ingest(
-            spark,
-            os.path.join(topics, entity),
+    # The four entity ingests are independent pipelines (disjoint
+    # topics, silver tables, checkpoints — and a per-TOPIC offsets
+    # ledger dir, so the read-merge-swap ledger update never races):
+    # start them all, then await. On a cluster these are four separate
+    # streaming jobs anyway; sequential awaiting here would serialize
+    # ~4× fixed per-query trigger overhead for no ordering benefit.
+    running = [
+        (
             entity,
-            os.path.join(silver, entity),
-            os.path.join(ckpt, entity),
-            offsets_path=offsets,
-            items_path=(
-                os.path.join(silver, "order_items")
-                if entity == "orders"
-                else None
+            I.run_ingest(
+                spark,
+                os.path.join(topics, entity),
+                entity,
+                os.path.join(silver, entity),
+                os.path.join(ckpt, entity),
+                offsets_path=os.path.join(offsets, entity),
+                items_path=(
+                    os.path.join(silver, "order_items")
+                    if entity == "orders"
+                    else None
+                ),
             ),
         )
-        q.awaitTermination(120)
+        for entity in ENTITIES
+    ]
+    for entity, q in running:
+        if not q.awaitTermination(120):
+            # A hung/slow ingest must FAIL the run, not let the marts
+            # build from partial silver with silently-wrong counts.
+            q.stop()
+            raise TimeoutError(
+                f"ingest for '{entity}' did not terminate within 120s"
+            )
     silver_counts = {
         e: I.read_silver(spark, os.path.join(silver, e)).count()
         for e in ENTITIES

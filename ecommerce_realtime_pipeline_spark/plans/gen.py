@@ -23,6 +23,31 @@ from ecommerce_realtime_pipeline_spark.sources import produce as P
 SEED = 42
 
 
+def _fast_fixtures() -> bool:
+    """Reduced-fixture mode (``SPARK_GRAFT_FAST_FIXTURES``, default ON;
+    set ``0`` for the fuller multi-epoch variants): fixtures whose
+    contract does NOT depend on the epoch slicing group their input
+    files into fewer availableNow runs. Only the HLL/CMS sketch streams
+    qualify — their oracles are functions of the union MULTISET, and
+    one cross-run boundary is kept so the persisted-state merge is
+    still exercised. Every other streaming fixture's epochs are
+    load-bearing (watermark advances, replay, retract order) and run
+    identically in both modes. Oracles are shared, not forked: the
+    same SQL value-gates both modes."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_FAST_FIXTURES", "1") != "0"
+
+
+def _await(q, what: str = "streaming fixture", timeout_s: int = 120) -> None:
+    """``awaitTermination`` with the return value CHECKED: a hung/slow
+    fixture run must fail loudly, not let the query read a partial
+    sink and hash-mismatch downstream with no hint of why."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"{what} did not terminate within {timeout_s}s")
+
+
 @contextmanager
 def _pinned_state_partitions(spark: SparkSession, n: int = 4):
     """Streaming fixture queries create fresh checkpoints every call,
@@ -155,7 +180,7 @@ def streaming_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = I.run_ingest(
                 spark, f"{topics}/customers", "customers", f"{tmp}/silver", f"{tmp}/ckpt"
             )
-            q.awaitTermination(120)
+            _await(q)
         silver = I.read_silver(spark, f"{tmp}/silver")
         # localCheckpoint pins the result blocks so the temp dirs can go
         # away before the caller consumes the frame (bench runs this 3×)
@@ -232,7 +257,7 @@ def streaming_windowed_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q = I.run_windowed_counts(
                     spark, src, sink, ckpt, watermark="10 minutes"
                 )
-                q.awaitTermination(120)
+                _await(q)
         out = spark.read.parquet(sink)
         return out.orderBy("window_start", "type").localCheckpoint(eager=True)
     finally:
@@ -326,7 +351,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q = I.run_attribution_join(
                     spark, src, sink, ckpt, watermark="10 minutes"
                 )
-                q.awaitTermination(120)
+                _await(q)
         out = spark.read.parquet(sink)
         return out.orderBy("purchase_id", "click_id").localCheckpoint(eager=True)
     finally:
@@ -419,7 +444,7 @@ def streaming_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark, src, "orders", silver, agg, ckpt,
                     group_col="status", sum_col="total",
                 )
-                q.awaitTermination(120)
+                _await(q)
         view = CA.read_continuous_agg(spark, agg)
         return (
             view.select(
@@ -506,7 +531,7 @@ def monitoring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{tmp}/ckpt",
                 offsets_path=f"{tmp}/offsets",
             )
-            q.awaitTermination(120)
+            _await(q)
         # progress events are dispatched async; wait until the listener
         # has seen all 30 input rows (bounded). Poll the listener's
         # in-memory rows (driver-side, free) at fine granularity and
@@ -597,9 +622,7 @@ def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.createDataFrame(batch, ND.DOC_STREAM_SCHEMA).repartition(
                     1
                 ).write.mode("append").parquet(src)
-                ND.run_neardup_stream(spark, src, work, ckpt, **lsh).awaitTermination(
-                    120
-                )
+                _await(ND.run_neardup_stream(spark, src, work, ckpt, **lsh))
         return (
             ND.read_decisions(spark, work)
             .groupBy("batch_id")
@@ -654,7 +677,7 @@ def streaming_embdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.createDataFrame(batch, ED.EMB_STREAM_SCHEMA).repartition(
                     1
                 ).write.mode("append").parquet(src)
-                ED.run_embdedup_stream(spark, src, work, ckpt).awaitTermination(120)
+                _await(ED.run_embdedup_stream(spark, src, work, ckpt))
         return (
             ED.read_decisions(spark, work)
             .groupBy("batch_id")
@@ -704,18 +727,24 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             + [(i, "click") for i in range(0, 50)],
         ]
         os.makedirs(src, exist_ok=True)
+        # fast mode: batches 0+1 share one run (estimate depends only on
+        # the union multiset); the 2→3 boundary stays a separate run so
+        # the cross-run register merge against the PERSISTED table is
+        # still what produces the final answer.
+        runs = [(0, 1), (2,)] if _fast_fixtures() else [(0,), (1,), (2,)]
         with _pinned_state_partitions(spark):
-            for bi, rows in enumerate(batches):
-                with open(os.path.join(src, f"b{bi}.json"), "w") as f:
-                    f.write(
-                        "\n".join(
-                            json.dumps({"user_id": i, "event_type": t})
-                            for i, t in rows
+            for run in runs:
+                for bi in run:
+                    with open(os.path.join(src, f"b{bi}.json"), "w") as f:
+                        f.write(
+                            "\n".join(
+                                json.dumps({"user_id": i, "event_type": t})
+                                for i, t in batches[bi]
+                            )
+                            + "\n"
                         )
-                        + "\n"
-                    )
                 q = SS.run_hll_stream(spark, src, regs, ckpt)
-                q.awaitTermination(120)
+                _await(q)
         return (
             SS.estimates(spark, regs)
             .orderBy("event_type")
@@ -756,18 +785,23 @@ def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             + [(i, "click") for i in range(0, 50)],
         ]
         os.makedirs(src, exist_ok=True)
+        # fast mode: same run-grouping rationale as streaming_hll_users
+        # (counter sums depend only on the union multiset; one cross-run
+        # boundary keeps the journaled cross-epoch fold exercised).
+        runs = [(0, 1), (2,)] if _fast_fixtures() else [(0,), (1,), (2,)]
         with _pinned_state_partitions(spark):
-            for bi, rows in enumerate(batches):
-                with open(os.path.join(src, f"b{bi}.json"), "w") as f:
-                    f.write(
-                        "\n".join(
-                            json.dumps({"user_id": i, "event_type": t})
-                            for i, t in rows
+            for run in runs:
+                for bi in run:
+                    with open(os.path.join(src, f"b{bi}.json"), "w") as f:
+                        f.write(
+                            "\n".join(
+                                json.dumps({"user_id": i, "event_type": t})
+                                for i, t in batches[bi]
+                            )
+                            + "\n"
                         )
-                        + "\n"
-                    )
                 q = SS.run_cms_stream(spark, src, journal, ckpt)
-                q.awaitTermination(120)
+                _await(q)
         counters = SS.cms_counters_from_journal(spark, journal)
         probes = spark.createDataFrame(
             [(i,) for i in (0, 25, 75, 125, 175)], "user_id long"
@@ -879,7 +913,7 @@ def streaming_funnel_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q = ST.run_funnel_matcher(
                     spark, src, sink, ckpt, gap_s=300, watermark="1 minute"
                 )
-                q.awaitTermination(120)
+                _await(q)
         out = spark.read.parquet(sink)
         return out.orderBy("customer_id").localCheckpoint(eager=True)
     finally:

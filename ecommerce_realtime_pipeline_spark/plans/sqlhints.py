@@ -30,17 +30,14 @@ import re
 # captured so we can inspect what precedes it.
 _CTE_DEF = re.compile(r"\b(\w+)(\s+AS\s*)\(", re.IGNORECASE)
 
-def _cte_body_self_references(sql: str, name: str, open_paren: int) -> bool:
-    """STRUCTURAL recursion check: scan the balanced-paren CTE body
-    starting at ``open_paren`` and report whether it mentions its own
-    name — the property that makes MATERIALIZED invalid. Detecting it
-    (rather than keeping a name list) means a future recursive CTE
-    with any name is exempted automatically, and a non-recursive CTE
-    that happens to reuse a recursive one's name still gets the hint."""
+def _balanced_end(sql: str, open_paren: int) -> int:
+    """Index of the ``)`` that closes the paren at ``open_paren``,
+    skipping parens inside '...' string literals ('' escapes net out
+    cleanly because each quote just toggles the flag)."""
     depth = 0
     i = open_paren
-    in_str = False  # inside a '...' SQL string literal: parens there
-    while i < len(sql):  # must not count ('' escapes net out cleanly)
+    in_str = False
+    while i < len(sql):
         c = sql[i]
         if c == "'":
             in_str = not in_str
@@ -50,9 +47,38 @@ def _cte_body_self_references(sql: str, name: str, open_paren: int) -> bool:
             elif c == ")":
                 depth -= 1
                 if depth == 0:
-                    break
+                    return i
         i += 1
-    body = sql[open_paren : i + 1]
+    return len(sql) - 1
+
+
+def _string_spans(sql: str) -> list[tuple[int, int]]:
+    """Half-open [start, end) spans of '...' string literals, so CTE
+    matches whose text merely *looks* like ``name AS (`` but sits
+    inside a literal are never rewritten."""
+    spans = []
+    start = None
+    for i, c in enumerate(sql):
+        if c == "'":
+            if start is None:
+                start = i
+            else:
+                spans.append((start, i + 1))
+                start = None
+    if start is not None:
+        spans.append((start, len(sql)))
+    return spans
+
+
+def _cte_body_self_references(sql: str, name: str, open_paren: int) -> bool:
+    """STRUCTURAL recursion check: scan the balanced-paren CTE body
+    starting at ``open_paren`` and report whether it mentions its own
+    name — the property that makes MATERIALIZED invalid. Detecting it
+    (rather than keeping a name list) means a future recursive CTE
+    with any name is exempted automatically, and a non-recursive CTE
+    that happens to reuse a recursive one's name still gets the hint."""
+    end = _balanced_end(sql, open_paren)
+    body = sql[open_paren : end + 1]
     return re.search(rf"\b{re.escape(name)}\b", body[1:]) is not None
 
 
@@ -60,16 +86,32 @@ def materialize_ctes(sql: str) -> str:
     """Rewrite every CTE definition ``name AS (`` to
     ``name AS MATERIALIZED (`` except self-recursive CTEs (detected
     structurally — the body references its own name) and named WINDOW
-    clauses. Idempotent (already-hinted SQL passes through)."""
+    clauses — including every comma-continued name in a
+    ``WINDOW a AS (...), b AS (...)`` list, not just the first.
+    Matches inside '...' string literals are ignored. Idempotent
+    (already-hinted SQL passes through)."""
+    in_literal = _string_spans(sql)
     out = []
     last = 0
+    # end-of-definition position of the previous exempted WINDOW entry:
+    # if only ``,`` + whitespace separates it from the next ``name AS (``
+    # match, that match is a continued window name, not a CTE.
+    window_cont_from: int | None = None
     for m in _CTE_DEF.finditer(sql):
+        if any(s <= m.start() < e for s, e in in_literal):
+            continue
         name = m.group(1)
         prefix = sql[: m.start()].rstrip()
-        if (
-            name.upper() == "MATERIALIZED"  # already hinted
-            or prefix.upper().endswith("WINDOW")  # named window, not CTE
-            or _cte_body_self_references(sql, name, m.end() - 1)
+        is_window = prefix.upper().endswith("WINDOW") or (
+            window_cont_from is not None
+            and sql[window_cont_from : m.start()].strip() == ","
+        )
+        if is_window:
+            window_cont_from = _balanced_end(sql, m.end() - 1) + 1
+            continue
+        window_cont_from = None
+        if name.upper() == "MATERIALIZED" or _cte_body_self_references(
+            sql, name, m.end() - 1
         ):
             continue
         out.append(sql[last : m.end(2)])

@@ -55,6 +55,23 @@ from ecommerce_realtime_pipeline_spark.streaming.ingest import (
 
 _SUM_TYPE = "decimal(18,2)"
 
+#: high-watermark file: the largest epoch whose ``v=<epoch>`` marker
+#: has been PRUNED. The markers double as the exactly-once replay
+#: ledger, so pruning one would otherwise reopen its replay window (a
+#: foreachBatch redelivery — or an epoch-id reset from a recreated
+#: checkpoint — would re-apply the delta against the post-image). The
+#: watermark keeps the ledger's answer for pruned epochs: applied.
+_PRUNE_WM_FILE = "_pruned_through"
+
+
+def pruned_through(agg_path: str) -> int:
+    """Largest epoch retired by :func:`prune_versions` (-1 if none)."""
+    try:
+        with open(os.path.join(agg_path, _PRUNE_WM_FILE)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
 
 def _committed_epochs(agg_path: str) -> list[int]:
     """Committed = directories named exactly ``v=<int>``. The staging
@@ -94,8 +111,8 @@ def refresh_epoch(
     THE SILVER PRE-IMAGE (call before the upsert). Skip-if-committed
     makes it exactly-once under foreachBatch replay."""
     version_dir = os.path.join(agg_path, f"v={epoch_id}")
-    if os.path.isdir(version_dir):
-        return  # replayed epoch: already applied
+    if os.path.isdir(version_dir) or epoch_id <= pruned_through(agg_path):
+        return  # replayed epoch: already applied (marker or pruned-WM)
     typed, _bad = N.parse_envelope(batch_df, entity)
     id_field = ENTITY_SCHEMAS[entity].fields[0].name
     batch_rows = N.latest_by_key(typed, id_field, N.ORDER_COLS[entity])
@@ -203,16 +220,28 @@ def run_ingest_with_agg(
 
 def prune_versions(agg_path: str, keep: int = 3) -> list[int]:
     """Retention maintenance for the version history: drop all but the
-    newest ``keep`` committed versions (the epoch markers double as the
-    replay ledger, so ``keep`` must stay ≥ 1 and in practice ≥ the
-    foreachBatch redelivery horizon — one version — plus whatever
-    time-travel window consumers need). Deletion order is oldest-first
-    and the newest version is never touched, so a crash mid-prune
-    leaves a valid (just longer) history. Returns the pruned epochs."""
+    newest ``keep`` committed versions. The epoch markers double as the
+    replay ledger, so BEFORE any directory is deleted the
+    ``_pruned_through`` watermark is advanced (tmp + atomic rename) to
+    the largest victim epoch — ``refresh_epoch`` consults it, so a
+    foreachBatch redelivery of a pruned epoch (or an epoch-id reset
+    from a recreated checkpoint) still reads as "already applied"
+    instead of re-applying its delta against the post-image. Crash
+    order is safe in both windows: WM written but dirs not yet deleted
+    → pruned epochs just linger (valid, longer history); dirs deleted
+    only after the WM is durable. Deletion is oldest-first and the
+    newest version is never touched. Returns the pruned epochs."""
     if keep < 1:
         raise ValueError("prune_versions: keep must be >= 1")
     epochs = _committed_epochs(agg_path)
     victims = epochs[:-keep] if len(epochs) > keep else []
+    if not victims:
+        return victims
+    wm = max(max(victims), pruned_through(agg_path))
+    tmp = os.path.join(agg_path, _PRUNE_WM_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(wm))
+    os.replace(tmp, os.path.join(agg_path, _PRUNE_WM_FILE))
     import shutil
 
     for e in victims:

@@ -205,6 +205,54 @@ def compact_buckets(
     return report
 
 
+def cdc_refresh_buckets(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    entity: str,
+    touched: list[int],
+    group_col: str,
+    sum_col: str,
+    prev_agg: DataFrame,
+    sum_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """The bucketed-silver CDC loop, END TO END: diff two snapshots of
+    a bucketed silver table READING ONLY THE TOUCHED BUCKETS (the
+    ``bucket`` filter partition-prunes both scans — SCALE.md's "run it
+    per bucket at scale" realized, not just stated), then refresh a
+    per-group (count, sum) aggregate from the change feed alone via
+    the shared retract/add kernel.
+
+    Correct on pruned reads by construction: the bucket id is a pure
+    function of the entity key, so every diff key's pre- AND post-image
+    rows live inside ``touched`` — rows of untouched buckets are
+    unchanged (the upsert never rewrote their directories; byte-identity
+    asserted in tests) and contribute zero delta. The upsert itself
+    returns ``touched`` (``upsert_batch``), so no discovery scan is
+    needed.
+
+    Cost at 100 TB: |touched buckets| of I/O for the diff + |diff| rows
+    of value lookups + a |groups|-row merge — never O(table). Audit /
+    envelope columns are excluded from the fingerprint (they carry
+    wall-clock and would mark every row 'updated').
+
+    Returns the refreshed aggregate (group_col, n_rows, sum_val)."""
+    cols = [f.name for f in ENTITY_SCHEMAS[entity].fields]
+    key = cols[0]
+
+    def pruned(path: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("bucket").isin(touched))
+            .select(*cols)
+        )
+
+    old_b, new_b = pruned(old_path), pruned(new_path)
+    diff = N.snapshot_diff(old_b, new_b, [key])
+    delta = N.cdc_delta(old_b, new_b, diff, [key], group_col, sum_col, sum_type)
+    return N.merge_agg_delta(prev_agg, delta, group_col, sum_type)
+
+
 def record_offsets(
     spark: SparkSession, batch_df: DataFrame, offsets_path: str, group: str = "engine"
 ) -> None:

@@ -143,6 +143,33 @@ def test_prune_versions_keeps_newest(spark, dirs):
     assert CA.read_continuous_agg(spark, agg).count() == 1
 
 
+def test_replay_of_pruned_epoch_is_skipped(spark, dirs):
+    """The epoch markers double as the replay ledger; pruning one must
+    NOT reopen its replay window. The `_pruned_through` watermark has
+    to answer 'already applied' for any epoch ≤ the largest pruned —
+    including after an epoch-id reset from a recreated checkpoint."""
+    silver, agg = dirs
+    batches = []
+    for e in range(4):
+        b = _env_batch(spark, [(100 * e + 1, f"o{e}", 1.0, "pending", e)])
+        batches.append(b)
+        _apply(spark, b, e, silver, agg)
+    assert CA.prune_versions(agg, keep=2) == [0, 1]
+    assert CA.pruned_through(agg) == 1
+    before = sorted(
+        tuple(r) for r in CA.read_continuous_agg(spark, agg).collect()
+    )
+    # redelivery of a PRUNED epoch (marker gone): without the
+    # watermark this would re-apply o1's delta against the post-image
+    CA.refresh_epoch(spark, batches[1], "orders", silver, agg, 1, "status", "total")
+    after = sorted(
+        tuple(r) for r in CA.read_continuous_agg(spark, agg).collect()
+    )
+    assert before == after
+    # no resurrected v=1 marker either
+    assert CA._committed_epochs(agg) == [2, 3]
+
+
 def test_crashed_stage_dirs_do_not_wedge_readers(spark, dirs):
     """A crash mid-write leaves v=<e>__tmp_* / __old_* staging
     siblings; epoch listing and serving must ignore them."""

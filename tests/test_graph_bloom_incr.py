@@ -123,6 +123,44 @@ def test_bloom_probe_filters_before_semi_join(spark, sf_dir):
     )
 
 
+def test_bloom_semi_join_with_user_bloom_column(spark):
+    """A fact frame that already carries a column literally named
+    'bloom' must survive intact: the filter rides an internal
+    '__bloom_filter' name, so there is no ambiguity and the user's
+    column is not dropped."""
+    fact = spark.createDataFrame(
+        [(1, "keep-a"), (2, "keep-b"), (99, "keep-c")], "k long, bloom string"
+    )
+    keys = spark.createDataFrame([(1,), (2,)], "dk long")
+    out = B.bloom_semi_join(fact, keys, fact_key="k", dim_key="dk")
+    rows = {(r["k"], r["bloom"]) for r in out.collect()}
+    assert rows == {(1, "keep-a"), (2, "keep-b")}
+
+
+def test_hist_quantiles_ignores_nulls(spark):
+    """NULL values carry no quantile information: estimates over a
+    column with NULLs must equal estimates over the same column with
+    the NULLs dropped (the window-walk would otherwise count NULL bins
+    first and shift every estimate)."""
+    from ecommerce_realtime_pipeline_spark.operators import sketch as SK
+
+    vals = [float(i) for i in range(100)]
+    with_nulls = spark.createDataFrame(
+        [("g", v) for v in vals] + [("g", None)] * 7, "grp string, v double"
+    )
+    without = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    qs = [0.5, 0.9]
+    a = sorted(
+        (r["q"], r["approx_value"])
+        for r in SK.hist_quantiles(with_nulls, "v", ["grp"], qs).collect()
+    )
+    b = sorted(
+        (r["q"], r["approx_value"])
+        for r in SK.hist_quantiles(without, "v", ["grp"], qs).collect()
+    )
+    assert a == b
+
+
 # -- incremental_agg --------------------------------------------------------
 
 

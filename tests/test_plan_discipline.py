@@ -281,6 +281,19 @@ def test_pagerank_no_cartesian_and_single_edge_build(spark, sf_dir):
     assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
 
 
+def test_pagerank_edge_table_never_reshuffled(spark, sf_dir):
+    """The static edge table is pre-partitioned by src ONCE (fused into
+    the checkpoint); per-round joins must reuse that partitioning — the
+    executed plan may exchange the node-sized rank table, but never the
+    edge table. A regression here means the graph moves every round at
+    100 TB instead of the ranks."""
+    plan = _plan(spark, sf_dir, "parts_copurchase_pagerank")
+    assert not re.search(r"Exchange hashpartitioning\(_u", plan), (
+        "edge-side exchange found: the pre-partitioned edge table is "
+        "being re-shuffled inside the iteration"
+    )
+
+
 def test_zorder_write_uses_range_exchange(spark, sf_dir):
     """The clustering write must range-partition on the curve key
     (contiguous curve segments per file) — a hash exchange would

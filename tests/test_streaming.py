@@ -554,3 +554,150 @@ def test_pipeline_dq_gate_clean_and_corrupted(spark, tmp_path):
     assert sum(q for _v, q in g_dirty.values()) > sum(
         q for _v, q in g_clean.values()
     ), g_dirty
+
+
+# -- bucketed CDC loop (diff → refresh per touched bucket) -------------------
+
+
+def _order_env(spark, rows):
+    """rows: (offset, order_id, total, status, upd_min)"""
+    recs = []
+    for off, oid, total, status, upd in rows:
+        payload = json.dumps(
+            {
+                "order_id": oid,
+                "customer_id": "c1",
+                "items": [],
+                "total": total,
+                "status": status,
+                "created_at": "2025-03-01T00:00:00Z",
+                "updated_at": f"2025-03-01T00:{upd:02d}:00Z",
+            }
+        )
+        recs.append(("orders", 0, off, oid, payload, "2025-03-01T00:00:00Z"))
+    return spark.createDataFrame(
+        recs,
+        "topic string, topic_partition int, topic_offset long, "
+        "message_key string, payload string, consumed_at string",
+    )
+
+
+def _bucket_bytes(path):
+    """{bucket_dir: {file: bytes}} for every bucket=N directory."""
+    out = {}
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("bucket="):
+            continue
+        full = os.path.join(path, d)
+        out[d] = {
+            f: open(os.path.join(full, f), "rb").read()
+            for f in sorted(os.listdir(full))
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_bucketed_cdc_diff_refresh_end_to_end(spark, tmp_path):
+    """SCALE.md's 'run the CDC loop per bucket' claim, exercised: a
+    second ingest touches ONE bucket; snapshot_diff + the retract/add
+    refresh run over ONLY that bucket's partitions (pruned scans) and
+    still land on the exact full-table recompute, while every untouched
+    bucket's files stay byte-identical between the snapshots."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.streaming.ingest import (
+        bucket_of,
+        cdc_refresh_buckets,
+        upsert_batch,
+    )
+
+    silver = str(tmp_path / "silver")
+    old_snap = str(tmp_path / "silver_old")
+
+    keys = [f"o{i:02d}" for i in range(20)]
+    kdf = spark.createDataFrame([(k,) for k in keys], "order_id string")
+    bucket_by_key = {
+        r["order_id"]: r["b"]
+        for r in kdf.select("order_id", bucket_of("order_id").alias("b")).collect()
+    }
+    # pick the bucket holding the most keys; mutate only ITS keys
+    from collections import Counter
+
+    target_bucket, _ = Counter(bucket_by_key.values()).most_common(1)[0]
+    in_target = [k for k in keys if bucket_by_key[k] == target_bucket]
+    assert len(in_target) >= 2, "need >=2 keys in one bucket for the fixture"
+
+    batch_a = _order_env(
+        spark,
+        [(i, k, float(10 * (i + 1)), "pending", 0) for i, k in enumerate(keys)],
+    )
+    upsert_batch(spark, batch_a, "orders", silver)
+    shutil.copytree(silver, old_snap)  # the OLD snapshot
+
+    # batch B: one status transition + one brand-new order, SAME bucket
+    upd_key = in_target[0]
+    new_key = next(
+        f"n{i:03d}"
+        for i in range(200)
+        if spark.createDataFrame([(f"n{i:03d}",)], "order_id string")
+        .select(bucket_of("order_id").alias("b"))
+        .first()["b"]
+        == target_bucket
+    )
+    batch_b = _order_env(
+        spark,
+        [
+            (100, upd_key, float(10 * (keys.index(upd_key) + 1)), "shipped", 30),
+            (101, new_key, 999.0, "pending", 30),
+        ],
+    )
+    touched = upsert_batch(spark, batch_b, "orders", silver)
+    assert touched == [target_bucket]
+
+    # byte-identity: every untouched bucket file unchanged on disk
+    old_bytes, new_bytes = _bucket_bytes(old_snap), _bucket_bytes(silver)
+    for d in old_bytes:
+        if d != f"bucket={target_bucket}":
+            assert new_bytes[d] == old_bytes[d], f"{d} was rewritten"
+
+    # diff → refresh over ONLY the touched bucket, against the
+    # aggregate maintained from the old snapshot
+    prev_agg = (
+        spark.read.parquet(old_snap)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("total").cast("decimal(18,2)")).alias("sum_val"),
+        )
+    )
+    refreshed = cdc_refresh_buckets(
+        spark, old_snap, silver, "orders", touched, "status", "total", prev_agg
+    )
+    direct = (
+        spark.read.parquet(silver)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("total").cast("decimal(18,2)")).alias("sum_val"),
+        )
+    )
+    as_map = lambda df: {  # noqa: E731
+        r["status"]: (r["n_rows"], float(r["sum_val"])) for r in df.collect()
+    }
+    assert as_map(refreshed) == as_map(direct)
+    assert "shipped" in as_map(refreshed)
+
+    # and the pruned read really partition-prunes
+    import re as _re
+
+    plan = (
+        spark.read.parquet(silver)
+        .filter(F.col("bucket").isin(touched))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
