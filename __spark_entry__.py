@@ -113,6 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_corrupt_validate_metrics": gen.gen_corrupt_validate_metrics,
         "produce_envelopes_shape": gen.produce_envelopes_shape,
         "streaming_ingest_roundtrip": gen.streaming_ingest_roundtrip,
+        # ---- new in round 5 (never checked — next rotation) ----
+        "docs_distinctive_terms": llm.docs_distinctive_terms,
+        "docs_source_overlap_matrix": llm.docs_source_overlap_matrix,
         # ---- driver-green in rounds 1-4 ----
         # R13-R17, R20-R24 — KPI / analytics workload
         "revenue_trend_daily": kpi.revenue_trend_daily,

@@ -3570,3 +3570,176 @@ LLM_ORACLES["docs_training_order"] = """
     ORDER BY global_pos
     LIMIT 50
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-comparison passes (round 5): what does each SOURCE contribute
+# to the training mixture — its distinctive vocabulary and its n-gram
+# overlap with every other source. Both are the mixture-debugging /
+# cross-source-contamination triage a large-corpus curation pipeline
+# runs before setting mixture weights.
+# ---------------------------------------------------------------------------
+
+DISTINCTIVE_TOP_K = 5
+DISTINCTIVE_MIN_COUNT = 5
+OVERLAP_SHINGLE_K = 5
+
+
+def docs_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary via the smoothed log-odds
+    z-score (the "fightin' words" corpus-comparison statistic, Monroe
+    et al. 2008): for each term, the log odds of its rate in one source
+    vs the REST of the corpus (+0.5 smoothing in every cell), divided
+    by the delta's approximate standard error
+    sqrt(1/(y_sw+0.5) + 1/(y_rest+0.5)). Top-5 terms per source with an
+    in-source support floor of 5.
+
+    Scale: ONE token explode; the (source × vocab) counts are a
+    partial-agg shuffle; per-source totals, the vocab margin table,
+    and the 1-row corpus total are broadcasts; the group-wise cut is a
+    per-source window. Determinism/portability: z is rounded to 4dp
+    BEFORE ranking with a term tie-break (the collocations pattern),
+    so the cut is identical in both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    ysw = tok.groupBy("source", "tok").agg(F.count("*").alias("y_sw"))
+    ns = tok.groupBy("source").agg(F.count("*").alias("n_s"))
+    yw = ysw.groupBy("tok").agg(F.sum("y_sw").alias("y_w"))
+    tot = ns.agg(F.sum("n_s").alias("n_all"))
+    y_rest = F.col("y_w") - F.col("y_sw")
+    n_rest = F.col("n_all") - F.col("n_s")
+    odds_in = (F.col("y_sw") + 0.5) / (F.col("n_s") - F.col("y_sw") + 0.5)
+    odds_rest = (y_rest + 0.5) / (n_rest - y_rest + 0.5)
+    z = F.round(
+        F.log(odds_in / odds_rest)
+        / F.sqrt(1.0 / (F.col("y_sw") + 0.5) + 1.0 / (y_rest + 0.5)),
+        4,
+    )
+    scored = (
+        ysw.filter(F.col("y_sw") >= DISTINCTIVE_MIN_COUNT)
+        .join(F.broadcast(ns), "source")
+        .join(F.broadcast(yw), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("tok").alias("term"),
+            F.col("y_sw").alias("n_in_source"),
+            z.alias("z"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("z"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DISTINCTIVE_TOP_K)
+        .orderBy("source", "rank")
+    )
+
+
+def docs_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix: for every ordered source
+    pair (a, b), how many of a's DISTINCT 5-gram shingles also occur in
+    b, and that count as a fraction of a's shingle set — the pairwise
+    generalization of the train/eval decontamination pass (which
+    checks one corpus against one eval set); at mixture-curation time
+    this is the matrix that exposes mirrored / syndicated sources
+    before they double-count in the training weights.
+
+    Scale: per-source distinct shingle hashes (one Arrow shingle pass +
+    one distinct shuffle keyed by (source, hash)), then an
+    inverted-index EQUI-JOIN on the shingle hash — never all-pairs;
+    per-shingle fan-out is bounded by n_sources². Output rows exist
+    only for pairs with ≥1 shared shingle (the sparse matrix form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        TX.with_shingles(docs.select("source", "text"), n=OVERLAP_SHINGLE_K)
+        .select("source", F.explode("_sh").alias("shingle"))
+        .select("source", F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("_n_a"))
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")),
+            "source_a",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("_n_a"), 4).alias("overlap_rate"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+LLM_ORACLES["docs_distinctive_terms"] = f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    ysw AS (SELECT source, tok, count(*) AS y_sw FROM tok GROUP BY 1, 2),
+    ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+    yw AS (SELECT tok, sum(y_sw) AS y_w FROM ysw GROUP BY 1),
+    tot AS (SELECT sum(n_s) AS n_all FROM ns),
+    scored AS (
+        SELECT ysw.source, ysw.tok AS term, y_sw AS n_in_source,
+               ROUND(
+                   ln(((y_sw + 0.5) / (n_s - y_sw + 0.5))
+                      / ((y_w - y_sw + 0.5)
+                         / (n_all - n_s - (y_w - y_sw) + 0.5)))
+                   / sqrt(1.0 / (y_sw + 0.5) + 1.0 / (y_w - y_sw + 0.5)),
+                   4) AS z
+        FROM ysw JOIN ns USING (source) JOIN yw ON ysw.tok = yw.tok, tot
+        WHERE y_sw >= {DISTINCTIVE_MIN_COUNT}
+    ),
+    ranked AS (
+        SELECT source, term, n_in_source, z,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY z DESC, term) AS INT) AS rank
+        FROM scored
+    )
+    SELECT source, term, CAST(n_in_source AS BIGINT) AS n_in_source, z, rank
+    FROM ranked WHERE rank <= {DISTINCTIVE_TOP_K}
+    ORDER BY source, rank
+"""
+
+LLM_ORACLES["docs_source_overlap_matrix"] = f"""
+    WITH t AS (
+        SELECT source, string_split(text, ' ') AS toks FROM documents
+    ),
+    b AS (
+        SELECT source, toks, len(toks) AS n FROM t
+        WHERE len(toks) >= {OVERLAP_SHINGLE_K}
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(
+                   list_slice(toks, i, i + {OVERLAP_SHINGLE_K - 1}), ' ')) AS h
+        FROM (
+            SELECT source, toks,
+                   unnest(generate_series(1, n - {OVERLAP_SHINGLE_K - 1})) AS i
+            FROM b
+        )
+    ),
+    sizes AS (SELECT source, count(*) AS n_a FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.source AS source_a, b2.source AS source_b,
+               count(*) AS n_shared
+        FROM sh a JOIN sh b2 USING (h)
+        WHERE a.source <> b2.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(n_shared * 1.0 / n_a, 4) AS overlap_rate
+    FROM pairs JOIN sizes ON pairs.source_a = sizes.source
+    ORDER BY source_a, source_b
+"""

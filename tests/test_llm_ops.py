@@ -1126,3 +1126,53 @@ class TestChunkTokens:
     def test_single_short_doc_one_chunk(self, spark):
         rows = self._chunks(spark, "a b", size=5, stride=3)
         assert len(rows) == 1 and rows[0]["n_tok"] == 2
+
+
+# -- corpus-comparison passes (round 5) --------------------------------------
+
+
+def test_distinctive_terms_shape_and_monotone_rank(spark):
+    out = llm.docs_distinctive_terms(spark, SF).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rows in by_source.items():
+        assert [r["rank"] for r in rows] == list(
+            range(1, llm.DISTINCTIVE_TOP_K + 1)
+        ), source
+        zs = [r["z"] for r in rows]
+        assert zs == sorted(zs, reverse=True), source
+        assert all(
+            r["n_in_source"] >= llm.DISTINCTIVE_MIN_COUNT for r in rows
+        ), source
+
+
+def test_distinctive_terms_planted_token_wins(spark, tmp_path):
+    """A token that only one source uses (with heavy support) must be
+    that source's #1 distinctive term with a large positive z."""
+    base = " ".join(f"w{i % 7}" for i in range(40))
+    rows = [(i, base + " zzqx" * 0, "en", "src_other", 0) for i in range(20)]
+    rows += [
+        (100 + i, base + " zzqx zzqx zzqx", "en", "src_plant", 0)
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.repartition(1).write.parquet(path)
+    # the query loads <sf_dir>/documents.parquet — point it at the plant
+    out = llm.docs_distinctive_terms(spark, str(tmp_path)).collect()
+    top_plant = next(
+        r for r in out if r["source"] == "src_plant" and r["rank"] == 1
+    )
+    assert top_plant["term"] == "zzqx" and top_plant["z"] > 0
+
+
+def test_source_overlap_matrix_symmetric_counts(spark):
+    out = llm.docs_source_overlap_matrix(spark, SF).collect()
+    shared = {(r["source_a"], r["source_b"]): r["n_shared"] for r in out}
+    for (a, b), n in shared.items():
+        assert a != b
+        assert shared.get((b, a)) == n  # |A∩B| is symmetric
+    assert all(0 < r["overlap_rate"] <= 1.0 for r in out)
