@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 5 (never checked — next rotation) ----
         "docs_distinctive_terms": llm.docs_distinctive_terms,
         "docs_source_overlap_matrix": llm.docs_source_overlap_matrix,
+        "emb_label_outliers": llm.emb_label_outliers,
+        "emb_hard_negatives": llm.emb_hard_negatives,
         # ---- driver-green in rounds 1-4 ----
         # R13-R17, R20-R24 — KPI / analytics workload
         "revenue_trend_daily": kpi.revenue_trend_daily,

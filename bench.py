@@ -73,6 +73,12 @@ STRESS_QUERIES = [
     "customers_incremental_agg",
     "orders_exact_quantiles_twopass",
     "events_zorder_roundtrip",
+    # round-5 additions: corpus-comparison passes — a token-explode
+    # partial agg and a shingle-hash inverted-index self-join; both
+    # must stay linear in rows (per-copy token suffixing keeps the
+    # cross-copy shingle/vocab space disjoint)
+    "docs_distinctive_terms",
+    "docs_source_overlap_matrix",
 ]
 
 

@@ -3743,3 +3743,195 @@ LLM_ORACLES["docs_source_overlap_matrix"] = f"""
     FROM pairs JOIN sizes ON pairs.source_a = sizes.source
     ORDER BY source_a, source_b
 """
+
+
+OUTLIER_TOP_K = 20
+
+
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-error screen by prototypicality: each vector's L2 distance
+    to its OWN label centroid (self included, the standard one-pass
+    form); the top-20 farthest vectors are the mislabeled-data review
+    queue — the embedding-space analogue of confident-learning pruning
+    in a training-data pipeline.
+
+    Exactness (what licenses the SQL oracle): the centroid division is
+    deferred — distance² = Σ_pos (n·x − s)² / n² with s the exact
+    DECIMAL per-(label, pos) component sum, so every intermediate is an
+    exact decimal (precisions chosen to keep every product within
+    DECIMAL(38): (16,10)·(8,0) → (25,10); diff narrowed to (18,10)
+    before squaring → (37,20)) and ONE sqrt + ONE divide happen at the
+    very end, 4dp-rounded before the ordered cut.
+
+    Scale: one posexplode; the (label × dim)-row sum table broadcasts
+    back; per-vector partial agg; TakeOrdered top-k. No UDF, no
+    collect, no second corpus scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("xd", F.col("x").cast("decimal(16,10)"))
+    per_pos = comp.groupBy("label", "pos").agg(
+        F.sum("xd").cast("decimal(15,10)").alias("s"),
+        F.count("*").alias("n"),
+    )
+    j = comp.join(F.broadcast(per_pos), ["label", "pos"])
+    nx = (F.col("xd") * F.col("n").cast("decimal(8,0)")).cast("decimal(25,10)")
+    diff = (nx - F.col("s")).cast("decimal(18,10)")
+    sq = (diff * diff).cast("decimal(38,20)")
+    d = j.groupBy("vec_id", "label", "n").agg(F.sum(sq).alias("_D"))
+    dist = F.round(F.sqrt(F.col("_D").cast("double")) / F.col("n"), 4)
+    out = d.select(
+        "vec_id",
+        "label",
+        F.col("n").alias("n_label"),
+        dist.alias("centroid_dist"),
+    )
+    return out.orderBy(F.desc("centroid_dist"), "vec_id").limit(OUTLIER_TOP_K)
+
+
+LLM_ORACLES["emb_label_outliers"] = f"""
+    WITH comp AS (
+        SELECT vec_id, label,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               CAST(unnest(embedding) AS DECIMAL(16,10)) AS xd
+        FROM embeddings
+    ),
+    per_pos AS (
+        SELECT label, pos,
+               CAST(SUM(xd) AS DECIMAL(15,10)) AS s,
+               count(*) AS n
+        FROM comp GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT vec_id, c.label, n,
+               SUM(CAST(
+                   CAST(CAST(c.xd * n AS DECIMAL(25,10)) - s AS DECIMAL(18,10))
+                   * CAST(CAST(c.xd * n AS DECIMAL(25,10)) - s AS DECIMAL(18,10))
+                   AS DECIMAL(38,20))) AS dd
+        FROM comp c JOIN per_pos p ON c.label = p.label AND c.pos = p.pos
+        GROUP BY 1, 2, 3
+    )
+    SELECT vec_id, label, CAST(n AS BIGINT) AS n_label,
+           ROUND(sqrt(CAST(dd AS DOUBLE)) / n, 4) AS centroid_dist
+    FROM d
+    ORDER BY centroid_dist DESC, vec_id
+    LIMIT {OUTLIER_TOP_K}
+"""
+
+
+HARD_NEG_K = 3
+HARD_NEG_ANCHORS = 50
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each anchor vector, the top-3 most cosine-similar vectors whose
+    LABEL DIFFERS — exactly the "looks similar, means different" pairs
+    a contrastive trainer wants in the batch. Candidate generation
+    reuses the session-memoized IVF posting lists (one cell equi-join,
+    n_probe=8 of 16 cells — never all-pairs), the label filter runs
+    BEFORE ranking (a same-label near neighbor must not eat a rank
+    slot), and the exact rerank tail is shared with every ANN path.
+
+    Oracle: the emb_knn_ivf CTE chain with the label filter inserted —
+    both engines share the exact candidate set, so even recall misses
+    match. Anchors = the 50 lowest vec_ids (the fixture's query-set
+    convention; production mines anchors per training shard)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < HARD_NEG_ANCHORS)
+    corpus_cells, q_cells = SIM.ivf_cell_tables(
+        emb, anchors, n_probe=8, cache_key=f"{sf_dir}/embeddings"
+    )
+    labels = emb.select("vec_id", "label")
+    cand = (
+        corpus_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    al = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+    )
+    nl = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    )
+    cross_label = (
+        cand.join(F.broadcast(al), "query_id")
+        .join(nl, "neighbor_id")
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .select("query_id", "neighbor_id")
+    )
+    ranked = SIM._exact_rerank(cross_label, emb, anchors, HARD_NEG_K, "embedding")
+    return (
+        ranked.join(F.broadcast(al), "query_id")
+        .join(nl, "neighbor_id")
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            "cos_sim",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+LLM_ORACLES["emb_hard_negatives"] = f"""
+    WITH base AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+               ) - 1 AS cid,
+               v AS cv, nrm AS cn
+        FROM base
+        ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+        LIMIT 16
+    ),
+    cell_sims AS (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.v, c.cv) / (b.nrm * c.cn) DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM base b CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, cid FROM cell_sims WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM cell_sims
+        WHERE rn <= 8 AND vec_id < {HARD_NEG_ANCHORS}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT cand.query_id, q.label AS query_label,
+               cand.neighbor_id, n.label AS neighbor_label,
+               list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos_sim
+        FROM cand
+        JOIN base q ON q.vec_id = cand.query_id
+        JOIN base n ON n.vec_id = cand.neighbor_id
+        WHERE q.label <> n.label
+    ),
+    ranked AS (
+        SELECT query_id, query_label, neighbor_id, neighbor_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC)
+                   AS rank,
+               cos_sim
+        FROM scored
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           CAST(rank AS INT) AS rank, ROUND(cos_sim, 4) AS cos_sim
+    FROM ranked WHERE rank <= {HARD_NEG_K}
+    ORDER BY query_id, rank
+"""

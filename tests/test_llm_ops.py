@@ -1176,3 +1176,40 @@ def test_source_overlap_matrix_symmetric_counts(spark):
         assert a != b
         assert shared.get((b, a)) == n  # |A∩B| is symmetric
     assert all(0 < r["overlap_rate"] <= 1.0 for r in out)
+
+
+def test_label_outliers_planted_mislabel_is_top(spark, tmp_path):
+    """A vector planted FAR from its label's tight cluster must be the
+    #1 review-queue row; cluster members share (label, n_label)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for lbl in (0, 1):
+        center = np.zeros(8)
+        center[lbl] = 5.0
+        for i in range(20):
+            v = center + rng.normal(0, 0.01, 8)
+            rows.append((lbl * 100 + i, [float(x) for x in v], lbl))
+    rows.append((999, [float(x) for x in np.full(8, -9.0)], 0))  # mislabel
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).repartition(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = llm.emb_label_outliers(spark, str(tmp_path)).collect()
+    assert out[0]["vec_id"] == 999 and out[0]["label"] == 0
+    assert out[0]["centroid_dist"] > 5 * out[1]["centroid_dist"]
+    assert out[0]["n_label"] == 21
+
+
+def test_hard_negatives_cross_label_and_ranked(spark):
+    out = llm.emb_hard_negatives(spark, SF).collect()
+    assert out, "anchor set must mine at least one hard negative"
+    per_q = {}
+    for r in out:
+        assert r["query_label"] != r["neighbor_label"]
+        assert 1 <= r["rank"] <= llm.HARD_NEG_K
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for q, rows in per_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True), q
