@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_overlap_matrix": llm.docs_source_overlap_matrix,
         "emb_label_outliers": llm.emb_label_outliers,
         "emb_hard_negatives": llm.emb_hard_negatives,
+        "streaming_session_windows": gen.streaming_session_windows,
         # ---- driver-green in rounds 1-4 ----
         # R13-R17, R20-R24 — KPI / analytics workload
         "revenue_trend_daily": kpi.revenue_trend_daily,

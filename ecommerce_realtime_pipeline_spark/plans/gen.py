@@ -358,6 +358,78 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 streaming SESSIONIZATION as a driver-checkable query
+    (`ingest.run_session_counts`): per-customer session windows that
+    close after 30 minutes of event-time inactivity, over two
+    availableNow runs (gap 30 min, watermark 10 min).
+
+    - run 1: c1 events at 10:00 and 10:05 (one session, end = last
+      event + gap = 10:35); c2 event at 10:10 (end 10:40). The
+      watermark after run 1 (10:10 − 10 min = 10:00) passes neither
+      end — nothing emits yet (append-mode sessions emit ONCE, when
+      the watermark passes their end).
+    - run 2: a single c3 advancer at 12:00 lifts the watermark to
+      11:50 — both run-1 sessions close ACROSS RUNS (checkpointed
+      session state) and emit; c3's own session stays open forever
+      and must emit nothing.
+
+    Expected rows are analytic constants → literal contract oracle
+    (the session-state machinery is not DuckDB-expressible)."""
+    import datetime as _dt
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.streaming import ingest as I
+
+    base = _dt.datetime(2025, 3, 1, 10, 0, 0)
+
+    def line(offset: int, mm: int, cust: str) -> str:
+        ts = (base + _dt.timedelta(minutes=mm)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        payload = json.dumps(
+            {
+                "event_id": f"e{offset}",
+                "event_type": "page_view",
+                "customer_id": cust,
+                "timestamp": ts,
+            }
+        )
+        return json.dumps(
+            {
+                "topic": "events",
+                "topic_partition": 0,
+                "topic_offset": offset,
+                "message_key": f"e{offset}",
+                "payload": payload,
+                "consumed_at": "2025-03-01T10:00:00Z",
+            }
+        )
+
+    tmp = tempfile.mkdtemp(prefix="eng_sessionw_q_")
+    try:
+        src, sink, ckpt = (os.path.join(tmp, d) for d in ("src", "sink", "ckpt"))
+        batches = [
+            [line(1, 0, "c1"), line(2, 5, "c1"), line(3, 10, "c2")],
+            [line(4, 120, "c3")],  # watermark advancer; stays open
+        ]
+        os.makedirs(src, exist_ok=True)
+        with _pinned_state_partitions(spark):
+            for bi, lines in enumerate(batches):
+                with open(os.path.join(src, f"b{bi}.json"), "w") as f:
+                    f.write("\n".join(lines) + "\n")
+                q = I.run_session_counts(
+                    spark, src, sink, ckpt, gap="30 minutes",
+                    watermark="10 minutes",
+                )
+                _await(q)
+        out = spark.read.parquet(sink)
+        return out.orderBy("customer_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def streaming_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 continuous aggregate as a driver-checkable query: the
     revenue-by-status view maintained INCREMENTALLY per micro-batch by
@@ -1164,6 +1236,20 @@ GEN_ORACLES: dict[str, str] = {
     # docstring (batch arithmetic + the retract of the 4 status
     # transitions); the maintenance machinery itself is not
     # DuckDB-expressible but its contracted output is value-gated.
+    # streaming_session_windows: analytic constants — session extents
+    # are fixture literals + the 30-min gap rule; emission requires the
+    # run-2 advancer to pass each end (derived in the docstring).
+    "streaming_session_windows": """
+        SELECT customer_id,
+               CAST(ss AS TIMESTAMP) AS session_start,
+               CAST(se AS TIMESTAMP) AS session_end,
+               CAST(n AS BIGINT) AS n_events
+        FROM (VALUES
+            ('c1', '2025-03-01 10:00:00', '2025-03-01 10:35:00', 2),
+            ('c2', '2025-03-01 10:10:00', '2025-03-01 10:40:00', 1)
+        ) AS t(customer_id, ss, se, n)
+        ORDER BY customer_id
+    """,
     "streaming_continuous_agg": """
         SELECT status,
                CAST(n AS BIGINT) AS n_orders,

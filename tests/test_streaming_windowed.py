@@ -183,3 +183,19 @@ def test_streaming_attribution_join_exact_pairs(spark):
         (r["purchase_id"], r["click_id"]) for r in batch.collect()
     )
     assert batch_pairs == pairs
+
+
+def test_streaming_session_windows_query_deterministic(spark):
+    """The driver entry emits exactly the two closed sessions (the
+    advancer's own session stays open) and repeats identically."""
+    from ecommerce_realtime_pipeline_spark.plans import gen
+
+    a = gen.streaming_session_windows(spark, "unused")
+    rows = {
+        (r["customer_id"], r["session_start"].strftime("%H:%M"),
+         r["session_end"].strftime("%H:%M"), r["n_events"])
+        for r in a.collect()
+    }
+    assert rows == {("c1", "10:00", "10:35", 2), ("c2", "10:10", "10:40", 1)}
+    b = gen.streaming_session_windows(spark, "unused")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
