@@ -232,3 +232,55 @@ def run_pipeline(
         "silver_counts": silver_counts,
         "marts": marts,
     }
+
+
+def run_cli(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    """The reference's DECLARED ``scripts/start_pipeline.sh`` as a real
+    CLI: ``python -m ecommerce_realtime_pipeline_spark.pipeline
+    --work-dir /tmp/shop`` runs one produce → ingest → marts cycle and
+    prints the JSON layer summary; ``--show-dashboard`` appends the
+    text render of the gold marts (the declared Streamlit panels).
+    Re-running with ``--base-offset`` advanced feeds the NEXT batch
+    through the same exactly-once ingest (offsets are the identity).
+    Exit code 0 on success; any ingest timeout raises (non-zero)."""
+    import argparse
+    import json
+
+    parser = argparse.ArgumentParser(
+        description="Run one produce -> ingest -> marts pipeline cycle"
+    )
+    parser.add_argument("--work-dir", required=True)
+    parser.add_argument("--products", type=int, default=10)
+    parser.add_argument("--customers", type=int, default=10)
+    parser.add_argument("--orders", type=int, default=25)
+    parser.add_argument("--events", type=int, default=50)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--corrupt", action="store_true")
+    parser.add_argument("--base-offset", type=int, default=0)
+    parser.add_argument("--show-dashboard", action="store_true")
+    args = parser.parse_args(argv)
+    if spark is None:
+        from ecommerce_realtime_pipeline_spark.session import get_spark
+
+        spark = get_spark("pipeline_cli")
+    summary = run_pipeline(
+        spark,
+        args.work_dir,
+        product_count=args.products,
+        customer_count=args.customers,
+        order_count=args.orders,
+        event_count=args.events,
+        seed=args.seed,
+        corruption_enabled=args.corrupt,
+        base_offset=args.base_offset,
+    )
+    print(json.dumps(summary, indent=2, sort_keys=True))
+    if args.show_dashboard:
+        from ecommerce_realtime_pipeline_spark import dashboard as D
+
+        print(D.render_text(spark, os.path.join(args.work_dir, "gold")))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(run_cli())

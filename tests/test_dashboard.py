@@ -43,3 +43,22 @@ def test_dashboard_tolerates_missing_panels(spark, tmp_path):
     assert D.read_marts(spark, gold) == {}
     assert json.loads(D.marts_json(spark, gold)) == {}
     assert D.render_text(spark, gold) == "\n"
+
+
+def test_pipeline_cli_prints_summary_and_dashboard(spark, tmp_path, capsys):
+    from ecommerce_realtime_pipeline_spark.pipeline import run_cli
+
+    with _pinned_state_partitions(spark):
+        rc = run_cli(
+            ["--work-dir", str(tmp_path / "p"), "--show-dashboard"],
+            spark=spark,
+        )
+    assert rc == 0
+    out = capsys.readouterr().out
+    # the summary JSON is the first top-level block: ends at the first
+    # line that is exactly "}"
+    doc = json.loads(out[: out.index("\n}\n") + 3])
+    assert doc["published"] == {
+        "customers": 10, "events": 50, "orders": 25, "products": 10
+    }
+    assert "revenue_by_status" in out and "dq_gate" in out
