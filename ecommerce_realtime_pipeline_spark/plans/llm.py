@@ -3935,3 +3935,59 @@ LLM_ORACLES["emb_hard_negatives"] = f"""
     FROM ranked WHERE rank <= {HARD_NEG_K}
     ORDER BY query_id, rank
 """
+
+
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation IN the engine: recall@k of the sign-LSH
+    index against brute-force ground truth, per query vector — the
+    eval harness every production ANN deployment runs before/after an
+    index rebuild (ground truth from exact search on a query SAMPLE;
+    the brute-force side is the labeler here, never the serving path).
+
+    Both rankers share the deterministic tie-break (cos desc,
+    neighbor_id), so the intersection is engine-exact and the oracle
+    composes the two already-green CTE chains (brute + LSH with inlined
+    plane constants) and counts the overlap. Output: (query_id,
+    n_hits, recall_at_k) for the fixture's query sample."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vectors(emb)
+    brute = SIM.knn_bruteforce(emb, qv, k=KNN_K)
+    approx = SIM.knn_lsh(
+        emb, qv, k=KNN_K,
+        dim=SIM.embedding_dim(emb, cache_key=f"{sf_dir}/embeddings"),
+    )
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = brute.select("query_id").distinct()
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            n_hits.cast("long").alias("n_hits"),
+            F.round(n_hits / float(KNN_K), 4).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+LLM_ORACLES["emb_ann_recall"] = f"""
+    WITH lsh_ranked AS ({_lsh_oracle_sql()}),
+    brute_ranked AS ({LLM_ORACLES["emb_knn_bruteforce"]}),
+    hits AS (
+        SELECT b.query_id, count(*) AS n_hits
+        FROM brute_ranked b
+        JOIN lsh_ranked l
+          ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+        GROUP BY 1
+    ),
+    qs AS (SELECT DISTINCT query_id FROM brute_ranked)
+    SELECT qs.query_id,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(n_hits, 0) / {KNN_K}.0, 4) AS recall_at_k
+    FROM qs LEFT JOIN hits USING (query_id)
+    ORDER BY query_id
+"""

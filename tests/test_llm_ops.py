@@ -1213,3 +1213,12 @@ def test_hard_negatives_cross_label_and_ranked(spark):
         rows.sort()
         sims = [s for _, s in rows]
         assert sims == sorted(sims, reverse=True), q
+
+
+def test_ann_recall_eval_bounds_and_floor(spark):
+    out = llm.emb_ann_recall(spark, SF).collect()
+    assert len(out) == 10  # one row per query vector
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in out)
+    assert all(r["n_hits"] == round(r["recall_at_k"] * llm.KNN_K) for r in out)
+    mean = sum(r["recall_at_k"] for r in out) / len(out)
+    assert mean >= 0.8  # the documented isotropic-corpus floor for 4x12 LSH
