@@ -33,7 +33,12 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # SPARK_GRAFT_STRESS=0 disables; runs once (not RUNS×) per query.
 STRESS = os.environ.get("SPARK_GRAFT_STRESS", "1") != "0"
 STRESS_MULT = int(os.environ.get("SPARK_GRAFT_STRESS_MULT", "10"))
-STRESS_RUNS = int(os.environ.get("SPARK_GRAFT_STRESS_RUNS", "2"))
+# median-of-3 like the main pass: with 2 runs the median AVERAGES the
+# first (cold, one-time index/quantizer build on the fresh stress dir)
+# and warm runs, charging half the build-once cost to every serve —
+# 3 runs report the true steady-state median while the cold time stays
+# visible in the per-run stderr line.
+STRESS_RUNS = int(os.environ.get("SPARK_GRAFT_STRESS_RUNS", "3"))
 STRESS_QUERIES = [
     "top_products_by_revenue",
     "order_total_reagg",
@@ -79,6 +84,7 @@ STRESS_QUERIES = [
     # cross-copy shingle/vocab space disjoint)
     "docs_distinctive_terms",
     "docs_source_overlap_matrix",
+    "emb_label_outliers",
 ]
 
 

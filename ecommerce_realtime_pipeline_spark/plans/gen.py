@@ -771,7 +771,8 @@ def streaming_embdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 + sketches: approximate distinct users maintained over a
-    STREAM — three availableNow runs feed a foreachBatch that
+    STREAM — availableNow runs (2 in fast-fixture mode, 3 in full —
+    `_fast_fixtures`) feed a foreachBatch that
     max-merges HLL registers into a persisted table (bounded state:
     256 rows per event type, forever; replay-idempotent because max
     is idempotent). Fixture batches carry view-users 0..99, 50..149,
@@ -829,7 +830,7 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 + sketches, the SUM-merged counterpart of
     streaming_hll_users: Count-Min counter DELTAS journaled per epoch
-    over the same 3-batch user stream (sum-merge is NOT
+    over the same 3-batch user stream (same run-grouping modes) (sum-merge is NOT
     replay-idempotent, so the journal + dedup-by-epoch fold carries
     the exactly-once burden — the treatment the HLL's max-merge
     doesn't need). Probes five fixed users afterwards. The stream's
