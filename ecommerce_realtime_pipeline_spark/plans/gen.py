@@ -358,6 +358,119 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_late_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 observability: the watermark's LATE-DROP COUNTER, read from
+    the engine's own state-operator metrics (StreamingQueryProgress
+    `numRowsDroppedByWatermark`) — the ops-side accounting every
+    bounded-lateness pipeline must expose, since a dropped row is
+    silent in the sink by design.
+
+    Fixture (1-minute windows, 10-minute watermark, 2 availableNow
+    runs): run 1 lands two 10:00-window views + a 10:15 advancer — the
+    watermark (10:05) closes the 10:00 window (one 2-count row emits).
+    Run 2 lands ONE late view (10:00:20, below the 10:05 watermark —
+    dropped by the state store, counter += 1) and a 10:30 advancer
+    that closes the 10:15 window. Output: one row
+    (n_windows_emitted=2, n_rows_emitted_total=3, n_late_dropped=1) —
+    analytic constants → literal contract oracle (the counter itself is
+    engine state, not DuckDB-expressible)."""
+    import datetime as _dt
+    import json
+    import os
+    import shutil
+    import tempfile
+    import threading
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from ecommerce_realtime_pipeline_spark.streaming import ingest as I
+
+    base = _dt.datetime(2025, 3, 1, 10, 0, 0)
+
+    def line(offset: int, mm: int, ss: int) -> str:
+        ts = (base + _dt.timedelta(minutes=mm, seconds=ss)).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        payload = json.dumps(
+            {
+                "event_id": f"e{offset}",
+                "event_type": "view",
+                "customer_id": "c1",
+                "timestamp": ts,
+            }
+        )
+        return json.dumps(
+            {
+                "topic": "events",
+                "topic_partition": 0,
+                "topic_offset": offset,
+                "message_key": f"e{offset}",
+                "payload": payload,
+                "consumed_at": "2025-03-01T10:00:00Z",
+            }
+        )
+
+    class _DropListener(StreamingQueryListener):
+        def __init__(self) -> None:
+            self.dropped = 0
+            self.inputs = 0
+            self._lock = threading.Lock()
+
+        def onQueryStarted(self, event):  # noqa: N802 (Spark API)
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            p = event.progress
+            with self._lock:
+                self.inputs += int(p.numInputRows)
+                for op in p.stateOperators:
+                    self.dropped += int(op.numRowsDroppedByWatermark)
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            pass
+
+    tmp = tempfile.mkdtemp(prefix="eng_latedrop_q_")
+    listener = _DropListener()
+    spark.streams.addListener(listener)
+    try:
+        src, sink, ckpt = (os.path.join(tmp, d) for d in ("src", "sink", "ckpt"))
+        os.makedirs(src, exist_ok=True)
+        batches = [
+            [line(1, 0, 10), line(2, 0, 40), line(3, 15, 0)],
+            [line(4, 0, 20), line(5, 30, 0)],  # late row + advancer
+        ]
+        with _pinned_state_partitions(spark):
+            for bi, lines in enumerate(batches):
+                with open(os.path.join(src, f"b{bi}.json"), "w") as f:
+                    f.write("\n".join(lines) + "\n")
+                q = I.run_windowed_counts(
+                    spark, src, sink, ckpt, watermark="10 minutes"
+                )
+                _await(q)
+        # progress events are dispatched async; wait (bounded) until the
+        # listener has accounted for every input row of both runs
+        deadline = time.time() + 30
+        while time.time() < deadline and listener.inputs < 5:
+            time.sleep(0.05)
+        out = spark.read.parquet(sink)
+        n_windows = out.select("window_start").distinct().count()
+        n_rows = int(
+            out.agg(F.sum("n").alias("s")).collect()[0]["s"] or 0
+        )
+        return spark.createDataFrame(
+            [(int(n_windows), n_rows, int(listener.dropped))],
+            "n_windows_emitted long, n_rows_emitted_total long, "
+            "n_late_dropped long",
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.streams.removeListener(listener)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 streaming SESSIONIZATION as a driver-checkable query
     (`ingest.run_session_counts`): per-customer session windows that
@@ -1237,6 +1350,14 @@ GEN_ORACLES: dict[str, str] = {
     # docstring (batch arithmetic + the retract of the 4 status
     # transitions); the maintenance machinery itself is not
     # DuckDB-expressible but its contracted output is value-gated.
+    # streaming_late_drop_stats: analytic constants — two closed
+    # windows carrying 2+1 view rows; exactly the one below-watermark
+    # row is dropped by the state store (docstring derivation).
+    "streaming_late_drop_stats": """
+        SELECT CAST(2 AS BIGINT) AS n_windows_emitted,
+               CAST(3 AS BIGINT) AS n_rows_emitted_total,
+               CAST(1 AS BIGINT) AS n_late_dropped
+    """,
     # streaming_session_windows: analytic constants — session extents
     # are fixture literals + the 30-min gap rule; emission requires the
     # run-2 advancer to pass each end (derived in the docstring).

@@ -199,3 +199,14 @@ def test_streaming_session_windows_query_deterministic(spark):
     assert rows == {("c1", "10:00", "10:35", 2), ("c2", "10:10", "10:40", 1)}
     b = gen.streaming_session_windows(spark, "unused")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_streaming_late_drop_stats_deterministic(spark):
+    """Exactly the one below-watermark row is dropped; the counter
+    comes from the engine's state-operator metrics, repeatably."""
+    from ecommerce_realtime_pipeline_spark.plans import gen
+
+    a = gen.streaming_late_drop_stats(spark, "unused").collect()
+    assert [tuple(r) for r in a] == [(2, 3, 1)]
+    b = gen.streaming_late_drop_stats(spark, "unused").collect()
+    assert [tuple(r) for r in b] == [(2, 3, 1)]
