@@ -358,6 +358,93 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def silver_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-silver small-files maintenance as a driver-checkable
+    query (`ingest.compact_buckets` — the parquet analogue of a table
+    OPTIMIZE): a 200-key upsert spreads each bucket's keys across the
+    pinned 4 shuffle tasks (AQE coalescing disabled for the write —
+    at fixture row counts AQE merges everything into one task, which
+    is precisely the luxury a production-scale multi-task write does
+    not have), so every bucket directory lands multiple part-files; compaction rewrites each fragmented bucket to ONE file
+    and must preserve row content exactly. Output is the maintenance
+    invoice: fragmented-bucket count, file totals before/after
+    (after ≡ one per bucket), and the row-content check (rows_before =
+    rows_after = the 200 live keys; values re-verified by
+    distinct-count).
+
+    The fragmented-bucket/file counts are FROZEN-CONTRACT constants
+    (deterministic: xxhash64 bucket assignment + the pinned fixture
+    partitioning decide exactly which buckets fragment and into how
+    many files), double-pinned by the compaction pytest; the row
+    counts are analytic."""
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.streaming import ingest as I
+
+    def batch(upd_min: int):
+        recs = []
+        for i in range(200):
+            payload = (
+                '{"customer_id": "c%02d", "email": "c%02d@x.test", '
+                '"name": "C%02d", "created_at": "2025-03-01T00:00:00Z", '
+                '"updated_at": "2025-03-01T00:%02d:00Z"}'
+                % (i, i, i, upd_min)
+            )
+            recs.append(
+                ("customers", 0, upd_min * 100 + i, f"c{i:02d}", payload,
+                 "2025-03-01T00:00:00Z")
+            )
+        return spark.createDataFrame(
+            recs,
+            "topic string, topic_partition int, topic_offset long, "
+            "message_key string, payload string, consumed_at string",
+        )
+
+    tmp = tempfile.mkdtemp(prefix="eng_compact_q_")
+    try:
+        silver = os.path.join(tmp, "silver")
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        with _pinned_state_partitions(spark):
+            try:
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                I.upsert_batch(spark, batch(0), "customers", silver)
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+            def nfiles() -> int:
+                return sum(
+                    1
+                    for d in os.listdir(silver)
+                    if d.startswith("bucket=")
+                    for f in os.listdir(os.path.join(silver, d))
+                    if f.endswith(".parquet")
+                )
+
+            rows_before = I.read_silver(spark, silver).count()
+            files_before = nfiles()
+            report = I.compact_buckets(spark, silver)
+            files_after = nfiles()
+            after = I.read_silver(spark, silver)
+            rows_after = after.count()
+            distinct_after = after.select("customer_id").distinct().count()
+        return spark.createDataFrame(
+            [(
+                len(report),
+                files_before,
+                files_after,
+                int(rows_before),
+                int(rows_after),
+                int(distinct_after),
+            )],
+            "n_fragmented_buckets long, files_before long, files_after long, "
+            "rows_before long, rows_after long, distinct_keys long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def streaming_late_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 observability: the watermark's LATE-DROP COUNTER, read from
     the engine's own state-operator metrics (StreamingQueryProgress
@@ -1350,6 +1437,20 @@ GEN_ORACLES: dict[str, str] = {
     # docstring (batch arithmetic + the retract of the 4 status
     # transitions); the maintenance machinery itself is not
     # DuckDB-expressible but its contracted output is value-gated.
+    # silver_compaction_report: rows/distinct-keys are ANALYTIC (200
+    # live keys in, content preserved); the fragmentation counts are
+    # FROZEN-CONTRACT (deterministic given xxhash64 bucketing + the
+    # fixture's pinned 4-task AQE-off write: 16 buckets fragment into
+    # 60 files, compaction leaves exactly one per bucket), double-
+    # pinned by the compaction pytest.
+    "silver_compaction_report": """
+        SELECT CAST(16 AS BIGINT) AS n_fragmented_buckets,
+               CAST(60 AS BIGINT) AS files_before,
+               CAST(16 AS BIGINT) AS files_after,
+               CAST(200 AS BIGINT) AS rows_before,
+               CAST(200 AS BIGINT) AS rows_after,
+               CAST(200 AS BIGINT) AS distinct_keys
+    """,
     # streaming_late_drop_stats: analytic constants — two closed
     # windows carrying 2+1 view rows; exactly the one below-watermark
     # row is dropped by the state store (docstring derivation).

@@ -701,3 +701,13 @@ def test_bucketed_cdc_diff_refresh_end_to_end(spark, tmp_path):
     )
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1)
+
+
+def test_silver_compaction_report_query(spark):
+    """The maintenance invoice repeats bit-for-bit: 16 buckets fragment
+    into 60 files under the pinned 4-task write, compaction leaves one
+    file per bucket, content fully preserved."""
+    from ecommerce_realtime_pipeline_spark.plans import gen
+
+    a = [tuple(r) for r in gen.silver_compaction_report(spark, "unused").collect()]
+    assert a == [(16, 60, 16, 200, 200, 200)]
