@@ -3604,8 +3604,16 @@ def docs_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
-    ysw = tok.groupBy("source", "tok").agg(F.count("*").alias("y_sw"))
-    ns = tok.groupBy("source").agg(F.count("*").alias("n_s"))
+    # ONE corpus explode: the (source × vocab) count table is pinned and
+    # every margin (per-source totals, vocab margins, corpus total)
+    # aggregates IT — without the checkpoint each margin's lineage
+    # re-scans and re-explodes the corpus (4 full passes at 100 TB).
+    ysw = (
+        tok.groupBy("source", "tok")
+        .agg(F.count("*").alias("y_sw"))
+        .localCheckpoint()
+    )
+    ns = ysw.groupBy("source").agg(F.sum("y_sw").alias("n_s"))
     yw = ysw.groupBy("tok").agg(F.sum("y_sw").alias("y_w"))
     tot = ns.agg(F.sum("n_s").alias("n_all"))
     y_rest = F.col("y_w") - F.col("y_sw")
@@ -3652,11 +3660,15 @@ def docs_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shingle fan-out is bounded by n_sources². Output rows exist
     only for pairs with ≥1 shared shingle (the sparse matrix form)."""
     docs = load_table(spark, sf_dir, "documents")
+    # the per-source distinct shingle set is referenced THREE times
+    # (sizes + both join sides) — pin it so the corpus scan and the
+    # Arrow shingle pass run once, not per reference
     sh = (
         TX.with_shingles(docs.select("source", "text"), n=OVERLAP_SHINGLE_K)
         .select("source", F.explode("_sh").alias("shingle"))
         .select("source", F.md5("shingle").alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     sizes = sh.groupBy("source").agg(F.count("*").alias("_n_a"))
     a = sh.select(F.col("source").alias("source_a"), "h")

@@ -337,3 +337,46 @@ def test_text_index_serve_prunes_token_partitions(spark, sf_dir, tmp_path):
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "token" in m.group(1), plan[:800]
+
+
+def test_distinctive_terms_broadcasts_margins_single_scan(spark, sf_dir):
+    """One token explode feeds the pinned count table; every margin
+    (per-source totals, vocab margins, 1-row corpus total) aggregates
+    THAT and rides a broadcast — the corpus parquet is never re-scanned
+    in the final plan (it was 4 scans before the checkpoint)."""
+    plan = _plan(spark, sf_dir, "docs_distinctive_terms")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert plan.count("documents.parquet") == 0, plan
+
+
+def test_source_overlap_matrix_single_corpus_pass(spark, sf_dir):
+    """sizes + both self-join sides read the PINNED shingle table —
+    zero corpus re-scans (and zero repeat Arrow shingle passes) in the
+    final plan."""
+    plan = _plan(spark, sf_dir, "docs_source_overlap_matrix")
+    assert plan.count("documents.parquet") == 0, plan
+
+
+def test_source_overlap_matrix_equi_join_not_cartesian(spark, sf_dir):
+    """Candidate generation is an inverted-index equi-join on the
+    shingle hash — never an all-pairs product."""
+    plan = _plan(spark, sf_dir, "docs_source_overlap_matrix")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_label_outliers_broadcasts_sum_table(spark, sf_dir):
+    """The (label × dim) component-sum table joins back by BROADCAST;
+    no cartesian anywhere; the final cut is TakeOrdered (no global
+    sort)."""
+    plan = _plan(spark, sf_dir, "emb_label_outliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hard_negatives_no_cartesian_label_filter_present(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "emb_hard_negatives")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
