@@ -66,3 +66,31 @@ def test_parens_inside_literals_do_not_break_window_tracking():
     assert "c AS MATERIALIZED (" in out
     assert "w1 AS MATERIALIZED" not in out
     assert "w2 AS MATERIALIZED" not in out
+
+
+def test_every_registered_oracle_explains_in_duckdb():
+    """Full-corpus guard for the rewriter and for hand-written oracle
+    SQL: every oracle (post-materialization-hint) must PLAN in DuckDB.
+    A hint rewrite that produced invalid SQL — or an oracle typo —
+    fails here in milliseconds instead of burning a driver
+    CORRECTNESS row."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    oracles = entry.oracle_sql()
+    assert len(oracles) == len(entry.queries())  # full coverage, no gaps
+    for name, sql in oracles.items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # pragma: no cover - the assert message
+            raise AssertionError(f"oracle {name} does not plan: {exc}") from exc
