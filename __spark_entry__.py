@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_recall": llm.emb_ann_recall,
         "streaming_late_drop_stats": gen.streaming_late_drop_stats,
         "silver_compaction_report": gen.silver_compaction_report,
+        "filesrc_quarantine_shape": gen.filesrc_quarantine_shape,
         # ---- driver-green in rounds 1-4 ----
         # R13-R17, R20-R24 — KPI / analytics workload
         "revenue_trend_daily": kpi.revenue_trend_daily,

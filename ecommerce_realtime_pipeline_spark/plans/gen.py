@@ -358,6 +358,72 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def filesrc_quarantine_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch file-source contract as a driver-checkable query
+    (`sources/filesrc`): a seeded 20-customer batch is round-tripped
+    through the strict JSONL reader with THREE planted bad records —
+    truncated JSON (corrupt capture), an unparseable timestamp string
+    (corrupt capture), and a missing required field (nullability net).
+    Analytic contract: 20 clean rows come back typed and bit-identical
+    (distinct emails prove values, not just counts), exactly 3 rows
+    quarantine, exactly 2 of them carry raw text (the missing-field row
+    has no corrupt record to capture — that is WHY the nullability net
+    exists)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.operators import generate as G
+    from ecommerce_realtime_pipeline_spark.sources import filesrc as FS
+
+    tmp = tempfile.mkdtemp(prefix="eng_filesrc_q_")
+    try:
+        path = os.path.join(tmp, "jsonl")
+        cust = (
+            G.generate_batch(spark, 0, 20, 0, 0, seed=13)
+            .drop_indexes()
+            .materialize()
+            .customers
+        )
+        FS.write_jsonl(cust, path)
+        bad = [
+            '{"customer_id": "bad1", "email": ',  # truncated JSON
+            '{"customer_id": "bad2", "email": "e", "name": "n", '
+            '"created_at": "oops", "updated_at": "2025-03-01T00:00:00Z"}',
+            '{"customer_id": "bad3", "email": "e", "name": "n", '
+            '"updated_at": "2025-03-01T00:00:00Z"}',  # missing created_at
+        ]
+        with open(os.path.join(path, "zz_bad.json"), "w") as f:
+            f.write("\n".join(bad) + "\n")
+        typed, quarantine = FS.read_jsonl(spark, path, "customers")
+        n_typed = typed.count()
+        n_typed_distinct_email = typed.select("email").distinct().count()
+        # one aggregate referencing a DATA column alongside raw_record:
+        # a scan whose referenced columns are ONLY the corrupt-record
+        # capture is rejected by Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+        qrow = quarantine.agg(
+            F.count("*").alias("n_q"),
+            F.sum(
+                F.when(F.col("raw_record").isNotNull(), 1).otherwise(0)
+            ).alias("n_raw"),
+            F.count("customer_id").alias("_touch"),
+        ).collect()[0]
+        n_q, n_q_with_raw = int(qrow["n_q"]), int(qrow["n_raw"] or 0)
+        n_expected_emails = cust.select("email").distinct().count()
+        return spark.createDataFrame(
+            [(
+                int(n_typed),
+                int(n_typed_distinct_email == n_expected_emails),
+                int(n_q),
+                int(n_q_with_raw),
+            )],
+            "n_typed long, emails_roundtrip long, n_quarantined long, "
+            "n_quarantined_with_raw long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def silver_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-silver small-files maintenance as a driver-checkable
     query (`ingest.compact_buckets` — the parquet analogue of a table
@@ -1437,6 +1503,16 @@ GEN_ORACLES: dict[str, str] = {
     # docstring (batch arithmetic + the retract of the 4 status
     # transitions); the maintenance machinery itself is not
     # DuckDB-expressible but its contracted output is value-gated.
+    # filesrc_quarantine_shape: ANALYTIC constants — 20 clean rows
+    # survive with values intact, the 3 planted bad records quarantine,
+    # and exactly the 2 parse failures carry raw text (derivation in
+    # the query docstring).
+    "filesrc_quarantine_shape": """
+        SELECT CAST(20 AS BIGINT) AS n_typed,
+               CAST(1 AS BIGINT) AS emails_roundtrip,
+               CAST(3 AS BIGINT) AS n_quarantined,
+               CAST(2 AS BIGINT) AS n_quarantined_with_raw
+    """,
     # silver_compaction_report: rows/distinct-keys are ANALYTIC (200
     # live keys in, content preserved); the fragmentation counts are
     # FROZEN-CONTRACT (deterministic given xxhash64 bucketing + the

@@ -47,7 +47,13 @@ def _split_quarantine(
     field produces no corrupt record in PERMISSIVE mode, so the
     nullability contract is the only net that catches it. Mirrors
     ``parse_envelope``'s strict-id stance, generalized to every
-    required field."""
+    required field.
+
+    CONSUMER NOTE: Spark rejects scans whose referenced columns are
+    ONLY the corrupt-record capture (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    — when aggregating over the quarantine's ``raw_record`` alone,
+    include any data column in the same aggregate (pattern in
+    ``gen.filesrc_quarantine_shape``)."""
     required = [f.name for f in ENTITY_SCHEMAS[entity].fields if not f.nullable]
     bad_pred = F.col(_CORRUPT).isNotNull()
     for name in required:
