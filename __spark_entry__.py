@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_drop_stats": gen.streaming_late_drop_stats,
         "silver_compaction_report": gen.silver_compaction_report,
         "filesrc_quarantine_shape": gen.filesrc_quarantine_shape,
+        "shipping_priority": kpi.shipping_priority,
+        "returned_items_report": kpi.returned_items_report,
         # ---- driver-green in rounds 1-4 ----
         # R13-R17, R20-R24 — KPI / analytics workload
         "revenue_trend_daily": kpi.revenue_trend_daily,

@@ -1152,3 +1152,91 @@ def repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style shipping priority: BUILDING-segment orders placed
+    before the cutoff whose lines ship AFTER it, ranked by outstanding
+    discounted revenue — the unshipped-backlog triage list.
+
+    Plan: segment membership is a SEMI join (no hard-coded broadcast —
+    the filtered customer set is exactly what may not fit at 100 TB;
+    AQE promotes small cases at runtime, the Bloom path is the explicit
+    alternative), one equi-join orders⋈lineitem on the order key with
+    both date filters PUSHED to the scans, decimal-exact revenue, and a
+    TakeOrdered top-10 — never a global sort."""
+    cut = "1999-06-30"
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(cut))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(cut))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = _money("l_extendedprice") * (F.lit(1).cast(_D) - _money("l_discount"))
+    j = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_semi"
+    ).join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_as_double(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style returned-item report: customers ranked by the
+    discounted revenue of their RETURNED lines for orders placed in one
+    quarter — who is hurting, with their nation attached for routing.
+
+    Plan: both selective filters (quarter, returnflag) pushed to the
+    scans; orders⋈lineitem equi-join; the per-customer aggregate is
+    customer-cardinality-sized BEFORE the name/nation joins (aggregate
+    first, decorate later — the decoration joins touch top-k-bound
+    rows only after TakeOrdered at scale; here the tiny dims broadcast);
+    top-20 by revenue with key tie-break."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1999-01-01"))
+            & (F.col("o_orderdate") < F.lit("1999-04-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = _money("l_extendedprice") * (F.lit(1).cast(_D) - _money("l_discount"))
+    per_cust = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(_as_double(F.sum(rev)).alias("revenue"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(cust, per_cust["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

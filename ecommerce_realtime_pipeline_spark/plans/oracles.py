@@ -771,3 +771,42 @@ KPI_ORACLES["events_value_outliers_per_type"] = """
     FROM ranked WHERE rk <= 3
     ORDER BY event_type, rk
 """
+
+KPI_ORACLES["shipping_priority"] = """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          )
+      AND o_orderdate < TIMESTAMP '1999-06-30 00:00:00'
+      AND l_shipdate > TIMESTAMP '1999-06-30 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+KPI_ORACLES["returned_items_report"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1999-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY 1
+    )
+    SELECT c_custkey, c_name, n_name,
+           ROUND(c_acctbal, 2) AS acctbal, revenue
+    FROM per_cust
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""

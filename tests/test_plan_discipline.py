@@ -380,3 +380,22 @@ def test_hard_negatives_no_cartesian_label_filter_present(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emb_hard_negatives")
     assert "CartesianProduct" not in plan
     assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_shipping_priority_pushes_both_date_filters(spark, sf_dir):
+    """Both date predicates must reach their parquet scans; the top-10
+    is TakeOrdered; no cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "shipping_priority")
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_items_aggregates_before_decoration(spark, sf_dir):
+    """The returnflag filter reaches the lineitem scan, the nation dim
+    broadcasts, and the final cut is TakeOrdered."""
+    plan = _plan(spark, sf_dir, "returned_items_report")
+    assert re.search(r"PushedFilters: \[[^\]]*l_returnflag", plan), plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
