@@ -85,6 +85,10 @@ STRESS_QUERIES = [
     "docs_distinctive_terms",
     "docs_source_overlap_matrix",
     "emb_label_outliers",
+    # classic multi-join analytics — selective pushdown + semi-join +
+    # TakeOrdered; must stay linear in fact rows
+    "shipping_priority",
+    "returned_items_report",
 ]
 
 
