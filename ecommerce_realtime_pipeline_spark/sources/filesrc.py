@@ -99,7 +99,12 @@ def read_csv(
     row silently counts as clean (verified: the same file answered
     'quarantine is empty' under pruning). One expression per line
     parses the full record, so corrupt detection is projection-
-    independent — the ``parse_envelope`` layout applied to CSV."""
+    independent — the ``parse_envelope`` layout applied to CSV.
+
+    DELIVERY CONTRACT: line-oriented — embedded quotes/commas are
+    handled by standard CSV quoting (round-trip property-tested), but
+    a NEWLINE inside a value is not representable (the text reader
+    splits records on lines); deliver newline-bearing fields as JSONL."""
     if entity == "orders":
         raise ValueError(
             "read_csv: orders carry a nested items array — use read_jsonl"
@@ -117,6 +122,11 @@ def read_csv(
                 "mode": "PERMISSIVE",
                 "columnNameOfCorruptRecord": _CORRUPT,
                 "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss'Z'",
+                # preserve whitespace-bearing values verbatim (both the
+                # writer and parser TRIM by default, silently turning
+                # ' ' into NULL — round-trip property-tested)
+                "ignoreLeadingWhiteSpace": "false",
+                "ignoreTrailingWhiteSpace": "false",
             },
         ).alias("_p"),
         F.col("value").alias("_raw"),
@@ -147,4 +157,6 @@ def write_csv(df: DataFrame, path: str) -> None:
     ``read_csv`` declares)."""
     df.write.mode("overwrite").option("header", "true").option(
         "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    ).option("ignoreLeadingWhiteSpace", "false").option(
+        "ignoreTrailingWhiteSpace", "false"
     ).csv(path)
