@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filesrc_quarantine_shape": gen.filesrc_quarantine_shape,
         "shipping_priority": kpi.shipping_priority,
         "returned_items_report": kpi.returned_items_report,
+        "customer_rfm_segments": kpi.customer_rfm_segments,
         # ---- driver-green in rounds 1-4 ----
         # R13-R17, R20-R24 — KPI / analytics workload
         "revenue_trend_daily": kpi.revenue_trend_daily,

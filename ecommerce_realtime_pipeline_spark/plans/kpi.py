@@ -1240,3 +1240,63 @@ def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation: per customer, Recency (days since last
+    order, anchored at the corpus max date — no wall clock), Frequency
+    (order count), Monetary (decimal-exact spend); each scored into
+    quintiles by ntile(5) with a custkey tie-break (the
+    customer_value_deciles total-order pattern, SQL-standard bucket
+    rule shared by both engines), then folded into the standard segment
+    labels via ONE deterministic CASE chain mirrored verbatim in the
+    oracle.
+
+    Scale: one orders scan → per-customer partial agg (customer-
+    cardinality output); the 1-row anchor broadcasts; the three ntiles
+    are windows over the aggregated (small) frame, not the fact table;
+    the final fold is a |segments|-row aggregate."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", _money("o_totalprice").alias("_m")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count("*").alias("n_orders"),
+        F.sum("_m").alias("_spend"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("_anchor"))
+    base = per_cust.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff(F.col("_anchor"), F.col("_last"))
+    )
+    r_w = W.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+    f_w = W.orderBy(F.asc("n_orders"), F.asc("o_custkey"))
+    m_w = W.orderBy(F.asc("_spend"), F.asc("o_custkey"))
+    scored = (
+        base.withColumn("r_score", F.ntile(5).over(r_w))
+        .withColumn("f_score", F.ntile(5).over(f_w))
+        .withColumn("m_score", F.ntile(5).over(m_w))
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champions",
+        )
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spenders")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", segment)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _as_double(F.sum("_spend")).alias("total_spend"),
+            F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
+            F.round(F.avg("n_orders"), 4).alias("avg_orders"),
+        )
+        .orderBy("segment")
+    )

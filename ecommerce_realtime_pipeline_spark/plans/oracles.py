@@ -810,3 +810,46 @@ KPI_ORACLES["returned_items_report"] = """
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
 """
+
+KPI_ORACLES["customer_rfm_segments"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY 1
+    ),
+    anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+    base AS (
+        SELECT o_custkey, n_orders, spend,
+               date_diff('day', last_order, a) AS recency_days
+        FROM per_cust, anchor
+    ),
+    scored AS (
+        SELECT *,
+               ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY n_orders ASC, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY spend ASC, o_custkey) AS m_score
+        FROM base
+    ),
+    labeled AS (
+        SELECT *,
+               CASE
+                   WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                       THEN 'champions'
+                   WHEN f_score >= 4 THEN 'loyal'
+                   WHEN m_score >= 4 THEN 'big_spenders'
+                   WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                   WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                   ELSE 'regular'
+               END AS segment
+        FROM scored
+    )
+    SELECT segment,
+           COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(spend), 2) AS DOUBLE) AS total_spend,
+           ROUND(AVG(recency_days), 4) AS avg_recency_days,
+           ROUND(AVG(n_orders), 4) AS avg_orders
+    FROM labeled
+    GROUP BY 1 ORDER BY 1
+"""
