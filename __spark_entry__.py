@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": kpi.shipping_priority,
         "returned_items_report": kpi.returned_items_report,
         "customer_rfm_segments": kpi.customer_rfm_segments,
+        "nation_market_share": kpi.nation_market_share,
+        "promo_revenue_share": kpi.promo_revenue_share,
         # ---- driver-green in rounds 1-4 ----
         # R13-R17, R20-R24 — KPI / analytics workload
         "revenue_trend_daily": kpi.revenue_trend_daily,

@@ -1300,3 +1300,80 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-flavor market share: of all STANDARD-part line revenue,
+    the fraction supplied by NATION_3's suppliers, per ship year — the
+    competitive-share trend. Plan: the filtered part keys, the supplier
+    table, and nation are all broadcast dims around ONE lineitem scan;
+    the share is a conditional aggregate over the same partial-agg
+    shuffle (never two scans, never a join after aggregation);
+    decimal-exact sums, one double divide per year row."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    vol = _money("l_extendedprice") * (F.lit(1).cast(_D) - _money("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+    )
+    target = F.when(F.col("n_name") == "NATION_3", vol).otherwise(
+        F.lit(0).cast(_D)
+    )
+    return (
+        j.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            _as_double(F.sum(target)).alias("nation_revenue"),
+            _as_double(F.sum(vol)).alias("total_revenue"),
+            F.round(
+                F.sum(target).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-flavor promo effect: per ship month of 1999, the
+    percentage of line revenue coming from PROMO-type parts. ONE
+    lineitem scan (ship-year filter pushed) joined to the broadcast
+    (p_partkey, p_type) dim; promo vs total are conditional aggregates
+    over the same shuffle; decimal-exact sums, one double divide."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01"))
+        )
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _money("l_extendedprice") * (F.lit(1).cast(_D) - _money("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast(_D))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            _as_double(F.sum(promo)).alias("promo_revenue"),
+            _as_double(F.sum(vol)).alias("total_revenue"),
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+        )
+        .orderBy("ship_month")
+    )

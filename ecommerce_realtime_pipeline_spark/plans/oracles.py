@@ -853,3 +853,52 @@ KPI_ORACLES["customer_rfm_segments"] = """
     FROM labeled
     GROUP BY 1 ORDER BY 1
 """
+
+KPI_ORACLES["nation_market_share"] = """
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(ROUND(SUM(CASE WHEN n_name = 'NATION_3'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+               AS nation_revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS total_revenue,
+           ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_3'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE), 6) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type = 'STANDARD'
+    GROUP BY 1 ORDER BY 1
+"""
+
+KPI_ORACLES["promo_revenue_share"] = """
+    SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+           CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+               AS promo_revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS total_revenue,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE), 6) AS promo_share_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+"""

@@ -399,3 +399,20 @@ def test_returned_items_aggregates_before_decoration(spark, sf_dir):
     assert re.search(r"PushedFilters: \[[^\]]*l_returnflag", plan), plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_market_share_single_lineitem_scan_all_dims_broadcast(spark, sf_dir):
+    """One lineitem scan; part/supplier/nation all broadcast; the share
+    is a conditional aggregate over the same shuffle (no second scan,
+    no post-aggregation join)."""
+    plan = _plan(spark, sf_dir, "nation_market_share")
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_promo_share_pushes_year_filter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "promo_revenue_share")
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
+    assert "BroadcastHashJoin" in plan
