@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm_segments": kpi.customer_rfm_segments,
         "nation_market_share": kpi.nation_market_share,
         "promo_revenue_share": kpi.promo_revenue_share,
+        "order_priority_fulfillment": kpi.order_priority_fulfillment,
         # ---- driver-green in rounds 1-4 ----
         # R13-R17, R20-R24 — KPI / analytics workload
         "revenue_trend_daily": kpi.revenue_trend_daily,

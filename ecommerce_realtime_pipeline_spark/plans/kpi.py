@@ -1377,3 +1377,36 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+def order_priority_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-flavor priority check: per order priority, how many
+    orders placed in 1999 H1 have at least one LATE line (shipped more
+    than 90 days after the order date) — the fulfillment-SLA breakdown.
+
+    Plan: the order-date filter is pushed to the orders scan; lateness
+    is decided by an EXISTS (left-semi) equi-join on the order key with
+    the date comparison as the join residual — never an inequality-only
+    join; the priority rollup is a |priorities|-row aggregate."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1999-01-01"))
+            & (F.col("o_orderdate") < F.lit("1999-07-01"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )

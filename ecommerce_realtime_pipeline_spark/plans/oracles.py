@@ -902,3 +902,16 @@ KPI_ORACLES["promo_revenue_share"] = """
       AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
     GROUP BY 1 ORDER BY 1
 """
+
+KPI_ORACLES["order_priority_fulfillment"] = """
+    SELECT o_orderpriority, COUNT(*) AS n_late_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-07-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY 1 ORDER BY 1
+"""

@@ -416,3 +416,14 @@ def test_promo_share_pushes_year_filter(spark, sf_dir):
     assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
     assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_priority_fulfillment_semi_join_pushed_date(spark, sf_dir):
+    """Lateness is a LEFT SEMI equi-join with the date comparison as a
+    residual — no cartesian/nested-loop; the order-date window reaches
+    the orders scan."""
+    plan = _plan(spark, sf_dir, "order_priority_fulfillment")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), plan
