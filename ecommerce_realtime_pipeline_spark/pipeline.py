@@ -215,7 +215,16 @@ def run_pipeline(
         if not q.awaitTermination(120):
             # A hung/slow ingest must FAIL the run, not let the marts
             # build from partial silver with silently-wrong counts.
-            q.stop()
+            # Stop EVERY started query, not just the hung one — the
+            # exception unwinds to callers that tear down the work dir
+            # (tests with tmp paths, the CLI), and a still-live
+            # foreachBatch writer on a deleted path turns one clear
+            # TimeoutError into a cascade of confusing secondaries.
+            for _, other in running:
+                try:
+                    other.stop()
+                except Exception:
+                    pass  # best-effort teardown; the TimeoutError is the story
             raise TimeoutError(
                 f"ingest for '{entity}' did not terminate within 120s"
             )

@@ -565,9 +565,16 @@ def streaming_late_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     class _DropListener(StreamingQueryListener):
+        """Per-QUERY-ID accounting: listeners are session-global, so a
+        concurrent stream in the same session would otherwise pollute
+        the counters (round-6 ADVICE). Events are bucketed by
+        ``progress.id`` unconditionally (no registration race — ids
+        are only known after ``start()`` returns, which can lose to
+        the first async progress event) and the fixture sums ONLY its
+        own query ids at read time."""
+
         def __init__(self) -> None:
-            self.dropped = 0
-            self.inputs = 0
+            self.by_id: dict[str, list[int]] = {}  # id -> [inputs, dropped]
             self._lock = threading.Lock()
 
         def onQueryStarted(self, event):  # noqa: N802 (Spark API)
@@ -576,15 +583,24 @@ def streaming_late_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         def onQueryProgress(self, event):  # noqa: N802
             p = event.progress
             with self._lock:
-                self.inputs += int(p.numInputRows)
+                acc = self.by_id.setdefault(str(p.id), [0, 0])
+                acc[0] += int(p.numInputRows)
                 for op in p.stateOperators:
-                    self.dropped += int(op.numRowsDroppedByWatermark)
+                    acc[1] += int(op.numRowsDroppedByWatermark)
 
         def onQueryIdle(self, event):  # noqa: N802
             pass
 
         def onQueryTerminated(self, event):  # noqa: N802
             pass
+
+        def totals(self, ids: set[str]) -> tuple[int, int]:
+            with self._lock:
+                rows = [v for k, v in self.by_id.items() if k in ids]
+            return (
+                sum(r[0] for r in rows),
+                sum(r[1] for r in rows),
+            )
 
     tmp = tempfile.mkdtemp(prefix="eng_latedrop_q_")
     listener = _DropListener()
@@ -596,6 +612,7 @@ def streaming_late_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             [line(1, 0, 10), line(2, 0, 40), line(3, 15, 0)],
             [line(4, 0, 20), line(5, 30, 0)],  # late row + advancer
         ]
+        fixture_ids: set[str] = set()
         with _pinned_state_partitions(spark):
             for bi, lines in enumerate(batches):
                 with open(os.path.join(src, f"b{bi}.json"), "w") as f:
@@ -603,19 +620,30 @@ def streaming_late_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q = I.run_windowed_counts(
                     spark, src, sink, ckpt, watermark="10 minutes"
                 )
+                fixture_ids.add(str(q.id))
                 _await(q)
         # progress events are dispatched async; wait (bounded) until the
-        # listener has accounted for every input row of both runs
+        # listener has accounted for every input row of both runs — and
+        # FAIL LOUDLY on the deadline (proceeding with a partial count
+        # would flakily break the pinned oracle with no hint of why)
         deadline = time.time() + 30
-        while time.time() < deadline and listener.inputs < 5:
+        while time.time() < deadline:
+            inputs, dropped = listener.totals(fixture_ids)
+            if inputs >= 5:
+                break
             time.sleep(0.05)
+        else:
+            raise TimeoutError(
+                "streaming_late_drop_stats: listener saw "
+                f"{listener.totals(fixture_ids)[0]}/5 input rows within 30s"
+            )
         out = spark.read.parquet(sink)
         n_windows = out.select("window_start").distinct().count()
         n_rows = int(
             out.agg(F.sum("n").alias("s")).collect()[0]["s"] or 0
         )
         return spark.createDataFrame(
-            [(int(n_windows), n_rows, int(listener.dropped))],
+            [(int(n_windows), n_rows, int(dropped))],
             "n_windows_emitted long, n_rows_emitted_total long, "
             "n_late_dropped long",
         ).localCheckpoint(eager=True)

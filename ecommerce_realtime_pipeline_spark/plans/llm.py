@@ -3770,10 +3770,18 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness (what licenses the SQL oracle): the centroid division is
     deferred — distance² = Σ_pos (n·x − s)² / n² with s the exact
     DECIMAL per-(label, pos) component sum, so every intermediate is an
-    exact decimal (precisions chosen to keep every product within
-    DECIMAL(38): (16,10)·(8,0) → (25,10); diff narrowed to (18,10)
-    before squaring → (37,20)) and ONE sqrt + ONE divide happen at the
-    very end, 4dp-rounded before the ordered cut.
+    exact decimal and ONE sqrt + ONE divide happen at the very end,
+    4dp-rounded before the ordered cut. Precisions are chosen so no
+    product exceeds precision 37 — BOTH engines then compute the exact
+    value (Spark's allowPrecisionLoss scale-reduction and DuckDB's
+    38-cap truncation only kick in past 38, and they disagree when
+    they do): s at (20,10) holds |Σx| ≤ 1e10 per (label,pos) — large
+    label populations stay in range (round-6 ADVICE: the old (15,10)
+    NULLed silently at 1e5 while DuckDB errored); n at (12,0) → nx
+    (16,10)·(12,0) → (29,10) exact; diff narrowed to (18,10) before
+    squaring → (37,20) exact. Remaining ceiling (documented, loud not
+    silent at 1e8): |n·x − s| must fit (18,10) to keep the square
+    inside 37.
 
     Scale: one posexplode; the (label × dim)-row sum table broadcasts
     back; per-vector partial agg; TakeOrdered top-k. No UDF, no
@@ -3783,11 +3791,11 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
     ).withColumn("xd", F.col("x").cast("decimal(16,10)"))
     per_pos = comp.groupBy("label", "pos").agg(
-        F.sum("xd").cast("decimal(15,10)").alias("s"),
+        F.sum("xd").cast("decimal(20,10)").alias("s"),
         F.count("*").alias("n"),
     )
     j = comp.join(F.broadcast(per_pos), ["label", "pos"])
-    nx = (F.col("xd") * F.col("n").cast("decimal(8,0)")).cast("decimal(25,10)")
+    nx = (F.col("xd") * F.col("n").cast("decimal(12,0)")).cast("decimal(29,10)")
     diff = (nx - F.col("s")).cast("decimal(18,10)")
     sq = (diff * diff).cast("decimal(38,20)")
     d = j.groupBy("vec_id", "label", "n").agg(F.sum(sq).alias("_D"))
@@ -3810,15 +3818,17 @@ LLM_ORACLES["emb_label_outliers"] = f"""
     ),
     per_pos AS (
         SELECT label, pos,
-               CAST(SUM(xd) AS DECIMAL(15,10)) AS s,
+               CAST(SUM(xd) AS DECIMAL(20,10)) AS s,
                count(*) AS n
         FROM comp GROUP BY 1, 2
     ),
     d AS (
         SELECT vec_id, c.label, n,
                SUM(CAST(
-                   CAST(CAST(c.xd * n AS DECIMAL(25,10)) - s AS DECIMAL(18,10))
-                   * CAST(CAST(c.xd * n AS DECIMAL(25,10)) - s AS DECIMAL(18,10))
+                   CAST(CAST(c.xd * CAST(n AS DECIMAL(12,0))
+                             AS DECIMAL(29,10)) - s AS DECIMAL(18,10))
+                   * CAST(CAST(c.xd * CAST(n AS DECIMAL(12,0))
+                               AS DECIMAL(29,10)) - s AS DECIMAL(18,10))
                    AS DECIMAL(38,20))) AS dd
         FROM comp c JOIN per_pos p ON c.label = p.label AND c.pos = p.pos
         GROUP BY 1, 2, 3

@@ -63,6 +63,20 @@ _SUM_TYPE = "decimal(18,2)"
 #: watermark keeps the ledger's answer for pruned epochs: applied.
 _PRUNE_WM_FILE = "_pruned_through"
 
+#: identity binding for the replay ledger: the streaming query id (from
+#: the checkpoint's ``metadata`` file) the epoch markers + pruned-WM
+#: were recorded under. Epoch ids are only comparable WITHIN one
+#: checkpoint generation — if the checkpoint is recreated, epoch ids
+#: restart at 0 and a bare ``epoch_id <= _pruned_through`` check would
+#: silently skip refreshes for genuinely new data while the upsert
+#: still lands, leaving the view permanently stale. ``run_ingest_with_agg``
+#: detects the generation change and rebases the view from silver.
+_LEDGER_ID_FILE = "_ledger_query_id"
+
+#: full-recompute base version written by :func:`rebase_from_silver`;
+#: used as ``prev`` when no ``v=<epoch>`` marker exists yet.
+_BASE_DIR = "base"
+
 
 def pruned_through(agg_path: str) -> int:
     """Largest epoch retired by :func:`prune_versions` (-1 if none)."""
@@ -71,6 +85,81 @@ def pruned_through(agg_path: str) -> int:
             return int(f.read().strip())
     except (FileNotFoundError, ValueError):
         return -1
+
+
+def _checkpoint_query_id(checkpoint_dir: str) -> str | None:
+    """Streaming query id persisted in the checkpoint's ``metadata``
+    file (stable across restarts of the SAME checkpoint; a recreated
+    checkpoint gets a fresh id). None if the checkpoint is new."""
+    import json
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return str(json.load(f)["id"])
+    except (FileNotFoundError, ValueError, KeyError):
+        return None
+
+
+def _ledger_query_id(agg_path: str) -> str | None:
+    try:
+        with open(os.path.join(agg_path, _LEDGER_ID_FILE)) as f:
+            return f.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def _write_ledger_query_id(agg_path: str, query_id: str) -> None:
+    os.makedirs(agg_path, exist_ok=True)
+    tmp = os.path.join(agg_path, _LEDGER_ID_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(query_id)
+    os.replace(tmp, os.path.join(agg_path, _LEDGER_ID_FILE))
+
+
+def rebase_from_silver(
+    spark: SparkSession,
+    silver_path: str,
+    agg_path: str,
+    group_col: str,
+    sum_col: str,
+) -> None:
+    """Rebuild the aggregate from the silver POST-image and reset the
+    epoch ledger — the recovery for a recreated checkpoint (epoch ids
+    restarting at 0), where bare epoch-id comparisons against the old
+    markers/pruned-WM are meaningless.
+
+    Safe to run spuriously: the base equals a full recompute, and any
+    replayed batch then computes its delta against a pre-image that
+    already CONTAINS the batch rows, so retract+add cancel to a zero
+    delta (the same last-write-wins winner rule; test-pinned). Crash
+    order: the base commits atomically FIRST, old ``v=`` markers and
+    the pruned-WM are dropped after — a crash in between leaves stale
+    markers that the next start's identity check rebases again.
+    """
+    import shutil
+
+    if os.path.isdir(silver_path):
+        base = (
+            spark.read.parquet(silver_path)
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(sum_col).cast(_SUM_TYPE))
+                .cast(_SUM_TYPE)
+                .alias("sum_val"),
+            )
+        )
+    else:
+        base = spark.createDataFrame(
+            [], f"{group_col} string, n_rows long, sum_val {_SUM_TYPE}"
+        )
+    _atomic_overwrite(base, os.path.join(agg_path, _BASE_DIR))
+    for e in _committed_epochs(agg_path):
+        shutil.rmtree(os.path.join(agg_path, f"v={e}"), ignore_errors=True)
+    try:
+        os.remove(os.path.join(agg_path, _PRUNE_WM_FILE))
+    except FileNotFoundError:
+        pass
 
 
 def _committed_epochs(agg_path: str) -> list[int]:
@@ -88,12 +177,15 @@ def _committed_epochs(agg_path: str) -> list[int]:
 
 
 def read_continuous_agg(spark: SparkSession, agg_path: str) -> DataFrame:
-    """Latest committed aggregate version (empty-schema-safe only
-    after the first epoch commits)."""
+    """Latest committed aggregate version (falls back to the rebase
+    ``base`` when no epoch has committed since the last rebase)."""
     epochs = _committed_epochs(agg_path)
-    if not epochs:
-        raise FileNotFoundError(f"no committed aggregate version in {agg_path}")
-    return spark.read.parquet(os.path.join(agg_path, f"v={epochs[-1]}"))
+    if epochs:
+        return spark.read.parquet(os.path.join(agg_path, f"v={epochs[-1]}"))
+    base = os.path.join(agg_path, _BASE_DIR)
+    if os.path.isdir(base):
+        return spark.read.parquet(base)
+    raise FileNotFoundError(f"no committed aggregate version in {agg_path}")
 
 
 def refresh_epoch(
@@ -169,10 +261,9 @@ def refresh_epoch(
     delta_agg = deltas.groupBy("_g").agg(
         F.sum("_dn").alias("_dn"), F.sum("_ds").alias("_ds")
     )
-    epochs = _committed_epochs(agg_path)
-    if epochs:
+    try:
         prev = read_continuous_agg(spark, agg_path)
-    else:
+    except FileNotFoundError:
         prev = spark.createDataFrame(
             [], f"{group_col} string, n_rows long, sum_val {_SUM_TYPE}"
         )
@@ -194,7 +285,29 @@ def run_ingest_with_agg(
 ):
     """Ingest stream with the continuous aggregate fused in: per
     micro-batch, refresh the view from the pre-image (exactly-once via
-    the epoch marker), then run the idempotent silver upsert."""
+    the epoch marker), then run the idempotent silver upsert.
+
+    Replay-ledger identity check (crash class: RECREATED CHECKPOINT):
+    the epoch markers and ``_pruned_through`` are only meaningful for
+    the epoch-id sequence of ONE checkpoint generation. Before start,
+    the checkpoint's persisted query id is compared against the id the
+    ledger was recorded under; on mismatch (checkpoint deleted and
+    recreated → ids restart at 0, or a ledger that predates identity
+    binding) the view is REBASED from silver and the old ledger
+    dropped, so restarting epochs can never be mis-skipped as
+    "already applied" (new data) nor double-applied (replayed data —
+    its delta against the post-image cancels to zero). The new query
+    id is bound to the ledger right after start.
+    """
+    ledger_bound = (
+        pruned_through(agg_path) >= 0 or bool(_committed_epochs(agg_path))
+    )
+    if ledger_bound:
+        chk_id = _checkpoint_query_id(checkpoint_dir)
+        if chk_id is None or chk_id != _ledger_query_id(agg_path):
+            rebase_from_silver(
+                spark, silver_path, agg_path, group_col, sum_col
+            )
     stream = deduped_stream(stream_envelopes(spark, source_dir), watermark)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
@@ -210,12 +323,14 @@ def run_ingest_with_agg(
         )
         upsert_batch(spark, batch_df, entity, silver_path)
 
-    return (
+    query = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    _write_ledger_query_id(agg_path, str(query.id))
+    return query
 
 
 def prune_versions(agg_path: str, keep: int = 3) -> list[int]:

@@ -207,3 +207,108 @@ def test_out_of_order_stale_envelope_leaves_view_untouched(spark, dirs):
         .collect()
     }
     assert view == direct == {"shipped": (1, 10.0)}
+
+
+def _stream_batch(spark, src, name, rows):
+    """Write envelope rows (offset, oid, total, status, upd_min) as a
+    JSONL file into the streaming source dir."""
+    os.makedirs(src, exist_ok=True)
+    recs = []
+    for off, oid, total, status, upd in rows:
+        payload = json.dumps(
+            {
+                "order_id": oid,
+                "customer_id": "c1",
+                "items": [],
+                "total": total,
+                "status": status,
+                "created_at": "2025-03-01T00:00:00Z",
+                "updated_at": f"2025-03-01T00:{upd:02d}:00Z",
+            }
+        )
+        recs.append(
+            json.dumps(
+                {
+                    "topic": "orders",
+                    "topic_partition": 0,
+                    "topic_offset": off,
+                    "message_key": oid,
+                    "payload": payload,
+                    "consumed_at": "2025-03-01T00:00:00Z",
+                }
+            )
+        )
+    with open(os.path.join(src, name), "w") as f:
+        f.write("\n".join(recs) + "\n")
+
+
+def test_recreated_checkpoint_rebases_instead_of_skipping(spark, dirs):
+    """THE epoch-id-reset crash class (round-6 ADVICE): after the
+    checkpoint is deleted and recreated, epoch ids restart at 0. The
+    bare ``epoch_id <= _pruned_through`` comparison would then skip
+    the refresh for GENUINELY NEW data while the upsert still lands —
+    a permanently stale view. ``run_ingest_with_agg`` must detect the
+    generation change via the persisted query id, rebase the view from
+    silver, and keep refresh ≡ recompute."""
+    silver, agg = dirs
+    tmp = os.path.dirname(silver)
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # generation 1: two epochs, then prune so _pruned_through = 0
+        _stream_batch(
+            spark, src, "b0.json",
+            [(i, f"o{i}", float(i), "pending", 0) for i in range(1, 4)],
+        )
+        q = CA.run_ingest_with_agg(
+            spark, src, "orders", silver, agg, ckpt,
+            group_col="status", sum_col="total",
+        )
+        assert q.awaitTermination(120)
+        _stream_batch(
+            spark, src, "b1.json", [(10, "o9", 40.0, "shipped", 5)]
+        )
+        q = CA.run_ingest_with_agg(
+            spark, src, "orders", silver, agg, ckpt,
+            group_col="status", sum_col="total",
+        )
+        assert q.awaitTermination(120)
+        assert len(CA._committed_epochs(agg)) >= 2
+        CA.prune_versions(agg, keep=1)
+        # watermark now covers epoch 0 — the old bare-epoch-id check
+        # would silently skip the new generation's first refreshes
+        assert CA.pruned_through(agg) >= 0
+        # generation 2: checkpoint recreated → epoch ids restart at 0;
+        # source replays b0+b1 AND sees new data b2
+        shutil.rmtree(ckpt)
+        _stream_batch(
+            spark, src, "b2.json", [(20, "o20", 100.0, "pending", 9)]
+        )
+        q = CA.run_ingest_with_agg(
+            spark, src, "orders", silver, agg, ckpt,
+            group_col="status", sum_col="total",
+        )
+        assert q.awaitTermination(120)
+        view = {
+            r["status"]: (r["n_rows"], float(r["sum_val"]))
+            for r in CA.read_continuous_agg(spark, agg).collect()
+        }
+        direct = {
+            r["status"]: (r["n"], float(r["s"]))
+            for r in spark.read.parquet(silver)
+            .groupBy("status")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("total").cast("decimal(18,2)")).alias("s"),
+            )
+            .collect()
+        }
+        # new data (o20) counted exactly once; replayed rows cancel
+        assert view == direct == {
+            "pending": (4, 1.0 + 2.0 + 3.0 + 100.0),
+            "shipped": (1, 40.0),
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
