@@ -410,6 +410,93 @@ def exact_quantiles_twopass(
     return [(q, float(picked[(b, r)])) for q, b, r in targets]
 
 
+def exact_rank_rows_twopass(
+    df: DataFrame,
+    col: str,
+    tie_col: str,
+    ks: list[int],
+    n_bins: int = 256,
+) -> list[tuple[int, object, object]]:
+    """The (col, tie_col) ROW at each explicit 1-based rank ``k`` in
+    the lexicographic (col ASC, tie_col ASC) total order — the
+    generalization of :func:`exact_quantiles_twopass` that window
+    functions like ``ntile`` need: when ``col`` carries heavy ties
+    (order counts, recency days), a value-only quantile cannot say
+    WHICH of the tied rows closes a bucket; the tie column can.
+
+    Same three-scan shape: (1) min/max/count of ``col``, (2) a
+    ≤``n_bins``-key histogram (bins are value ranges of ``col``, so
+    bin order respects the lexicographic order — a rank localizes to
+    exactly one bin regardless of ties inside it), (3) ONE fused
+    extraction filtering to the union of target bins and ranking each
+    by (col, tie_col) with a bin-PARTITIONED window (~n/n_bins rows
+    per partition, never a global sort). Degenerate all-one-value
+    input collapses to a single bin — the one case the window spans
+    the whole frame.
+
+    Returns [(k, col_value, tie_value), ...] in input order, values
+    in their ORIGINAL types (callers build exact literal comparisons
+    from them — no double round-trips).
+    """
+    lo, hi, n = df.agg(
+        F.min(col).cast("double"),
+        F.max(col).cast("double"),
+        F.count(F.lit(1)),
+    ).collect()[0]
+    if n == 0:
+        raise ValueError("exact_rank_rows_twopass: empty input")
+    for k in ks:
+        if not 1 <= k <= n:
+            raise ValueError(f"exact_rank_rows_twopass: rank {k} not in [1,{n}]")
+    if hi == lo:
+        width = 1.0  # single bin: every row maps to bin 0
+    else:
+        width = (hi - lo) / n_bins
+    bin_expr = F.least(
+        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    counts = {
+        r["b"]: r["c"]
+        for r in df.select(bin_expr.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    targets: list[tuple[int, int, int]] = []  # (k, bin, rank_in_bin)
+    for k in ks:
+        cum = 0
+        target_bin, rank_in_bin = n_bins - 1, 1
+        for b in range(n_bins):
+            c = counts.get(b, 0)
+            if cum + c >= k:
+                target_bin, rank_in_bin = b, k - cum
+                break
+            cum += c
+        targets.append((k, target_bin, rank_in_bin))
+    wanted_bins = sorted({b for _, b, _ in targets})
+    ranked = (
+        df.select(F.col(col).alias("_v"), F.col(tie_col).alias("_t"), bin_expr.alias("_b"))
+        .filter(F.col("_b").isin(wanted_bins))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_b").orderBy("_v", "_t")
+            ),
+        )
+    )
+    want = {(b, r) for _, b, r in targets}
+    picked = {
+        (row["_b"], row["_rn"]): (row["_v"], row["_t"])
+        for row in ranked.filter(
+            F.struct(F.col("_b"), F.col("_rn")).isin(
+                [F.struct(F.lit(b), F.lit(r)) for b, r in want]
+            )
+        ).collect()
+    }
+    return [(k, *picked[(b, r)]) for k, b, r in targets]
+
+
 def grouped_topk_candidates(
     df: DataFrame,
     group: str,

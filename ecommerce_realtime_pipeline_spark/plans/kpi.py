@@ -1246,17 +1246,24 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic RFM segmentation: per customer, Recency (days since last
     order, anchored at the corpus max date — no wall clock), Frequency
     (order count), Monetary (decimal-exact spend); each scored into
-    quintiles by ntile(5) with a custkey tie-break (the
-    customer_value_deciles total-order pattern, SQL-standard bucket
-    rule shared by both engines), then folded into the standard segment
-    labels via ONE deterministic CASE chain mirrored verbatim in the
-    oracle.
+    quintiles with a custkey tie-break (the customer_value_deciles
+    total-order pattern, SQL-standard ntile bucket rule shared by both
+    engines), then folded into the standard segment labels via ONE
+    deterministic CASE chain mirrored verbatim in the oracle.
 
-    Scale: one orders scan → per-customer partial agg (customer-
-    cardinality output); the 1-row anchor broadcasts; the three ntiles
-    are windows over the aggregated (small) frame, not the fact table;
-    the final fold is a |segments|-row aggregate."""
-    from pyspark.sql import Window as W
+    Scale (the round-5 de-weak): scoring reproduces ``ntile(5)``
+    EXACTLY — the oracle keeps plain ntile — but WITHOUT the three
+    single-reducer global-sort windows ``Window.orderBy`` forces: the
+    4 bucket-closing boundary ROWS per dimension (ntile's cumulative
+    rank i·q+min(i,rem), including the tie custkey, since tied values
+    straddle buckets) come from ``sketch.exact_rank_rows_twopass``
+    (histogram-localized order statistics, bin-partitioned windows,
+    ≤256-row collects), and each customer's score is then
+    1 + #boundaries-passed via lexicographic LITERAL comparisons — no
+    window, no join, no shuffle beyond the per-customer partial agg.
+    One orders scan, checkpointed customer-sized base reused by the
+    nine bounded boundary jobs; the final fold is |segments|-row."""
+    from ecommerce_realtime_pipeline_spark.operators import sketch as SK
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", _money("o_totalprice").alias("_m")
@@ -1267,16 +1274,40 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_m").alias("_spend"),
     )
     anchor = orders.agg(F.max("o_orderdate").alias("_anchor"))
-    base = per_cust.crossJoin(F.broadcast(anchor)).withColumn(
-        "recency_days", F.datediff(F.col("_anchor"), F.col("_last"))
+    base = (
+        per_cust.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days", F.datediff(F.col("_anchor"), F.col("_last"))
+        )
+        # recency scores by recency DESC: negate so every dimension
+        # ranks ASC through the same order-statistic machinery
+        .withColumn("_neg_r", -F.col("recency_days"))
+        .localCheckpoint(eager=True)
     )
-    r_w = W.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
-    f_w = W.orderBy(F.asc("n_orders"), F.asc("o_custkey"))
-    m_w = W.orderBy(F.asc("_spend"), F.asc("o_custkey"))
+    n = base.count()
+    q5, rem = divmod(n, 5)
+    # ntile's cumulative bucket-closing ranks (first `rem` buckets get
+    # one extra row — NOT ceil(i·n/5), which differs when rem ∈ {3,4})
+    ks = [i * q5 + min(i, rem) for i in range(1, 5)]
+    ks = [max(1, k) for k in ks]
+
+    def score(value_col: str, bounds) -> F.Column:
+        s = F.lit(1)
+        for _k, v, t in bounds:
+            s = s + F.when(
+                (F.col(value_col) > F.lit(v))
+                | ((F.col(value_col) == F.lit(v)) & (F.col("o_custkey") > F.lit(t))),
+                1,
+            ).otherwise(0)
+        return s
+
+    r_b = SK.exact_rank_rows_twopass(base, "_neg_r", "o_custkey", ks)
+    f_b = SK.exact_rank_rows_twopass(base, "n_orders", "o_custkey", ks)
+    m_b = SK.exact_rank_rows_twopass(base, "_spend", "o_custkey", ks)
     scored = (
-        base.withColumn("r_score", F.ntile(5).over(r_w))
-        .withColumn("f_score", F.ntile(5).over(f_w))
-        .withColumn("m_score", F.ntile(5).over(m_w))
+        base.withColumn("r_score", score("_neg_r", r_b))
+        .withColumn("f_score", score("n_orders", f_b))
+        .withColumn("m_score", score("_spend", m_b))
     )
     segment = (
         F.when(
@@ -1305,8 +1336,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q8-flavor market share: of all STANDARD-part line revenue,
     the fraction supplied by NATION_3's suppliers, per ship year — the
-    competitive-share trend. Plan: the filtered part keys, the supplier
-    table, and nation are all broadcast dims around ONE lineitem scan;
+    competitive-share trend. Plan: the filtered part keys and nation
+    are hinted broadcast dims, supplier is AQE-promoted (see inline
+    note — it is unfiltered and scale-linear), around ONE lineitem scan;
     the share is a conditional aggregate over the same partial-agg
     shuffle (never two scans, never a join after aggregation);
     decimal-exact sums, one double divide per year row."""
@@ -1325,9 +1357,17 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     vol = _money("l_extendedprice") * (F.lit(1).cast(_D) - _money("l_discount"))
+    # supplier deliberately carries NO broadcast hint: it is the one
+    # UNFILTERED dim here and grows linearly with scale factor — a
+    # hard hint that wins at sf0.1 is an executor OOM at 100×. AQE
+    # promotes it to broadcast at runtime whenever it measures small
+    # (plan-pinned at sf0.1); past the threshold it degrades to a
+    # shuffle join instead of dying. part (filtered) and nation
+    # (constant-sized) keep their hints — same policy
+    # shipping_priority documents.
     j = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
         .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
     )
     target = F.when(F.col("n_name") == "NATION_3", vol).otherwise(
