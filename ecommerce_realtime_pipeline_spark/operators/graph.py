@@ -62,26 +62,33 @@ def pagerank(
     # between moving the graph every round and moving the ranks.
     e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
     deg = e.groupBy("_u").agg(F.count("*").alias("_deg"))
-    # Two-step pin. Step 1 materializes the (possibly expensive) edge
-    # LINEAGE under normal AQE planning. Step 2 is the pre-partitioning
-    # itself: one shuffle of the already-materialized edge rows, run
-    # with AQE off because under AQE the checkpoint's physical root is
-    # an adaptive wrapper whose output partitioning is NOT captured
-    # into the LogicalRDD — every iteration would silently re-shuffle
-    # the edges (verified empirically; with AQE off at creation the
-    # hashpartitioning(_u) survives and downstream AQE-planned joins
-    # consume it). The partition count is explicit — AQE can't coalesce
-    # a preserved partitioning, so inheriting a large session
+    # ONE fused materialization: lineage → repartition(_u) → checkpoint
+    # in a single job (round-5 ran lineage and repartition as two
+    # edge-sized checkpoints; the second write was pure overhead). The
+    # whole job runs with AQE off because under AQE the checkpoint's
+    # physical root is an adaptive wrapper whose output partitioning is
+    # NOT captured into the LogicalRDD — every iteration would silently
+    # re-shuffle the edges (verified empirically; with AQE off at
+    # creation the hashpartitioning(_u) survives and downstream
+    # AQE-planned joins consume it). Cost of the trade: the edge
+    # lineage itself (e.g. the basket self-join) plans without AQE for
+    # this one build job — static planning of a bounded self-join vs a
+    # second full write+read of the edge table; the second write loses
+    # at every size. The partition count is explicit — AQE can't
+    # coalesce a preserved partitioning, so inheriting a large session
     # shuffle-partition count would pin tiny tasks into every
     # iteration; size it to the cluster (defaultParallelism here, edge
     # volume / target task size in production).
     spark = edges.sparkSession
     n_parts = edge_partitions or spark.sparkContext.defaultParallelism
-    rows = e.join(deg, "_u").localCheckpoint()
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        ew = rows.repartition(n_parts, F.col("_u")).localCheckpoint()
+        ew = (
+            e.join(deg, "_u")
+            .repartition(n_parts, F.col("_u"))
+            .localCheckpoint()
+        )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     nodes = ew.select(F.col("_u").alias("node")).distinct().localCheckpoint()
