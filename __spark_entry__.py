@@ -35,20 +35,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     harness checks the FIRST 50 registered queries per round, so the
     dict is ordered by verification need, not by topic —
 
-    1. positions 1-50: the queries with no driver CORRECTNESS row in
-       rounds 1-4 (cheap analytics first; inside the emb_* family the
-       artifact-building queries lead so the session memo caches make
-       every later family member warm; streaming fixtures next;
-       ``pipeline_end_to_end`` — the single most expensive fixture —
-       closes the window at position 50 so a wall-budget cut costs one
-       row, not several cheaper ones);
-    2. positions 51-55: queries whose only driver rows are r2/r3-era
-       FAILs since fixed (first in line for the next rotation);
-    3. the rest: driver-green in earlier rounds, re-checkable anytime.
+    1. positions 1-50 (the round-6 window): every query with NO green
+       driver row yet — the 5 pre-fix-fail-era queries, the 15 round-5
+       additions, and the new ``cdc_bucket_refresh`` — plus 29
+       rotation re-checks carrying the OLDEST green evidence (r3-era
+       rows and r4 rows whose underlying machinery changed this
+       round). A green round 6 makes the driver-green ledger
+       144/144. Cheap analytics first; the r3 ANN re-checks double as
+       session-memo warmers ahead of emb_ann_recall /
+       emb_hard_negatives; streaming fixtures close the window so a
+       wall-budget cut costs the fewest rows;
+    2. positions 51+: driver-green in rounds 4-5 (freshest evidence),
+       re-checkable on any future rotation.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ---- positions 1-50: never driver-checked before round 5 ----
-        # cheap text/LLM analytics (sweep-measured 0.4-2.4 s each)
+        # ---- positions 1-50: THE ROUND-6 CHECK WINDOW ----
+        # 21 never-driver-checked queries (the 5 fixed-fails, the 15
+        # round-5 additions, the new cdc_bucket_refresh) + 29 rotation
+        # re-checks with the OLDEST driver evidence (23 r3-era rows +
+        # 6 r4 rows riding machinery touched this round: the quantile
+        # sketch rewrite and the snapshot/CDC kernel). Cheap batch
+        # analytics first; the ANN r3 re-checks double as session-memo
+        # warmers and precede emb_ann_recall/emb_hard_negatives; the
+        # streaming fixtures close the window so a wall-budget cut
+        # costs the fewest rows.
+        # never-green classics + round-5 analytics
+        "shipping_priority": kpi.shipping_priority,
+        "returned_items_report": kpi.returned_items_report,
+        "promo_revenue_share": kpi.promo_revenue_share,
+        "nation_market_share": kpi.nation_market_share,
+        "order_priority_fulfillment": kpi.order_priority_fulfillment,
+        "customer_rfm_segments": kpi.customer_rfm_segments,
+        "docs_distinctive_terms": llm.docs_distinctive_terms,
+        "docs_source_overlap_matrix": llm.docs_source_overlap_matrix,
+        "emb_label_outliers": llm.emb_label_outliers,
+        # r3-era re-checks: text / docs / misc (oldest evidence)
+        "docs_text_stats": llm.docs_text_stats,
+        "docs_quality": llm.docs_quality,
+        "docs_lang_id": llm.docs_lang_id,
+        "docs_fingerprint_minhash": llm.docs_fingerprint_minhash,
+        "docs_exact_dedup": llm.docs_exact_dedup,
+        "docs_neardup_jaccard": llm.docs_neardup_jaccard,
+        "docs_neardup_jaccard_cutoff": llm.docs_neardup_jaccard_cutoff,
+        "docs_neardup_minhash": llm.docs_neardup_minhash,
+        "docs_neardup_simhash": llm.docs_neardup_simhash,
+        "docs_neardup_clusters": llm.docs_neardup_clusters,
+        "docs_train_split": llm.docs_train_split,
+        "docs_quality_filter": llm.docs_quality_filter,
+        "docs_decontaminate": llm.docs_decontaminate,
+        "docs_repetition": llm.docs_repetition,
+        "docs_pack_sequences": llm.docs_pack_sequences,
+        "mm_feature_summary": llm.mm_feature_summary,
+        "revenue_grouping_sets": dq.revenue_grouping_sets,
+        "set_ops_actors": dq.set_ops_actors,
+        # r4 re-checks on this round's touched machinery
+        "customer_value_deciles": kpi.customer_value_deciles,
+        "orders_exact_quantiles_twopass": kpi.orders_exact_quantiles_twopass,
+        "customers_snapshot_diff": dq.customers_snapshot_diff,
+        "customers_incremental_agg": dq.customers_incremental_agg,
+        "dedup_lineitem_latest": dq.dedup_lineitem_latest,
+        "dq_metrics": dq.dq_metrics,
+        # ANN family: r3 warmers populate _IVF_CELL_CACHE et al.,
+        # then the never-green dependents run warm
+        "emb_knn_bruteforce": llm.emb_knn_bruteforce,
+        "emb_knn_lsh": llm.emb_knn_lsh,
+        "emb_knn_ivf": llm.emb_knn_ivf,
+        "emb_ann_recall": llm.emb_ann_recall,
+        "emb_hard_negatives": llm.emb_hard_negatives,
+        "emb_cosine_neardup": llm.emb_cosine_neardup,
+        "emb_label_centroids": llm.emb_label_centroids,
+        "emb_quantize_int8": llm.emb_quantize_int8,
+        # generator / producer / file-source / maintenance surface
+        "gen_batch_shape": gen.gen_batch_shape,
+        "gen_corrupt_validate_metrics": gen.gen_corrupt_validate_metrics,
+        "produce_envelopes_shape": gen.produce_envelopes_shape,
+        "filesrc_quarantine_shape": gen.filesrc_quarantine_shape,
+        "silver_compaction_report": gen.silver_compaction_report,
+        "cdc_bucket_refresh": gen.cdc_bucket_refresh,
+        # streaming fixtures last (most expensive)
+        "streaming_ingest_roundtrip": gen.streaming_ingest_roundtrip,
+        "streaming_session_windows": gen.streaming_session_windows,
+        "streaming_late_drop_stats": gen.streaming_late_drop_stats,
+        # ---- positions 51+: driver-green in rounds 4-5, re-checkable
+        # on any future rotation (freshest evidence last) ----
         "docs_winnow_overlap": llm.docs_winnow_overlap,
         "docs_neardup_editdist": llm.docs_neardup_editdist,
         "docs_neardup_clusters_lss": llm.docs_neardup_clusters_lss,
@@ -72,13 +141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunk_overlap": llm.docs_chunk_overlap,
         "docs_weighted_sample": llm.docs_weighted_sample,
         "docs_training_order": llm.docs_training_order,
-        # never-checked KPI/DQ pair
         "customers_segment_drift": dq.customers_segment_drift,
         "revenue_cube": dq.revenue_cube,
-        # advanced-ANN family — artifact builders first: emb_pq_codes
-        # trains+encodes PQ (the one-time spike), emb_kmeans_refine
-        # trains the Lloyd quantizer; every later family member hits
-        # the session memo caches (operators/similarity.py)
         "emb_pq_codes": llm.emb_pq_codes,
         "emb_knn_pq": llm.emb_knn_pq,
         "emb_kmeans_refine": llm.emb_kmeans_refine,
@@ -89,13 +153,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_decontaminate": llm.emb_decontaminate,
         "emb_label_drift": llm.emb_label_drift,
         "emb_dim_reduce": llm.emb_dim_reduce,
-        # multimodal decode/resample family
         "mm_decode_image_stats": llm.mm_decode_image_stats,
         "mm_frame_stats": llm.mm_frame_stats,
         "mm_resize_stats": llm.mm_resize_stats,
         "mm_audio_stats": llm.mm_audio_stats,
         "mm_audio_decimate_stats": llm.mm_audio_decimate_stats,
-        # streaming fixtures (reduced-fixture mode keeps these ~1-3 s)
         "streaming_windowed_kpi": gen.streaming_windowed_kpi,
         "streaming_attribution_join": gen.streaming_attribution_join,
         "streaming_funnel_cep": gen.streaming_funnel_cep,
@@ -105,32 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_users": gen.streaming_hll_users,
         "streaming_cms_user_counts": gen.streaming_cms_user_counts,
         "monitoring_stats": gen.monitoring_stats,
-        # position 50: the most expensive fixture — last in the window
         "pipeline_end_to_end": gen.pipeline_end_to_end,
-        # ---- positions 51-55: old driver rows are pre-fix FAILs ----
-        "emb_quantize_int8": llm.emb_quantize_int8,
-        "gen_batch_shape": gen.gen_batch_shape,
-        "gen_corrupt_validate_metrics": gen.gen_corrupt_validate_metrics,
-        "produce_envelopes_shape": gen.produce_envelopes_shape,
-        "streaming_ingest_roundtrip": gen.streaming_ingest_roundtrip,
-        # ---- new in round 5 (never checked — next rotation) ----
-        "docs_distinctive_terms": llm.docs_distinctive_terms,
-        "docs_source_overlap_matrix": llm.docs_source_overlap_matrix,
-        "emb_label_outliers": llm.emb_label_outliers,
-        "emb_hard_negatives": llm.emb_hard_negatives,
-        "streaming_session_windows": gen.streaming_session_windows,
-        "emb_ann_recall": llm.emb_ann_recall,
-        "streaming_late_drop_stats": gen.streaming_late_drop_stats,
-        "silver_compaction_report": gen.silver_compaction_report,
-        "filesrc_quarantine_shape": gen.filesrc_quarantine_shape,
-        "shipping_priority": kpi.shipping_priority,
-        "returned_items_report": kpi.returned_items_report,
-        "customer_rfm_segments": kpi.customer_rfm_segments,
-        "nation_market_share": kpi.nation_market_share,
-        "promo_revenue_share": kpi.promo_revenue_share,
-        "order_priority_fulfillment": kpi.order_priority_fulfillment,
-        # ---- driver-green in rounds 1-4 ----
-        # R13-R17, R20-R24 — KPI / analytics workload
         "revenue_trend_daily": kpi.revenue_trend_daily,
         "orders_per_minute": kpi.orders_per_minute,
         "revenue_trend_hourly_by_type": kpi.revenue_trend_hourly_by_type,
@@ -163,63 +200,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization_session_window": kpi.sessionization_session_window,
         "jsonb_adhoc": kpi.jsonb_adhoc,
         "throughput_per_topic": kpi.throughput_per_topic,
-        # window-analytics family: group-wise top-k, running totals,
-        # exact percentiles
         "top_products_per_nation": kpi.top_products_per_nation,
         "top_products_per_nation_heap": kpi.top_products_per_nation_heap,
         "customer_running_totals": kpi.customer_running_totals,
-        "customer_value_deciles": kpi.customer_value_deciles,
         "orders_status_pivot": kpi.orders_status_pivot,
         "events_metrics_unpivot": kpi.events_metrics_unpivot,
         "order_value_percentiles": kpi.order_value_percentiles,
-        "orders_exact_quantiles_twopass": kpi.orders_exact_quantiles_twopass,
-        # temporal joins — as-of + range (funnel attribution workload)
         "events_asof_attribution": temporal.events_asof_attribution,
         "events_range_attribution": temporal.events_range_attribution,
-        # R3-R8, R12, R18, R23 — validation / data-quality family
         "dq_fk_orphans": dq.dq_fk_orphans,
         "dq_duplicate_keys": dq.dq_duplicate_keys,
         "dq_constraint_violations": dq.dq_constraint_violations,
         "order_total_reagg": dq.order_total_reagg,
-        "dq_metrics": dq.dq_metrics,
-        "dedup_lineitem_latest": dq.dedup_lineitem_latest,
-        "customers_snapshot_diff": dq.customers_snapshot_diff,
-        "customers_incremental_agg": dq.customers_incremental_agg,
-        "set_ops_actors": dq.set_ops_actors,
-        "revenue_grouping_sets": dq.revenue_grouping_sets,
-        # §2.9 — LLM-data-pipeline operators (driver-mandated)
-        "docs_text_stats": llm.docs_text_stats,
-        "docs_quality": llm.docs_quality,
-        "docs_lang_id": llm.docs_lang_id,
-        "docs_fingerprint_minhash": llm.docs_fingerprint_minhash,
-        "docs_exact_dedup": llm.docs_exact_dedup,
-        "docs_neardup_jaccard": llm.docs_neardup_jaccard,
-        "docs_neardup_jaccard_cutoff": llm.docs_neardup_jaccard_cutoff,
-        "docs_neardup_minhash": llm.docs_neardup_minhash,
-        "docs_neardup_simhash": llm.docs_neardup_simhash,
-        "docs_neardup_clusters": llm.docs_neardup_clusters,
-        "docs_train_split": llm.docs_train_split,
-        "docs_quality_filter": llm.docs_quality_filter,
-        "emb_knn_bruteforce": llm.emb_knn_bruteforce,
-        "emb_knn_lsh": llm.emb_knn_lsh,
-        "emb_knn_ivf": llm.emb_knn_ivf,
-        "emb_cosine_neardup": llm.emb_cosine_neardup,
-        "emb_label_centroids": llm.emb_label_centroids,
-        "mm_feature_summary": llm.mm_feature_summary,
-        # §2.9 round-3 additions — training-data pipeline passes
-        "docs_decontaminate": llm.docs_decontaminate,
-        "docs_repetition": llm.docs_repetition,
-        "docs_pack_sequences": llm.docs_pack_sequences,
-        # §2.2-§2.3 — generation + corruption + validation pipeline
-        # §2.1 S1-S3 — producer/publish path
-        # §2.7 S4-S6/R3-R4 — streaming ingest (exactly-once after replay)
-        # §2.7 — watermarked tumbling-window KPI with late-data drop
-        # §2.7 — stream-stream interval join (watermarked, bounded state)
-        # §2.7 — custom stateful CEP (applyInPandasWithState funnel)
-        # R18/R19 — monitoring tables (processing_stats + consumer_offsets)
-        # LAST on purpose: the single most expensive fixture (full
-        # produce→ingest→marts cycle) — if a harness wall-budget cuts
-        # the sweep short, it costs one row, not several cheaper ones.
     }
     return q
 

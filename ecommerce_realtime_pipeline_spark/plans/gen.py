@@ -511,6 +511,139 @@ def silver_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def cdc_bucket_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-silver CDC loop as a driver-checkable query
+    (`streaming/ingest.cdc_refresh_buckets` — SCALE.md's "run the CDC
+    loop per bucket" realized end to end): snapshot, mutate, diff the
+    TOUCHED BUCKETS ONLY, refresh a per-group aggregate from the change
+    feed, and prove the untouched buckets were never rewritten.
+
+    Fixture: batch A upserts 12 pending orders o01..o12 (totals
+    10..120) into bucketed silver; the snapshot is copied; batch B
+    transitions o01, o02 to 'shipped' and inserts a new pending o13
+    (130) — three keys, three distinct xxhash64 buckets (frozen:
+    {0, 7, 3}). The CDC refresh then runs against the OLD snapshot
+    reading only those buckets, and the output is the full audit:
+
+    - n_pending=11 / 880.00, n_shipped=2 / 30.00 — ANALYTIC constants
+      (o03..o12 stay pending: 750, + o13: 130; the two transitions
+      carry 30);
+    - n_touched_buckets=3 — FROZEN contract (pure function of
+      xxhash64 of the fixed keys);
+    - untouched_byte_identical — every bucket directory outside the
+      touched set must be BYTE-IDENTICAL between snapshots (the
+      upsert never rewrote it; the property that makes per-trigger
+      work O(touched) not O(table));
+    - refresh_equals_recompute — the pruned-read refresh must equal a
+      full recompute over the new snapshot.
+
+    Double-pinned by tests/test_streaming.py's end-to-end CDC test."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.streaming.ingest import (
+        cdc_refresh_buckets,
+        upsert_batch,
+    )
+
+    def env(rows: list[tuple[int, str, float, str, int]]) -> DataFrame:
+        recs = []
+        for off, oid, total, status, upd in rows:
+            payload = json.dumps(
+                {
+                    "order_id": oid,
+                    "customer_id": "c1",
+                    "items": [],
+                    "total": total,
+                    "status": status,
+                    "created_at": "2025-03-01T00:00:00Z",
+                    "updated_at": f"2025-03-01T00:{upd:02d}:00Z",
+                }
+            )
+            recs.append(("orders", 0, off, oid, payload, "2025-03-01T00:00:00Z"))
+        return spark.createDataFrame(
+            recs,
+            "topic string, topic_partition int, topic_offset long, "
+            "message_key string, payload string, consumed_at string",
+        )
+
+    tmp = tempfile.mkdtemp(prefix="eng_cdc_q_")
+    try:
+        silver = os.path.join(tmp, "silver")
+        old_snap = os.path.join(tmp, "silver_old")
+        batch_a = env(
+            [(i, f"o{i:02d}", i * 10.0, "pending", 0) for i in range(1, 13)]
+        )
+        upsert_batch(spark, batch_a, "orders", silver)
+        shutil.copytree(silver, old_snap)
+        batch_b = env(
+            [
+                (100, "o01", 10.0, "shipped", 30),
+                (101, "o02", 20.0, "shipped", 30),
+                (102, "o13", 130.0, "pending", 30),
+            ]
+        )
+        touched = upsert_batch(spark, batch_b, "orders", silver)
+        touched_dirs = {f"bucket={b}" for b in touched}
+        identical = True
+        for d in os.listdir(old_snap):
+            if not d.startswith("bucket=") or d in touched_dirs:
+                continue
+            old_dir = os.path.join(old_snap, d)
+            new_dir = os.path.join(silver, d)
+            old_files = sorted(
+                f for f in os.listdir(old_dir) if f.endswith(".parquet")
+            )
+            new_files = (
+                sorted(f for f in os.listdir(new_dir) if f.endswith(".parquet"))
+                if os.path.isdir(new_dir)
+                else []
+            )
+            if old_files != new_files:
+                identical = False
+                continue
+            for f in old_files:
+                with open(os.path.join(old_dir, f), "rb") as fa, open(
+                    os.path.join(new_dir, f), "rb"
+                ) as fb:
+                    if fa.read() != fb.read():
+                        identical = False
+        agg = lambda df: df.groupBy("status").agg(  # noqa: E731
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("total").cast("decimal(18,2)")).alias("sum_val"),
+        )
+        prev_agg = agg(spark.read.parquet(old_snap))
+        refreshed = cdc_refresh_buckets(
+            spark, old_snap, silver, "orders", touched, "status", "total",
+            prev_agg,
+        )
+        as_map = lambda df: {  # noqa: E731
+            r["status"]: (r["n_rows"], str(r["sum_val"])) for r in df.collect()
+        }
+        rmap = as_map(refreshed)
+        matches = rmap == as_map(agg(spark.read.parquet(silver)))
+        return spark.createDataFrame(
+            [
+                (
+                    int(rmap["pending"][0]),
+                    float(rmap["pending"][1]),
+                    int(rmap["shipped"][0]),
+                    float(rmap["shipped"][1]),
+                    len(touched),
+                    bool(identical),
+                    bool(matches),
+                )
+            ],
+            "n_pending long, pending_revenue double, n_shipped long, "
+            "shipped_revenue double, n_touched_buckets long, "
+            "untouched_byte_identical boolean, refresh_equals_recompute boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def streaming_late_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 observability: the watermark's LATE-DROP COUNTER, read from
     the engine's own state-operator metrics (StreamingQueryProgress
@@ -1413,6 +1546,21 @@ GEN_ORACLES: dict[str, str] = {
     # values): the 30-row silver snapshot after the replayed ingest is
     # seed-deterministic (generator + fixture are fixed), pinned by
     # tests/test_streaming.py; frozen here for a driver value-hash.
+    # cdc_bucket_refresh: analytic constants for the aggregate columns
+    # (fixture arithmetic in the docstring); n_touched_buckets=3 is
+    # FROZEN (pure function of xxhash64 over the fixed keys o01, o02,
+    # o13 → buckets {0, 7, 3}); the two booleans are the tested
+    # invariants themselves — byte-identity of untouched buckets and
+    # refresh ≡ recompute — and must ALWAYS be true.
+    "cdc_bucket_refresh": """
+        SELECT CAST(11 AS BIGINT) AS n_pending,
+               CAST(880.0 AS DOUBLE) AS pending_revenue,
+               CAST(2 AS BIGINT) AS n_shipped,
+               CAST(30.0 AS DOUBLE) AS shipped_revenue,
+               CAST(3 AS BIGINT) AS n_touched_buckets,
+               TRUE AS untouched_byte_identical,
+               TRUE AS refresh_equals_recompute
+    """,
     "streaming_ingest_roundtrip": """
         SELECT customer_id, email, name,
                CAST(ca AS TIMESTAMP) AS created_at,
