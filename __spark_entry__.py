@@ -212,6 +212,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_duplicate_keys": dq.dq_duplicate_keys,
         "dq_constraint_violations": dq.dq_constraint_violations,
         "order_total_reagg": dq.order_total_reagg,
+        # round-6 additions (driver rows next rotation)
+        "customer_order_distribution": kpi.customer_order_distribution,
+        "large_order_customers": kpi.large_order_customers,
+        "dormant_customer_balance": kpi.dormant_customer_balance,
+        "nation_supplier_hhi": kpi.nation_supplier_hhi,
     }
     return q
 

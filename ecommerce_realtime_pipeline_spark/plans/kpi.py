@@ -1450,3 +1450,158 @@ def order_priority_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_late_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-flavor customer distribution: how many customers
+    placed exactly N orders, for every N seen (including 0 via the
+    LEFT join — a customer with no orders must land in the zero
+    bucket, the classic outer-join-then-histogram shape).
+
+    Plan: orders aggregates FIRST (one scan → customer-cardinality
+    counts), then ONE equi-join against the customer keys (no
+    broadcast hint on either side — both are scale-linear; AQE
+    promotes if one measures small), then the |distinct counts|-row
+    histogram. Never a per-customer correlated subquery."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("_n"))
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-flavor large-volume orders: the top-20 orders whose
+    total line quantity exceeds 300 units, decorated with the customer
+    — the bulk-buyer watchlist.
+
+    Plan: lineitem aggregates FIRST (per-order decimal-exact quantity
+    sum, one scan), the HAVING filter shrinks it to the handful of
+    qualifying orders BEFORE any join; the orders/customer decoration
+    joins run on that filtered set (AQE sees the tiny side at runtime
+    — no hard hints on the scale-linear dims); TakeOrdered top-20."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast(_D).alias("_q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("_q").alias("_qty"))
+        .filter(F.col("_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            _as_double(F.col("o_totalprice")).alias("order_total"),
+            _as_double(F.col("_qty")).alias("total_qty"),
+        )
+        .orderBy(F.desc("order_total"), "o_orderkey")
+        .limit(20)
+    )
+
+
+def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-flavor dormant-capital report: customers whose account
+    balance exceeds the average POSITIVE balance but who placed no
+    order on/after 1999-09-01 — per market segment, how many such
+    dormant high-balance customers and how much balance they hold (the
+    re-engagement target list).
+
+    Exactness: the threshold comparison is division-free —
+    ``acctbal · n > Σbal`` in exact DECIMAL (mirrored verbatim in the
+    oracle), so no engine-specific average rounding can flip a
+    boundary customer. Plan: the 1-row positive-balance aggregate
+    broadcasts; dormancy is a LEFT ANTI equi-join against the
+    date-filtered orders scan (filter pushed; never NOT IN over a
+    subquery per row); output is a |segments|-row aggregate."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(_D)).alias("_s"),
+        F.count("*").cast("decimal(12,0)").alias("_n"),
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-09-01"))
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast(_D) * F.col("_n") > F.col("_s")
+    )
+    dormant = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _as_double(F.sum(F.col("c_acctbal").cast(_D))).alias(
+                "total_balance"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-flavor market concentration: per supplier nation, the
+    Herfindahl-Hirschman index of its suppliers' revenue shares plus
+    the top-supplier share — the is-this-market-captured report.
+
+    Exactness: per-supplier revenue reduces to DECIMAL(18,2) (2dp
+    round, both engines exact), so its square is the exact (37,4)
+    product and the per-nation Σr² / (Σr)² needs only ONE double
+    divide per nation row (4dp-rounded). Plan: lineitem aggregates
+    FIRST to supplier cardinality; supplier joins that aggregate
+    UN-hinted (scale-linear dim — AQE promotes when small, the
+    nation_market_share policy); nation broadcasts; the HHI fold is a
+    |nations|-row aggregate. No global window anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = _money("l_extendedprice") * (F.lit(1).cast(_D) - _money("l_discount"))
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(vol), 2).cast(_D).alias("_r"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        per_supp.join(supplier, per_supp["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+    )
+    sq = (F.col("_r") * F.col("_r")).alias("_r2")  # exact (37,4)
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            _as_double(F.sum("_r")).alias("total_revenue"),
+            F.round(
+                F.max("_r").cast("double")
+                / F.sum("_r").cast("double"),
+                4,
+            ).alias("top_share"),
+            F.round(
+                F.sum(sq).cast("double")
+                / (F.sum("_r").cast("double") * F.sum("_r").cast("double")),
+                4,
+            ).alias("hhi"),
+        )
+        .orderBy(F.desc("hhi"), "n_name")
+    )

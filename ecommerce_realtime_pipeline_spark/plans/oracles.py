@@ -915,3 +915,84 @@ KPI_ORACLES["order_priority_fulfillment"] = """
       )
     GROUP BY 1 ORDER BY 1
 """
+
+KPI_ORACLES["customer_order_distribution"] = """
+    WITH per_cust AS (
+        SELECT o_custkey, count(*) AS _n FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(_n, 0) AS n_orders,
+           count(*) AS n_customers
+    FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+    GROUP BY 1
+    ORDER BY n_customers DESC, n_orders DESC
+"""
+
+KPI_ORACLES["large_order_customers"] = """
+    WITH big AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS _qty
+        FROM lineitem GROUP BY 1
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS order_total,
+           CAST(ROUND(_qty, 2) AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY order_total DESC, o_orderkey
+    LIMIT 20
+"""
+
+KPI_ORACLES["dormant_customer_balance"] = """
+    WITH pos AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS _s,
+               CAST(count(*) AS DECIMAL(12,0)) AS _n
+        FROM customer WHERE c_acctbal > 0
+    ),
+    rich AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer, pos
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * _n > _s
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_balance
+    FROM rich
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = rich.c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-09-01 00:00:00'
+    )
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+KPI_ORACLES["nation_supplier_hhi"] = """
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                    AS DECIMAL(18,2)) AS _r
+        FROM lineitem GROUP BY 1
+    )
+    SELECT n_name,
+           count(*) AS n_suppliers,
+           CAST(ROUND(SUM(_r), 2) AS DOUBLE) AS total_revenue,
+           ROUND(CAST(MAX(_r) AS DOUBLE) / CAST(SUM(_r) AS DOUBLE), 4)
+               AS top_share,
+           -- operands widened to (19,2): DuckDB executes a
+           -- (18,2)x(18,2) product in int64 storage and overflows;
+           -- (19,2) forces int128. Spark's exact (37,4) product of
+           -- the (18,2) values is numerically identical.
+           ROUND(CAST(SUM(CAST(_r AS DECIMAL(19,2)) * CAST(_r AS DECIMAL(19,2)))
+                      AS DOUBLE)
+                 / (CAST(SUM(_r) AS DOUBLE) * CAST(SUM(_r) AS DOUBLE)), 4)
+               AS hhi
+    FROM per_supp
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1
+    ORDER BY hhi DESC, n_name
+"""

@@ -445,3 +445,42 @@ def test_rfm_segments_no_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "customer_rfm_segments")
     assert "Window" not in plan, plan
     assert "ntile" not in plan, plan
+
+
+def test_order_distribution_aggregates_before_join(spark, sf_dir):
+    """Q13 shape: one orders scan + one customer scan, histogram built
+    on the aggregated (customer-cardinality) side — never a correlated
+    per-customer subquery or cartesian."""
+    plan = _plan(spark, sf_dir, "customer_order_distribution")
+    assert len(re.findall(r"orders\.parquet", plan)) == 1, plan
+    assert len(re.findall(r"customer\.parquet", plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_large_orders_filters_before_decoration(spark, sf_dir):
+    """Q18 shape: the quantity HAVING shrinks the per-order aggregate
+    before the orders/customer joins; top-20 is TakeOrdered."""
+    plan = _plan(spark, sf_dir, "large_order_customers")
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dormant_balance_anti_join_pushed_date(spark, sf_dir):
+    """Q22 shape: dormancy is a LEFT ANTI equi-join, the order-date
+    filter reaches the orders scan, the 1-row threshold aggregate
+    attaches via broadcast (no per-row subquery)."""
+    plan = _plan(spark, sf_dir, "dormant_customer_balance")
+    assert "LeftAnti" in plan, plan
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_supplier_hhi_single_scan_no_window(spark, sf_dir):
+    """Q11-flavor concentration: one lineitem scan, supplier join on
+    the aggregated (supplier-cardinality) side, no global window, no
+    cartesian."""
+    plan = _plan(spark, sf_dir, "nation_supplier_hhi")
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
