@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_order_customers": kpi.large_order_customers,
         "dormant_customer_balance": kpi.dormant_customer_balance,
         "nation_supplier_hhi": kpi.nation_supplier_hhi,
+        "emb_cluster_quality": llm.emb_cluster_quality,
+        "docs_curriculum_order": llm.docs_curriculum_order,
+        "vocab_coverage": llm.vocab_coverage,
     }
     return q
 

@@ -879,6 +879,62 @@ def kmeans_refine(
     return out
 
 
+def kmeans_cluster_quality(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    col: str = "embedding",
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Clustering-quality report for the Lloyd-refined quantizer: per
+    surviving cell, member count, exact inertia (Σ squared-L2 to the
+    cell's FINAL centroid), mean squared distance, and population
+    share — the balance/tightness audit run before shipping an IVF
+    index (a fat or diffuse cell means slow probes and poor recall).
+
+    Exactness: one extra decimal-exact assignment pass against the
+    refined centroids (the shared ``_kmeans_decimal_dists`` kernel,
+    min-cid tie-break), so per-cell inertia is an exact DECIMAL(38,14)
+    sum both engines reproduce bit-for-bit before the final 4dp/6dp
+    rounds. Scale: rides the session-memoized training loop; the extra
+    pass is one broadcast join + two skinny partial-agg shuffles; the
+    report is ≤ k rows."""
+    cents, _ = _kmeans_loop(emb, k, iters, col, seed, cache_key)
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col(col)).alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    d = _kmeans_decimal_dists(comp, cents)
+    best = (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("_m"))
+        .select(
+            "vec_id",
+            F.col("_m.cid").alias("cid"),
+            F.col("_m.d").alias("_d"),
+        )
+    )
+    per_cell = best.groupBy("cid").agg(
+        F.count("*").alias("n_vecs"), F.sum("_d").alias("_inertia")
+    )
+    total = best.agg(F.count("*").alias("_t"))
+    return (
+        per_cell.crossJoin(F.broadcast(total))
+        .select(
+            "cid",
+            "n_vecs",
+            F.round(F.col("_inertia").cast("double"), 4).alias("inertia"),
+            F.round(
+                F.col("_inertia").cast("double") / F.col("n_vecs"), 6
+            ).alias("mean_sq_dist"),
+            F.round(
+                F.col("n_vecs").cast("double") / F.col("_t"), 4
+            ).alias("share"),
+        )
+        .orderBy("cid")
+    )
+
+
 def knn_ivf_refined(
     emb: DataFrame,
     queries: DataFrame,

@@ -4013,3 +4013,205 @@ LLM_ORACLES["emb_ann_recall"] = f"""
     FROM qs LEFT JOIN hits USING (query_id)
     ORDER BY query_id
 """
+
+
+def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell quality audit of the Lloyd-refined quantizer
+    (`similarity.kmeans_cluster_quality`): member count, exact
+    DECIMAL inertia against the FINAL centroids, mean squared
+    distance, and population share — the balance/tightness report a
+    production ANN deployment reads before shipping an IVF index.
+    Rides the session-memoized training loop; the oracle extends the
+    kmeans CTE chain with the same extra assignment pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.kmeans_cluster_quality(emb, cache_key=f"{sf_dir}/embeddings")
+
+
+LLM_ORACLES["emb_cluster_quality"] = _KMEANS_CTES + """
+    ,
+    dq_ AS (
+        SELECT comp.vec_id, c2.cid,
+               SUM(CAST((comp.x - c2.y) * (comp.x - c2.y)
+                        AS DECIMAL(28,14))) AS d
+        FROM comp JOIN c2 USING (pos) GROUP BY 1, 2
+    ),
+    mq AS (SELECT vec_id, MIN(d) AS md FROM dq_ GROUP BY 1),
+    aq AS (
+        SELECT dq_.vec_id, MIN(dq_.cid) AS cid, MIN(mq.md) AS md
+        FROM dq_ JOIN mq ON dq_.vec_id = mq.vec_id AND dq_.d = mq.md
+        GROUP BY 1
+    ),
+    cells AS (
+        SELECT cid, count(*) AS n_vecs, SUM(md) AS inertia_d
+        FROM aq GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS t FROM aq)
+    SELECT CAST(cid AS INT) AS cid,
+           n_vecs,
+           ROUND(CAST(inertia_d AS DOUBLE), 4) AS inertia,
+           ROUND(CAST(inertia_d AS DOUBLE) / n_vecs, 6) AS mean_sq_dist,
+           ROUND(CAST(n_vecs AS DOUBLE) / t, 4) AS share
+    FROM cells, tot
+    ORDER BY cid
+"""
+
+
+CURRICULUM_BUCKETS = 10
+
+
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum construction: every document scored by
+    BPE-ish token count (the standard short→long curriculum proxy) and
+    bucketed into 10 curriculum stages with SQL-standard ntile
+    semantics and a doc_id tie-break — the stage table a trainer joins
+    to schedule its data loader. Output per stage: doc count, token
+    range, token budget.
+
+    Scale (the customer_rfm_segments pattern, second consumer): the 9
+    stage-closing boundary ROWS — heavy integer ties make the (value,
+    tie) form of `sketch.exact_rank_rows_twopass` necessary, a
+    value-only quantile cannot say WHICH tied doc closes a stage —
+    come from histogram-localized order statistics; stage assignment
+    is literal lexicographic comparisons. No global window; the fold
+    is a 10-row aggregate. Oracle keeps plain ntile(10)."""
+    from ecommerce_realtime_pipeline_spark.operators import sketch as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", TX.bpe_ish_token_count("text").alias("n_tokens")
+    ).localCheckpoint(eager=True)
+    n = scored.count()
+    q, rem = divmod(n, CURRICULUM_BUCKETS)
+    ks = [
+        max(1, i * q + min(i, rem)) for i in range(1, CURRICULUM_BUCKETS)
+    ]
+    bounds = SK.exact_rank_rows_twopass(scored, "n_tokens", "doc_id", ks)
+    stage = F.lit(1)
+    for _k, v, t in bounds:
+        stage = stage + F.when(
+            (F.col("n_tokens") > F.lit(v))
+            | ((F.col("n_tokens") == F.lit(v)) & (F.col("doc_id") > F.lit(t))),
+            1,
+        ).otherwise(0)
+    return (
+        scored.withColumn("stage", stage)
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("stage_token_budget"),
+        )
+        .orderBy("stage")
+    )
+
+
+LLM_ORACLES["docs_curriculum_order"] = r"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(
+                   text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT)
+                   AS n_tokens
+        FROM documents
+    ),
+    staged AS (
+        SELECT doc_id, n_tokens,
+               ntile(10) OVER (ORDER BY n_tokens, doc_id) AS stage
+        FROM scored
+    )
+    SELECT CAST(stage AS INT) AS stage,
+           count(*) AS n_docs,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS stage_token_budget
+    FROM staged
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+COVERAGE_KS = (10, 100, 1000)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning: what fraction of all corpus token
+    OCCURRENCES the top-10 / top-100 / top-1000 vocabulary types cover
+    — the Zipf-curve summary that decides how large a vocab (or how
+    aggressive a BPE merge budget) the corpus needs.
+
+    Scale: ONE corpus tokenize → vocab-cardinality count table,
+    checkpointed so the total and the cut read it without re-scanning
+    the corpus; the ordered cut is a TakeOrdered of the max K (1000
+    rows, bounded BY CONSTRUCTION — never a global sort of the
+    vocab); ranks within that bounded frame are a single-partition
+    window over ≤1000 rows; coverage is 3 conditional sums against
+    the 1-row broadcast total. Ties at the cut broken by token text
+    (both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(
+        F.sum("cnt").cast("long").alias("_total"),
+        F.count("*").cast("long").alias("_types"),
+    )
+    top = counts.orderBy(F.desc("cnt"), "tok").limit(max(COVERAGE_KS))
+    from pyspark.sql import Window as W
+
+    # window over the LIMITed frame: ≤ max(K) rows by construction
+    rn = F.row_number().over(W.orderBy(F.desc("cnt"), "tok"))
+    ranked = top.withColumn("_rn", rn)
+    covered = [
+        F.sum(F.when(F.col("_rn") <= k, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias(f"_c{k}")
+        for k in COVERAGE_KS
+    ]
+    agg = ranked.agg(*covered).crossJoin(F.broadcast(total))
+    cols = []
+    for k in COVERAGE_KS:
+        cols.append(F.col(f"_c{k}").alias(f"covered_top{k}"))
+        cols.append(
+            F.round(
+                F.col(f"_c{k}").cast("double") / F.col("_total"), 4
+            ).alias(f"coverage_top{k}")
+        )
+    return agg.select(
+        F.col("_total").alias("n_token_occurrences"),
+        F.col("_types").alias("n_token_types"),
+        *cols,
+    )
+
+
+LLM_ORACLES["vocab_coverage"] = """
+    WITH counts AS (
+        SELECT tok, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS types
+        FROM counts
+    )
+    SELECT tot.total AS n_token_occurrences,
+           tot.types AS n_token_types,
+           CAST(SUM(cnt) FILTER (rn <= 10) AS BIGINT) AS covered_top10,
+           ROUND(CAST(SUM(cnt) FILTER (rn <= 10) AS DOUBLE) / tot.total, 4)
+               AS coverage_top10,
+           CAST(SUM(cnt) FILTER (rn <= 100) AS BIGINT) AS covered_top100,
+           ROUND(CAST(SUM(cnt) FILTER (rn <= 100) AS DOUBLE) / tot.total, 4)
+               AS coverage_top100,
+           CAST(SUM(cnt) FILTER (rn <= 1000) AS BIGINT) AS covered_top1000,
+           ROUND(CAST(SUM(cnt) FILTER (rn <= 1000) AS DOUBLE) / tot.total, 4)
+               AS coverage_top1000
+    FROM ranked, tot
+    GROUP BY tot.total, tot.types
+"""

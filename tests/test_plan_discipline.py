@@ -484,3 +484,31 @@ def test_supplier_hhi_single_scan_no_window(spark, sf_dir):
     assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cluster_quality_broadcast_assignment_no_cartesian(spark, sf_dir):
+    """The extra assignment pass joins the (k·dim)-row centroid table
+    as a broadcast hash join; the only nested-loop is the 1-row
+    scalar-total attach (crossJoin(broadcast(1-row)) — the standard
+    scalar pattern), never an unbounded cartesian."""
+    plan = _plan(spark, sf_dir, "emb_cluster_quality")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_curriculum_order_no_global_window(spark, sf_dir):
+    """Stage assignment is literal boundary comparisons (the RFM
+    de-weak pattern) — the final plan carries no window at all."""
+    plan = _plan(spark, sf_dir, "docs_curriculum_order")
+    assert "Window" not in plan, plan
+    assert "ntile" not in plan, plan
+
+
+def test_vocab_coverage_single_corpus_pass_bounded_cut(spark, sf_dir):
+    """The count table is checkpointed (0 parquet scans in the final
+    plan — corpus tokenized exactly once) and the ordered cut is
+    TakeOrdered of a bounded frame, not a global vocab sort."""
+    plan = _plan(spark, sf_dir, "vocab_coverage")
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "TakeOrdered" in plan, plan
