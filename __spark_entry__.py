@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cluster_quality": llm.emb_cluster_quality,
         "docs_curriculum_order": llm.docs_curriculum_order,
         "vocab_coverage": llm.vocab_coverage,
+        "nation_trade_flows": kpi.nation_trade_flows,
+        "top_supplier_quarter": kpi.top_supplier_quarter,
+        "discount_revenue_impact": kpi.discount_revenue_impact,
     }
     return q
 

@@ -1605,3 +1605,121 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("hhi"), "n_name")
     )
+
+
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-flavor bilateral trade: line revenue shipped between
+    NATION_1 and NATION_2 (both directions), per ship year — the
+    two-dimension-decorated fact shape (supplier nation AND customer
+    nation on one lineitem scan).
+
+    Plan: the 2-row filtered nation dim broadcasts into supplier and
+    customer, shrinking both scale-linear dims to the two target
+    nations BEFORE they touch the fact; orders joins lineitem equi;
+    no hard hints on the linear dims (AQE promotes the filtered
+    sides); the rollup is |years × 2| rows."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    vol = _money("l_extendedprice") * (F.lit(1).cast(_D) - _money("l_discount"))
+    j = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            _as_double(F.sum(vol)).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-flavor top supplier: the supplier(s) with the maximum
+    line revenue in 1999 Q1 — the argmax-with-join-back shape (the
+    revenue view is computed once, its max is a 1-row broadcast, and
+    equality joins back; DECIMAL-exact revenue makes the tie equality
+    engine-safe).
+
+    Plan: the quarter filter is pushed to the lineitem scan; the
+    per-supplier aggregate is supplier-cardinality; the 1-row max
+    broadcasts; the name decoration joins the (usually 1-row) winner
+    set."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01"))
+            & (F.col("l_shipdate") < F.lit("1999-04-01"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    vol = _money("l_extendedprice") * (F.lit(1).cast(_D) - _money("l_discount"))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(vol), 2).cast(_D).alias("_rev"))
+    )
+    top = rev.agg(F.max("_rev").alias("_max"))
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev") == F.col("_max"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            _as_double(F.col("_rev")).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def discount_revenue_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-flavor what-if: revenue that would have been gained in
+    1999 by eliminating small discounts (5-7%) on small orders
+    (quantity < 10) — ONE filtered scan, every predicate pushed to
+    parquet, one decimal-exact aggregate row. The canonical
+    scan-efficiency probe."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 10)
+    )
+    gain = _money("l_extendedprice") * _money("l_discount")
+    return li.agg(
+        F.count("*").alias("n_lines"),
+        _as_double(F.sum(gain)).alias("potential_revenue"),
+    )

@@ -996,3 +996,54 @@ KPI_ORACLES["nation_supplier_hhi"] = """
     GROUP BY 1
     ORDER BY hhi DESC, n_name
 """
+
+KPI_ORACLES["nation_trade_flows"] = """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           count(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+KPI_ORACLES["top_supplier_quarter"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                    AS DECIMAL(18,2)) AS _rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1999-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(_rev, 2) AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE _rev = (SELECT MAX(_rev) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+KPI_ORACLES["discount_revenue_impact"] = """
+    SELECT count(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS potential_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 10
+"""

@@ -512,3 +512,36 @@ def test_vocab_coverage_single_corpus_pass_bounded_cut(spark, sf_dir):
     plan = _plan(spark, sf_dir, "vocab_coverage")
     assert plan.count("FileScan parquet") == 0, plan
     assert "TakeOrdered" in plan, plan
+
+
+def test_trade_flows_filtered_dims_single_fact_scan(spark, sf_dir):
+    """Q7 shape: one lineitem scan; the 2-row filtered nation dim
+    broadcasts into supplier/customer before they touch the fact; no
+    cartesian."""
+    plan = _plan(spark, sf_dir, "nation_trade_flows")
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_top_supplier_argmax_pushed_quarter(spark, sf_dir):
+    """Q15 shape: the quarter filter reaches the lineitem scan; the
+    max attaches as a 1-row broadcast (no self-join of the full view,
+    no window)."""
+    plan = _plan(spark, sf_dir, "top_supplier_quarter")
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"lineitem\.parquet", plan)) <= 2, plan
+
+
+def test_discount_impact_all_filters_pushed(spark, sf_dir):
+    """Q6 shape: every predicate (date range, discount band, quantity)
+    reaches the parquet scan; single scan, no join."""
+    plan = _plan(spark, sf_dir, "discount_revenue_impact")
+    # toString TRUNCATES a long PushedFilters list (no closing bracket)
+    # — assert per-column on the list's prefix instead
+    pushed = re.search(r"PushedFilters: \[[^\n]*", plan)
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed.group(0), (col, pushed.group(0))
+    assert "Join" not in plan, plan
