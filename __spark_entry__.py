@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_flows": kpi.nation_trade_flows,
         "top_supplier_quarter": kpi.top_supplier_quarter,
         "discount_revenue_impact": kpi.discount_revenue_impact,
+        "docs_dedup_yield_curve": llm.docs_dedup_yield_curve,
+        "docs_zipf_fit": llm.docs_zipf_fit,
     }
     return q
 

@@ -4215,3 +4215,133 @@ LLM_ORACLES["vocab_coverage"] = """
     FROM ranked, tot
     GROUP BY tot.total, tot.types
 """
+
+
+YIELD_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def docs_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning: for each candidate Jaccard threshold,
+    how many near-dup pairs qualify and how many documents the
+    keep-lowest-id pairwise rule would drop — the yield curve a
+    pipeline owner reads before committing to a dedup threshold
+    (too low = corpus shrinkage, too high = residual duplication).
+
+    n_docs_removed counts docs that are the HIGHER id of ≥1 qualifying
+    pair (the pairwise upper bound on removal; cluster-exact removal
+    is the separate `docs_neardup_clusters` op). ONE inverted-index
+    pair pass at the loosest threshold; the 5-row threshold table
+    joins by inequality as a broadcast of constants; the fold is
+    |thresholds|-row."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, threshold=min(YIELD_THRESHOLDS), n=3)
+    th = spark.createDataFrame(
+        [(t,) for t in YIELD_THRESHOLDS], "threshold double"
+    )
+    return (
+        pairs.join(F.broadcast(th), F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_removed"),
+        )
+        .orderBy("threshold")
+    )
+
+
+LLM_ORACLES["docs_dedup_yield_curve"] = f"""
+    WITH qualifying AS ({_JACCARD_SQL}),
+    th AS (
+        SELECT CAST(t AS DOUBLE) AS threshold
+        FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) AS v(t)
+    )
+    SELECT threshold,
+           count(*) AS n_pairs,
+           CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_removed
+    FROM qualifying JOIN th ON jaccard >= threshold
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+ZIPF_TOP_N = 1000
+
+
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: ordinary-least-squares fit of
+    ln(frequency) against ln(rank) over the top-1000 vocabulary types
+    — the slope (≈ −1 for natural language) and R² that tell a corpus
+    curator whether a source looks like organic text or like
+    templated/generated boilerplate (flat or cliff-shaped curves).
+
+    Scale (the vocab_coverage pattern): one tokenize → checkpointed
+    vocab-sized counts; the fit frame is a TakeOrdered of 1000 rows,
+    bounded BY CONSTRUCTION (ranking window runs over ≤1000 rows);
+    the OLS reduction is one aggregate over that frame. 4dp-rounded
+    doubles; ties at the cut broken by token text in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    top = counts.orderBy(F.desc("cnt"), "tok").limit(ZIPF_TOP_N)
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.orderBy(F.desc("cnt"), "tok"))
+    xy = top.withColumn("_rn", rn).select(
+        F.log(F.col("_rn").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(cov / varx, 4).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - (cov / varx) * F.col("sx")) / F.col("n"), 4
+        ).alias("zipf_intercept"),
+        F.round((cov * cov) / (varx * vary), 4).alias("r_squared"),
+    )
+
+
+LLM_ORACLES["docs_zipf_fit"] = """
+    WITH counts AS (
+        SELECT tok, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1
+    ),
+    top AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+        FROM counts
+        ORDER BY cnt DESC, tok
+        LIMIT 1000
+    ),
+    xy AS (
+        SELECT ln(CAST(rn AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+               AS zipf_intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r_squared
+    FROM s
+"""

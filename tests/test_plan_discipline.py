@@ -545,3 +545,20 @@ def test_discount_impact_all_filters_pushed(spark, sf_dir):
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed.group(0), (col, pushed.group(0))
     assert "Join" not in plan, plan
+
+
+def test_dedup_yield_curve_single_pair_pass(spark, sf_dir):
+    """The yield curve reuses ONE inverted-index pair pass; the
+    threshold attach is a bounded 5-row broadcast — never a cartesian
+    over docs, never a second shingle join."""
+    plan = _plan(spark, sf_dir, "docs_dedup_yield_curve")
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"documents\.parquet", plan)) <= 2, plan
+
+
+def test_zipf_fit_bounded_frame(spark, sf_dir):
+    """The OLS reduction runs over a TakeOrdered-bounded 1000-row
+    frame off the checkpointed vocab (0 parquet re-scans)."""
+    plan = _plan(spark, sf_dir, "docs_zipf_fit")
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "TakeOrdered" in plan, plan
