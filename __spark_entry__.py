@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_revenue_impact": kpi.discount_revenue_impact,
         "docs_dedup_yield_curve": llm.docs_dedup_yield_curve,
         "docs_zipf_fit": llm.docs_zipf_fit,
+        "emb_recall_vs_probes": llm.emb_recall_vs_probes,
     }
     return q
 

@@ -89,6 +89,14 @@ STRESS_QUERIES = [
     # TakeOrdered; must stay linear in fact rows
     "shipping_priority",
     "returned_items_report",
+    # round-6 additions: the de-weaked quintile scoring (boundary
+    # order statistics must stay 3 bounded passes, never a global
+    # sort), the outer-join histogram, the yield-curve shingle pass,
+    # and the per-nation concentration fold — all linear in rows
+    "customer_rfm_segments",
+    "customer_order_distribution",
+    "docs_dedup_yield_curve",
+    "nation_supplier_hhi",
 ]
 
 

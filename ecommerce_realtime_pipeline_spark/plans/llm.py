@@ -4345,3 +4345,73 @@ LLM_ORACLES["docs_zipf_fit"] = """
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r_squared
     FROM s
 """
+
+
+RECALL_PROBE_COUNTS = (1, 2, 4, 8)
+
+
+def emb_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@5 against brute-force ground truth
+    at n_probe ∈ {1, 2, 4, 8} of 16 cells — the speed/recall frontier
+    every ANN deployment sweeps before fixing its probe budget (probe
+    count is the ONLY serving-time knob; this is the table that sets
+    it).
+
+    Scale: the posting lists and centroid assignment are session-
+    memoized (built once across all four probe counts — only the
+    per-query cell ranking and the candidate rerank re-run, both
+    query-sized); ground truth is the same bounded brute pass
+    emb_ann_recall uses. Oracle: four probe-parameterized replays of
+    the IVF CTE chain counted against the brute chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vectors(emb)
+    brute = SIM.knn_bruteforce(emb, qv, k=KNN_K)
+    bt = brute.agg(F.count("*").alias("_bt"))
+    out = None
+    for p in RECALL_PROBE_COUNTS:
+        approx = SIM.knn_ivf(
+            emb, qv, k=KNN_K, n_probe=p, cache_key=f"{sf_dir}/embeddings"
+        )
+        h = (
+            brute.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").alias("_h"))
+            .crossJoin(F.broadcast(bt))
+            .select(
+                F.lit(p).alias("n_probe"),
+                F.col("_h").cast("long").alias("n_hits"),
+                F.round(
+                    F.col("_h").cast("double") / F.col("_bt"), 4
+                ).alias("mean_recall"),
+            )
+        )
+        out = h if out is None else out.unionByName(h)
+    return out.orderBy("n_probe")
+
+
+def _ivf_ranked_sql(n_probe: int) -> str:
+    """The emb_knn_ivf oracle chain with its probe budget swapped —
+    the probes CTE is the single 'rn <= 8' site."""
+    sql = LLM_ORACLES["emb_knn_ivf"]
+    assert sql.count("rn <= 8") == 1
+    return sql.replace("rn <= 8", f"rn <= {n_probe}")
+
+
+LLM_ORACLES["emb_recall_vs_probes"] = (
+    "WITH brute AS ({brute}),\n".format(brute=LLM_ORACLES["emb_knn_bruteforce"])
+    + ",\n".join(
+        f"p{p} AS ({_ivf_ranked_sql(p)})" for p in RECALL_PROBE_COUNTS
+    )
+    + ",\n tot AS (SELECT count(*) AS bt FROM brute)\n"
+    + "\nUNION ALL\n".join(
+        f"""
+        SELECT {p} AS n_probe,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               ROUND(count(*) * 1.0 / ANY_VALUE(tot.bt), 4) AS mean_recall
+        FROM brute JOIN p{p}
+          ON brute.query_id = p{p}.query_id
+         AND brute.neighbor_id = p{p}.neighbor_id, tot
+        """
+        for p in RECALL_PROBE_COUNTS
+    )
+    + "\nORDER BY n_probe"
+)

@@ -562,3 +562,12 @@ def test_zipf_fit_bounded_frame(spark, sf_dir):
     plan = _plan(spark, sf_dir, "docs_zipf_fit")
     assert plan.count("FileScan parquet") == 0, plan
     assert "TakeOrdered" in plan, plan
+
+
+def test_recall_vs_probes_no_cartesian_semi_joins(spark, sf_dir):
+    """Four probe variants share the memoized posting lists; every
+    hit-count is a LEFT SEMI equi-join on (query_id, neighbor_id) —
+    no cartesian anywhere in the union."""
+    plan = _plan(spark, sf_dir, "emb_recall_vs_probes")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
