@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_yield_curve": llm.docs_dedup_yield_curve,
         "docs_zipf_fit": llm.docs_zipf_fit,
         "emb_recall_vs_probes": llm.emb_recall_vs_probes,
+        "nation_yoy_growth": kpi.nation_yoy_growth,
     }
     return q
 

@@ -1723,3 +1723,41 @@ def discount_revenue_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         _as_double(F.sum(gain)).alias("potential_revenue"),
     )
+
+
+def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the
+    partitioned LAG window report (each nation's trend computed inside
+    its own partition; the window never crosses nations, so the shape
+    stays parallel at any nation count, unlike a global-order window).
+
+    Plan: orders joins customer equi (both scale-linear, no hints —
+    AQE decides), nation broadcasts; the aggregate is
+    |nations × years| rows BEFORE the window touches it; growth is
+    one double divide, 4dp, NULL for each nation's first year."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", _money("o_totalprice").alias("_m")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    per = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(F.sum("_m"), 2).cast(_D).alias("_rev"))
+    )
+    prev = F.lag("_rev").over(W.partitionBy("n_name").orderBy("order_year"))
+    return per.select(
+        "n_name",
+        "order_year",
+        _as_double(F.col("_rev")).alias("revenue"),
+        F.round(
+            (F.col("_rev") - prev).cast("double") / prev.cast("double"), 4
+        ).alias("yoy_growth"),
+    ).orderBy("n_name", "order_year")

@@ -1047,3 +1047,23 @@ KPI_ORACLES["discount_revenue_impact"] = """
       AND l_discount >= 0.05 AND l_discount <= 0.07
       AND l_quantity < 10
 """
+
+KPI_ORACLES["nation_yoy_growth"] = """
+    WITH per AS (
+        SELECT n_name,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DECIMAL(18,2)) AS _rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name, order_year,
+           CAST(ROUND(_rev, 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(_rev - lag(_rev) OVER w AS DOUBLE)
+                 / CAST(lag(_rev) OVER w AS DOUBLE), 4) AS yoy_growth
+    FROM per
+    WINDOW w AS (PARTITION BY n_name ORDER BY order_year)
+    ORDER BY n_name, order_year
+"""

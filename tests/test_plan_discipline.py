@@ -571,3 +571,14 @@ def test_recall_vs_probes_no_cartesian_semi_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emb_recall_vs_probes")
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_yoy_growth_window_is_partitioned(spark, sf_dir):
+    """The LAG window must be PARTITIONED by nation (parallel at any
+    nation count) — never an unpartitioned global-order window — and
+    it runs over the |nations x years| aggregate, after both scans."""
+    plan = _plan(spark, sf_dir, "nation_yoy_growth")
+    assert re.search(r"Window .*lag", plan), plan
+    # the exchange feeding the window partitions by n_name, not a
+    # single-partition exchange
+    assert "Exchange SinglePartition" not in plan.split("Window")[0], plan
