@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_zipf_fit": llm.docs_zipf_fit,
         "emb_recall_vs_probes": llm.emb_recall_vs_probes,
         "nation_yoy_growth": kpi.nation_yoy_growth,
+        "docs_bm25_index_merge": llm.docs_bm25_index_merge,
     }
     return q
 

@@ -638,3 +638,94 @@ def write_text_index(docs: DataFrame, path: str) -> None:
         _os.rename(stage, path)
     except OSError:
         _sh.rmtree(stage, ignore_errors=True)
+
+
+def merge_text_index(new_docs: DataFrame, path: str) -> list[str]:
+    """INCREMENTAL text-index maintenance — the search-index twin of
+    the bucketed-silver CDC loop: fold a batch of NEW documents into a
+    persisted ``write_text_index`` layout touching only the token
+    partitions the batch actually contains.
+
+    - delta postings (token, doc_id, tf, dl) come from one pass over
+      the batch;
+    - ONLY the touched token partitions are read back (the token
+      filter partition-prunes the postings read), unioned with the
+      delta, and swapped in via stage + per-directory atomic rename
+      (the ``_swap_buckets`` discipline) — untouched token directories
+      are never opened and stay byte-identical (test-pinned);
+    - ``dfreq`` merges by summing per-token document frequencies and
+      is rewritten whole (|vocab| rows — index metadata, not data);
+      ``stats`` adds the batch's (n_docs, sum_dl) to the 1-row corpus
+      stats.
+
+    Doc-id disjointness is the caller's contract (re-adding an indexed
+    doc would double its postings — deletes/updates go through a
+    rebuild, exactly like a Lucene segment merge discards tombstones).
+
+    Cost at 100 TB: |batch tokens| partition rewrites + a vocab-row
+    metadata rewrite, never O(index). Returns the touched tokens."""
+    import os as _os
+    import shutil as _sh
+    import uuid as _uuid
+
+    spark = new_docs.sparkSession
+    base = new_docs.select(
+        "doc_id",
+        token_count("text").alias("dl"),
+        tokens("text").alias("_toks"),
+    ).localCheckpoint()
+    delta = (
+        base.select("doc_id", "dl", F.explode("_toks").alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint()
+    )
+    touched = sorted(r["token"] for r in delta.select("token").distinct().collect())
+    if not touched:
+        return touched
+    existing = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("token").isin(touched))
+        .select("token", "doc_id", "tf", "dl")
+    )
+    merged = existing.unionByName(delta.select("token", "doc_id", "tf", "dl"))
+    tmp = f"{path}/postings__tmp_{_uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy("token").parquet(tmp)
+    for t in touched:
+        src = _os.path.join(tmp, f"token={t}")
+        dst = _os.path.join(path, "postings", f"token={t}")
+        old = f"{dst}__old_{_uuid.uuid4().hex[:8]}"
+        if _os.path.exists(dst):
+            _os.rename(dst, old)
+        if _os.path.exists(src):
+            _os.rename(src, dst)
+        _sh.rmtree(old, ignore_errors=True)
+    _sh.rmtree(tmp, ignore_errors=True)
+    # metadata: merge dfreq (touched tokens change, union keeps the
+    # rest) and the 1-row stats — both index-metadata-sized
+    delta_df = delta.groupBy("token").agg(F.count("*").alias("df"))
+    old_df = spark.read.parquet(f"{path}/dfreq")
+    merged_df = (
+        old_df.unionByName(delta_df)
+        .groupBy("token")
+        .agg(F.sum("df").cast("long").alias("df"))
+    ).localCheckpoint()
+    old_stats = spark.read.parquet(f"{path}/stats")
+    batch_stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    merged_stats = (
+        old_stats.unionByName(batch_stats)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+    ).localCheckpoint()
+    for name, frame in (("dfreq", merged_df), ("stats", merged_stats)):
+        stage = f"{path}/{name}__tmp_{_uuid.uuid4().hex[:8]}"
+        frame.write.mode("overwrite").parquet(stage)
+        old = f"{path}/{name}__old_{_uuid.uuid4().hex[:8]}"
+        _os.rename(f"{path}/{name}", old)
+        _os.rename(stage, f"{path}/{name}")
+        _sh.rmtree(old, ignore_errors=True)
+    return touched

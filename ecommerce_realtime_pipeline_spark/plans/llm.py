@@ -4415,3 +4415,45 @@ LLM_ORACLES["emb_recall_vs_probes"] = (
     )
     + "\nORDER BY n_probe"
 )
+
+
+def docs_bm25_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance end to end
+    (`text.merge_text_index` — the search-index CDC loop): the
+    inverted index is built over HALF the corpus (even doc_ids), the
+    other half arrives as a batch and is MERGED in (only its token
+    partitions rewritten; untouched partitions byte-identical,
+    test-pinned), and BM25 then serves from the merged index. The
+    result must be bit-identical to a full-corpus build — it shares
+    `docs_bm25_search`'s oracle, so the driver hash-gates the merge
+    path itself."""
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        merge_text_index,
+        write_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="eng_textidx_m_")
+    try:
+        path = os.path.join(tmp, "index")
+        write_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+        merge_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+        postings = spark.read.parquet(f"{path}/postings").filter(
+            F.col("token").isin(*BM25_TERMS)
+        )
+        dfreq = spark.read.parquet(f"{path}/dfreq").filter(
+            F.col("token").isin(*BM25_TERMS)
+        )
+        stats = spark.read.parquet(f"{path}/stats")
+        return _bm25_rank(
+            postings.select("doc_id", "token", "tf", "dl"), dfreq, stats
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+LLM_ORACLES["docs_bm25_index_merge"] = LLM_ORACLES["docs_bm25_search"]

@@ -1222,3 +1222,55 @@ def test_ann_recall_eval_bounds_and_floor(spark):
     assert all(r["n_hits"] == round(r["recall_at_k"] * llm.KNN_K) for r in out)
     mean = sum(r["recall_at_k"] for r in out) / len(out)
     assert mean >= 0.8  # the documented isotropic-corpus floor for 4x12 LSH
+
+
+def test_merge_text_index_incremental_equivalence(spark, tmp_path):
+    """merge_text_index must (a) leave every UNTOUCHED token partition
+    byte-identical (the O(|batch tokens|) maintenance claim), and
+    (b) produce an index whose postings/dfreq/stats equal a full
+    rebuild over the union corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        merge_text_index,
+        write_text_index,
+    )
+
+    rows_a = [(1, "alpha beta gamma"), (2, "alpha delta")]
+    rows_b = [(3, "beta epsilon"), (4, "zeta zeta eta")]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_text_index(mk(rows_a), inc)
+
+    def dir_bytes(token):
+        d = os.path.join(inc, "postings", f"token={token}")
+        return {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+
+    before = {t: dir_bytes(t) for t in ("alpha", "gamma", "delta")}
+    touched = merge_text_index(mk(rows_b), inc)
+    assert touched == ["beta", "epsilon", "eta", "zeta"]
+    # (a) untouched token partitions byte-identical
+    for t in ("alpha", "gamma", "delta"):
+        assert dir_bytes(t) == before[t], f"token={t} was rewritten"
+    # (b) merged == full rebuild, all three index components
+    write_text_index(mk(rows_a + rows_b), full)
+    for part in ("postings", "dfreq", "stats"):
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{inc}/{part}").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{full}/{part}").collect()
+        )
+        assert got == want, part
