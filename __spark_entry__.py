@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_recall_vs_probes": llm.emb_recall_vs_probes,
         "nation_yoy_growth": kpi.nation_yoy_growth,
         "docs_bm25_index_merge": llm.docs_bm25_index_merge,
+        "emb_knn_ivf_merged": llm.emb_knn_ivf_merged,
     }
     return q
 

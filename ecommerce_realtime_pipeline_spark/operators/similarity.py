@@ -1318,3 +1318,58 @@ def random_projection(
             F.round(F.col("_s").cast("double"), 6).alias("component"),
         )
     )
+
+
+def merge_ivf_index(
+    new_emb: DataFrame, path: str, col: str = "embedding"
+) -> list[int]:
+    """INCREMENTAL IVF maintenance — the ANN twin of
+    ``text.merge_text_index``: append a batch of new vectors to a
+    persisted ``write_ivf_index`` layout using the index's SHIPPED
+    quantizer (no retrain — the production append path; quantizer
+    refresh is a rebuild, like a Lucene segment merge vs a reindex).
+
+    The batch assigns to cells via the persisted centroids (one Arrow
+    pass), and ONLY the touched cell partitions are read back, unioned
+    with the delta, and swapped in via stage + per-directory atomic
+    rename — untouched cell directories are never opened and stay
+    byte-identical (test-pinned). Doc-id disjointness is the caller's
+    contract. Cost: |touched cells| partition rewrites, never
+    O(index). Returns the touched cell ids."""
+    import os as _os
+    import shutil as _sh
+    import uuid as _uuid
+
+    spark = new_emb.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cents = [list(r["centroid"]) for r in cent_rows]
+    assign = _probe_udf(cents, 1)
+    delta = new_emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(col).alias("_v"),
+        F.element_at(assign(F.col(col)), 1).alias("cell"),
+    ).localCheckpoint()
+    touched = sorted(
+        int(r["cell"]) for r in delta.select("cell").distinct().collect()
+    )
+    if not touched:
+        return touched
+    existing = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(touched))
+        .select("neighbor_id", "_v", "cell")
+    )
+    merged = existing.unionByName(delta.select("neighbor_id", "_v", "cell"))
+    tmp = f"{path}/cells__tmp_{_uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    for c in touched:
+        src = _os.path.join(tmp, f"cell={c}")
+        dst = _os.path.join(path, "cells", f"cell={c}")
+        old = f"{dst}__old_{_uuid.uuid4().hex[:8]}"
+        if _os.path.exists(dst):
+            _os.rename(dst, old)
+        if _os.path.exists(src):
+            _os.rename(src, dst)
+        _sh.rmtree(old, ignore_errors=True)
+    _sh.rmtree(tmp, ignore_errors=True)
+    return touched

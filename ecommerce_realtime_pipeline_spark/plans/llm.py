@@ -4457,3 +4457,49 @@ def docs_bm25_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LLM_ORACLES["docs_bm25_index_merge"] = LLM_ORACLES["docs_bm25_search"]
+
+
+def emb_knn_ivf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance end to end
+    (`similarity.merge_ivf_index`): the IVF-flat index is built over
+    HALF the corpus (even vec_ids — the quantizer trains on that
+    initial corpus, the production reality), the odd half arrives as a
+    batch and is APPENDED using the shipped quantizer (only its cell
+    partitions rewritten; untouched cells byte-identical,
+    test-pinned), and top-5 serves from the merged index. The oracle
+    replays the IVF chain with the quantizer sample drawn from the
+    even half and assignment over the full corpus — so the driver
+    hash-gates the append path itself."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="eng_ivfmerge_q_")
+    try:
+        path = os.path.join(tmp, "index")
+        SIM.write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            path,
+            cache_key=f"{sf_dir}/embeddings#even",
+        )
+        SIM.merge_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+        return SIM.knn_ivf_from_index(
+            spark, path, _query_vectors(emb), k=KNN_K, n_probe=8
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ivf_even_trained_sql() -> str:
+    """The emb_knn_ivf oracle chain with the quantizer sample drawn
+    from the even-vec_id half (the merged-index fixture's training
+    corpus); assignment/probing/rerank still run over ALL vectors."""
+    sql = LLM_ORACLES["emb_knn_ivf"]
+    anchor = "v AS cv, nrm AS cn\n            FROM base"
+    assert sql.count(anchor) == 1
+    return sql.replace(
+        anchor, "v AS cv, nrm AS cn\n            FROM base WHERE vec_id % 2 = 0"
+    )
+
+
+LLM_ORACLES["emb_knn_ivf_merged"] = _ivf_even_trained_sql()

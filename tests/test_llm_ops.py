@@ -1274,3 +1274,62 @@ def test_merge_text_index_incremental_equivalence(spark, tmp_path):
             for r in spark.read.parquet(f"{full}/{part}").collect()
         )
         assert got == want, part
+
+
+def test_merge_ivf_index_incremental_equivalence(spark, tmp_path):
+    """merge_ivf_index must leave untouched cell partitions
+    byte-identical and land every appended vector in the cell the
+    shipped quantizer assigns (merged postings == one-shot build with
+    the same quantizer over the union)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    base_ids = list(range(0, 40, 2))
+    new_ids = [1, 3]
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(base_ids), path, n_centroids=4)
+
+    def cell_bytes(c):
+        d = os.path.join(path, "cells", f"cell={c}")
+        if not os.path.isdir(d):
+            return None
+        return {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+
+    before = {c: cell_bytes(c) for c in range(4)}
+    touched = SIM.merge_ivf_index(mk(new_ids), path)
+    assert touched  # the batch landed somewhere
+    for c in range(4):
+        if c not in touched:
+            assert cell_bytes(c) == before[c], f"cell={c} was rewritten"
+    # merged postings == full union assigned by the SAME quantizer
+    # (centroids trained on base_ids in both cases)
+    got = sorted(
+        (int(r["cell"]), int(r["neighbor_id"]))
+        for r in spark.read.parquet(f"{path}/cells").collect()
+    )
+    path2 = str(tmp_path / "ivf2")
+    SIM.write_ivf_index(mk(base_ids), path2, n_centroids=4)
+    SIM.merge_ivf_index(mk(new_ids), path2)
+    want_ids = sorted(base_ids + new_ids)
+    assert sorted(i for _, i in got) == want_ids
+    got2 = sorted(
+        (int(r["cell"]), int(r["neighbor_id"]))
+        for r in spark.read.parquet(f"{path2}/cells").collect()
+    )
+    assert got == got2  # deterministic merge
