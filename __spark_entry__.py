@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_yoy_growth": kpi.nation_yoy_growth,
         "docs_bm25_index_merge": llm.docs_bm25_index_merge,
         "emb_knn_ivf_merged": llm.emb_knn_ivf_merged,
+        "streaming_outer_attribution": gen.streaming_outer_attribution,
     }
     return q
 

@@ -1561,6 +1561,24 @@ GEN_ORACLES: dict[str, str] = {
                TRUE AS untouched_byte_identical,
                TRUE AS refresh_equals_recompute
     """,
+    # streaming_outer_attribution: literal contract oracle — the three
+    # rows (one matched pair, two watermark-evicted NULL-joined
+    # purchases) are analytic constants of the fixture; the outer
+    # eviction timing itself is engine state, not DuckDB-expressible.
+    "streaming_outer_attribution": """
+        SELECT purchase_id, customer_id,
+               CAST(purchase_us AS BIGINT) AS purchase_us,
+               click_id, CAST(click_us AS BIGINT) AS click_us
+        FROM (VALUES
+            ('p1', 'c1', epoch_us(TIMESTAMP '2025-03-01 10:00:00'),
+             'c10', epoch_us(TIMESTAMP '2025-03-01 09:30:00')),
+            ('p2', 'c2', epoch_us(TIMESTAMP '2025-03-01 10:00:00'),
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)),
+            ('py', 'cy', epoch_us(TIMESTAMP '2025-03-01 11:30:00'),
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT))
+        ) AS t(purchase_id, customer_id, purchase_us, click_id, click_us)
+        ORDER BY purchase_id
+    """,
     "streaming_ingest_roundtrip": """
         SELECT customer_id, email, name,
                CAST(ca AS TIMESTAMP) AS created_at,
@@ -1816,3 +1834,97 @@ GEN_ORACLES: dict[str, str] = {
         ORDER BY topic
     """,
 }
+
+
+def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 stream-stream LEFT OUTER interval join
+    (`ingest.attribution_join_stream(how="leftOuter")`): purchases
+    joined to the same customer's clicks in the strictly preceding
+    hour, with UNMATCHED purchases emitted NULL-joined — the
+    abandoned-journey feed. The outer semantics under watermarks are
+    the pinned contract:
+
+    - b1: click c1@09:30 + purchase c1@10:00 match IMMEDIATELY
+      (inner-path pair); purchase c2@10:00 has no clicks and must NOT
+      emit yet — a matching click could still arrive.
+    - b2: 11:30 advancer rows (distinct customers). Nothing emits —
+      the watermark during b2 still derives from b1 (09:50).
+    - b3: 13:30 advancers. The watermark is now 11:20 > 10:00, so the
+      engine can PROVE no click can ever match p2 → (p2, NULL) emits
+      at state eviction, one micro-batch after the advancing data —
+      the essential outer-join latency every consumer must understand.
+    - b4: a 15:30 advancer click lifts the watermark past 11:30 → the
+      b2 advancer purchase (py) emits NULL-joined; the b3 purchase
+      (pz, 13:30 vs watermark 13:20) stays in state and must NOT.
+
+    Exactly 3 rows with fixture-literal timestamps — analytic
+    contract, literal oracle (the outer-eviction machinery is not
+    DuckDB-expressible)."""
+    import datetime as _dt
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.streaming import ingest as I
+
+    day = _dt.datetime(2025, 3, 1)
+
+    def line(offset: int, hh: int, mm: int, etype: str, cust: str, eid: str) -> str:
+        ts = (day + _dt.timedelta(hours=hh, minutes=mm)).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        payload = json.dumps(
+            {
+                "event_id": eid,
+                "event_type": etype,
+                "customer_id": cust,
+                "timestamp": ts,
+            }
+        )
+        return json.dumps(
+            {
+                "topic": "events",
+                "topic_partition": 0,
+                "topic_offset": offset,
+                "message_key": eid,
+                "payload": payload,
+                "consumed_at": "2025-03-01T10:00:00Z",
+            }
+        )
+
+    tmp = tempfile.mkdtemp(prefix="eng_ssouter_q_")
+    try:
+        src, sink, ckpt = (os.path.join(tmp, d) for d in ("src", "sink", "ckpt"))
+        os.makedirs(src, exist_ok=True)
+        batches = [
+            [
+                line(1, 9, 30, "click", "c1", "c10"),
+                line(2, 10, 0, "purchase", "c1", "p1"),  # ← c10
+                line(3, 10, 0, "purchase", "c2", "p2"),  # no clicks ever
+            ],
+            [
+                line(4, 11, 30, "click", "cx", "cx1"),  # advancers
+                line(5, 11, 30, "purchase", "cy", "py"),
+            ],
+            [
+                line(6, 13, 30, "click", "cx", "cx2"),  # flush p2
+                line(7, 13, 30, "purchase", "cz", "pz"),
+            ],
+            [
+                line(8, 15, 30, "click", "cx", "cx3"),  # flush py, not pz
+            ],
+        ]
+        with _pinned_state_partitions(spark):
+            for i, lines in enumerate(batches):
+                with open(os.path.join(src, f"b{i}.json"), "w") as f:
+                    f.write("\n".join(lines) + "\n")
+                q = I.run_attribution_join(
+                    spark, src, sink, ckpt,
+                    watermark="10 minutes", how="leftOuter",
+                )
+                _await(q)
+        out = spark.read.parquet(sink)
+        return out.orderBy("purchase_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

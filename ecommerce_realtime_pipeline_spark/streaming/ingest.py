@@ -506,6 +506,7 @@ def attribution_join_stream(
     raw: DataFrame,
     watermark: str = "10 minutes",
     range_sec: int = 3600,
+    how: str = "inner",
 ) -> DataFrame:
     """§2.7 stream-stream interval join — the streaming form of the
     batch range-attribution query (plans/temporal.py): every purchase
@@ -517,9 +518,14 @@ def attribution_join_stream(
     state: a buffered click is dropped once the watermark passes
     ``click_time + range_sec`` (no unbounded state at 100 TB/day — the
     thing the naive "join two tables later" batch design can't give a
-    live pipeline). Inner join: a match emits as soon as both rows have
-    arrived; a click older than the watermark horizon on arrival never
-    enters state and can never produce a late pair.
+    live pipeline). Inner join (default): a match emits as soon as both
+    rows have arrived; a click older than the watermark horizon on
+    arrival never enters state and can never produce a late pair.
+    ``how="leftOuter"`` additionally emits each UNMATCHED purchase with
+    NULL click columns — but only once the click-side watermark passes
+    the purchase time (no click can still arrive for it), i.e. at state
+    eviction in a LATER micro-batch; the abandoned-journey feed every
+    attribution pipeline also needs.
     """
     parsed = raw.withColumn(
         "_p", F.from_json("payload", ENTITY_SCHEMAS["events"])
@@ -554,7 +560,7 @@ def attribution_join_stream(
             f"AND c_time >= p_time - INTERVAL {int(range_sec)} SECOND "
             f"AND c_time < p_time"
         ),
-        "inner",
+        how,
     ).select(
         "purchase_id",
         "customer_id",
@@ -571,12 +577,13 @@ def run_attribution_join(
     checkpoint_dir: str,
     watermark: str = "10 minutes",
     range_sec: int = 3600,
+    how: str = "inner",
 ):
     """Run the stream-stream attribution join over a file-envelope
     stream, appending matched pairs to a parquet sink (exactly-once via
     checkpoint; availableNow drains current files per run)."""
     pairs = attribution_join_stream(
-        stream_envelopes(spark, source_dir), watermark, range_sec
+        stream_envelopes(spark, source_dir), watermark, range_sec, how
     )
     return (
         pairs.writeStream.format("parquet")
