@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_index_merge": llm.docs_bm25_index_merge,
         "emb_knn_ivf_merged": llm.emb_knn_ivf_merged,
         "streaming_outer_attribution": gen.streaming_outer_attribution,
+        "events_view_to_purchase_asof": temporal.events_view_to_purchase_asof,
     }
     return q
 

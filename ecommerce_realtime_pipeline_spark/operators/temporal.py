@@ -43,18 +43,26 @@ def asof_join(
     allow_exact_matches: bool = True,
     tolerance_sec: float | None = None,
     prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row at-or-before
-    (``allow_exact_matches``) / strictly-before its timestamp, per key.
+    (``direction="backward"``, the default) or the EARLIEST right row
+    at-or-after (``direction="forward"``) its timestamp, per key;
+    ``allow_exact_matches`` toggles the at-boundary inclusion either
+    way.
 
     Returns the left rows with the right row's columns added under
-    ``prefix`` (null when no right row precedes). Ties among right rows
-    at the same timestamp resolve to the highest ``right_id``.
+    ``prefix`` (null when no right row qualifies). Ties among right
+    rows at the same timestamp resolve to the HIGHEST ``right_id``
+    backward and the LOWEST forward (the "latest before / first
+    after" convention, mirrored in the oracles).
 
     Scale: one shuffle on ``on`` + one sort — no join operator, so hot
     keys cost O(n log n), never O(n²). ``tolerance_sec`` nulls matches
-    older than the window (applied post-hoc, free).
+    outside the window (applied post-hoc, free).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     r_payload = F.struct(*[F.col(c) for c in right.columns]).alias("_r")
     # side ordinal: right rows must sort BEFORE the left rows they are
     # visible to at equal timestamps (inclusive) — or AFTER (strict).
@@ -77,9 +85,16 @@ def asof_join(
     both = r_tag.withColumn("_l", F.lit(None).cast(l_tag.schema["_l"].dataType)).unionByName(
         l_tag
     )
+    backward = direction == "backward"
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_rid").asc_nulls_first())
+        .orderBy(
+            F.col("_t").asc() if backward else F.col("_t").desc(),
+            F.col("_side").asc(),
+            F.col("_rid").asc_nulls_first()
+            if backward
+            else F.col("_rid").desc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -87,10 +102,14 @@ def asof_join(
         .filter(F.col("_l").isNotNull())
     )
     if tolerance_sec is not None:
-        in_window = (
+        gap = (
             F.unix_micros(F.col("_l")[left_ts]) - F.unix_micros(F.col("_m")[right_ts])
-        ) <= int(tolerance_sec * 1_000_000)
-        matched = matched.withColumn("_m", F.when(in_window, F.col("_m")))
+            if backward
+            else F.unix_micros(F.col("_m")[right_ts]) - F.unix_micros(F.col("_l")[left_ts])
+        )
+        matched = matched.withColumn(
+            "_m", F.when(gap <= int(tolerance_sec * 1_000_000), F.col("_m"))
+        )
     out_cols: list[Column] = [F.col("_l")[c].alias(c) for c in left.columns]
     out_cols += [F.col("_m")[c].alias(f"{prefix}{c}") for c in right.columns]
     return matched.select(*out_cols)

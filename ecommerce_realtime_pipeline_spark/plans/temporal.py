@@ -142,3 +142,57 @@ TEMPORAL_ORACLES: dict[str, str] = {
         FROM p LEFT JOIN agg USING (purchase_id)
     """,
 }
+
+
+def events_view_to_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for every view, the same user's FIRST purchase
+    at-or-after it — the view→conversion lag feed (the mirror of
+    `events_asof_attribution`'s backward "which view led here").
+    Ties at the same timestamp resolve to the LOWEST purchase_id
+    ("first after" convention, mirrored in the oracle). Views with no
+    later purchase keep NULLs. Same one-shuffle union+window core,
+    just time-reversed — still no inequality join."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    m = T.asof_join(
+        v, p, on="user_id", right_id="purchase_id", prefix="r_",
+        direction="forward",
+    )
+    return m.select(
+        "view_id",
+        "user_id",
+        F.unix_micros("ts").alias("view_us"),
+        F.col("r_purchase_id").alias("purchase_id"),
+        F.unix_micros("r_ts").alias("purchase_us"),
+        (F.unix_micros("r_ts") - F.unix_micros("ts")).alias("lag_us"),
+    )
+
+
+TEMPORAL_ORACLES["events_view_to_purchase_asof"] = """
+    WITH v AS (
+        SELECT event_id AS view_id, user_id, ts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.view_id,
+           v.user_id,
+           epoch_us(v.ts) AS view_us,
+           m.purchase_id,
+           epoch_us(m.ts) AS purchase_us,
+           epoch_us(m.ts) - epoch_us(v.ts) AS lag_us
+    FROM v LEFT JOIN LATERAL (
+        SELECT p.purchase_id, p.ts
+        FROM p
+        WHERE p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.ts ASC, p.purchase_id ASC
+        LIMIT 1
+    ) m ON TRUE
+"""

@@ -186,3 +186,46 @@ def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
         .count()
     )
     assert n_groups == 8
+
+
+def test_asof_forward_basic_and_ties(spark):
+    """Forward as-of: earliest right row at-or-after, lowest-right-id
+    tie-break, NULL when nothing follows, strict mode excludes the
+    boundary."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.operators import temporal as T
+
+    left = spark.createDataFrame(
+        [("u1", 100, "l1"), ("u1", 250, "l2"), ("u2", 10, "l3")],
+        "k string, t long, lid string",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [("u1", 100, 7), ("u1", 100, 3), ("u1", 200, 9)],
+        "k string, t long, rid int",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "rid")
+    out = {
+        r["lid"]: r["r_rid"]
+        for r in T.asof_join(
+            left, right, on="k", right_id="rid", direction="forward"
+        ).collect()
+    }
+    # boundary tie at t=100 → lowest rid; nothing after 250; u2 empty
+    assert out == {"l1": 3, "l2": None, "l3": None}
+    strict = {
+        r["lid"]: r["r_rid"]
+        for r in T.asof_join(
+            left, right, on="k", right_id="rid",
+            direction="forward", allow_exact_matches=False,
+        ).collect()
+    }
+    assert strict["l1"] == 9  # boundary excluded → next at 200
+    tol = {
+        r["lid"]: r["r_rid"]
+        for r in T.asof_join(
+            left, right, on="k", right_id="rid",
+            direction="forward", allow_exact_matches=False,
+            tolerance_sec=50,
+        ).collect()
+    }
+    assert tol["l1"] is None  # 200 is 100s after 100 > 50s tolerance
