@@ -37,58 +37,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     1. positions 1-50 (the round-6 window): every query with NO green
        driver row yet — the 5 pre-fix-fail-era queries, the 15 round-5
-       additions, and the new ``cdc_bucket_refresh`` — plus 29
-       rotation re-checks carrying the OLDEST green evidence (r3-era
-       rows and r4 rows whose underlying machinery changed this
-       round). A green round 6 makes the driver-green ledger
-       144/144. Cheap analytics first; the r3 ANN re-checks double as
-       session-memo warmers ahead of emb_ann_recall /
-       emb_hard_negatives; streaming fixtures close the window so a
-       wall-budget cut costs the fewest rows;
-    2. positions 51+: driver-green in rounds 4-5 (freshest evidence),
-       re-checkable on any future rotation.
+       additions, the new ``cdc_bucket_refresh``, and ALL 18 round-6
+       additions — plus 11 rotation re-checks (6 r4 rows riding
+       machinery touched this round, 3 ANN warmers that populate the
+       session artifact memo ahead of their never-green dependents,
+       and the 2 oldest r3 dedup rows). A green round 6 driver-greens
+       every query in the repo. Cheap analytics first; streaming
+       fixtures close the window so a wall-budget cut costs the
+       fewest rows;
+    2. positions 51+: driver-green in rounds 3-5, re-checkable on any
+       future rotation (freshest evidence last).
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ---- positions 1-50: THE ROUND-6 CHECK WINDOW ----
-        # 21 never-driver-checked queries (the 5 fixed-fails, the 15
-        # round-5 additions, the new cdc_bucket_refresh) + 29 rotation
-        # re-checks with the OLDEST driver evidence (23 r3-era rows +
-        # 6 r4 rows riding machinery touched this round: the quantile
-        # sketch rewrite and the snapshot/CDC kernel). Cheap batch
-        # analytics first; the ANN r3 re-checks double as session-memo
-        # warmers and precede emb_ann_recall/emb_hard_negatives; the
-        # streaming fixtures close the window so a wall-budget cut
-        # costs the fewest rows.
-        # never-green classics + round-5 analytics
+        # never-green classic analytics (round-5 + round-6 additions)
         "shipping_priority": kpi.shipping_priority,
         "returned_items_report": kpi.returned_items_report,
         "promo_revenue_share": kpi.promo_revenue_share,
         "nation_market_share": kpi.nation_market_share,
         "order_priority_fulfillment": kpi.order_priority_fulfillment,
         "customer_rfm_segments": kpi.customer_rfm_segments,
+        "customer_order_distribution": kpi.customer_order_distribution,
+        "large_order_customers": kpi.large_order_customers,
+        "dormant_customer_balance": kpi.dormant_customer_balance,
+        "nation_supplier_hhi": kpi.nation_supplier_hhi,
+        "nation_trade_flows": kpi.nation_trade_flows,
+        "top_supplier_quarter": kpi.top_supplier_quarter,
+        "discount_revenue_impact": kpi.discount_revenue_impact,
+        "nation_yoy_growth": kpi.nation_yoy_growth,
+        "events_view_to_purchase_asof": temporal.events_view_to_purchase_asof,
+        # never-green docs analytics + r3 dedup re-checks (oldest rows)
         "docs_distinctive_terms": llm.docs_distinctive_terms,
         "docs_source_overlap_matrix": llm.docs_source_overlap_matrix,
-        "emb_label_outliers": llm.emb_label_outliers,
-        # r3-era re-checks: text / docs / misc (oldest evidence)
-        "docs_text_stats": llm.docs_text_stats,
-        "docs_quality": llm.docs_quality,
-        "docs_lang_id": llm.docs_lang_id,
-        "docs_fingerprint_minhash": llm.docs_fingerprint_minhash,
+        "docs_curriculum_order": llm.docs_curriculum_order,
+        "vocab_coverage": llm.vocab_coverage,
+        "docs_zipf_fit": llm.docs_zipf_fit,
         "docs_exact_dedup": llm.docs_exact_dedup,
-        "docs_neardup_jaccard": llm.docs_neardup_jaccard,
-        "docs_neardup_jaccard_cutoff": llm.docs_neardup_jaccard_cutoff,
+        "docs_dedup_yield_curve": llm.docs_dedup_yield_curve,
         "docs_neardup_minhash": llm.docs_neardup_minhash,
-        "docs_neardup_simhash": llm.docs_neardup_simhash,
-        "docs_neardup_clusters": llm.docs_neardup_clusters,
-        "docs_train_split": llm.docs_train_split,
-        "docs_quality_filter": llm.docs_quality_filter,
-        "docs_decontaminate": llm.docs_decontaminate,
-        "docs_repetition": llm.docs_repetition,
-        "docs_pack_sequences": llm.docs_pack_sequences,
-        "mm_feature_summary": llm.mm_feature_summary,
-        "revenue_grouping_sets": dq.revenue_grouping_sets,
-        "set_ops_actors": dq.set_ops_actors,
-        # r4 re-checks on this round's touched machinery
+        "docs_bm25_index_merge": llm.docs_bm25_index_merge,
+        # r4 re-checks on this round's touched machinery (the quantile
+        # sketch rewrite and the snapshot/CDC kernel)
         "customer_value_deciles": kpi.customer_value_deciles,
         "orders_exact_quantiles_twopass": kpi.orders_exact_quantiles_twopass,
         "customers_snapshot_diff": dq.customers_snapshot_diff,
@@ -97,13 +86,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_metrics": dq.dq_metrics,
         # ANN family: r3 warmers populate _IVF_CELL_CACHE et al.,
         # then the never-green dependents run warm
+        "emb_label_outliers": llm.emb_label_outliers,
         "emb_knn_bruteforce": llm.emb_knn_bruteforce,
         "emb_knn_lsh": llm.emb_knn_lsh,
         "emb_knn_ivf": llm.emb_knn_ivf,
         "emb_ann_recall": llm.emb_ann_recall,
         "emb_hard_negatives": llm.emb_hard_negatives,
-        "emb_cosine_neardup": llm.emb_cosine_neardup,
-        "emb_label_centroids": llm.emb_label_centroids,
+        "emb_recall_vs_probes": llm.emb_recall_vs_probes,
+        "emb_knn_ivf_merged": llm.emb_knn_ivf_merged,
+        "emb_cluster_quality": llm.emb_cluster_quality,
         "emb_quantize_int8": llm.emb_quantize_int8,
         # generator / producer / file-source / maintenance surface
         "gen_batch_shape": gen.gen_batch_shape,
@@ -115,9 +106,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming fixtures last (most expensive)
         "streaming_ingest_roundtrip": gen.streaming_ingest_roundtrip,
         "streaming_session_windows": gen.streaming_session_windows,
+        "streaming_outer_attribution": gen.streaming_outer_attribution,
         "streaming_late_drop_stats": gen.streaming_late_drop_stats,
-        # ---- positions 51+: driver-green in rounds 4-5, re-checkable
-        # on any future rotation (freshest evidence last) ----
+        # ---- positions 51+: driver-green in rounds 3-5, re-checkable
+        # on any future rotation ----
+        # r3-era docs/text rows rotated out of the window this round
+        "docs_text_stats": llm.docs_text_stats,
+        "docs_quality": llm.docs_quality,
+        "docs_lang_id": llm.docs_lang_id,
+        "docs_fingerprint_minhash": llm.docs_fingerprint_minhash,
+        "docs_neardup_jaccard": llm.docs_neardup_jaccard,
+        "docs_neardup_jaccard_cutoff": llm.docs_neardup_jaccard_cutoff,
+        "docs_neardup_simhash": llm.docs_neardup_simhash,
+        "docs_neardup_clusters": llm.docs_neardup_clusters,
+        "docs_train_split": llm.docs_train_split,
+        "docs_quality_filter": llm.docs_quality_filter,
+        "docs_decontaminate": llm.docs_decontaminate,
+        "docs_repetition": llm.docs_repetition,
+        "docs_pack_sequences": llm.docs_pack_sequences,
+        "mm_feature_summary": llm.mm_feature_summary,
+        "revenue_grouping_sets": dq.revenue_grouping_sets,
+        "set_ops_actors": dq.set_ops_actors,
+        "emb_cosine_neardup": llm.emb_cosine_neardup,
+        "emb_label_centroids": llm.emb_label_centroids,
+        # rounds 4-5 evidence
         "docs_winnow_overlap": llm.docs_winnow_overlap,
         "docs_neardup_editdist": llm.docs_neardup_editdist,
         "docs_neardup_clusters_lss": llm.docs_neardup_clusters_lss,
@@ -212,25 +224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_duplicate_keys": dq.dq_duplicate_keys,
         "dq_constraint_violations": dq.dq_constraint_violations,
         "order_total_reagg": dq.order_total_reagg,
-        # round-6 additions (driver rows next rotation)
-        "customer_order_distribution": kpi.customer_order_distribution,
-        "large_order_customers": kpi.large_order_customers,
-        "dormant_customer_balance": kpi.dormant_customer_balance,
-        "nation_supplier_hhi": kpi.nation_supplier_hhi,
-        "emb_cluster_quality": llm.emb_cluster_quality,
-        "docs_curriculum_order": llm.docs_curriculum_order,
-        "vocab_coverage": llm.vocab_coverage,
-        "nation_trade_flows": kpi.nation_trade_flows,
-        "top_supplier_quarter": kpi.top_supplier_quarter,
-        "discount_revenue_impact": kpi.discount_revenue_impact,
-        "docs_dedup_yield_curve": llm.docs_dedup_yield_curve,
-        "docs_zipf_fit": llm.docs_zipf_fit,
-        "emb_recall_vs_probes": llm.emb_recall_vs_probes,
-        "nation_yoy_growth": kpi.nation_yoy_growth,
-        "docs_bm25_index_merge": llm.docs_bm25_index_merge,
-        "emb_knn_ivf_merged": llm.emb_knn_ivf_merged,
-        "streaming_outer_attribution": gen.streaming_outer_attribution,
-        "events_view_to_purchase_asof": temporal.events_view_to_purchase_asof,
     }
     return q
 
