@@ -108,8 +108,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_windows": gen.streaming_session_windows,
         "streaming_outer_attribution": gen.streaming_outer_attribution,
         "streaming_late_drop_stats": gen.streaming_late_drop_stats,
-        # ---- positions 51+: driver-green in rounds 3-5, re-checkable
-        # on any future rotation ----
+        # ---- positions 51+: driver rows next rotation ----
+        # new round-6 additions (sweep + pytest verified; first in
+        # line for the round-7 window)
+        "cheapest_supplier_per_part": kpi.cheapest_supplier_per_part,
+        "product_profit_by_nation_year": kpi.product_profit_by_nation_year,
+        "small_quantity_revenue": kpi.small_quantity_revenue,
+        "disjunctive_promo_revenue": kpi.disjunctive_promo_revenue,
+        "excess_volume_suppliers": kpi.excess_volume_suppliers,
+        "waiting_orders_suppliers": kpi.waiting_orders_suppliers,
+        "supplier_part_diversity": kpi.supplier_part_diversity,
+        "shipping_delay_priority_split": kpi.shipping_delay_priority_split,
+        "parts_copurchase_triangles": kpi.parts_copurchase_triangles,
+        # ---- driver-green in rounds 3-5, re-checkable on any future
+        # rotation ----
         # r3-era docs/text rows rotated out of the window this round
         "docs_text_stats": llm.docs_text_stats,
         "docs_quality": llm.docs_quality,

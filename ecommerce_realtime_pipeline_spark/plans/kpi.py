@@ -1761,3 +1761,447 @@ def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_rev") - prev).cast("double") / prev.cast("double"), 4
         ).alias("yoy_growth"),
     ).orderBy("n_name", "order_year")
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-flavor sourcing report: for every STANDARD size-25
+    part, the supplier(s) whose line price hit that part's minimum —
+    the correlated-MIN-plus-join-back shape, realized as ONE shuffle:
+    a per-part window MIN replaces the self-join the subquery would
+    naively compile to (the reference schema has no partsupp; lineitem
+    evidence is the offer book).
+
+    Plan: the filtered part dim (1/300th of parts) broadcasts into the
+    fact BEFORE any aggregation, so the window only ever sees relevant
+    lines; per-part groups are basket-bounded, so the window partition
+    never skews; supplier/nation decorate the (≈|parts|) winner set.
+    DECIMAL-exact min ⇒ the tie equality is engine-safe."""
+    from pyspark.sql import Window as W
+
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 25) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _money("l_extendedprice").alias("_price")
+    )
+    offers = li.join(
+        F.broadcast(part_f), li["l_partkey"] == part_f["p_partkey"]
+    )
+    best = F.min("_price").over(W.partitionBy("l_partkey"))
+    winners = (
+        offers.withColumn("_best", best)
+        .filter(F.col("_price") == F.col("_best"))
+        .select("p_partkey", "p_name", "l_suppkey", "_best")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        winners.join(supplier, winners["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            _as_double(F.col("_best")).alias("best_price"),
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-flavor product-line profit: for parts named '% bolt',
+    profit per (supplier nation, ship year) where profit = line revenue
+    minus a retail-derived unit cost (no partsupp in this schema, so
+    cost ≔ half retail price — fixed, deterministic).
+
+    Plan: the name-filtered part dim joins the fact first (broadcast —
+    it is a constant fraction of a dim that is itself ~1/1000th of the
+    fact); supplier joins equi with no hint (scale-linear, AQE
+    decides); nation broadcasts; the rollup is |nations × years|.
+    Profit stays DECIMAL through the subtraction; the cost halving is
+    an exact binary scale of a 2dp price, rounded back to cents before
+    entering DECIMAL."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("% bolt"))
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 0.5, 2).cast(_D).alias("_unit_cost"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    profit = _money("l_extendedprice") * (
+        F.lit(1).cast(_D) - _money("l_discount")
+    ) - F.col("_unit_cost") * _money("l_quantity")
+    return (
+        li.join(F.broadcast(part_f), li["l_partkey"] == part_f["p_partkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            _as_double(F.sum(profit)).alias("profit"),
+        )
+        .orderBy("supp_nation", "ship_year")
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-flavor small-lot probe: average yearly revenue that
+    Brand#13 lines below 20% of their part's mean quantity represent —
+    the correlated-AVG shape, again as a per-part window instead of a
+    second scan + self-join.
+
+    Plan: brand-filtered parts broadcast into the fact first; ONE
+    shuffle on partkey feeds both the window AVG and the filter;
+    quantities are integers-in-doubles so the mean is exact and the
+    0.2× threshold comparison is bit-identical across engines; the
+    revenue sum is DECIMAL, divided by 7 once at the end."""
+    from pyspark.sql import Window as W
+
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _money("l_extendedprice").alias("_e")
+    )
+    j = li.join(F.broadcast(part_f), li["l_partkey"] == part_f["p_partkey"])
+    avg_qty = F.avg("l_quantity").over(W.partitionBy("l_partkey"))
+    small = j.withColumn("_thr", 0.2 * avg_qty).filter(
+        F.col("l_quantity") < F.col("_thr")
+    )
+    return small.agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("_e").cast("double") / 7.0, 2).alias("avg_yearly_revenue"),
+    )
+
+
+def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-flavor disjunctive revenue: one OR-of-ANDs predicate
+    mixing part attributes (brand, size) with line attributes
+    (quantity) — the constraint-propagation probe. Catalyst derives
+    the single-side residuals (brand ∈ {...} on part, quantity ∈
+    [1,30] on lineitem) from the disjunction and pushes them below the
+    join, so each scan prunes before the equi-join; the final AND/OR
+    evaluates post-join on the survivors.
+
+    Plan: no broadcast hint on part (scale-linear; the derived IN
+    filter shrinks it and AQE promotes if small); one aggregate row."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    disj = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = _money("l_extendedprice") * (F.lit(1).cast(_D) - _money("l_discount"))
+    return j.filter(disj).agg(
+        F.count("*").alias("n_lines"),
+        _as_double(F.sum(rev)).alias("revenue"),
+    )
+
+
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-flavor dominant suppliers: NATION_3 suppliers that
+    shipped MORE THAN HALF of some contested part's total 1999 volume
+    (contested = ≥2 suppliers shipped it) — the nested-semi-join
+    chain, realized as agg → per-part window totals → filter →
+    nation-filtered decoration.
+
+    Plan: the date filter is pushed to the scan; ONE shuffle on
+    partkey serves the (part,supplier) rollup AND the per-part window
+    (partial agg first, so the window sees |part×supp| rows, not
+    lines); the 1-nation supplier set joins the ≈|dominating pairs|
+    survivors; quantities are integers-in-doubles ⇒ the half-share
+    strict comparison is exact."""
+    from pyspark.sql import Window as W
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("_qty")
+    )
+    w = W.partitionBy("l_partkey")
+    dom = (
+        ps.withColumn("_total", F.sum("_qty").over(w))
+        .withColumn("_nsupp", F.count("*").over(w))
+        .filter((F.col("_nsupp") >= 2) & (F.col("_qty") > 0.5 * F.col("_total")))
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        dom.join(supplier, dom["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_dominated_parts"))
+        .orderBy(F.desc("n_dominated_parts"), "s_suppkey")
+    )
+
+
+def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-flavor blame report: suppliers that were the SOLE
+    late shipper (>60 days after order date) on multi-supplier orders
+    — the EXISTS/NOT-EXISTS pair, compiled to one per-(order,supplier)
+    partial agg plus per-order window counts instead of two
+    correlated self-joins of the fact.
+
+    Plan: lineitem joins orders equi on orderkey (both scale-linear,
+    no hints); ONE shuffle on orderkey serves the pair rollup and the
+    order-partition window (basket-bounded partitions); survivors
+    aggregate per supplier (dim-sized), decorate, TakeOrdered 20 with
+    a total tie-break."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    ps = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("_late"))
+    )
+    w = W.partitionBy("l_orderkey")
+    qual = (
+        ps.withColumn("_nsupp", F.count("*").over(w))
+        .withColumn("_nlate", F.sum("_late").over(w))
+        .filter(
+            (F.col("_late") == 1)
+            & (F.col("_nlate") == 1)
+            & (F.col("_nsupp") >= 2)
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        qual.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
+
+
+def supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-flavor supplier diversity: distinct shipper count per
+    (brand, type, size) for selected sizes, EXCLUDING suppliers in
+    arrears (negative account balance) — the NOT-IN-subquery shape as
+    a broadcast LEFT ANTI join (the excluded set is a filtered
+    fraction of an already scale-linear dim, and anti joins
+    short-circuit per probe row).
+
+    Plan: the (part,supplier) bridge is ONE distinct shuffle of the
+    fact's two key columns; the anti join is broadcast; the filtered
+    part dim joins equi (no hint — size IN keeps it linear, AQE
+    promotes at small SF); countDistinct rides the same partkey
+    shuffle."""
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    ok = pairs.join(
+        F.broadcast(bad),
+        pairs["l_suppkey"] == bad["s_suppkey"],
+        "left_anti",
+    )
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 10, 20, 30, 40, 50)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ok.join(part_f, ok["l_partkey"] == part_f["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def shipping_delay_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-flavor shipping-SLA split: 1999 lines bucketed FAST
+    (<30 days after order) vs SLOW, each bucket counting
+    critical-priority (1-URGENT/2-HIGH) vs other orders — the
+    conditional-aggregation shape (no shipmode column in this schema;
+    the delay bucket is the analogue).
+
+    Plan: ship-year filter pushed to the fact scan; orders joins equi
+    (no hint); ONE shuffle on the 2-value bucket with map-side partial
+    aggregation carrying both conditional counts."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01"))
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    bucket = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) < 30, "FAST"
+    ).otherwise("SLOW")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        j.groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(crit).alias("critical_lines"),
+            F.sum(F.lit(1) - crit).alias("other_lines"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph cohesion: triangle count + global clustering
+    coefficient of the part co-purchase graph (parts adjacent when
+    they share an order basket) — the one-row graph-topology health
+    report (how clique-ish is the catalog's cross-sell structure).
+
+    Plan (the scale design IS the orientation): undirected edges are
+    the basket self-join (Σ|basket|², |basket| ≤ 7, linear in orders),
+    deduped and checkpointed once (edge-sized, like PageRank's edge
+    build — the three triangle join legs read the materialization
+    instead of replaying the basket join). Each edge is then ORIENTED
+    from its lower-(degree,
+    id) endpoint to the higher one — the classic wedge-bounding trick:
+    every node's out-degree is O(√|E|), so the wedge join
+    e1(u,v)⋈e2(v,w) is Σ out² = O(|E|^1.5) worst-case instead of
+    Σ deg² (which a hub node makes quadratic). Triangles close with a
+    THIRD equi-join probing (u,w) — three hash equi-joins total, no
+    inequality join anywhere. Wedges for the coefficient are the exact
+    Σ deg·(deg−1)/2, integer math; one double divide at the end.
+    Oracle replays the a<b<c 3-way join (same count — each triangle
+    has exactly one orientation-consistent corner / one sorted
+    corner)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.select("ok", F.col("pk").alias("u"))
+    b = items.select("ok", F.col("pk").alias("v"))
+    # materialize the basket self-join ONCE (edge-sized): und feeds
+    # the degree table AND the orientation; without the checkpoint the
+    # three triangle join legs would each replay it
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # degree per node over the undirected edge list (node-sized; used
+    # by both endpoints' decoration and the wedge denominator)
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    withdeg = und.join(du, "u").join(dv, "v")
+    # orient low (deg, id) → high (deg, id): out-degree ≤ O(√|E|)
+    oriented = withdeg.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .alias("e")
+    ).select(F.col("e.s").alias("s"), F.col("e.t").alias("t")).localCheckpoint(
+        eager=True
+    )
+    e1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    e2 = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
+    e3 = oriented.select(F.col("s").alias("x"), F.col("t").alias("z"))
+    wedges = e1.join(e2, "y")
+    tri = wedges.join(e3, ["x", "z"]).agg(F.count("*").alias("_tri"))
+    stats = (
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("_wedges"),
+            (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("_tri").alias("n_triangles"),
+            F.round(
+                3.0 * F.col("_tri") / F.col("_wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )

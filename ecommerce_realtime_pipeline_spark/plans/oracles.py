@@ -1067,3 +1067,184 @@ KPI_ORACLES["nation_yoy_growth"] = """
     WINDOW w AS (PARTITION BY n_name ORDER BY order_year)
     ORDER BY n_name, order_year
 """
+
+KPI_ORACLES["cheapest_supplier_per_part"] = """
+    WITH pf AS (
+        SELECT p_partkey, p_name FROM part
+        WHERE p_size = 25 AND p_type = 'STANDARD'
+    ),
+    off AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS _price
+        FROM lineitem JOIN pf ON l_partkey = p_partkey
+    ),
+    best AS (
+        SELECT l_partkey, MIN(_price) AS _best FROM off GROUP BY 1
+    )
+    SELECT DISTINCT p_partkey, p_name,
+           CAST(ROUND(_best, 2) AS DOUBLE) AS best_price,
+           s_suppkey, s_name, n_name AS supp_nation
+    FROM off
+    JOIN best ON off.l_partkey = best.l_partkey AND off._price = best._best
+    JOIN pf ON off.l_partkey = pf.p_partkey
+    JOIN supplier ON off.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY p_partkey, s_suppkey
+"""
+
+KPI_ORACLES["product_profit_by_nation_year"] = """
+    WITH pf AS (
+        SELECT p_partkey,
+               CAST(ROUND(p_retailprice * 0.5, 2) AS DECIMAL(18,2)) AS _unit_cost
+        FROM part WHERE p_name LIKE '% bolt'
+    )
+    SELECT n_name AS supp_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           count(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          - _unit_cost * CAST(l_quantity AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN pf ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+KPI_ORACLES["small_quantity_revenue"] = """
+    WITH pf AS (
+        SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+    ),
+    j AS (
+        SELECT l_partkey, l_quantity,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS _e,
+               0.2 * AVG(l_quantity) OVER (PARTITION BY l_partkey) AS _thr
+        FROM lineitem JOIN pf ON l_partkey = p_partkey
+    )
+    SELECT count(*) AS n_lines,
+           ROUND(CAST(SUM(_e) AS DOUBLE) / 7.0, 2) AS avg_yearly_revenue
+    FROM j WHERE l_quantity < _thr
+"""
+
+KPI_ORACLES["disjunctive_promo_revenue"] = """
+    SELECT count(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+KPI_ORACLES["excess_volume_suppliers"] = """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS _qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+        GROUP BY 1, 2
+    ),
+    dom AS (
+        SELECT l_suppkey
+        FROM (
+            SELECT l_suppkey, _qty,
+                   SUM(_qty) OVER (PARTITION BY l_partkey) AS _total,
+                   COUNT(*) OVER (PARTITION BY l_partkey) AS _nsupp
+            FROM ps
+        )
+        WHERE _nsupp >= 2 AND _qty > 0.5 * _total
+    )
+    SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+    FROM dom
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY 1, 2
+    ORDER BY 3 DESC, 1
+"""
+
+KPI_ORACLES["waiting_orders_suppliers"] = """
+    WITH ps AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS _late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    qual AS (
+        SELECT l_suppkey
+        FROM (
+            SELECT l_suppkey, _late,
+                   COUNT(*) OVER (PARTITION BY l_orderkey) AS _nsupp,
+                   SUM(_late) OVER (PARTITION BY l_orderkey) AS _nlate
+            FROM ps
+        )
+        WHERE _late = 1 AND _nlate = 1 AND _nsupp >= 2
+    )
+    SELECT s_suppkey, s_name, count(*) AS numwait
+    FROM qual JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1, 2
+    ORDER BY 3 DESC, 1
+    LIMIT 20
+"""
+
+KPI_ORACLES["supplier_part_diversity"] = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 10, 20, 30, 40, 50)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    ORDER BY 4 DESC, 1, 2, 3
+"""
+
+KPI_ORACLES["shipping_delay_priority_split"] = """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30
+                THEN 'FAST' ELSE 'SLOW' END AS delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS other_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+KPI_ORACLES["parts_copurchase_triangles"] = """
+    WITH und AS (
+        SELECT DISTINCT a.pk AS u, b.pk AS v
+        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) b
+          ON a.ok = b.ok
+        WHERE a.pk < b.pk
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS deg FROM (
+            SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und
+        ) GROUP BY 1
+    ),
+    tri AS (
+        SELECT COUNT(*) AS _tri
+        FROM und e1
+        JOIN und e2 ON e1.v = e2.u
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           _tri AS n_triangles,
+           ROUND(3.0 * _tri / (SELECT SUM(deg * (deg - 1)) / 2 FROM deg),
+                 6) AS global_clustering
+    FROM tri
+"""

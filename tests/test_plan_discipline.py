@@ -582,3 +582,93 @@ def test_yoy_growth_window_is_partitioned(spark, sf_dir):
     # the exchange feeding the window partitions by n_name, not a
     # single-partition exchange
     assert "Exchange SinglePartition" not in plan.split("Window")[0], plan
+
+
+def test_cheapest_supplier_broadcasts_filtered_part_single_fact_scan(spark, sf_dir):
+    """Q2 shape: the size/type-filtered part dim broadcasts into the
+    fact BEFORE the per-part window min; the fact is scanned once (the
+    window replaces the correlated-subquery self-join)."""
+    plan = _plan(spark, sf_dir, "cheapest_supplier_per_part")
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_product_profit_pushes_name_filter(spark, sf_dir):
+    """Q9 shape: the p_name LIKE filter reaches the part scan; one
+    lineitem scan feeds the whole profit rollup."""
+    plan = _plan(spark, sf_dir, "product_profit_by_nation_year")
+    assert re.search(r"PushedFilters: \[[^\]]*p_name", plan), plan
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
+
+
+def test_small_quantity_single_scan_window_replaces_subquery(spark, sf_dir):
+    """Q17 shape: ONE brand-pruned fact scan; the per-part 0.2×avg
+    threshold is a window over the same shuffle, not a second scan +
+    join."""
+    plan = _plan(spark, sf_dir, "small_quantity_revenue")
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_disjunctive_predicate_derives_side_filters(spark, sf_dir):
+    """Q19 shape: constraint propagation must derive single-side
+    residuals from the OR-of-ANDs — the part scan carries a pushed
+    brand/size filter and the lineitem scan a quantity filter, so
+    neither side is scanned un-pruned."""
+    plan = _plan(spark, sf_dir, "disjunctive_promo_revenue")
+    assert re.search(r"PushedFilters: \[[^\]]*p_brand", plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_excess_volume_partial_agg_before_window(spark, sf_dir):
+    """Q20 shape: the (part,supplier) rollup runs BEFORE the per-part
+    window, so the window sees |part×supp| rows, not raw lines; the
+    ship-year filter is pushed to the scan."""
+    plan = _plan(spark, sf_dir, "excess_volume_suppliers")
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_waiting_orders_single_fact_scan_takeordered(spark, sf_dir):
+    """Q21 shape: the EXISTS/NOT-EXISTS pair compiles to one
+    (order,supplier) partial agg + per-order window — one lineitem
+    scan, one orders scan, TakeOrdered top-20."""
+    plan = _plan(spark, sf_dir, "waiting_orders_suppliers")
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
+    assert len(re.findall(r"orders\.parquet", plan)) == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_supplier_diversity_broadcast_anti_join(spark, sf_dir):
+    """Q16 shape: the negative-balance exclusion is a broadcast LEFT
+    ANTI join (never a shuffled NOT IN), and the acctbal filter is
+    pushed to the supplier scan."""
+    plan = _plan(spark, sf_dir, "supplier_part_diversity")
+    assert re.search(r"BroadcastHashJoin[^\n]*LeftAnti", plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*s_acctbal", plan), plan
+
+
+def test_delay_split_pushes_shipdate(spark, sf_dir):
+    """Q12 shape: the ship-year filter reaches the fact scan; the
+    2-bucket conditional agg is partial-agg (both counts ride one
+    shuffle)."""
+    plan = _plan(spark, sf_dir, "shipping_delay_priority_split")
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
+
+
+def test_triangles_all_equi_joins_no_cartesian(spark, sf_dir):
+    """Triangle counting must close wedges with hash EQUI-joins on the
+    oriented edge list — no cartesian product; the only nested-loop
+    join allowed is the final 1-row × 1-row scalar attach. The
+    checkpointed edge build must appear ONCE (the three join legs read
+    the materialization, not three basket-join replays)."""
+    plan = _plan(spark, sf_dir, "parts_copurchase_triangles")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 0, (
+        "edge build must be checkpointed, not replayed from the scan"
+    )
