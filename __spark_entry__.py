@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_diversity": kpi.supplier_part_diversity,
         "shipping_delay_priority_split": kpi.shipping_delay_priority_split,
         "parts_copurchase_triangles": kpi.parts_copurchase_triangles,
+        "emb_knn_same_label": llm.emb_knn_same_label,
         # ---- driver-green in rounds 3-5, re-checkable on any future
         # rotation ----
         # r3-era docs/text rows rotated out of the window this round

@@ -306,6 +306,54 @@ def knn_ivf(
     return _exact_rerank(cand, emb, queries, k, col)
 
 
+def knn_ivf_filtered(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    col: str = "embedding",
+    seed: int = 42,
+    cache_key: str | None = None,
+    meta_col: str = "label",
+) -> DataFrame:
+    """FILTERED vector search: ANN cosine top-k where every neighbor
+    must share the query's ``meta_col`` value — the metadata-
+    constrained retrieval pattern (same-tenant, same-language,
+    same-label). The constraint is applied AT CANDIDATE GENERATION
+    (posting-list equi-join → metadata equi-join → exact rerank),
+    never after the top-k: post-filtering an unconstrained top-k
+    silently starves queries whose neighborhoods are dominated by
+    other metadata values (the classic filtered-ANN bug), while
+    pre-filtering keeps recall semantics identical to running the
+    index on the filtered sub-corpus.
+
+    Scale: reuses the memoized IVF posting lists (build once per
+    ``cache_key``); the metadata decoration joins the corpus's narrow
+    (id, meta) projection onto the BOUNDED candidate set (|q| ×
+    probed-cell occupancy), with the query metadata broadcast — never
+    a corpus-wide filter pass per query."""
+    corpus_cells, q_cells = ivf_cell_tables(
+        emb, queries, n_centroids, n_probe, col, seed, cache_key
+    )
+    n_meta = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col(meta_col).alias("_nm")
+    )
+    q_meta = queries.select(
+        F.col("vec_id").alias("query_id"), F.col(meta_col).alias("_qm")
+    )
+    cand = (
+        corpus_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(n_meta, "neighbor_id")
+        .join(F.broadcast(q_meta), "query_id")
+        .filter(F.col("_nm") == F.col("_qm"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _exact_rerank(cand, emb, queries, k, col)
+
+
 def ivf_cell_tables(
     emb: DataFrame,
     queries: DataFrame,

@@ -4503,3 +4503,39 @@ def _ivf_even_trained_sql() -> str:
 
 
 LLM_ORACLES["emb_knn_ivf_merged"] = _ivf_even_trained_sql()
+
+
+def emb_knn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: IVF ANN top-5 where neighbors must
+    carry the query's own label (`similarity.knn_ivf_filtered`) — the
+    metadata-constrained retrieval surface (same-tenant / same-lang /
+    same-class lookups). The constraint enters at candidate
+    generation, so recall semantics equal running the index on the
+    label's sub-corpus; rides the session-memoized IVF posting lists
+    (same quantizer as ``emb_knn_ivf`` ⇒ the oracle is that chain
+    plus a label equi-join in cand)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_ivf_filtered(
+        emb, _query_vectors(emb), k=KNN_K, n_probe=8,
+        cache_key=f"{sf_dir}/embeddings",
+    )
+
+
+def _ivf_label_filtered_sql() -> str:
+    """The emb_knn_ivf oracle chain with the same-label constraint
+    added to candidate generation (the Spark path's pre-filter,
+    mirrored)."""
+    sql = LLM_ORACLES["emb_knn_ivf"]
+    anchor = """FROM probes p JOIN assign a USING (cid)
+            WHERE a.vec_id <> p.query_id"""
+    assert sql.count(anchor) == 1
+    return sql.replace(
+        anchor,
+        """FROM probes p JOIN assign a USING (cid)
+            JOIN embeddings en ON en.vec_id = a.vec_id
+            JOIN embeddings eq ON eq.vec_id = p.query_id
+            WHERE a.vec_id <> p.query_id AND en.label = eq.label""",
+    )
+
+
+LLM_ORACLES["emb_knn_same_label"] = _ivf_label_filtered_sql()

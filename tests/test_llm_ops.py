@@ -1333,3 +1333,32 @@ def test_merge_ivf_index_incremental_equivalence(spark, tmp_path):
         for r in spark.read.parquet(f"{path2}/cells").collect()
     )
     assert got == got2  # deterministic merge
+
+
+def test_knn_filtered_respects_constraint_and_matches_subcorpus(spark):
+    """Filtered vector search: (a) every neighbor shares its query's
+    label; (b) at FULL probe coverage (n_probe = n_centroids) the
+    result is EXACTLY brute force over the label-restricted
+    sub-corpus — the pre-filter recall contract (a post-filtered
+    top-k would return fewer rows here)."""
+    from ecommerce_realtime_pipeline_spark.catalog import load_table
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    q = emb.filter(F.col("vec_id") < 10)
+    out = SIM.knn_ivf_filtered(emb, q, k=5, n_probe=16).collect()
+    assert out, "filtered search returned nothing"
+    for r in out:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+    # brute force per query over ONLY its label's sub-corpus
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid, pairs in got.items():
+        sub = emb.filter(F.col("label") == labels[qid])
+        bf = SIM.knn_bruteforce(
+            sub, emb.filter(F.col("vec_id") == qid), k=5
+        ).collect()
+        expect = [(r["rank"], r["neighbor_id"]) for r in bf]
+        assert sorted(pairs) == sorted(expect), qid
