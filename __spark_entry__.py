@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_delay_priority_split": kpi.shipping_delay_priority_split,
         "parts_copurchase_triangles": kpi.parts_copurchase_triangles,
         "emb_knn_same_label": llm.emb_knn_same_label,
+        "docs_heldout_perplexity": llm.docs_heldout_perplexity,
         # ---- driver-green in rounds 3-5, re-checkable on any future
         # rotation ----
         # r3-era docs/text rows rotated out of the window this round

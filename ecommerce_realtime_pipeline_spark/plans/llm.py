@@ -4539,3 +4539,133 @@ def _ivf_label_filtered_sql() -> str:
 
 
 LLM_ORACLES["emb_knn_same_label"] = _ivf_label_filtered_sql()
+
+
+def docs_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production perplexity filter: train the JM-interpolated
+    bigram LM on the TRAIN split only, score the HELD-OUT (val/test)
+    docs — the train/apply separation `docs_bigram_surprisal` (same
+    corpus both roles) deliberately skips. Unseen-event mass comes
+    from add-one smoothing on the unigram back-off
+    (P(w2|w1) = λ·c(w1,w2)/c(w1) + (1-λ)·(c(w2)+1)/(N+V+1)), so
+    held-out tokens outside the train vocabulary score finite
+    surprisal instead of -inf. Output: top-20 highest-perplexity
+    held-out docs (the filter's drop candidates).
+
+    Scale: split membership is a pure md5 projection (no shuffle);
+    count tables are train-vocabulary-sized broadcasts (at 100 TB the
+    joins degrade gracefully to shuffle equi-joins — the plan is
+    written as plain joins); one explode feeds the per-doc scoring;
+    TakeOrdered top-k."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "split", TX.hash_split("doc_id")
+    )
+    train = docs.filter(F.col("split") == "train")
+    heldout = docs.filter(F.col("split") != "train")
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", "split", F.split("text", " ").alias("syms"))
+        return toks.select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms)-2),"
+                    " i -> struct(syms[i] as w1, syms[i+1] as w2))"
+                )
+            ).alias("bg"),
+        ).select("doc_id", "split", "bg.w1", "bg.w2")
+
+    uni = (
+        train.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = uni.agg(
+        F.sum("tf").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    bigc = bigrams(train).groupBy("w1", "w2").agg(F.count("*").alias("bf"))
+    c1 = uni.select(F.col("tok").alias("w1"), F.col("tf").alias("c1_tf"))
+    c2 = uni.select(F.col("tok").alias("w2"), F.col("tf").alias("c2_tf"))
+    lam = F.lit(BIGRAM_LAMBDA)
+    p = lam * F.coalesce(
+        F.col("bf") / F.col("c1_tf"), F.lit(0.0)
+    ) + (F.lit(1.0) - lam) * (
+        (F.coalesce(F.col("c2_tf"), F.lit(0)) + 1)
+        / (F.col("n_total") + F.col("vocab") + 1)
+    )
+    return (
+        bigrams(heldout)
+        .join(F.broadcast(bigc), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .join(F.broadcast(c2), "w2", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.exp(-F.avg(F.log(p))), 4).alias("perplexity"),
+        )
+        .orderBy(F.desc("perplexity"), "doc_id")
+        .limit(20)
+    )
+
+
+LLM_ORACLES["docs_heldout_perplexity"] = f"""
+    WITH tagged AS (
+        SELECT doc_id, text,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                              AS BIGINT) % 100 < 80
+                    THEN 'train'
+                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                              AS BIGINT) % 100 < 90
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    ),
+    train_toks AS (
+        SELECT string_split(text, ' ') AS syms FROM tagged
+        WHERE split = 'train'
+    ),
+    uni AS (
+        SELECT tok, count(*) AS tf
+        FROM (SELECT unnest(syms) AS tok FROM train_toks) GROUP BY tok
+    ),
+    stats AS (
+        SELECT CAST(SUM(tf) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM uni
+    ),
+    train_big AS (
+        SELECT syms[i] AS w1, syms[i + 1] AS w2
+        FROM (SELECT syms, unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM train_toks)
+    ),
+    bigc AS (SELECT w1, w2, count(*) AS bf FROM train_big GROUP BY w1, w2),
+    held AS (
+        SELECT doc_id, split, string_split(text, ' ') AS syms FROM tagged
+        WHERE split <> 'train'
+    ),
+    held_big AS (
+        SELECT doc_id, split, syms[i] AS w1, syms[i + 1] AS w2
+        FROM (SELECT doc_id, split, syms,
+                     unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM held)
+    ),
+    scored AS (
+        SELECT doc_id, split, count(*) AS n_bigrams,
+               ROUND(exp(-AVG(ln(
+                   {BIGRAM_LAMBDA}::DOUBLE * COALESCE(bf * 1.0 / c1.tf, 0.0)
+                   + {1.0 - BIGRAM_LAMBDA}::DOUBLE
+                     * (COALESCE(c2.tf, 0) + 1) * 1.0 / (n_total + vocab + 1)
+               ))), 4) AS perplexity
+        FROM held_big
+        LEFT JOIN bigc USING (w1, w2)
+        LEFT JOIN uni c1 ON held_big.w1 = c1.tok
+        LEFT JOIN uni c2 ON held_big.w2 = c2.tok, stats
+        GROUP BY doc_id, split
+    )
+    SELECT doc_id, split, n_bigrams, perplexity
+    FROM scored
+    ORDER BY perplexity DESC, doc_id
+    LIMIT 20
+"""
