@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_copurchase_triangles": kpi.parts_copurchase_triangles,
         "emb_knn_same_label": llm.emb_knn_same_label,
         "docs_heldout_perplexity": llm.docs_heldout_perplexity,
+        "mm_image_ahash_neardup": llm.mm_image_ahash_neardup,
         # ---- driver-green in rounds 3-5, re-checkable on any future
         # rotation ----
         # r3-era docs/text rows rotated out of the window this round

@@ -97,6 +97,15 @@ STRESS_QUERIES = [
     "customer_order_distribution",
     "docs_dedup_yield_curve",
     "nation_supplier_hhi",
+    # round-6 additions, second wave: the oriented triangle close
+    # (must stay O(|E|^1.5)-bounded, edge build checkpointed once),
+    # the per-order window blame report, the distinct-pair diversity
+    # rollup, and the train/apply LM scoring — all linear-in-rows
+    # except the triangle close's bounded superlinear term
+    "parts_copurchase_triangles",
+    "waiting_orders_suppliers",
+    "supplier_part_diversity",
+    "docs_heldout_perplexity",
 ]
 
 

@@ -635,3 +635,104 @@ def decimate_audio(media: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(_dec, RESIZED_SCHEMA)
+
+
+#: aHash near-dup contract: replicas re-render their BASE id's raster
+#: with every AHASH_PERTURB_EVERY-th byte brightened by
+#: AHASH_PERTURB_DELTA — a visible-but-small change, so the pair is a
+#: NEAR-duplicate (Hamming usually 0-8), not a byte-identical copy.
+AHASH_REPLICA_STRIDE = 10
+AHASH_PERTURB_EVERY = 5
+AHASH_PERTURB_DELTA = 9
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("hash_hi", T.LongType(), False),
+        T.StructField("hash_lo", T.LongType(), False),
+        T.StructField("bands", T.ArrayType(T.IntegerType(), False), False),
+    ]
+)
+
+
+def synthesize_media_with_replicas(docs: DataFrame) -> DataFrame:
+    """`synthesize_media` variant that PLANTS near-duplicate images:
+    ids with ``doc_id % AHASH_REPLICA_STRIDE == 1`` re-render the
+    raster of ``doc_id - 1`` (same dims, same pixel stream) with every
+    ``AHASH_PERTURB_EVERY``-th byte brightened by
+    ``AHASH_PERTURB_DELTA`` — the slightly-edited-copy case a
+    perceptual-hash dedup exists to catch (format still alternates by
+    the REPLICA's own parity, so pair members usually cross the
+    PPM/BMP codec boundary and the match proves content-level, not
+    byte-level, equality). All other ids render exactly as
+    `synthesize_media`."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                is_rep = d % AHASH_REPLICA_STRIDE == 1
+                ck = d - 1 if is_rep else d
+                w, h, _ = synth_dims(ck)
+                fmt = "ppm" if d % 2 == 0 else "bmp"
+                rgb = _pixel_stream(ck, w * h * 3)
+                if is_rep:
+                    rgb = bytes(
+                        min(255, b + AHASH_PERTURB_DELTA)
+                        if i % AHASH_PERTURB_EVERY == 0
+                        else b
+                        for i, b in enumerate(rgb)
+                    )
+                payload = encode_ppm(w, h, rgb) if fmt == "ppm" else encode_bmp(w, h, rgb)
+                payloads.append(payload)
+                metas.append(
+                    {
+                        "format": "image/x-portable-pixmap" if fmt == "ppm" else "image/bmp",
+                        "n_bytes": len(payload),
+                        "checksum": hashlib.md5(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "media_meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, RESIZED_SCHEMA)
+
+
+def image_ahash64(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: decode → integer
+    nearest-neighbor resample to 8×8 → per-pixel gray (r+g+b)//3 →
+    bit_i = gray_i > floor(mean) — 64 bits, integer-only end to end,
+    so the hash is exactly reproducible by any engine. Emitted as two
+    signed 32-bit halves (hash_lo = bits 0-31, hash_hi = bits 32-63;
+    a single signed 64-bit value would overflow when bit 63 is set)
+    plus the 8 byte-bands (band_j = bits 8j..8j+7) the LSH candidate
+    join keys on: Hamming ≤ 7 ⇒ at least one band equal (pigeonhole),
+    so banded candidate generation is lossless at that threshold.
+    1:1 Arrow pass over (doc_id, payload)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AHASH_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _fmt, w, h, rgb = decode_image(bytes(payload))
+                small = nn_resample(rgb, w, h, 8, 8)
+                gray = [
+                    (small[3 * i] + small[3 * i + 1] + small[3 * i + 2]) // 3
+                    for i in range(64)
+                ]
+                mean = sum(gray) // 64
+                bits = [1 if g > mean else 0 for g in gray]
+                lo = sum(b << i for i, b in enumerate(bits[:32]))
+                hi = sum(b << i for i, b in enumerate(bits[32:]))
+                bands = [
+                    sum(bits[8 * j + i] << i for i in range(8)) for j in range(8)
+                ]
+                rows["doc_id"].append(int(doc_id))
+                rows["hash_hi"].append(hi)
+                rows["hash_lo"].append(lo)
+                rows["bands"].append(bands)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(_hash, AHASH_SCHEMA)

@@ -4669,3 +4669,127 @@ LLM_ORACLES["docs_heldout_perplexity"] = f"""
     ORDER BY perplexity DESC, doc_id
     LIMIT 20
 """
+
+
+def mm_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection: perceptual average-hash (decode
+    → integer 8×8 resample → gray → threshold-at-mean, 64 bits) over a
+    corpus with planted slightly-brightened replicas
+    (`multimodal.synthesize_media_with_replicas`), candidates from an
+    8-byte-band LSH equi-join (lossless for Hamming ≤ 7 by
+    pigeonhole), exact Hamming verify ≤ 7. Pair members usually cross
+    the PPM/BMP codec boundary, so a match proves CONTENT equality
+    through two different real decoders — the multimodal analogue of
+    SimHash text dedup.
+
+    Scale: ONE Arrow decode+hash pass, checkpointed (hash table is
+    |corpus| × 20 bytes); candidates are a band equi-join (≈
+    |corpus|²/256 per band worst-case on random images, linear on
+    real ones); verify is integer xor+popcount on the bounded
+    candidate set. The oracle replays stream→resample→hash in SQL and
+    brute-forces all pairs (sf0.01 corpus is 500 images)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_media_with_replicas(docs)
+    hashes = MM.image_ahash64(media).localCheckpoint(eager=True)
+    bands = hashes.select(
+        "doc_id", F.posexplode("bands").alias("band", "val")
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "val")
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hash_hi").alias("_hi_a"),
+        F.col("hash_lo").alias("_lo_a"),
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hash_hi").alias("_hi_b"),
+        F.col("hash_lo").alias("_lo_b"),
+    )
+    ham = (
+        F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
+        + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+    ).cast("int")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 7)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+LLM_ORACLES["mm_image_ahash_neardup"] = """
+    WITH need AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS ck,
+               doc_id % 10 = 1 AS is_rep
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, ck, is_rep,
+               4 + ck % 5 AS w, 4 + ck % 3 AS h,
+               (4 + ck % 5) * (4 + ck % 3) * 3 AS n
+        FROM need
+    ),
+    blk AS (
+        SELECT doc_id, unnest(range(CAST(CEIL(n / 32.0) AS BIGINT))) AS b
+        FROM dims
+    ),
+    stream AS (
+        SELECT d.doc_id,
+               any_value(d.w) AS w, any_value(d.h) AS h,
+               any_value(d.is_rep) AS is_rep,
+               substr(string_agg(md5(d.ck || ':' || blk.b), ''
+                                 ORDER BY blk.b),
+                      1, any_value(d.n)) AS s
+        FROM dims d JOIN blk USING (doc_id)
+        GROUP BY d.doc_id
+    ),
+    -- 8x8 nearest-neighbor sample grid: output pixel i reads source
+    -- pixel (sy, sx) = ((i//8)*h//8, (i%8)*w//8); 0-based byte
+    -- position si = (sy*w+sx)*3; replica bytes at p % 5 = 0 get +9
+    px AS (
+        SELECT doc_id, i,
+               (((i // 8) * h // 8) * w + (i % 8) * w // 8) * 3 AS si
+        FROM stream, unnest(range(64)) AS t(i)
+    ),
+    gray AS (
+        SELECT p.doc_id, p.i,
+               ((unicode(substr(s.s, p.si + 1, 1))
+                 + CASE WHEN s.is_rep AND p.si % 5 = 0 THEN 9 ELSE 0 END)
+              + (unicode(substr(s.s, p.si + 2, 1))
+                 + CASE WHEN s.is_rep AND (p.si + 1) % 5 = 0 THEN 9 ELSE 0 END)
+              + (unicode(substr(s.s, p.si + 3, 1))
+                 + CASE WHEN s.is_rep AND (p.si + 2) % 5 = 0 THEN 9 ELSE 0 END)
+               ) // 3 AS g
+        FROM px p JOIN stream s USING (doc_id)
+    ),
+    bits AS (
+        SELECT doc_id, i,
+               CASE WHEN g > SUM(g) OVER (PARTITION BY doc_id) // 64
+                    THEN 1 ELSE 0 END AS bit
+        FROM gray
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN i < 32 THEN CAST(bit AS BIGINT) << i
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(SUM(CASE WHEN i >= 32 THEN CAST(bit AS BIGINT) << (i - 32)
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7
+    ORDER BY 1, 2
+"""

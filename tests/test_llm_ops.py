@@ -1362,3 +1362,21 @@ def test_knn_filtered_respects_constraint_and_matches_subcorpus(spark):
         ).collect()
         expect = [(r["rank"], r["neighbor_id"]) for r in bf]
         assert sorted(pairs) == sorted(expect), qid
+
+
+def test_image_ahash_neardup_finds_planted_pairs(spark):
+    """The planted (base, base+1) replica pairs dominate the detected
+    set (hex-ASCII rasters are low-entropy, so an occasional
+    coincidental pair within Hamming ≤ 7 is legitimate — both engines
+    agree on it via the exact verify), every detected pair is within
+    the threshold, and detection survives the PPM/BMP codec boundary
+    (pair members alternate formats)."""
+    pairs = llm.mm_image_ahash_neardup(spark, SF).collect()
+    planted = [
+        r for r in pairs
+        if r["doc_b"] == r["doc_a"] + 1 and r["doc_a"] % 10 == 0
+    ]
+    assert len(planted) >= 10
+    assert len(planted) >= len(pairs) - 3, pairs
+    for r in pairs:
+        assert 0 <= r["hamming"] <= 7
