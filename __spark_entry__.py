@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_same_label": llm.emb_knn_same_label,
         "docs_heldout_perplexity": llm.docs_heldout_perplexity,
         "mm_image_ahash_neardup": llm.mm_image_ahash_neardup,
+        "parts_dense_community": kpi.parts_dense_community,
         # ---- driver-green in rounds 3-5, re-checkable on any future
         # rotation ----
         # r3-era docs/text rows rotated out of the window this round

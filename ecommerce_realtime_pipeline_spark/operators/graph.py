@@ -118,3 +118,65 @@ def pagerank(
             )
         )
     return ranks
+
+
+def peel_dense_subgraph(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Densest-subgraph peeling (the Charikar greedy, fixed-round
+    form): each round drops every node whose degree is ≤ the CURRENT
+    subgraph's average degree, keeping the rest — the densest
+    community survives the peels. Returns one row per round
+    (round 0 = input graph): ``round, n_nodes, n_edges, density``
+    (density = |E|/|V|, 4dp; the best round is the 2-approximation).
+
+    ``edges`` is an UNDIRECTED edge list (u < v, deduped).
+
+    Determinism contract: the keep test is ``deg · N > 2 · E`` —
+    all-integer (never a float average), so both engines peel the
+    identical node set every round; regular graphs (all degrees
+    equal) peel to empty, later rounds report 0/0/NULL.
+
+    Scale: each round is one degree shuffle + two edge-sized
+    semi-joins, with the surviving edge list localCheckpointed so
+    round r+1 reads a materialization, not r stacked plans (the
+    PageRank pattern). The 1-row (N, E) stats broadcast into the keep
+    filter. Rounds are fixed ⇒ the whole computation is a finite
+    expression chain a SQL oracle replays CTE-for-CTE."""
+    cur = edges.select("u", "v").localCheckpoint(eager=True)
+    out_rows = []
+    spark = edges.sparkSession
+    for r in range(rounds + 1):
+        deg = (
+            cur.select(F.col("u").alias("n"))
+            .unionAll(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        row = deg.agg(
+            F.count("*").alias("nn"), (F.sum("d") / 2).cast("long").alias("ne")
+        ).collect()[0]
+        n_nodes, n_edges = (row["nn"] or 0), (row["ne"] or 0)
+        out_rows.append((r, n_nodes, n_edges))
+        if r == rounds:
+            break
+        # keep nodes strictly above average degree: d·N > 2·E (exact)
+        keep = deg.filter(
+            F.col("d") * F.lit(n_nodes) > F.lit(2 * n_edges)
+        ).select("n")
+        cur = (
+            cur.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    # density computed as an engine expression (F.round = HALF_UP,
+    # matching the oracle's ROUND) — never Python round (HALF_EVEN)
+    return spark.createDataFrame(
+        out_rows, "round int, n_nodes bigint, n_edges bigint"
+    ).withColumn(
+        "density",
+        F.when(
+            F.col("n_nodes") > 0,
+            F.round(F.col("n_edges") / F.col("n_nodes"), 4),
+        ),
+    )

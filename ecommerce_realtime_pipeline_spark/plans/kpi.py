@@ -2205,3 +2205,35 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+def parts_dense_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest co-purchase community: 4 rounds of average-degree
+    peeling (`graph.peel_dense_subgraph`) over the part co-purchase
+    graph — per-round (n_nodes, n_edges, density) trajectory; the
+    densest round is the Charikar 2-approximation of the densest
+    subgraph (the "core catalog" merchandising view).
+
+    Scale: basket-bounded edge build (Σ|basket|², checkpointed once);
+    each peel is a degree shuffle + two edge-sized semi-joins against
+    the broadcast survivor set; the driver sees only one (N, E) row
+    per round (the bounded-probe pattern `neardup_clusters`
+    established). Oracle replays all 4 peels CTE-for-CTE with the
+    same all-integer keep test."""
+    from ecommerce_realtime_pipeline_spark.operators.graph import (
+        peel_dense_subgraph,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.select("ok", F.col("pk").alias("u"))
+    b = items.select("ok", F.col("pk").alias("v"))
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return peel_dense_subgraph(und, rounds=4).orderBy("round")

@@ -1248,3 +1248,53 @@ KPI_ORACLES["parts_copurchase_triangles"] = """
                  6) AS global_clustering
     FROM tri
 """
+
+
+def _dense_peel_sql(rounds: int = 4) -> str:
+    """CTE replay of `graph.peel_dense_subgraph`: per round r, degree
+    table d{r} → integer stats s{r} → survivor set k{r} (d·N > 2E,
+    all-integer) → filtered edges e{r+1}."""
+    parts = [
+        """WITH items AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        e0 AS (
+            SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM items a JOIN items b ON a.ok = b.ok
+            WHERE a.pk < b.pk
+        )"""
+    ]
+    for r in range(rounds + 1):
+        parts.append(f"""d{r} AS (
+            SELECT n, COUNT(*) AS d FROM (
+                SELECT u AS n FROM e{r} UNION ALL SELECT v AS n FROM e{r}
+            ) GROUP BY n
+        ),
+        s{r} AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                   COALESCE(CAST(SUM(d) / 2 AS BIGINT), 0) AS ne
+            FROM d{r}
+        )""")
+        if r < rounds:
+            parts.append(f"""k{r} AS (
+            SELECT n FROM d{r}, s{r} WHERE d * nn > 2 * ne
+        ),
+        e{r + 1} AS (
+            SELECT u, v FROM e{r}
+            WHERE u IN (SELECT n FROM k{r}) AND v IN (SELECT n FROM k{r})
+        )""")
+    selects = [
+        f"""SELECT {r} AS round, nn AS n_nodes, ne AS n_edges,
+               CASE WHEN nn > 0 THEN ROUND(ne * 1.0 / nn, 4) END AS density
+        FROM s{r}"""
+        for r in range(rounds + 1)
+    ]
+    return (
+        ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+KPI_ORACLES["parts_dense_community"] = _dense_peel_sql()

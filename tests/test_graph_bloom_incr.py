@@ -348,3 +348,24 @@ def test_grouped_topk_candidates_bounded_and_covering(spark):
         top = sorted((v for v in range(10_000) if v % 7 == g), reverse=True)[:3]
         for v in top:
             assert (g, v) in got, (g, v)
+
+
+def test_peel_dense_subgraph_isolates_clique(spark):
+    """K4 with a pendant chain: round 1 peels the chain (below-average
+    degrees), leaving the clique as the densest round (density 1.5 >
+    1.3333); the regular K4 then peels to empty (all degrees equal the
+    average), and empty rounds report 0/0/NULL."""
+    from ecommerce_realtime_pipeline_spark.operators.graph import (
+        peel_dense_subgraph,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5), (5, 6)], "u long, v long")
+    rows = {r["round"]: r for r in peel_dense_subgraph(edges, rounds=3).collect()}
+    assert (rows[0]["n_nodes"], rows[0]["n_edges"]) == (6, 8)
+    assert (rows[1]["n_nodes"], rows[1]["n_edges"]) == (4, 6)
+    assert rows[1]["density"] == 1.5
+    assert (rows[2]["n_nodes"], rows[2]["n_edges"]) == (0, 0)
+    assert rows[2]["density"] is None
+    best = max(rows.values(), key=lambda r: r["density"] or -1)
+    assert best["round"] == 1
