@@ -1928,3 +1928,90 @@ def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("purchase_id").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 stream-to-STATIC broadcast enrichment as a driver-checkable
+    query: purchase envelopes joined LEFT to a customer-segment dim
+    table over two availableNow runs, with the dim OVERWRITTEN between
+    runs (`streaming/ingest.run_dim_enrichment`).
+
+    The fixture pins the stream-static contract exactly:
+    - run 1 (dim v1: c1→gold, c2→silver): p1/c1→gold, p2/c2→silver,
+      and p3/c9 (unknown customer) keeps NULL — the LEFT join never
+      drops a purchase;
+    - run 2 (dim v2: c2→gold, c3→bronze): p4/c2→GOLD (the updated
+      row, not run-1's silver — each run snapshots the CURRENT dim),
+      p5/c3→bronze (a key that did not exist at run 1), p6/c1→gold.
+    Expected: exactly 6 fixture-literal rows (a literal contract
+    oracle; the per-run dim snapshot semantics are not
+    DuckDB-expressible)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.streaming import ingest as I
+
+    def line(offset: int, cust: str, eid: str) -> str:
+        payload = json.dumps(
+            {
+                "event_id": eid,
+                "event_type": "purchase",
+                "customer_id": cust,
+                "timestamp": "2025-03-01T10:00:00Z",
+            }
+        )
+        return json.dumps(
+            {
+                "topic": "events",
+                "topic_partition": 0,
+                "topic_offset": offset,
+                "message_key": eid,
+                "payload": payload,
+                "consumed_at": "2025-03-01T10:00:00Z",
+            }
+        )
+
+    def write(src: str, name: str, lines: list[str]) -> None:
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    tmp = tempfile.mkdtemp(prefix="eng_dimjoin_q_")
+    try:
+        src, sink, ckpt, dim = (
+            os.path.join(tmp, d) for d in ("src", "sink", "ckpt", "dim")
+        )
+        spark.createDataFrame(
+            [("c1", "gold"), ("c2", "silver")], "customer_id string, segment string"
+        ).write.mode("overwrite").parquet(dim)
+        write(src, "b0.json", [line(1, "c1", "p1"), line(2, "c2", "p2"),
+                               line(3, "c9", "p3")])
+        _await(I.run_dim_enrichment(spark, src, dim, sink, ckpt))
+        spark.createDataFrame(
+            [("c1", "gold"), ("c2", "gold"), ("c3", "bronze")],
+            "customer_id string, segment string",
+        ).write.mode("overwrite").parquet(dim)
+        write(src, "b1.json", [line(4, "c2", "p4"), line(5, "c3", "p5"),
+                               line(6, "c1", "p6")])
+        _await(I.run_dim_enrichment(spark, src, dim, sink, ckpt))
+        out = spark.read.parquet(sink).select(
+            "purchase_id", "customer_id", "segment"
+        )
+        return out.orderBy("purchase_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+GEN_ORACLES["streaming_dim_enrichment"] = """
+    SELECT * FROM (VALUES
+        ('p1', 'c1', 'gold'),
+        ('p2', 'c2', 'silver'),
+        ('p3', 'c9', CAST(NULL AS VARCHAR)),
+        ('p4', 'c2', 'gold'),
+        ('p5', 'c3', 'bronze'),
+        ('p6', 'c1', 'gold')
+    ) AS t(purchase_id, customer_id, segment)
+    ORDER BY purchase_id
+"""

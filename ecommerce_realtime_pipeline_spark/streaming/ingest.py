@@ -593,3 +593,47 @@ def run_attribution_join(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_dim_enrichment(
+    spark: SparkSession,
+    source_dir: str,
+    dim_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+):
+    """Stream-to-STATIC broadcast enrichment — the stateless
+    bread-and-butter streaming join (every purchase decorated with its
+    customer's current dim row). The static side is a FRESH read plan
+    per call, so each availableNow run snapshots the dim directory as
+    of run start: a dim overwrite between runs is visible to all later
+    batches (SCD "current view" semantics — the contract the fixture
+    pins), while within one run the snapshot is stable. LEFT join:
+    unknown customers pass through with NULL dim columns instead of
+    silently dropping revenue events.
+
+    Scale: the join is stateless (no watermark state; purchases never
+    buffer), and the dim side broadcasts — at 100 TB/day of stream the
+    dim is the small side by definition; a dim too big to broadcast
+    becomes a shuffled stream-static join with the identical plan
+    shape."""
+    parsed = (
+        stream_envelopes(spark, source_dir)
+        .withColumn("_p", F.from_json("payload", ENTITY_SCHEMAS["events"]))
+        .select(
+            F.col("_p.event_id").alias("purchase_id"),
+            F.col("_p.customer_id").alias("customer_id"),
+        )
+    )
+    dim = F.broadcast(spark.read.parquet(dim_dir))
+    enriched = parsed.join(dim, "customer_id", "left").select(
+        "purchase_id", "customer_id", "segment"
+    )
+    return (
+        enriched.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
