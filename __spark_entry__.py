@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_ahash_neardup": llm.mm_image_ahash_neardup,
         "parts_dense_community": kpi.parts_dense_community,
         "streaming_dim_enrichment": gen.streaming_dim_enrichment,
+        "emb_top_component": llm.emb_top_component,
         # ---- driver-green in rounds 3-5, re-checkable on any future
         # rotation ----
         # r3-era docs/text rows rotated out of the window this round

@@ -1421,3 +1421,96 @@ def merge_ivf_index(
         _sh.rmtree(old, ignore_errors=True)
     _sh.rmtree(tmp, ignore_errors=True)
     return touched
+
+
+def top_component_power(
+    emb: DataFrame,
+    iters: int = 2,
+    col: str = "embedding",
+    topk: int = 8,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Top principal direction of the embedding cloud via POWER
+    ITERATION on the (uncentered) second-moment matrix — the
+    data-driven complement to the data-oblivious JL projection
+    (`random_projection`): which axis actually carries the variance.
+    Each iteration is two matvecs that never materialize the d×d
+    matrix: scores s = Xv (one shuffle on vec_id), update w = Xᵀs
+    (one shuffle on pos) — O(n·d) rows moved per iteration, the only
+    shape that survives 100 TB (a Gram-matrix build is n·d² and a
+    covariance build d²-dense).
+
+    Determinism contract (the kmeans/GD pattern): v₀ = round(1/√d, 8)
+    (exactly 0.125 for d=64); every product is DECIMAL(12,10) ×
+    DECIMAL(9,8) → exact (22,18), summed exactly (order-independent);
+    each normalization is ONE double sqrt + divide, rounded back to
+    8dp DECIMAL — so both engines walk the identical IEEE chain and
+    the oracle replays every iteration CTE-for-CTE. At extreme n the
+    (38,16) norm accumulator needs a pre-scale (divide scores by a
+    power of 10) — noted, not needed at any tested SF.
+
+    Output: top-``topk`` dimensions by |loading| of the final
+    direction (4dp), with the dominant singular-value estimate
+    (‖w‖ of the last update, before normalization) attached."""
+    spark = emb.sparkSession
+    d = embedding_dim(emb, cache_key=cache_key)
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col(col)).alias("pos", "val")
+    ).withColumn("_x", F.col("val").cast("decimal(12,10)"))
+    v = spark.range(d).select(
+        F.col("id").cast("int").alias("pos"),
+        F.round(F.lit(1.0) / F.sqrt(F.lit(float(d))), 8)
+        .cast("decimal(9,8)")
+        .alias("_v"),
+    )
+    sigma = None
+    for _ in range(iters):
+        dots = (
+            comp.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("_x") * F.col("_v")).alias("_draw"))
+            .withColumn("_dot", F.col("_draw").cast("decimal(18,8)"))
+        )
+        ns = dots.agg(
+            F.sqrt(
+                F.sum((F.col("_dot") * F.col("_dot")).cast("decimal(38,16)"))
+                .cast("double")
+            ).alias("_ns")
+        )
+        s = dots.crossJoin(F.broadcast(ns)).select(
+            "vec_id",
+            F.round(F.col("_dot").cast("double") / F.col("_ns"), 8)
+            .cast("decimal(9,8)")
+            .alias("_s"),
+        )
+        w = (
+            comp.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("_x") * F.col("_s")).alias("_wraw"))
+            .withColumn("_w", F.col("_wraw").cast("decimal(18,8)"))
+        )
+        nw = w.agg(
+            F.sqrt(
+                F.sum((F.col("_w") * F.col("_w")).cast("decimal(38,16)"))
+                .cast("double")
+            ).alias("_nw")
+        )
+        vn = (
+            w.crossJoin(F.broadcast(nw))
+            .select(
+                "pos",
+                F.round(F.col("_w").cast("double") / F.col("_nw"), 8)
+                .cast("decimal(9,8)")
+                .alias("_v"),
+                "_nw",
+            )
+            .localCheckpoint(eager=True)
+        )
+        sigma = vn.select(F.round(F.col("_nw"), 4).alias("sigma_est")).limit(1)
+        v = vn.select("pos", "_v")
+    out = v.crossJoin(F.broadcast(sigma)).select(
+        "pos",
+        F.round(F.col("_v").cast("double"), 4).alias("loading"),
+        "sigma_est",
+    )
+    return out.orderBy(F.abs(F.col("loading")).desc(), "pos").limit(topk)

@@ -4793,3 +4793,73 @@ LLM_ORACLES["mm_image_ahash_neardup"] = """
     WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7
     ORDER BY 1, 2
 """
+
+
+def emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal-direction probe: top-8 dimensions by |loading| of the
+    embedding cloud's dominant direction + the singular-value
+    estimate, via 2 rounds of matvec-only power iteration
+    (`similarity.top_component_power`) — the data-DRIVEN axis finder
+    next to the data-oblivious JL reduction. Oracle replays both
+    iterations CTE-for-CTE (exact DECIMAL products, one double
+    sqrt/divide per normalization)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.top_component_power(
+        emb, iters=2, cache_key=f"{sf_dir}/embeddings"
+    )
+
+
+def _power_iteration_sql(iters: int = 2) -> str:
+    head = """WITH x AS (
+        SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+               CAST(unnest(embedding) AS DECIMAL(12,10)) AS xv
+        FROM embeddings
+    ),
+    dd AS (SELECT CAST(len(embedding) AS INT) AS d FROM embeddings LIMIT 1),
+    v0 AS (
+        SELECT CAST(unnest(range(0, d)) AS INT) AS pos,
+               CAST(ROUND(1.0 / sqrt(d), 8) AS DECIMAL(9,8)) AS v
+        FROM dd
+    )"""
+    parts = [head]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    dots{t} AS (
+        SELECT vec_id, CAST(SUM(xv * v) AS DECIMAL(18,8)) AS dot
+        FROM x JOIN v{t - 1} USING (pos) GROUP BY vec_id
+    ),
+    ns{t} AS (
+        SELECT sqrt(CAST(SUM(CAST(dot * dot AS DECIMAL(38,16))) AS DOUBLE))
+            AS ns
+        FROM dots{t}
+    ),
+    s{t} AS (
+        SELECT vec_id,
+               CAST(ROUND(CAST(dot AS DOUBLE) / ns, 8) AS DECIMAL(9,8)) AS s
+        FROM dots{t}, ns{t}
+    ),
+    w{t} AS (
+        SELECT pos, CAST(SUM(xv * s) AS DECIMAL(18,8)) AS w
+        FROM x JOIN s{t} USING (vec_id) GROUP BY pos
+    ),
+    nw{t} AS (
+        SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,16))) AS DOUBLE))
+            AS nw
+        FROM w{t}
+    ),
+    v{t} AS (
+        SELECT pos,
+               CAST(ROUND(CAST(w AS DOUBLE) / nw, 8) AS DECIMAL(9,8)) AS v
+        FROM w{t}, nw{t}
+    )""")
+    parts.append(f"""
+    SELECT pos,
+           ROUND(CAST(v AS DOUBLE), 4) AS loading,
+           ROUND(nw, 4) AS sigma_est
+    FROM v{iters}, nw{iters}
+    ORDER BY abs(ROUND(CAST(v AS DOUBLE), 4)) DESC, pos
+    LIMIT 8""")
+    return "".join(parts)
+
+
+LLM_ORACLES["emb_top_component"] = _power_iteration_sql()

@@ -1380,3 +1380,23 @@ def test_image_ahash_neardup_finds_planted_pairs(spark):
     assert len(planted) >= len(pairs) - 3, pairs
     for r in pairs:
         assert 0 <= r["hamming"] <= 7
+
+
+def test_power_iteration_finds_planted_dominant_axis(spark):
+    """A cloud stretched along axis 3 (±2.0 there, ±0.05 noise
+    elsewhere): two power iterations must put the top |loading| on
+    pos 3 with near-unit weight, and the sigma estimate must be close
+    to the planted spread times √n."""
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+
+    rows = []
+    for i in range(40):
+        v = [0.05 if (i + j) % 2 == 0 else -0.05 for j in range(8)]
+        v[3] = 2.0 if i % 2 == 0 else -2.0
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.top_component_power(emb, iters=2, topk=3).collect()
+    assert out[0]["pos"] == 3
+    assert abs(abs(out[0]["loading"]) - 1.0) < 0.01
+    # sigma ≈ sqrt(sum of squares along the axis) = 2.0 * sqrt(40)
+    assert abs(out[0]["sigma_est"] - 2.0 * 40 ** 0.5) < 0.5
