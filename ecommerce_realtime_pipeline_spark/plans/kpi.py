@@ -2237,3 +2237,35 @@ def parts_dense_community(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return peel_dense_subgraph(und, rounds=4).orderBy("round")
+
+
+def revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic seasonal decomposition, step 1: monthly revenue with a
+    CENTERED 3-month moving-average trend and the seasonal index
+    (revenue/trend) — the promotions-calendar / staffing-forecast
+    view.
+
+    Plan: the fact collapses to |months| rows FIRST (one shuffle on
+    the month bucket, partial-agg); only then does the ordered window
+    run — over the month-cardinality frame, so the single-partition
+    window is bounded by calendar length, never data volume (the
+    global-window discipline: windows over aggregates, not facts).
+    Trend = frame SUM/COUNT in DECIMAL (edge months average their
+    2-month frame), ONE double divide each for trend and index."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        _money("o_totalprice").alias("_m"),
+    )
+    monthly = orders.groupBy("month").agg(
+        F.round(F.sum("_m"), 2).cast(_D).alias("_rev")
+    )
+    w = W.orderBy("month").rowsBetween(-1, 1)
+    trend = F.sum("_rev").over(w).cast("double") / F.count("_rev").over(w)
+    return monthly.select(
+        "month",
+        _as_double(F.col("_rev")).alias("revenue"),
+        F.round(trend, 4).alias("trend"),
+        F.round(F.col("_rev").cast("double") / trend, 4).alias("seasonal_index"),
+    ).orderBy("month")

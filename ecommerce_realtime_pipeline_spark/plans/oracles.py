@@ -1298,3 +1298,26 @@ def _dense_peel_sql(rounds: int = 4) -> str:
 
 
 KPI_ORACLES["parts_dense_community"] = _dense_peel_sql()
+
+
+KPI_ORACLES["revenue_seasonality"] = """
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DECIMAL(18,2)) AS _rev
+        FROM orders GROUP BY 1
+    ),
+    framed AS (
+        SELECT month, _rev,
+               CAST(SUM(_rev) OVER w AS DOUBLE)
+                   / COUNT(_rev) OVER w AS trend
+        FROM monthly
+        WINDOW w AS (ORDER BY month ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    )
+    SELECT month,
+           CAST(ROUND(_rev, 2) AS DOUBLE) AS revenue,
+           ROUND(trend, 4) AS trend,
+           ROUND(CAST(_rev AS DOUBLE) / trend, 4) AS seasonal_index
+    FROM framed
+    ORDER BY month
+"""
