@@ -672,3 +672,17 @@ def test_triangles_all_equi_joins_no_cartesian(spark, sf_dir):
     assert len(re.findall(r"lineitem\.parquet", plan)) == 0, (
         "edge build must be checkpointed, not replayed from the scan"
     )
+
+
+def test_seasonality_window_over_aggregate_only(spark, sf_dir):
+    """The ordered trend window must consume the |months|-row
+    aggregate, never the raw fact: one orders scan, and the plan's
+    HashAggregate sits BELOW the Window operator."""
+    plan = _plan(spark, sf_dir, "revenue_seasonality")
+    assert len(re.findall(r"orders\.parquet", plan)) == 1, plan
+    assert "Window" in plan, plan
+    # the window's child chain contains the month aggregate
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], (
+        "month aggregate must feed the window, not the raw scan"
+    )
