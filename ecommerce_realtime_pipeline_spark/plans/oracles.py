@@ -1224,11 +1224,13 @@ KPI_ORACLES["shipping_delay_priority_split"] = """
 
 KPI_ORACLES["parts_copurchase_triangles"] = """
     WITH und AS (
-        SELECT DISTINCT a.pk AS u, b.pk AS v
+        SELECT a.pk AS u, b.pk AS v
         FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) a
         JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) b
           ON a.ok = b.ok
         WHERE a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
     ),
     deg AS (
         SELECT n, COUNT(*) AS deg FROM (
