@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dim_enrichment": gen.streaming_dim_enrichment,
         "emb_top_component": llm.emb_top_component,
         "revenue_seasonality": kpi.revenue_seasonality,
+        "emb_knn_graph_beam": llm.emb_knn_graph_beam,
         # ---- driver-green in rounds 3-5, re-checkable on any future
         # rotation ----
         # r3-era docs/text rows rotated out of the window this round

@@ -4863,3 +4863,140 @@ def _power_iteration_sql(iters: int = 2) -> str:
 
 
 LLM_ORACLES["emb_top_component"] = _power_iteration_sql()
+
+
+def emb_knn_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN serving (`similarity.knn_graph_beam`): top-5 by
+    2-hop beam search (beam 8) over the cell-bounded kNN graph
+    (m = 6) from md5-ranked entry points — the NSW-family serving
+    path whose per-query cost is O(hops·beam·m), independent of
+    corpus size. Oracle replays graph build → entries → both
+    expansions → final rerank CTE-for-CTE (shared quantizer chain
+    with `emb_knn_ivf`, shared tie-breaks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_graph_beam(
+        emb, _query_vectors(emb), k=KNN_K,
+        cache_key=f"{sf_dir}/embeddings",
+    )
+
+
+LLM_ORACLES["emb_knn_graph_beam"] = """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+               ) - 1 AS cid,
+               v AS cv, nrm AS cn
+        FROM base
+        ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+        LIMIT 16
+    ),
+    cell_sims AS (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.v, c.cv) / (b.nrm * c.cn) DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM base b CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, cid FROM cell_sims WHERE rn = 1),
+    assign2 AS (SELECT vec_id, cid FROM cell_sims WHERE rn <= 2),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM assign2 a JOIN assign2 b USING (cid)
+        WHERE a.vec_id <> b.vec_id
+    ),
+    gs AS (
+        SELECT src, dst,
+               row_number() OVER (
+                   PARTITION BY src
+                   ORDER BY list_dot_product(s.v, d.v) / (s.nrm * d.nrm) DESC,
+                            dst ASC
+               ) AS rn
+        FROM pairs
+        JOIN base s ON s.vec_id = src
+        JOIN base d ON d.vec_id = dst
+    ),
+    graph AS (SELECT src, dst FROM gs WHERE rn <= 6),
+    entries AS (
+        SELECT q.vec_id AS query_id, a.vec_id AS nid
+        FROM assign q JOIN assign a USING (cid)
+        WHERE q.vec_id < 10
+    ),
+    f0 AS (
+        SELECT query_id, nid,
+               list_dot_product(qb.v, nb.v) / (qb.nrm * nb.nrm) AS cos
+        FROM entries
+        JOIN base qb ON qb.vec_id = query_id
+        JOIN base nb ON nb.vec_id = nid
+    ),
+    cut1 AS (
+        SELECT query_id, nid FROM (
+            SELECT query_id, nid,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, nid ASC) AS rn
+            FROM f0
+        ) WHERE rn <= 8
+    ),
+    exp1 AS (
+        SELECT DISTINCT query_id, dst AS nid
+        FROM cut1 JOIN graph ON cut1.nid = graph.src
+    ),
+    s1 AS (
+        SELECT query_id, e.nid,
+               list_dot_product(qb.v, nb.v) / (qb.nrm * nb.nrm) AS cos
+        FROM exp1 e
+        JOIN base qb ON qb.vec_id = query_id
+        JOIN base nb ON nb.vec_id = e.nid
+    ),
+    cut2 AS (
+        SELECT query_id, nid FROM (
+            SELECT query_id, nid,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, nid ASC) AS rn
+            FROM s1
+        ) WHERE rn <= 8
+    ),
+    exp2 AS (
+        SELECT DISTINCT query_id, dst AS nid
+        FROM cut2 JOIN graph ON cut2.nid = graph.src
+    ),
+    s2 AS (
+        SELECT query_id, e.nid,
+               list_dot_product(qb.v, nb.v) / (qb.nrm * nb.nrm) AS cos
+        FROM exp2 e
+        JOIN base qb ON qb.vec_id = query_id
+        JOIN base nb ON nb.vec_id = e.nid
+    ),
+    visited AS (
+        SELECT query_id, nid FROM f0
+        UNION ALL SELECT query_id, nid FROM s1
+        UNION ALL SELECT query_id, nid FROM s2
+    ),
+    final AS (
+        SELECT DISTINCT query_id, nid FROM visited WHERE nid <> query_id
+    ),
+    fs AS (
+        SELECT query_id, f.nid,
+               list_dot_product(qb.v, nb.v) / (qb.nrm * nb.nrm) AS cos
+        FROM final f
+        JOIN base qb ON qb.vec_id = query_id
+        JOIN base nb ON nb.vec_id = f.nid
+    ),
+    ranked AS (
+        SELECT query_id, nid AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, nid ASC) AS rank,
+               cos
+        FROM fs
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           ROUND(cos, 4) AS cos_sim
+    FROM ranked WHERE rank <= 5
+"""

@@ -1400,3 +1400,19 @@ def test_power_iteration_finds_planted_dominant_axis(spark):
     assert abs(abs(out[0]["loading"]) - 1.0) < 0.01
     # sigma ≈ sqrt(sum of squares along the axis) = 2.0 * sqrt(40)
     assert abs(out[0]["sigma_est"] - 2.0 * 40 ** 0.5) < 0.5
+
+
+def test_knn_graph_beam_recall_floor(spark):
+    """IVF-routed entry + 2-hop beam over the 2-probe kNN graph:
+    ≥ 0.4 mean recall vs brute force on the isotropic (worst-case)
+    corpus — comparable to IVF probing 4/16 cells while scoring a
+    corpus-size-independent candidate set per query. (The 1-probe
+    graph variant measured 0.06-0.1: cell-disconnected graphs strand
+    the beam — the regression this floor guards.)"""
+    bf, gb = {}, {}
+    for r in llm.emb_knn_bruteforce(spark, SF).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in llm.emb_knn_graph_beam(spark, SF).collect():
+        gb.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(bf[q] & gb.get(q, set())) / len(bf[q]) for q in bf]
+    assert sum(recalls) / len(recalls) >= 0.4
