@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_top_component": llm.emb_top_component,
         "revenue_seasonality": kpi.revenue_seasonality,
         "emb_knn_graph_beam": llm.emb_knn_graph_beam,
+        "events_markov_attribution": kpi.events_markov_attribution,
         # ---- driver-green in rounds 3-5, re-checkable on any future
         # rotation ----
         # r3-era docs/text rows rotated out of the window this round

@@ -1323,3 +1323,85 @@ KPI_ORACLES["revenue_seasonality"] = """
     FROM framed
     ORDER BY month
 """
+
+
+def _markov_attribution_sql(steps: int = 6) -> str:
+    """CTE replay of `kpi.events_markov_attribution`: 8dp DECIMAL
+    probabilities, per-step exact (14,8)×(10,8) product sums rounded
+    back to (14,8), scenario-vectorized."""
+    head = """WITH pairs AS (
+        SELECT user_id,
+               lag(event_type) OVER w AS src,
+               event_type AS dst,
+               row_number() OVER w AS _rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trans AS (
+        SELECT src, dst, count(*) AS _cnt
+        FROM pairs WHERE src IS NOT NULL AND src <> 'purchase'
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT event_type AS src, count(*) AS _tot
+        FROM events WHERE event_type <> 'purchase' GROUP BY 1
+    ),
+    p AS (
+        SELECT trans.src, trans.dst,
+               CAST(ROUND(_cnt * 1.0 / _tot, 8) AS DECIMAL(10,8)) AS _p
+        FROM trans JOIN totals ON trans.src = totals.src
+    ),
+    nu AS (SELECT count(*) AS _n FROM pairs WHERE _rn = 1),
+    v0 AS (
+        SELECT dst AS state,
+               CAST(ROUND(count(*) * 1.0 / _n, 8) AS DECIMAL(14,8)) AS _m
+        FROM pairs, nu WHERE _rn = 1 GROUP BY dst, _n
+    ),
+    scen AS (
+        SELECT * FROM (VALUES ('full'), ('click'), ('error'),
+                              ('signup'), ('view')) AS s(scenario)
+    ),
+    ps AS (
+        SELECT scenario, src, dst, _p FROM p CROSS JOIN scen
+        WHERE scenario = 'full' OR dst <> scenario
+    ),
+    vs AS (
+        SELECT scenario, state, _m FROM v0 CROSS JOIN scen
+        WHERE scenario = 'full' OR state <> scenario
+    ),
+    a0 AS (SELECT scenario, _m AS _a FROM vs WHERE state = 'purchase'),
+    t0 AS (SELECT scenario, state, _m FROM vs WHERE state <> 'purchase')"""
+    parts = [head]
+    for t in range(1, steps + 1):
+        parts.append(f""",
+    n{t} AS (
+        SELECT c.scenario, ps.dst,
+               CAST(ROUND(SUM(c._m * ps._p), 8) AS DECIMAL(14,8)) AS _m
+        FROM t{t - 1} c
+        JOIN ps ON c.state = ps.src AND c.scenario = ps.scenario
+        GROUP BY 1, 2
+    ),
+    a{t} AS (SELECT scenario, _m AS _a FROM n{t} WHERE dst = 'purchase'),
+    t{t} AS (SELECT scenario, dst AS state, _m FROM n{t}
+             WHERE dst <> 'purchase')""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT scenario, _a FROM a{t}" for t in range(steps + 1)
+    )
+    parts.append(f""",
+    conv AS (
+        SELECT scenario, CAST(SUM(_a) AS DECIMAL(14,8)) AS _conv
+        FROM ({unions}) GROUP BY scenario
+    ),
+    fullc AS (SELECT _conv AS _cfull FROM conv WHERE scenario = 'full')
+    SELECT scenario AS channel,
+           ROUND(CAST(_cfull AS DOUBLE), 6) AS conv_full,
+           ROUND(CAST(_conv AS DOUBLE), 6) AS conv_without,
+           ROUND(1.0 - CAST(_conv AS DOUBLE) / CAST(_cfull AS DOUBLE), 4)
+               AS removal_effect
+    FROM conv, fullc
+    WHERE scenario <> 'full'
+    ORDER BY channel""")
+    return "".join(parts)
+
+
+KPI_ORACLES["events_markov_attribution"] = _markov_attribution_sql()
