@@ -2378,8 +2378,16 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     allabs = absorbed[0]
     for a in absorbed[1:]:
         allabs = allabs.unionByName(a)
-    conv = allabs.groupBy("scenario").agg(
-        F.sum("_a").cast("decimal(14,8)").alias("_conv")
+    # LEFT join back to the scenario list: a channel whose removal
+    # kills EVERY conversion has no absorbed rows at all — it must
+    # report conv_without = 0 (removal_effect 1.0), not vanish
+    conv = scen.join(
+        allabs.groupBy("scenario").agg(F.sum("_a").alias("_sum")),
+        "scenario",
+        "left",
+    ).select(
+        "scenario",
+        F.coalesce(F.col("_sum"), F.lit(0)).cast("decimal(14,8)").alias("_conv"),
     )
     full = conv.filter(F.col("scenario") == "full").select(
         F.col("_conv").alias("_cfull")

@@ -1388,9 +1388,14 @@ def _markov_attribution_sql(steps: int = 6) -> str:
         f"SELECT scenario, _a FROM a{t}" for t in range(steps + 1)
     )
     parts.append(f""",
-    conv AS (
-        SELECT scenario, CAST(SUM(_a) AS DECIMAL(14,8)) AS _conv
+    convagg AS (
+        SELECT scenario, SUM(_a) AS _sum
         FROM ({unions}) GROUP BY scenario
+    ),
+    conv AS (
+        SELECT scen.scenario,
+               CAST(COALESCE(_sum, 0) AS DECIMAL(14,8)) AS _conv
+        FROM scen LEFT JOIN convagg ON scen.scenario = convagg.scenario
     ),
     fullc AS (SELECT _conv AS _cfull FROM conv WHERE scenario = 'full')
     SELECT scenario AS channel,

@@ -229,3 +229,41 @@ def test_asof_forward_basic_and_ties(spark):
         ).collect()
     }
     assert tol["l1"] is None  # 200 is 100s after 100 > 50s tolerance
+
+
+def test_markov_attribution_removal_effects_analytic(spark, tmp_path):
+    """Hand-built journeys with analytically known removal effects:
+    view→click→purchase (×2) and signup→error (×1). Every conversion
+    rides view and click (removal effect 1.0 for both); signup/error
+    never touch a converting path (effect 0.0)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.plans import kpi
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    eid = 0
+    for uid, path in [(1, ["view", "click", "purchase"]),
+                      (2, ["view", "click", "purchase"]),
+                      (3, ["signup", "error"])]:
+        for i, et in enumerate(path):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(minutes=i), uid, et, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["channel"]: r
+        for r in kpi.events_markov_attribution(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"click", "error", "signup", "view"}
+    assert abs(out["click"]["conv_full"] - 2 / 3) < 1e-6
+    assert out["click"]["removal_effect"] == 1.0
+    assert out["view"]["removal_effect"] == 1.0
+    assert out["error"]["removal_effect"] == 0.0
+    assert out["signup"]["removal_effect"] == 0.0
