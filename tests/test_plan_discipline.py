@@ -686,3 +686,21 @@ def test_seasonality_window_over_aggregate_only(spark, sf_dir):
     assert "HashAggregate" in plan[win_pos:], (
         "month aggregate must feed the window, not the raw scan"
     )
+
+
+def test_markov_walk_reads_checkpoints_not_fact(spark, sf_dir):
+    """The 6-step × 5-scenario walk must reference the checkpointed
+    |types|²-sized matrix/vector — zero events scans in the final
+    plan (without the checkpoints every step's lineage replayed the
+    user-window pass over the fact)."""
+    plan = _plan(spark, sf_dir, "events_markov_attribution")
+    assert len(re.findall(r"events\.parquet", plan)) == 0, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_graph_beam_no_cartesian_bounded_scans(spark, sf_dir):
+    """Beam search is equi-joins against the checkpointed kNN graph +
+    broadcast query vectors — no cartesian/nested-loop join anywhere."""
+    plan = _plan(spark, sf_dir, "emb_knn_graph_beam")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
