@@ -2406,3 +2406,81 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori level 3: association rules (A,B) → C from
+    support-≥2 item triples, with confidence = sup(ABC)/sup(AB) and
+    lift = confidence / P(C) — the cross-sell RULE layer on top of
+    `market_basket_pairs`' pair counts (which products, TOGETHER,
+    predict a third).
+
+    Plan: the distinct basket item list materializes ONCE
+    (checkpointed — it feeds triples, pair denominators, item counts,
+    and the order total); the triple self-join is bounded by
+    Σ|basket|³ with |basket| ≤ 7 (C(7,3)=35 per order — linear in
+    orders, the level-2 argument one level up), thresholded in its
+    own shuffle; each surviving triple emits its 3 rotations, joined
+    to pair supports (equi) and a broadcast item-count dim. Lift is
+    computed from the RAW integer counts in one double chain (never
+    from the rounded confidence)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = items.select("ok", F.col("pk").alias("pa"))
+    b = items.select("ok", F.col("pk").alias("pb"))
+    c = items.select("ok", F.col("pk").alias("pc"))
+    triples = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(c, "ok")
+        .filter(F.col("pb") < F.col("pc"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count("*").alias("sup3"))
+        .filter(F.col("sup3") >= 2)
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("qa"), F.col("pb").alias("qb"))
+        .agg(F.count("*").alias("sup2"))
+    )
+    singles = items.groupBy(F.col("pk").alias("cons")).agg(
+        F.count("*").alias("n_cons")
+    )
+    n_orders = items.select(F.countDistinct("ok").alias("n_orders"))
+    rots = None
+    for ax, bx, cx in [("pa", "pb", "pc"), ("pa", "pc", "pb"), ("pb", "pc", "pa")]:
+        r = triples.select(
+            F.least(F.col(ax), F.col(bx)).alias("ant_a"),
+            F.greatest(F.col(ax), F.col(bx)).alias("ant_b"),
+            F.col(cx).alias("cons"),
+            "sup3",
+        )
+        rots = r if rots is None else rots.unionByName(r)
+    return (
+        rots.join(
+            pairs,
+            (F.col("ant_a") == F.col("qa")) & (F.col("ant_b") == F.col("qb")),
+        )
+        .join(singles, "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ant_a",
+            "ant_b",
+            "cons",
+            "sup3",
+            F.round(F.col("sup3") / F.col("sup2"), 4).alias("confidence"),
+            F.round(
+                (F.col("sup3") * F.col("n_orders"))
+                / (F.col("sup2") * F.col("n_cons")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("confidence"), F.desc("lift"), "ant_a", "ant_b", "cons")
+    )

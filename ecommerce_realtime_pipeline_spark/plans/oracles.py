@@ -1410,3 +1410,41 @@ def _markov_attribution_sql(steps: int = 6) -> str:
 
 
 KPI_ORACLES["events_markov_attribution"] = _markov_attribution_sql()
+
+
+KPI_ORACLES["market_basket_rules"] = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    triples AS (
+        SELECT a.pk AS pa, b.pk AS pb, c.pk AS pc, count(*) AS sup3
+        FROM items a
+        JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        JOIN items c ON a.ok = c.ok AND b.pk < c.pk
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= 2
+    ),
+    pairs AS (
+        SELECT a.pk AS qa, b.pk AS qb, count(*) AS sup2
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+    ),
+    singles AS (
+        SELECT pk AS cons, count(*) AS n_cons FROM items GROUP BY 1
+    ),
+    no AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+    rots AS (
+        SELECT pa AS ant_a, pb AS ant_b, pc AS cons, sup3 FROM triples
+        UNION ALL
+        SELECT pa, pc, pb, sup3 FROM triples
+        UNION ALL
+        SELECT pb, pc, pa, sup3 FROM triples
+    )
+    SELECT ant_a, ant_b, cons, sup3,
+           ROUND(sup3 * 1.0 / sup2, 4) AS confidence,
+           ROUND((sup3 * n_orders) * 1.0 / (sup2 * n_cons), 4) AS lift
+    FROM rots
+    JOIN pairs ON ant_a = qa AND ant_b = qb
+    JOIN singles USING (cons), no
+    ORDER BY confidence DESC, lift DESC, ant_a, ant_b, cons
+"""
