@@ -106,6 +106,11 @@ STRESS_QUERIES = [
     "waiting_orders_suppliers",
     "supplier_part_diversity",
     "docs_heldout_perplexity",
+    # round-6 third wave: the Σ|basket|³ triple join (support cut in
+    # its own shuffle) and the two-window-pass Markov fit (the walk
+    # itself is |types|²-bounded) — both must stay linear in rows
+    "market_basket_rules",
+    "events_markov_attribution",
 ]
 
 
