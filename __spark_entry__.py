@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_graph_beam": llm.emb_knn_graph_beam,
         "events_markov_attribution": kpi.events_markov_attribution,
         "market_basket_rules": kpi.market_basket_rules,
+        "docs_token_budget": llm.docs_token_budget,
         # ---- driver-green in rounds 3-5, re-checkable on any future
         # rotation ----
         # r3-era docs/text rows rotated out of the window this round

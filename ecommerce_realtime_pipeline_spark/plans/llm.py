@@ -5000,3 +5000,41 @@ LLM_ORACLES["emb_knn_graph_beam"] = """
            ROUND(cos, 4) AS cos_sim
     FROM ranked WHERE rank <= 5
 """
+
+
+def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgeting: whitespace tokens vs BPE-ish regex
+    pre-tokens (the existing `text.bpe_ish_token_count`) — the two counts every
+    training-data budget is quoted in, and their ratio (how much
+    punctuation/digit splitting inflates this source). One scan, one
+    |sources|-key shuffle; exact integer sums, one double divide."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count("text")).cast("long").alias("ws_tokens"),
+            F.sum(TX.bpe_ish_token_count("text")).cast("long").alias("bpe_tokens"),
+        )
+        .withColumn(
+            "inflation",
+            F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 4),
+        )
+        .orderBy("source")
+    )
+
+
+LLM_ORACLES["docs_token_budget"] = """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT)
+               AS bpe_tokens,
+           ROUND(SUM(len(regexp_extract_all(text,
+                         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) * 1.0
+                 / SUM(len(string_split(text, ' '))), 4) AS inflation
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+"""
