@@ -1561,7 +1561,6 @@ def knn_graph_beam(
     corpus = with_norm(emb, col).select(
         F.col("vec_id").alias("nid"), F.col(col).alias("_cv"), "_nrm"
     )
-    cents = ivf_centroids(emb, n_centroids, col, seed, cache_key=cache_key)
     graph_memo = (
         (spark.sparkContext.applicationId, cache_key, n_centroids, seed, col, m)
         if cache_key is not None
@@ -1569,6 +1568,7 @@ def knn_graph_beam(
     )
     graph = _KNN_GRAPH_CACHE.get(graph_memo) if graph_memo is not None else None
     if graph is None:
+        cents = ivf_centroids(emb, n_centroids, col, seed, cache_key=cache_key)
         probe2 = _probe_udf(cents, 2)
         corpus2 = emb.select(
             F.col("vec_id").alias("nid"),
