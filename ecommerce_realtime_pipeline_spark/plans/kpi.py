@@ -2484,3 +2484,72 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("confidence"), F.desc("lift"), "ant_a", "ant_b", "cons")
     )
+
+
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic for the user_id join/agg key — the
+    pre-flight check that decides whether a join needs salting
+    (`events_by_segment_salted`) or AQE skew handling: rows-per-key
+    p50/p99/max, the heaviest key's share, and the Gini coefficient
+    of the rows-per-key distribution.
+
+    Scale (the whole point): everything derives from the rows-per-key
+    HISTOGRAM (count c → how many keys have c), so the ordered window
+    runs over |distinct load values| rows — bounded by data shape,
+    never key cardinality; a naive per-key global rank would be the
+    single-reducer sort this report exists to warn about. Gini uses
+    the grouped closed form Σᵢ i·xᵢ = Σⱼ cⱼ·(Sⱼ₋₁·mⱼ + mⱼ(mⱼ+1)/2) —
+    all-integer until one double chain, 4dp."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(F.count("*").alias("c"))
+    hist = per_key.groupBy("c").agg(F.count("*").alias("m"))
+    w = W.orderBy("c").rowsBetween(W.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("m").over(w), F.lit(0))
+    term = F.col("c") * (
+        cum_before * F.col("m")
+        + (F.col("m") * (F.col("m") + F.lit(1))) / F.lit(2)
+    )
+    cum_incl = F.coalesce(F.sum("m").over(w), F.lit(0)) + F.col("m")
+    decorated = hist.select(
+        "c",
+        "m",
+        term.cast("long").alias("_t"),
+        cum_incl.alias("_cum"),
+    )
+    stats = decorated.agg(
+        F.sum(F.col("m")).cast("long").alias("n_keys"),
+        F.sum(F.col("c") * F.col("m")).cast("long").alias("n_rows"),
+        F.sum("_t").cast("long").alias("_T"),
+        F.max("c").cast("long").alias("max_rows_per_key"),
+    )
+    # k-th order statistics from the histogram (k = ceil(q*n_keys))
+    ranked = decorated.crossJoin(F.broadcast(stats.select("n_keys")))
+    def orderstat(q: float, alias: str):
+        k = F.ceil(F.lit(q) * F.col("n_keys"))
+        return (
+            ranked.filter(F.col("_cum") >= k)
+            .agg(F.min("c").cast("long").alias(alias))
+        )
+    p50 = orderstat(0.5, "p50_rows_per_key")
+    p99 = orderstat(0.99, "p99_rows_per_key")
+    return (
+        stats.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "n_keys",
+            "n_rows",
+            "p50_rows_per_key",
+            "p99_rows_per_key",
+            "max_rows_per_key",
+            F.round(F.col("max_rows_per_key") / F.col("n_rows"), 6).alias(
+                "top_key_share"
+            ),
+            F.round(
+                2.0 * F.col("_T") / (F.col("n_keys") * F.col("n_rows"))
+                - (F.col("n_keys") + 1) / F.col("n_keys"),
+                4,
+            ).alias("gini"),
+        )
+    )

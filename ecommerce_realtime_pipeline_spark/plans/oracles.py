@@ -1448,3 +1448,41 @@ KPI_ORACLES["market_basket_rules"] = """
     JOIN singles USING (cons), no
     ORDER BY confidence DESC, lift DESC, ant_a, ant_b, cons
 """
+
+
+KPI_ORACLES["events_key_skew_report"] = """
+    WITH per_key AS (
+        SELECT user_id, count(*) AS c FROM events GROUP BY 1
+    ),
+    hist AS (SELECT c, count(*) AS m FROM per_key GROUP BY 1),
+    dec AS (
+        SELECT c, m,
+               CAST(c * (COALESCE(SUM(m) OVER w, 0) * m
+                         + (m * (m + 1)) / 2) AS BIGINT) AS _t,
+               COALESCE(SUM(m) OVER w, 0) + m AS _cum
+        FROM hist
+        WINDOW w AS (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+    ),
+    stats AS (
+        SELECT CAST(SUM(m) AS BIGINT) AS n_keys,
+               CAST(SUM(c * m) AS BIGINT) AS n_rows,
+               CAST(SUM(_t) AS BIGINT) AS _T,
+               CAST(MAX(c) AS BIGINT) AS max_rows_per_key
+        FROM dec
+    ),
+    p50 AS (
+        SELECT CAST(MIN(c) AS BIGINT) AS p50_rows_per_key
+        FROM dec, stats WHERE _cum >= CEIL(0.5 * n_keys)
+    ),
+    p99 AS (
+        SELECT CAST(MIN(c) AS BIGINT) AS p99_rows_per_key
+        FROM dec, stats WHERE _cum >= CEIL(0.99 * n_keys)
+    )
+    SELECT n_keys, n_rows, p50_rows_per_key, p99_rows_per_key,
+           max_rows_per_key,
+           ROUND(max_rows_per_key * 1.0 / n_rows, 6) AS top_key_share,
+           ROUND(2.0 * _T / (n_keys * n_rows)
+                 - (n_keys + 1) * 1.0 / n_keys, 4) AS gini
+    FROM stats, p50, p99
+"""

@@ -267,3 +267,30 @@ def test_markov_attribution_removal_effects_analytic(spark, tmp_path):
     assert out["view"]["removal_effect"] == 1.0
     assert out["error"]["removal_effect"] == 0.0
     assert out["signup"]["removal_effect"] == 0.0
+
+
+def test_key_skew_report_hand_computed(spark, tmp_path):
+    """Keys with loads [1,1,1,5]: T = 1+2+3+20 = 26, Gini =
+    2·26/(4·8) − 5/4 = 0.375; p50 = 1 (k=2), p99 = 5 (k=4),
+    top share 5/8."""
+    import datetime as dt
+
+    from ecommerce_realtime_pipeline_spark.plans import kpi
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows, eid = [], 0
+    for uid, n in [(1, 1), (2, 1), (3, 1), (4, 5)]:
+        for i in range(n):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), uid, "view", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = kpi.events_key_skew_report(spark, str(tmp_path)).collect()[0]
+    assert (r["n_keys"], r["n_rows"]) == (4, 8)
+    assert (r["p50_rows_per_key"], r["p99_rows_per_key"]) == (1, 5)
+    assert r["max_rows_per_key"] == 5
+    assert r["top_key_share"] == 0.625
+    assert r["gini"] == 0.375
