@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_basket_rules": kpi.market_basket_rules,
         "docs_token_budget": llm.docs_token_budget,
         "events_key_skew_report": kpi.events_key_skew_report,
+        "session_path_mining": kpi.session_path_mining,
         # ---- driver-green in rounds 3-5, re-checkable on any future
         # rotation ----
         # r3-era docs/text rows rotated out of the window this round

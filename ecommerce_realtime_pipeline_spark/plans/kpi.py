@@ -2553,3 +2553,60 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-path funnel mining: the top-10 most common SESSION paths
+    (the exact event-type sequence inside each 30-min-gap session)
+    with their conversion rates — the whole-journey complement to the
+    pairwise `events_type_transitions` Markov structure (which paths
+    actually happen, and which of them convert).
+
+    Plan: the same (user, ts) exchange as `sessionization` carries
+    BOTH windows (gap flag + running session id); per-session
+    assembly is one groupBy collecting (ts, event_id, type) structs —
+    state bounded by session length, never user history — sorted with
+    the engine-side array_sort (struct field order = the (ts,
+    event_id) tie-break the oracle's ORDER BY mirrors); the path
+    rollup is |distinct paths|-sized; top-k is TakeOrdered."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = events.withColumn(
+        "_new", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per_session = (
+        flagged.groupBy("user_id", "_sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("_evs"),
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("_evs"), lambda x: x["event_type"]), ">"
+            ).alias("path"),
+            F.array_contains(
+                F.transform(F.col("_evs"), lambda x: x["event_type"]),
+                "purchase",
+            ).cast("int").alias("_conv"),
+        )
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("_conv").cast("long").alias("n_converted"),
+        )
+        .withColumn(
+            "conv_rate", F.round(F.col("n_converted") / F.col("n_sessions"), 4)
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )

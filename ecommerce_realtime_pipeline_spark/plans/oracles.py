@@ -1486,3 +1486,37 @@ KPI_ORACLES["events_key_skew_report"] = """
                  - (n_keys + 1) * 1.0 / n_keys, 4) AS gini
     FROM stats, p50, p99
 """
+
+
+KPI_ORACLES["session_path_mining"] = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800 * 1000000
+                         OR lag(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS _new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+        SELECT *, SUM(_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS _sid
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS _conv
+        FROM sid GROUP BY user_id, _sid
+    )
+    SELECT path,
+           count(*) AS n_sessions,
+           CAST(SUM(_conv) AS BIGINT) AS n_converted,
+           ROUND(SUM(_conv) * 1.0 / count(*), 4) AS conv_rate
+    FROM per_session
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+"""
