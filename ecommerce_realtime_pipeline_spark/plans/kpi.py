@@ -2512,12 +2512,15 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("m") * (F.col("m") + F.lit(1))) / F.lit(2)
     )
     cum_incl = F.coalesce(F.sum("m").over(w), F.lit(0)) + F.col("m")
+    # the histogram is |distinct load values| rows — checkpoint it so
+    # the stats/p50/p99 branches read the materialization instead of
+    # each replaying the per-key shuffle over the fact
     decorated = hist.select(
         "c",
         "m",
         term.cast("long").alias("_t"),
         cum_incl.alias("_cum"),
-    )
+    ).localCheckpoint(eager=True)
     stats = decorated.agg(
         F.sum(F.col("m")).cast("long").alias("n_keys"),
         F.sum(F.col("c") * F.col("m")).cast("long").alias("n_rows"),

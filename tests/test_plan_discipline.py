@@ -704,3 +704,12 @@ def test_graph_beam_no_cartesian_bounded_scans(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emb_knn_graph_beam")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_skew_report_scalar_branches_read_checkpoint(spark, sf_dir):
+    """The stats/p50/p99 scalar branches must read the checkpointed
+    |distinct load values| histogram — zero events scans in the final
+    plan (the unpartitioned window inside is bounded by the histogram,
+    never key cardinality)."""
+    plan = _plan(spark, sf_dir, "events_key_skew_report")
+    assert len(re.findall(r"events\.parquet", plan)) == 0, plan
