@@ -35,82 +35,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     harness checks the FIRST 50 registered queries per round, so the
     dict is ordered by verification need, not by topic —
 
-    1. positions 1-50 (the round-6 window): every query with NO green
-       driver row yet — the 5 pre-fix-fail-era queries, the 15 round-5
-       additions, the new ``cdc_bucket_refresh``, and ALL 18 round-6
-       additions — plus 11 rotation re-checks (6 r4 rows riding
-       machinery touched this round, 3 ANN warmers that populate the
-       session artifact memo ahead of their never-green dependents,
-       and the 2 oldest r3 dedup rows). A green round 6 driver-greens
-       every query in the repo. Cheap analytics first; streaming
-       fixtures close the window so a wall-budget cut costs the
-       fewest rows;
-    2. positions 51+: driver-green in rounds 3-5, re-checkable on any
-       future rotation (freshest evidence last).
+    1. positions 1-50 (the round-7 window): the 22 round-6 additions
+       that have never had a driver row (everything else in the repo
+       is driver-green from rounds 3-6), plus 28 oldest-evidence
+       re-checks (the 18 r3-era docs/text/dedup rows and 8 r4-era
+       KPI/DQ rows, now 2+ rounds stale) and 2 ANN warmers
+       (``emb_knn_ivf``/``emb_kmeans_refine`` run BEFORE
+       ``emb_knn_graph_beam``/``emb_knn_same_label`` so the session
+       artifact memo makes the dependents cheap). A green round 7
+       makes the driver-green ledger 184/184. Cheap analytics first;
+       the streaming fixture closes the window so a wall-budget cut
+       costs the fewest rows;
+    2. positions 51+: driver-green in rounds 3-6, re-checkable on any
+       future rotation (freshest evidence — the round-6 window — last).
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ---- positions 1-50: THE ROUND-6 CHECK WINDOW ----
-        # never-green classic analytics (round-5 + round-6 additions)
-        "shipping_priority": kpi.shipping_priority,
-        "returned_items_report": kpi.returned_items_report,
-        "promo_revenue_share": kpi.promo_revenue_share,
-        "nation_market_share": kpi.nation_market_share,
-        "order_priority_fulfillment": kpi.order_priority_fulfillment,
-        "customer_rfm_segments": kpi.customer_rfm_segments,
-        "customer_order_distribution": kpi.customer_order_distribution,
-        "large_order_customers": kpi.large_order_customers,
-        "dormant_customer_balance": kpi.dormant_customer_balance,
-        "nation_supplier_hhi": kpi.nation_supplier_hhi,
-        "nation_trade_flows": kpi.nation_trade_flows,
-        "top_supplier_quarter": kpi.top_supplier_quarter,
-        "discount_revenue_impact": kpi.discount_revenue_impact,
-        "nation_yoy_growth": kpi.nation_yoy_growth,
-        "events_view_to_purchase_asof": temporal.events_view_to_purchase_asof,
-        # never-green docs analytics + r3 dedup re-checks (oldest rows)
-        "docs_distinctive_terms": llm.docs_distinctive_terms,
-        "docs_source_overlap_matrix": llm.docs_source_overlap_matrix,
-        "docs_curriculum_order": llm.docs_curriculum_order,
-        "vocab_coverage": llm.vocab_coverage,
-        "docs_zipf_fit": llm.docs_zipf_fit,
-        "docs_exact_dedup": llm.docs_exact_dedup,
-        "docs_dedup_yield_curve": llm.docs_dedup_yield_curve,
-        "docs_neardup_minhash": llm.docs_neardup_minhash,
-        "docs_bm25_index_merge": llm.docs_bm25_index_merge,
-        # r4 re-checks on this round's touched machinery (the quantile
-        # sketch rewrite and the snapshot/CDC kernel)
-        "customer_value_deciles": kpi.customer_value_deciles,
-        "orders_exact_quantiles_twopass": kpi.orders_exact_quantiles_twopass,
-        "customers_snapshot_diff": dq.customers_snapshot_diff,
-        "customers_incremental_agg": dq.customers_incremental_agg,
-        "dedup_lineitem_latest": dq.dedup_lineitem_latest,
-        "dq_metrics": dq.dq_metrics,
-        # ANN family: r3 warmers populate _IVF_CELL_CACHE et al.,
-        # then the never-green dependents run warm
-        "emb_label_outliers": llm.emb_label_outliers,
-        "emb_knn_bruteforce": llm.emb_knn_bruteforce,
-        "emb_knn_lsh": llm.emb_knn_lsh,
-        "emb_knn_ivf": llm.emb_knn_ivf,
-        "emb_ann_recall": llm.emb_ann_recall,
-        "emb_hard_negatives": llm.emb_hard_negatives,
-        "emb_recall_vs_probes": llm.emb_recall_vs_probes,
-        "emb_knn_ivf_merged": llm.emb_knn_ivf_merged,
-        "emb_cluster_quality": llm.emb_cluster_quality,
-        "emb_quantize_int8": llm.emb_quantize_int8,
-        # generator / producer / file-source / maintenance surface
-        "gen_batch_shape": gen.gen_batch_shape,
-        "gen_corrupt_validate_metrics": gen.gen_corrupt_validate_metrics,
-        "produce_envelopes_shape": gen.produce_envelopes_shape,
-        "filesrc_quarantine_shape": gen.filesrc_quarantine_shape,
-        "silver_compaction_report": gen.silver_compaction_report,
-        "cdc_bucket_refresh": gen.cdc_bucket_refresh,
-        # streaming fixtures last (most expensive)
-        "streaming_ingest_roundtrip": gen.streaming_ingest_roundtrip,
-        "streaming_session_windows": gen.streaming_session_windows,
-        "streaming_outer_attribution": gen.streaming_outer_attribution,
-        "streaming_late_drop_stats": gen.streaming_late_drop_stats,
-        # ---- positions 51+: driver rows next rotation ----
-        # new round-6 additions (sweep + pytest verified; first in
-        # line for the round-7 window)
+        # ---- positions 1-50: THE ROUND-7 CHECK WINDOW ----
+        # never-driver-green round-6 classic analytics (cheap first)
         "cheapest_supplier_per_part": kpi.cheapest_supplier_per_part,
         "product_profit_by_nation_year": kpi.product_profit_by_nation_year,
         "small_quantity_revenue": kpi.small_quantity_revenue,
@@ -119,23 +60,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_orders_suppliers": kpi.waiting_orders_suppliers,
         "supplier_part_diversity": kpi.supplier_part_diversity,
         "shipping_delay_priority_split": kpi.shipping_delay_priority_split,
-        "parts_copurchase_triangles": kpi.parts_copurchase_triangles,
-        "emb_knn_same_label": llm.emb_knn_same_label,
-        "docs_heldout_perplexity": llm.docs_heldout_perplexity,
-        "mm_image_ahash_neardup": llm.mm_image_ahash_neardup,
-        "parts_dense_community": kpi.parts_dense_community,
-        "streaming_dim_enrichment": gen.streaming_dim_enrichment,
-        "emb_top_component": llm.emb_top_component,
         "revenue_seasonality": kpi.revenue_seasonality,
-        "emb_knn_graph_beam": llm.emb_knn_graph_beam,
-        "events_markov_attribution": kpi.events_markov_attribution,
-        "market_basket_rules": kpi.market_basket_rules,
-        "docs_token_budget": llm.docs_token_budget,
         "events_key_skew_report": kpi.events_key_skew_report,
         "session_path_mining": kpi.session_path_mining,
-        # ---- driver-green in rounds 3-5, re-checkable on any future
-        # rotation ----
-        # r3-era docs/text rows rotated out of the window this round
+        # never-driver-green graph / attribution / basket analytics
+        "parts_copurchase_triangles": kpi.parts_copurchase_triangles,
+        "parts_dense_community": kpi.parts_dense_community,
+        "events_markov_attribution": kpi.events_markov_attribution,
+        "market_basket_rules": kpi.market_basket_rules,
+        # never-driver-green docs / multimodal analytics
+        "docs_token_budget": llm.docs_token_budget,
+        "docs_heldout_perplexity": llm.docs_heldout_perplexity,
+        "mm_image_ahash_neardup": llm.mm_image_ahash_neardup,
+        # ANN: warmers populate the session artifact memo
+        # (_IVF_CELL_CACHE, refined centroids, kNN graph inputs), then
+        # the never-driver-green dependents run warm
+        "emb_top_component": llm.emb_top_component,
+        "emb_knn_ivf": llm.emb_knn_ivf,
+        "emb_kmeans_refine": llm.emb_kmeans_refine,
+        "emb_knn_graph_beam": llm.emb_knn_graph_beam,
+        "emb_knn_same_label": llm.emb_knn_same_label,
+        # r3-era re-checks (oldest driver evidence in the repo)
         "docs_text_stats": llm.docs_text_stats,
         "docs_quality": llm.docs_quality,
         "docs_lang_id": llm.docs_lang_id,
@@ -154,6 +99,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_actors": dq.set_ops_actors,
         "emb_cosine_neardup": llm.emb_cosine_neardup,
         "emb_label_centroids": llm.emb_label_centroids,
+        # r4-era re-checks (next-oldest evidence)
+        "top_products_by_revenue": kpi.top_products_by_revenue,
+        "pricing_summary": kpi.pricing_summary,
+        "revenue_by_nation": kpi.revenue_by_nation,
+        "jsonb_adhoc": kpi.jsonb_adhoc,
+        "dq_fk_orphans": dq.dq_fk_orphans,
+        "dq_duplicate_keys": dq.dq_duplicate_keys,
+        "dq_constraint_violations": dq.dq_constraint_violations,
+        "order_total_reagg": dq.order_total_reagg,
+        # streaming fixture closes the window
+        "streaming_dim_enrichment": gen.streaming_dim_enrichment,
+        # ---- positions 51+: driver-green r3-r6, freshest last ----
         # rounds 4-5 evidence
         "docs_winnow_overlap": llm.docs_winnow_overlap,
         "docs_neardup_editdist": llm.docs_neardup_editdist,
@@ -182,7 +139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_cube": dq.revenue_cube,
         "emb_pq_codes": llm.emb_pq_codes,
         "emb_knn_pq": llm.emb_knn_pq,
-        "emb_kmeans_refine": llm.emb_kmeans_refine,
         "emb_knn_ivf_refined": llm.emb_knn_ivf_refined,
         "emb_knn_ivfpq": llm.emb_knn_ivfpq,
         "emb_knn_ivf_persisted": llm.emb_knn_ivf_persisted,
@@ -215,10 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_decayed_engagement": kpi.events_decayed_engagement,
         "events_cms_user_counts": kpi.events_cms_user_counts,
         "events_value_quantile_sketch": kpi.events_value_quantile_sketch,
-        "top_products_by_revenue": kpi.top_products_by_revenue,
         "top_customers_by_spend": kpi.top_customers_by_spend,
-        "pricing_summary": kpi.pricing_summary,
-        "revenue_by_nation": kpi.revenue_by_nation,
         "revenue_rollup_region_nation": kpi.revenue_rollup_region_nation,
         "order_status_distribution": kpi.order_status_distribution,
         "customer_history": kpi.customer_history,
@@ -235,7 +188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": kpi.cohort_retention,
         "repurchase_intervals": kpi.repurchase_intervals,
         "sessionization_session_window": kpi.sessionization_session_window,
-        "jsonb_adhoc": kpi.jsonb_adhoc,
         "throughput_per_topic": kpi.throughput_per_topic,
         "top_products_per_nation": kpi.top_products_per_nation,
         "top_products_per_nation_heap": kpi.top_products_per_nation_heap,
@@ -245,10 +197,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_percentiles": kpi.order_value_percentiles,
         "events_asof_attribution": temporal.events_asof_attribution,
         "events_range_attribution": temporal.events_range_attribution,
-        "dq_fk_orphans": dq.dq_fk_orphans,
-        "dq_duplicate_keys": dq.dq_duplicate_keys,
-        "dq_constraint_violations": dq.dq_constraint_violations,
-        "order_total_reagg": dq.order_total_reagg,
+        # round-6 window (freshest driver evidence in the repo)
+        "shipping_priority": kpi.shipping_priority,
+        "returned_items_report": kpi.returned_items_report,
+        "promo_revenue_share": kpi.promo_revenue_share,
+        "nation_market_share": kpi.nation_market_share,
+        "order_priority_fulfillment": kpi.order_priority_fulfillment,
+        "customer_rfm_segments": kpi.customer_rfm_segments,
+        "customer_order_distribution": kpi.customer_order_distribution,
+        "large_order_customers": kpi.large_order_customers,
+        "dormant_customer_balance": kpi.dormant_customer_balance,
+        "nation_supplier_hhi": kpi.nation_supplier_hhi,
+        "nation_trade_flows": kpi.nation_trade_flows,
+        "top_supplier_quarter": kpi.top_supplier_quarter,
+        "discount_revenue_impact": kpi.discount_revenue_impact,
+        "nation_yoy_growth": kpi.nation_yoy_growth,
+        "events_view_to_purchase_asof": temporal.events_view_to_purchase_asof,
+        "docs_distinctive_terms": llm.docs_distinctive_terms,
+        "docs_source_overlap_matrix": llm.docs_source_overlap_matrix,
+        "docs_curriculum_order": llm.docs_curriculum_order,
+        "vocab_coverage": llm.vocab_coverage,
+        "docs_zipf_fit": llm.docs_zipf_fit,
+        "docs_exact_dedup": llm.docs_exact_dedup,
+        "docs_dedup_yield_curve": llm.docs_dedup_yield_curve,
+        "docs_neardup_minhash": llm.docs_neardup_minhash,
+        "docs_bm25_index_merge": llm.docs_bm25_index_merge,
+        "customer_value_deciles": kpi.customer_value_deciles,
+        "orders_exact_quantiles_twopass": kpi.orders_exact_quantiles_twopass,
+        "customers_snapshot_diff": dq.customers_snapshot_diff,
+        "customers_incremental_agg": dq.customers_incremental_agg,
+        "dedup_lineitem_latest": dq.dedup_lineitem_latest,
+        "dq_metrics": dq.dq_metrics,
+        "emb_label_outliers": llm.emb_label_outliers,
+        "emb_knn_bruteforce": llm.emb_knn_bruteforce,
+        "emb_knn_lsh": llm.emb_knn_lsh,
+        "emb_ann_recall": llm.emb_ann_recall,
+        "emb_hard_negatives": llm.emb_hard_negatives,
+        "emb_recall_vs_probes": llm.emb_recall_vs_probes,
+        "emb_knn_ivf_merged": llm.emb_knn_ivf_merged,
+        "emb_cluster_quality": llm.emb_cluster_quality,
+        "emb_quantize_int8": llm.emb_quantize_int8,
+        "gen_batch_shape": gen.gen_batch_shape,
+        "gen_corrupt_validate_metrics": gen.gen_corrupt_validate_metrics,
+        "produce_envelopes_shape": gen.produce_envelopes_shape,
+        "filesrc_quarantine_shape": gen.filesrc_quarantine_shape,
+        "silver_compaction_report": gen.silver_compaction_report,
+        "cdc_bucket_refresh": gen.cdc_bucket_refresh,
+        "streaming_ingest_roundtrip": gen.streaming_ingest_roundtrip,
+        "streaming_session_windows": gen.streaming_session_windows,
+        "streaming_outer_attribution": gen.streaming_outer_attribution,
+        "streaming_late_drop_stats": gen.streaming_late_drop_stats,
     }
     return q
 
