@@ -1383,11 +1383,31 @@ def merge_ivf_index(
     rename — untouched cell directories are never opened and stay
     byte-identical (test-pinned). Doc-id disjointness is the caller's
     contract. Cost: |touched cells| partition rewrites, never
-    O(index). Returns the touched cell ids."""
+    O(index). Returns the touched cell ids.
+
+    The ``isin(touched)`` read-side pruning is scale-safe HERE
+    (unlike the text-index twin, which uses a broadcast semi-join):
+    the list is bounded by ``n_centroids``, a build-time constant,
+    not by batch content.
+
+    TORN-MERGE PROTECTION (same contract as
+    ``text.merge_text_index``): the swap loop runs inside a
+    ``_MERGE_IN_PROGRESS`` marker; per-directory renames are atomic
+    but the sequence is not, so a crash leaves the marker behind and
+    the next merge refuses the index — recovery is a rebuild via
+    ``write_ivf_index``."""
     import os as _os
     import shutil as _sh
     import uuid as _uuid
 
+    from .text import MERGE_MARKER
+
+    marker = _os.path.join(path, MERGE_MARKER)
+    if _os.path.exists(marker):
+        raise RuntimeError(
+            f"IVF index at {path} has a torn merge (marker {MERGE_MARKER}"
+            " present); recovery is a rebuild via write_ivf_index"
+        )
     spark = new_emb.sparkSession
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     cents = [list(r["centroid"]) for r in cent_rows]
@@ -1410,6 +1430,8 @@ def merge_ivf_index(
     merged = existing.unionByName(delta.select("neighbor_id", "_v", "cell"))
     tmp = f"{path}/cells__tmp_{_uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    with open(marker, "w") as fh:  # ---- mutation phase opens ----
+        fh.write(_os.path.basename(tmp))
     for c in touched:
         src = _os.path.join(tmp, f"cell={c}")
         dst = _os.path.join(path, "cells", f"cell={c}")
@@ -1420,6 +1442,7 @@ def merge_ivf_index(
             _os.rename(src, dst)
         _sh.rmtree(old, ignore_errors=True)
     _sh.rmtree(tmp, ignore_errors=True)
+    _os.remove(marker)  # ---- mutation phase closes ----
     return touched
 
 

@@ -640,6 +640,36 @@ def write_text_index(docs: DataFrame, path: str) -> None:
         _sh.rmtree(stage, ignore_errors=True)
 
 
+MERGE_MARKER = "_MERGE_IN_PROGRESS"
+
+
+def _read_touched_postings(spark, path: str, delta_tokens: DataFrame) -> DataFrame:
+    """Read back ONLY the token partitions present in the batch: a
+    broadcast LEFT SEMI join on the partition column, which dynamic
+    partition pruning turns into PartitionFilters on the postings scan
+    (plan-pinned in test_plan_discipline). Deliberately NOT
+    ``isin(<collected tokens>)`` — a backfill batch can carry 10⁵-10⁶
+    distinct tokens, and an In-literal that size is a plan/driver
+    bottleneck, while the broadcast set is just a hashed relation.
+
+    The ``length(token) >= 0`` no-op predicate is load-bearing:
+    Spark's PartitionPruning rule only inserts the DPP subquery when
+    the build side carries a likely-selective filter (BinaryComparison
+    et al.) — a bare distinct/LogicalRDD does not qualify, and the
+    scan would silently fall back to reading EVERY token partition
+    (verified empirically; the pin in test_plan_discipline guards the
+    dynamicpruningexpression in the scan's PartitionFilters)."""
+    return (
+        spark.read.parquet(f"{path}/postings")
+        .join(
+            F.broadcast(delta_tokens.filter(F.length("token") >= 0)),
+            "token",
+            "left_semi",
+        )
+        .select("token", "doc_id", "tf", "dl")
+    )
+
+
 def merge_text_index(new_docs: DataFrame, path: str) -> list[str]:
     """INCREMENTAL text-index maintenance — the search-index twin of
     the bucketed-silver CDC loop: fold a batch of NEW documents into a
@@ -648,26 +678,60 @@ def merge_text_index(new_docs: DataFrame, path: str) -> list[str]:
 
     - delta postings (token, doc_id, tf, dl) come from one pass over
       the batch;
-    - ONLY the touched token partitions are read back (the token
-      filter partition-prunes the postings read), unioned with the
-      delta, and swapped in via stage + per-directory atomic rename
-      (the ``_swap_buckets`` discipline) — untouched token directories
-      are never opened and stay byte-identical (test-pinned);
+    - ONLY the touched token partitions are read back: the existing
+      postings are LEFT-SEMI-joined against the broadcast delta token
+      set, so dynamic partition pruning turns the token set into
+      PartitionFilters on the postings scan (plan-pinned). No
+      driver-side token-literal list ever enters the plan — at a
+      100 TB backfill (10⁵-10⁶ distinct batch tokens) an
+      ``isin(touched)`` In-predicate would be a plan-size/driver
+      bottleneck; the broadcast set is just a hashed relation;
+    - the merged partitions swap in via stage + per-directory atomic
+      rename. Directory names come from LISTING the staged output —
+      never from formatting ``token=<t>`` ourselves — because Spark
+      escapes partition values (``%``, ``/``, ``=``, ``#``, quotes,
+      …) via ``escapePathName``; a hand-built name would miss the
+      escaped directory and silently drop the merge. NULL/empty
+      tokens (``__HIVE_DEFAULT_PARTITION__``) are rejected up front:
+      an equality semi-join cannot read the existing NULL partition
+      back, so swapping it would lose postings. Renames run in a
+      bounded thread pool (|batch tokens| serial renames would gate a
+      large backfill on round-trips);
     - ``dfreq`` merges by summing per-token document frequencies and
       is rewritten whole (|vocab| rows — index metadata, not data);
       ``stats`` adds the batch's (n_docs, sum_dl) to the 1-row corpus
       stats.
+
+    TORN-MERGE PROTECTION: the mutation phase (postings swap → dfreq
+    → stats) runs inside a ``_MERGE_IN_PROGRESS`` commit marker. The
+    per-directory renames are individually atomic but the sequence is
+    not; a crash mid-merge leaves the marker behind, and the next
+    merge (or any marker-aware reader) refuses the index with a
+    rebuild instruction instead of silently compounding the torn
+    state. Recovery from a torn merge is a rebuild
+    (``write_text_index``), like recovering a torn Lucene commit from
+    the last full segment set.
 
     Doc-id disjointness is the caller's contract (re-adding an indexed
     doc would double its postings — deletes/updates go through a
     rebuild, exactly like a Lucene segment merge discards tombstones).
 
     Cost at 100 TB: |batch tokens| partition rewrites + a vocab-row
-    metadata rewrite, never O(index). Returns the touched tokens."""
+    metadata rewrite, never O(index); the only driver-materialized
+    token list is the RETURN value (reporting) and the staged-dir
+    listing (rename targets) — neither enters a query plan. Returns
+    the touched tokens."""
     import os as _os
     import shutil as _sh
     import uuid as _uuid
+    from concurrent.futures import ThreadPoolExecutor
 
+    marker = _os.path.join(path, MERGE_MARKER)
+    if _os.path.exists(marker):
+        raise RuntimeError(
+            f"text index at {path} has a torn merge (marker {MERGE_MARKER}"
+            " present); recovery is a rebuild via write_text_index"
+        )
     spark = new_docs.sparkSession
     base = new_docs.select(
         "doc_id",
@@ -680,29 +744,32 @@ def merge_text_index(new_docs: DataFrame, path: str) -> list[str]:
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
         .localCheckpoint()
     )
-    touched = sorted(r["token"] for r in delta.select("token").distinct().collect())
+    delta_tokens = delta.select("token").distinct()
+    touched = sorted(r["token"] for r in delta_tokens.collect())
     if not touched:
         return touched
-    existing = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("token").isin(touched))
-        .select("token", "doc_id", "tf", "dl")
-    )
+    if any(t is None or t == "" for t in touched):
+        raise ValueError(
+            "merge_text_index: batch contains NULL/empty tokens, which "
+            "Spark writes as __HIVE_DEFAULT_PARTITION__ and an equality "
+            "semi-join cannot read back; clean the tokenizer output"
+        )
+    existing = _read_touched_postings(spark, path, delta_tokens)
     merged = existing.unionByName(delta.select("token", "doc_id", "tf", "dl"))
     tmp = f"{path}/postings__tmp_{_uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy("token").parquet(tmp)
-    for t in touched:
-        src = _os.path.join(tmp, f"token={t}")
-        dst = _os.path.join(path, "postings", f"token={t}")
-        old = f"{dst}__old_{_uuid.uuid4().hex[:8]}"
-        if _os.path.exists(dst):
-            _os.rename(dst, old)
-        if _os.path.exists(src):
-            _os.rename(src, dst)
-        _sh.rmtree(old, ignore_errors=True)
-    _sh.rmtree(tmp, ignore_errors=True)
-    # metadata: merge dfreq (touched tokens change, union keeps the
-    # rest) and the 1-row stats — both index-metadata-sized
+    # rename targets from the STAGED listing (Spark-escaped names)
+    staged = sorted(
+        d for d in _os.listdir(tmp) if d.startswith("token=")
+    )
+    if len(staged) != len(touched):
+        _sh.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"merge_text_index: staged {len(staged)} token directories "
+            f"for {len(touched)} touched tokens — aborting before swap"
+        )
+    # metadata frames materialize BEFORE the marker opens so a plan
+    # failure can't leave a torn index
     delta_df = delta.groupBy("token").agg(F.count("*").alias("df"))
     old_df = spark.read.parquet(f"{path}/dfreq")
     merged_df = (
@@ -721,11 +788,31 @@ def merge_text_index(new_docs: DataFrame, path: str) -> list[str]:
             F.sum("sum_dl").cast("long").alias("sum_dl"),
         )
     ).localCheckpoint()
-    for name, frame in (("dfreq", merged_df), ("stats", merged_stats)):
-        stage = f"{path}/{name}__tmp_{_uuid.uuid4().hex[:8]}"
-        frame.write.mode("overwrite").parquet(stage)
+    dfreq_stage = f"{path}/dfreq__tmp_{_uuid.uuid4().hex[:8]}"
+    merged_df.write.mode("overwrite").parquet(dfreq_stage)
+    stats_stage = f"{path}/stats__tmp_{_uuid.uuid4().hex[:8]}"
+    merged_stats.write.mode("overwrite").parquet(stats_stage)
+
+    with open(marker, "w") as fh:  # ---- mutation phase opens ----
+        fh.write(_os.path.basename(tmp))
+
+    def _swap(dirname: str) -> None:
+        src = _os.path.join(tmp, dirname)
+        dst = _os.path.join(path, "postings", dirname)
+        old = f"{dst}__old_{_uuid.uuid4().hex[:8]}"
+        if _os.path.exists(dst):
+            _os.rename(dst, old)
+        _os.rename(src, dst)
+        _sh.rmtree(old, ignore_errors=True)
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        list(pool.map(_swap, staged))  # list() re-raises worker errors
+    _sh.rmtree(tmp, ignore_errors=True)
+    for name, stage in (("dfreq", dfreq_stage), ("stats", stats_stage)):
         old = f"{path}/{name}__old_{_uuid.uuid4().hex[:8]}"
-        _os.rename(f"{path}/{name}", old)
+        if _os.path.exists(f"{path}/{name}"):
+            _os.rename(f"{path}/{name}", old)
         _os.rename(stage, f"{path}/{name}")
         _sh.rmtree(old, ignore_errors=True)
+    _os.remove(marker)  # ---- mutation phase closes ----
     return touched

@@ -5024,7 +5024,7 @@ def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LLM_ORACLES["docs_token_budget"] = """
+LLM_ORACLES["docs_token_budget"] = r"""
     SELECT source,
            count(*) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,

@@ -1276,6 +1276,103 @@ def test_merge_text_index_incremental_equivalence(spark, tmp_path):
         assert got == want, part
 
 
+def test_merge_text_index_escaped_tokens(spark, tmp_path):
+    """Tokens whose partition values Spark escapes (':', '%', '=', '#')
+    must round-trip through an incremental merge: the rename targets
+    come from the STAGED listing, not a hand-built f'token={t}' (which
+    would miss the escaped directory name and silently drop the merged
+    postings while dfreq/stats still absorbed the delta)."""
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        merge_text_index,
+        write_text_index,
+    )
+
+    rows_a = [(1, "a:b plain 50%"), (2, "x=y plain")]
+    rows_b = [(3, "a:b #tag"), (4, "50% x=y q?z")]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_text_index(mk(rows_a), inc)
+    touched = merge_text_index(mk(rows_b), inc)
+    assert touched == ["#tag", "50%", "a:b", "q?z", "x=y"]
+    write_text_index(mk(rows_a + rows_b), full)
+    for part in ("postings", "dfreq", "stats"):
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(f"{inc}/{part}").collect()
+        )
+        want = sorted(
+            tuple(r) for r in spark.read.parquet(f"{full}/{part}").collect()
+        )
+        assert got == want, part
+
+
+def test_merge_text_index_rejects_null_empty_tokens(spark, tmp_path):
+    """A batch containing an empty token (bare space-split artifact)
+    must be rejected up front: Spark writes it as
+    __HIVE_DEFAULT_PARTITION__ and the equality semi-join cannot read
+    the existing NULL partition back, so swapping would lose postings."""
+    import pytest as _pytest
+
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        merge_text_index,
+        write_text_index,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    inc = str(tmp_path / "inc")
+    write_text_index(mk([(1, "alpha beta")]), inc)
+    with _pytest.raises(ValueError, match="NULL/empty"):
+        merge_text_index(mk([(2, " leading space")]), inc)
+
+
+def test_merge_indexes_refuse_torn_merge(spark, tmp_path):
+    """A leftover _MERGE_IN_PROGRESS marker (crash mid-swap) must make
+    the next merge raise with a rebuild instruction instead of
+    compounding the torn state — for BOTH index families."""
+    import os
+
+    import pytest as _pytest
+
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        MERGE_MARKER,
+        merge_text_index,
+        write_text_index,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    inc = str(tmp_path / "inc")
+    write_text_index(mk([(1, "alpha beta")]), inc)
+    open(os.path.join(inc, MERGE_MARKER), "w").close()
+    with _pytest.raises(RuntimeError, match="rebuild"):
+        merge_text_index(mk([(2, "beta gamma")]), inc)
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(emb, ivf, n_centroids=2)
+    open(os.path.join(ivf, MERGE_MARKER), "w").close()
+    with _pytest.raises(RuntimeError, match="rebuild"):
+        SIM.merge_ivf_index(
+            spark.createDataFrame(
+                [(100, [1.0, 2.0, 3.0, 4.0], 0)],
+                "vec_id long, embedding array<float>, label int",
+            ),
+            ivf,
+        )
+
+
 def test_merge_ivf_index_incremental_equivalence(spark, tmp_path):
     """merge_ivf_index must leave untouched cell partitions
     byte-identical and land every appended vector in the cell the

@@ -713,3 +713,37 @@ def test_skew_report_scalar_branches_read_checkpoint(spark, sf_dir):
     never key cardinality)."""
     plan = _plan(spark, sf_dir, "events_key_skew_report")
     assert len(re.findall(r"events\.parquet", plan)) == 0, plan
+
+
+def test_text_index_merge_read_uses_dpp_not_in_literal(spark, tmp_path):
+    """The incremental text-index merge must read back existing
+    postings via DYNAMIC PARTITION PRUNING from the broadcast delta
+    token set — never an isin(<collected tokens>) In-literal, which at
+    a 100 TB backfill (10⁵-10⁶ distinct batch tokens) is a plan-size/
+    driver bottleneck. Pins dynamicpruningexpression in the scan's
+    PartitionFilters and the absence of any token In-literal."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        _read_touched_postings,
+        write_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 40} common", "en", "s", 10) for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "idx")
+    write_text_index(docs, path)
+    delta_tokens = spark.createDataFrame(
+        [("tok1",), ("tok2",), ("tok3",)], "token string"
+    ).distinct()
+    plan = (
+        _read_touched_postings(spark, path, delta_tokens)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dynamicpruning" in m.group(1), plan
+    assert not re.search(r"token#\d+ IN \(tok", plan), plan
