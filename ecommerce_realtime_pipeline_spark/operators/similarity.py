@@ -1668,12 +1668,18 @@ def knn_graph_beam(
         )
         frontier = score(exp)
         visited = visited.unionByName(frontier)
-    final = (
+    # Exact rerank WITHOUT a third corpus pass: _cos is a pure
+    # function of (query_id, nid), so the rows already scored in
+    # ``visited`` carry the final ranking — max() only collapses the
+    # duplicate (entry ∪ expansion) sightings of the same node. Same
+    # (desc _cos, asc nid) tie-break as a re-score, one fewer corpus
+    # join in the executed plan (pinned in test_plan_discipline).
+    ranked = (
         visited.filter(F.col("nid") != F.col("query_id"))
-        .select("query_id", "nid")
-        .distinct()
+        .groupBy("query_id", "nid")
+        .agg(F.max("_cos").alias("_cos"))
+        .withColumn("rank", F.row_number().over(bw))
     )
-    ranked = score(final).withColumn("rank", F.row_number().over(bw))
     return (
         ranked.filter(F.col("rank") <= k)
         .select(

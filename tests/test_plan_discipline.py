@@ -704,6 +704,12 @@ def test_graph_beam_no_cartesian_bounded_scans(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emb_knn_graph_beam")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # final rerank derives from the visited set's own _cos (max over
+    # duplicate sightings) — re-adding a third score() pass shows up
+    # as extra corpus scans (20 before the fix, 17 after)
+    assert len(re.findall(r"embeddings\.parquet", plan)) <= 17, (
+        "graph-beam rerank re-joined the corpus"
+    )
 
 
 def test_skew_report_scalar_branches_read_checkpoint(spark, sf_dir):
