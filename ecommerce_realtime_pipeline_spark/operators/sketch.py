@@ -349,15 +349,24 @@ def exact_quantiles_twopass(
     here the filter reuses the bin EXPRESSION so boundary floats can't
     disagree between passes.
 
+    NULL CONTRACT: NULL ``col`` rows are excluded up front — they have
+    no place in a value order, and leaving them in skews the histogram
+    (``least(NULL, n_bins-1)`` silently maps them to the LAST bin,
+    over-counting it relative to ``count(col)``). All-NULL input
+    raises.
+
     Returns [(q, value), ...] in input order.
     """
+    df = df.filter(F.col(col).isNotNull())
     lo, hi, n = df.agg(
         F.min(col).cast("double"),
         F.max(col).cast("double"),
         F.count(col),
     ).collect()[0]
     if n == 0:
-        raise ValueError("exact_quantiles_twopass: empty input")
+        raise ValueError(
+            "exact_quantiles_twopass: no non-NULL rows in col"
+        )
     if hi == lo:
         return [(q, lo) for q in qs]
     width = (hi - lo) / n_bins
@@ -434,17 +443,27 @@ def exact_rank_rows_twopass(
     input collapses to a single bin — the one case the window spans
     the whole frame.
 
+    NULL CONTRACT: NULL ``col`` rows are excluded up front and do not
+    occupy ranks — counting them (the old ``count(lit(1))``) while the
+    histogram mapped them to the last bin made ranks near ``n``
+    silently fall through to the default (n_bins-1, 1) target and
+    return the wrong row; all-NULL input also crashed the width
+    arithmetic on ``lo=hi=None``. All-NULL input now raises.
+
     Returns [(k, col_value, tie_value), ...] in input order, values
     in their ORIGINAL types (callers build exact literal comparisons
     from them — no double round-trips).
     """
+    df = df.filter(F.col(col).isNotNull())
     lo, hi, n = df.agg(
         F.min(col).cast("double"),
         F.max(col).cast("double"),
         F.count(F.lit(1)),
     ).collect()[0]
     if n == 0:
-        raise ValueError("exact_rank_rows_twopass: empty input")
+        raise ValueError(
+            "exact_rank_rows_twopass: no non-NULL rows in col"
+        )
     for k in ks:
         if not 1 <= k <= n:
             raise ValueError(f"exact_rank_rows_twopass: rank {k} not in [1,{n}]")

@@ -2208,9 +2208,15 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes",
             "n_edges",
             F.col("_tri").alias("n_triangles"),
-            F.round(
-                3.0 * F.col("_tri") / F.col("_wedges"), 6
-            ).alias("global_clustering"),
+            # a wedge-free graph (isolated edges only, or empty) has
+            # clustering 0 by convention — the bare divide returns
+            # NULL in Spark but inf/NaN in DuckDB, so guard BOTH sides
+            F.when(
+                F.col("_wedges") > 0,
+                F.round(3.0 * F.col("_tri") / F.col("_wedges"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
         )
     )
 
@@ -2399,10 +2405,20 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("scenario").alias("channel"),
             F.round(F.col("_cfull").cast("double"), 6).alias("conv_full"),
             F.round(F.col("_conv").cast("double"), 6).alias("conv_without"),
-            F.round(
-                1.0 - F.col("_conv").cast("double") / F.col("_cfull").cast("double"),
-                4,
-            ).alias("removal_effect"),
+            # a corpus with zero conversions has nothing to attribute:
+            # removal_effect 0 by convention (Spark NULL vs DuckDB NaN
+            # on the bare 0/0 — guarded identically in the oracle)
+            F.when(
+                F.col("_cfull") > 0,
+                F.round(
+                    1.0
+                    - F.col("_conv").cast("double")
+                    / F.col("_cfull").cast("double"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("removal_effect"),
         )
         .orderBy("channel")
     )

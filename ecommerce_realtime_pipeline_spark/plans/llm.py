@@ -4379,9 +4379,15 @@ def emb_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.lit(p).alias("n_probe"),
                 F.col("_h").cast("long").alias("n_hits"),
-                F.round(
-                    F.col("_h").cast("double") / F.col("_bt"), 4
-                ).alias("mean_recall"),
+                # empty ground truth → recall 0 by convention (bare
+                # 0/0 is NULL in Spark, NaN in DuckDB; oracle guarded
+                # identically)
+                F.when(
+                    F.col("_bt") > 0,
+                    F.round(F.col("_h").cast("double") / F.col("_bt"), 4),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("mean_recall"),
             )
         )
         out = h if out is None else out.unionByName(h)
@@ -4402,14 +4408,21 @@ LLM_ORACLES["emb_recall_vs_probes"] = (
         f"p{p} AS ({_ivf_ranked_sql(p)})" for p in RECALL_PROBE_COUNTS
     )
     + ",\n tot AS (SELECT count(*) AS bt FROM brute)\n"
+    # bt comes from a SCALAR SUBQUERY, not a joined relation: with a
+    # zero-hit probe count the hits join is empty and ANY_VALUE(tot.bt)
+    # over the empty group would yield a NULL-recall row where Spark
+    # yields 0.0; the subquery keeps bt available and the CASE pins the
+    # empty-ground-truth branch to 0.0 on both engines
     + "\nUNION ALL\n".join(
         f"""
         SELECT {p} AS n_probe,
                CAST(count(*) AS BIGINT) AS n_hits,
-               ROUND(count(*) * 1.0 / ANY_VALUE(tot.bt), 4) AS mean_recall
+               CASE WHEN (SELECT bt FROM tot) > 0
+                    THEN ROUND(count(*) * 1.0 / (SELECT bt FROM tot), 4)
+                    ELSE 0.0 END AS mean_recall
         FROM brute JOIN p{p}
           ON brute.query_id = p{p}.query_id
-         AND brute.neighbor_id = p{p}.neighbor_id, tot
+         AND brute.neighbor_id = p{p}.neighbor_id
         """
         for p in RECALL_PROBE_COUNTS
     )

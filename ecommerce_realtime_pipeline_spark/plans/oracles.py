@@ -1246,8 +1246,10 @@ KPI_ORACLES["parts_copurchase_triangles"] = """
     SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
            (SELECT COUNT(*) FROM und) AS n_edges,
            _tri AS n_triangles,
-           ROUND(3.0 * _tri / (SELECT SUM(deg * (deg - 1)) / 2 FROM deg),
-                 6) AS global_clustering
+           CASE WHEN (SELECT SUM(deg * (deg - 1)) / 2 FROM deg) > 0
+                THEN ROUND(3.0 * _tri
+                           / (SELECT SUM(deg * (deg - 1)) / 2 FROM deg), 6)
+                ELSE 0.0 END AS global_clustering
     FROM tri
 """
 
@@ -1401,8 +1403,10 @@ def _markov_attribution_sql(steps: int = 6) -> str:
     SELECT scenario AS channel,
            ROUND(CAST(_cfull AS DOUBLE), 6) AS conv_full,
            ROUND(CAST(_conv AS DOUBLE), 6) AS conv_without,
-           ROUND(1.0 - CAST(_conv AS DOUBLE) / CAST(_cfull AS DOUBLE), 4)
-               AS removal_effect
+           CASE WHEN CAST(_cfull AS DOUBLE) > 0
+                THEN ROUND(1.0 - CAST(_conv AS DOUBLE)
+                           / CAST(_cfull AS DOUBLE), 4)
+                ELSE 0.0 END AS removal_effect
     FROM conv, fullc
     WHERE scenario <> 'full'
     ORDER BY channel""")

@@ -959,6 +959,36 @@ def test_hll_partition_invariant(spark):
     assert a == b
 
 
+def test_twopass_quantiles_null_contract(spark):
+    """NULL col rows must be excluded from the rank order entirely
+    (they used to count toward n while least(NULL, n_bins-1) mapped
+    them into the LAST histogram bin — ranks near n returned the wrong
+    row), and all-NULL input must raise instead of crashing on
+    lo=hi=None width arithmetic."""
+    import pytest as _pytest
+
+    from ecommerce_realtime_pipeline_spark.operators import sketch as SK
+
+    vals = list(range(1, 101))  # 1..100
+    rows = [(float(v), v) for v in vals] + [(None, 1000 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "v double, id long")
+    # exact quantiles over the 100 non-null values only
+    got = dict(SK.exact_quantiles_twopass(df, "v", [0.5, 1.0]))
+    assert got[0.5] == 50.0 and got[1.0] == 100.0
+    # rank rows: rank n must be the true max non-null row, not the
+    # (n_bins-1, 1) fall-through
+    picked = SK.exact_rank_rows_twopass(df, "v", "id", [1, 100])
+    assert [(k, v) for k, v, _ in picked] == [(1, 1.0), (100, 100.0)]
+    # rank beyond the non-null count is out of range now
+    with _pytest.raises(ValueError, match="not in"):
+        SK.exact_rank_rows_twopass(df, "v", "id", [101])
+    all_null = spark.createDataFrame([(None, 1), (None, 2)], "v double, id long")
+    with _pytest.raises(ValueError, match="non-NULL"):
+        SK.exact_quantiles_twopass(all_null, "v", [0.5])
+    with _pytest.raises(ValueError, match="non-NULL"):
+        SK.exact_rank_rows_twopass(all_null, "v", "id", [1])
+
+
 def test_cms_overestimate_bound_and_merge(spark):
     """(a) CM never underestimates (min-of-counters ≥ true count);
     (b) the error is within εN for ε = e/w at these parameters;

@@ -118,3 +118,53 @@ def test_set_ops_operator_form_matches_tagged_plan(spark, sf_dir):
     assert row["n_union"] == o_keys.unionByName(e_keys).distinct().count()
     assert row["n_intersect"] == o_keys.intersect(e_keys).count()
     assert row["n_only_orders"] == o_keys.subtract(e_keys).count()
+
+
+def test_degenerate_divides_match_oracle(spark, tmp_path):
+    """Engine-identical divide-by-zero conventions on degenerate
+    corpora (Spark NULL vs DuckDB inf/NaN on the bare divide — both
+    sides now guard to 0.0): a wedge-free co-purchase graph must
+    report global_clustering 0.0, and a purchase-free event log must
+    report removal_effect 0.0 for every channel — verified
+    side-by-side with the SAME oracle SQL the driver runs."""
+    import datetime
+
+    import duckdb
+
+    sf = str(tmp_path)
+    # two orders sharing the same 2-part basket: one support-2 edge,
+    # both endpoints degree 1 => zero wedges
+    spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101), (2, 102)],
+        "l_orderkey long, l_partkey long",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    # journeys with no 'purchase' events => conv_full = 0
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = [
+        (i, t0 + datetime.timedelta(minutes=i), i % 3, typ, 1.0, "{}")
+        for i, typ in enumerate(["view", "click", "signup", "view", "error", "click"])
+    ]
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    con = duckdb.connect()
+    for t in ("lineitem", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf}/{t}.parquet/*.parquet')"
+        )
+    tri = QUERIES["parts_copurchase_triangles"](spark, sf)
+    assert_matches_oracle(
+        tri, con, ORACLES["parts_copurchase_triangles"], "triangles-degenerate"
+    )
+    row = tri.collect()[0]
+    assert row["global_clustering"] == 0.0 and row["n_edges"] == 1
+
+    mk = QUERIES["events_markov_attribution"](spark, sf)
+    assert_matches_oracle(
+        mk, con, ORACLES["events_markov_attribution"], "markov-degenerate"
+    )
+    rows = mk.collect()
+    assert len(rows) == 4
+    assert all(r["removal_effect"] == 0.0 and r["conv_full"] == 0.0 for r in rows)
+    con.close()
