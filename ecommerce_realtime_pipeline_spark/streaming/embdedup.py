@@ -184,16 +184,27 @@ def run_embdedup_stream(
     pass (availableNow); re-running with the same checkpoint processes
     only newly-arrived files."""
 
+    from ecommerce_realtime_pipeline_spark.streaming.neardup import (
+        _stamp_journal_query_id,
+        guard_journal_generation,
+    )
+
+    # same run-identity binding as neardup: batch_id-keyed journal rows
+    # are meaningless across checkpoint generations
+    guard_journal_generation(work_dir, checkpoint)
+
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         dedup_batch(spark, batch_df, work_dir, epoch_id, threshold, bits, n_tables)
 
     stream = spark.readStream.schema(EMB_STREAM_SCHEMA).parquet(src_dir)
-    return (
+    q = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+    _stamp_journal_query_id(work_dir, str(q.id))
+    return q
 
 
 def read_decisions(spark: SparkSession, work_dir: str) -> DataFrame:

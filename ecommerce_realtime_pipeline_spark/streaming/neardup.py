@@ -61,6 +61,62 @@ def _journal_path(work_dir: str) -> str:
     return os.path.join(work_dir, "journal")
 
 
+#: identity binding for the journal (the contagg ledger pattern):
+#: journal rows are keyed by ``batch_id`` = the checkpoint's epoch id,
+#: and epoch ids are only comparable WITHIN one checkpoint generation.
+#: A recreated checkpoint restarts epochs at 0 AND re-delivers every
+#: source file, so the (batch_id, id)-keyed read-side dedup can no
+#: longer recognize the replay — docs originally journaled under
+#: batches 1..n would append again under fresh batch ids, double-
+#: counting decisions and re-admitting their index rows. The stamp
+#: detects the generation change up front.
+_JOURNAL_ID_FILE = "_journal_query_id"
+
+
+def _journal_query_id(work_dir: str) -> str | None:
+    try:
+        with open(os.path.join(work_dir, _JOURNAL_ID_FILE)) as f:
+            return f.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def _stamp_journal_query_id(work_dir: str, query_id: str) -> None:
+    os.makedirs(work_dir, exist_ok=True)
+    tmp = os.path.join(work_dir, _JOURNAL_ID_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(query_id)
+    os.replace(tmp, os.path.join(work_dir, _JOURNAL_ID_FILE))
+
+
+def guard_journal_generation(work_dir: str, checkpoint: str) -> None:
+    """Refuse to run against a journal written under a DIFFERENT
+    streaming-query generation (recreated/foreign checkpoint). Raises
+    RuntimeError; recovery is clearing the journal so the fresh
+    checkpoint's full re-delivery rebuilds it from scratch — the
+    moral twin of ``contagg.rebase_from_silver``, except here the
+    source replay IS the rebase. No-op while the journal is empty
+    (nothing to double-add yet)."""
+    from ecommerce_realtime_pipeline_spark.streaming.contagg import (
+        _checkpoint_query_id,
+    )
+
+    if not os.path.exists(_journal_path(work_dir)):
+        return
+    cp_id = _checkpoint_query_id(checkpoint)
+    j_id = _journal_query_id(work_dir)
+    if cp_id is None or j_id is None or cp_id != j_id:
+        raise RuntimeError(
+            f"journal at {work_dir} was written under streaming query "
+            f"{j_id}, but the checkpoint at {checkpoint} is "
+            f"{'new' if cp_id is None else cp_id}: epoch ids are not "
+            "comparable across checkpoint generations and a re-run "
+            "would double-add journal rows. Clear the journal (the "
+            "fresh checkpoint re-delivers every source file) or "
+            "restore the original checkpoint."
+        )
+
+
 def _has_kind(work_dir: str, kind: str) -> bool:
     return os.path.exists(os.path.join(_journal_path(work_dir), f"kind={kind}"))
 
@@ -165,18 +221,24 @@ def run_neardup_stream(
     only files that arrived since — the incremental crawl-snapshot
     loop."""
 
+    guard_journal_generation(work_dir, checkpoint)
+
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         dedup_batch(
             spark, batch_df, work_dir, epoch_id, threshold, num_hashes, bands, n
         )
 
     stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(src_dir)
-    return (
+    q = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+    # bind the journal to this checkpoint generation (q.id is the
+    # persistent id the checkpoint's metadata file records)
+    _stamp_journal_query_id(work_dir, str(q.id))
+    return q
 
 
 def read_decisions(spark: SparkSession, work_dir: str) -> DataFrame:

@@ -392,6 +392,56 @@ def test_streaming_embdedup_decisions_index_and_replay(spark, tmp_path):
     assert {r["vec_id"] for r in ED.read_index_vecs(spark, work).collect()} == idx_ids
 
 
+def test_recreated_checkpoint_refuses_journal_double_add(spark, tmp_path):
+    """THE epoch-id-reset crash class, applied to the journal-keeping
+    dedup streams (round-6 verdict task 6): a recreated checkpoint
+    restarts epoch ids at 0 AND re-delivers every source file, so the
+    (batch_id, id)-keyed read-side dedup could no longer recognize the
+    replay — the journal would double-add decisions and index rows.
+    Both streams must detect the generation change via the persisted
+    query id and REFUSE with a rebuild instruction (the source replay
+    is the rebase), while a same-checkpoint resume keeps working (the
+    decisions/index tests above pin that)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from ecommerce_realtime_pipeline_spark.streaming import embdedup as ED
+    from ecommerce_realtime_pipeline_spark.streaming import neardup as ND
+
+    toks = [f"g{j}" for j in range(40)]
+    src, work, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "work"),
+        str(tmp_path / "ck"),
+    )
+    spark.createDataFrame(
+        [(1, " ".join(toks))], ND.DOC_STREAM_SCHEMA
+    ).repartition(1).write.mode("append").parquet(src)
+    ND.run_neardup_stream(spark, src, work, ckpt).awaitTermination(120)
+    n_journal = spark.read.parquet(os.path.join(work, "journal")).count()
+    shutil.rmtree(ckpt)  # the crash class: checkpoint lost, journal kept
+    with _pytest.raises(RuntimeError, match="generation"):
+        ND.run_neardup_stream(spark, src, work, str(tmp_path / "ck2"))
+    # nothing was double-added
+    assert spark.read.parquet(os.path.join(work, "journal")).count() == n_journal
+
+    esrc, ework, eckpt = (
+        str(tmp_path / "esrc"),
+        str(tmp_path / "ework"),
+        str(tmp_path / "eck"),
+    )
+    v = [0.0] * 16
+    v[3] = 1.0
+    spark.createDataFrame([(1, v)], ED.EMB_STREAM_SCHEMA).repartition(
+        1
+    ).write.mode("append").parquet(esrc)
+    ED.run_embdedup_stream(spark, esrc, ework, eckpt).awaitTermination(120)
+    shutil.rmtree(eckpt)
+    with _pytest.raises(RuntimeError, match="generation"):
+        ED.run_embdedup_stream(spark, esrc, ework, str(tmp_path / "eck2"))
+
+
 def test_compact_buckets_layout_only(spark, tmp_path):
     """Compaction must (a) reduce every fragmented bucket to ONE
     parquet file, (b) change zero rows, and (c) leave single-file
