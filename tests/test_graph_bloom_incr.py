@@ -369,3 +369,33 @@ def test_peel_dense_subgraph_isolates_clique(spark):
     assert rows[2]["density"] is None
     best = max(rows.values(), key=lambda r: r["density"] or -1)
     assert best["round"] == 1
+
+
+@pytest.mark.parametrize("k,n_bg", [(8, 60), (12, 120)])
+def test_peel_recovers_planted_clique(spark, k, n_bg):
+    """Planted-community property (beyond the trajectory oracle): a
+    K_k clique hidden in a sparse path background must survive the
+    first peel EXACTLY — the round-1 stats are the clique's
+    (k, k(k-1)/2, (k-1)/2) — and, being (k-1)-regular, peel to empty
+    the round after (the documented regular-graph behavior). Pins the
+    all-integer keep test d*N > 2*E on a graph where the answer is
+    known by construction, not replayed from the same expressions."""
+    clique = [
+        (i, j) for i in range(k) for j in range(i + 1, k)
+    ]
+    # background: a path over nodes 1000..1000+n_bg (degrees <= 2,
+    # disjoint from the clique)
+    path = [(1000 + i, 1000 + i + 1) for i in range(n_bg)]
+    edges = spark.createDataFrame(clique + path, "u long, v long")
+    rows = {r["round"]: r for r in G.peel_dense_subgraph(edges, rounds=3).collect()}
+    n0, e0 = k + n_bg + 1, len(clique) + n_bg
+    assert (rows[0]["n_nodes"], rows[0]["n_edges"]) == (n0, e0)
+    # round 1: background gone (path degrees 1-2 are <= average), the
+    # clique intact — requires (k-1)*N > 2E for clique nodes and
+    # 2*N <= 2E for path nodes, true for these parameterizations
+    assert (k - 1) * n0 > 2 * e0 and 2 * n0 <= 2 * e0
+    assert (rows[1]["n_nodes"], rows[1]["n_edges"]) == (k, k * (k - 1) // 2)
+    assert rows[1]["density"] == round((k - 1) / 2, 4)
+    # round 2: a regular graph peels to empty
+    assert (rows[2]["n_nodes"], rows[2]["n_edges"]) == (0, 0)
+    assert rows[2]["density"] is None

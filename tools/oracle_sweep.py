@@ -14,7 +14,11 @@ import duckdb
 import pandas as pd
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+import os
+
+# default matches the driver's correctness gate; override for the
+# multi-SF pass (scale-dependent constants hide at other SFs)
+SF = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
