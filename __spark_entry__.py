@@ -37,7 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     1. positions 1-50 (the round-7 window): the 22 round-6 additions
        that have never had a driver row (everything else in the repo
-       is driver-green from rounds 3-6), plus 28 oldest-evidence
+       is driver-green from rounds 3-6), plus 26 oldest-evidence
        re-checks (the 18 r3-era docs/text/dedup rows and 8 r4-era
        KPI/DQ rows, now 2+ rounds stale) and 2 ANN warmers
        (``emb_knn_ivf``/``emb_kmeans_refine`` run BEFORE
