@@ -1,0 +1,73 @@
+"""Known-answer tests for the newest analytics on CONSTRUCTED corpora:
+the expected rows are computed by hand from the operator's published
+definition (a-priori support/confidence/lift; 30-min-gap session
+paths), so they catch a shared bug that an oracle replay — which runs
+the same expressions in a second engine — cannot."""
+
+from __future__ import annotations
+
+import datetime
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _write_lineitem(spark, sf, baskets):
+    rows = [(ok, pk) for ok, items in baskets for pk in items]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.parquet(f"{sf}/lineitem.parquet")
+
+
+def test_market_basket_rules_hand_computed(spark, tmp_path):
+    """Baskets {1,2,3},{1,2,3},{1,2},{3}: the only support-2 triple is
+    (1,2,3); its three rotations have hand-computable confidence and
+    lift. conf((1,3)->2) = conf((2,3)->1) = 2/2 = 1.0 with lift
+    2*4/(2*3) = 1.3333; conf((1,2)->3) = 2/3 = 0.6667 with lift
+    2*4/(3*3) = 0.8889. Ordering: conf desc, lift desc, then keys."""
+    sf = str(tmp_path)
+    _write_lineitem(
+        spark, sf, [(1, [1, 2, 3]), (2, [1, 2, 3]), (3, [1, 2]), (4, [3])]
+    )
+    rows = [tuple(r) for r in QUERIES["market_basket_rules"](spark, sf).collect()]
+    assert rows == [
+        (1, 3, 2, 2, 1.0, 1.3333),
+        (2, 3, 1, 2, 1.0, 1.3333),
+        (1, 2, 3, 2, 0.6667, 0.8889),
+    ]
+
+
+def test_session_path_mining_hand_computed(spark, tmp_path):
+    """Constructed journeys: user 1 has a converting
+    view>click>purchase session and, 2 h later (> the 30-min gap), a
+    lone view; users 2 and 3 each have a non-converting view>click
+    session. Expected rollup: view>click n=2 conv 0.0; then the two
+    singleton paths tie on n_sessions and order by path asc."""
+    sf = str(tmp_path)
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(eid, user, minutes, typ):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), user, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0, "view"),
+        ev(2, 1, 10, "click"),
+        ev(3, 1, 20, "purchase"),
+        ev(4, 1, 140, "view"),  # 120 min after the purchase: new session
+        ev(5, 2, 0, "view"),
+        ev(6, 2, 5, "click"),
+        ev(7, 3, 0, "view"),
+        ev(8, 3, 29, "click"),  # 29 min gap: SAME session (<= 30 min)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = [tuple(r) for r in QUERIES["session_path_mining"](spark, sf).collect()]
+    assert got == [
+        ("view>click", 2, 0, 0.0),
+        ("view", 1, 0, 0.0),
+        ("view>click>purchase", 1, 1, 1.0),
+    ]
