@@ -71,3 +71,54 @@ def test_session_path_mining_hand_computed(spark, tmp_path):
         ("view", 1, 0, 0.0),
         ("view>click>purchase", 1, 1, 1.0),
     ]
+
+
+def test_events_key_skew_report_hand_computed(spark, tmp_path):
+    """Per-key counts (1, 1, 2, 6): n_keys=4, n_rows=10, p50 = 2nd
+    order statistic = 1, p99 = 4th = 6, top share 6/10, and the
+    grouped-closed-form Gini 2*33/(4*10) - 5/4 = 0.4 (sum i*x_i = 33
+    over the sorted counts)."""
+    import datetime
+
+    sf = str(tmp_path)
+    t0 = datetime.datetime(2024, 3, 1)
+    counts = {10: 1, 20: 1, 30: 2, 40: 6}
+    rows = []
+    eid = 0
+    for user, c in counts.items():
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                (eid, t0 + datetime.timedelta(minutes=eid), user, "view", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = [tuple(r) for r in QUERIES["events_key_skew_report"](spark, sf).collect()]
+    assert got == [(4, 10, 1, 6, 6, 0.6, 0.4)]
+
+
+def test_revenue_seasonality_hand_computed(spark, tmp_path):
+    """Monthly revenue 100/200/300: centered 3-month MA with 2-month
+    edge frames gives trend 150/200/250 and seasonal index
+    0.6667/1.0/1.2."""
+    import datetime
+    from decimal import Decimal
+
+    sf = str(tmp_path)
+    rows = [
+        (1, datetime.date(2024, 1, 15), Decimal("100.00")),
+        (2, datetime.date(2024, 2, 15), Decimal("200.00")),
+        (3, datetime.date(2024, 3, 15), Decimal("300.00")),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice decimal(12,2)"
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    got = [tuple(r) for r in QUERIES["revenue_seasonality"](spark, sf).collect()]
+    assert got == [
+        ("2024-01", 100.0, 150.0, 0.6667),
+        ("2024-02", 200.0, 200.0, 1.0),
+        ("2024-03", 300.0, 250.0, 1.2),
+    ]
