@@ -551,16 +551,25 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic dedup over the planted-dup corpus: k-means
-    cells (the session-cached Lloyd-refined quantizer, trained on the
-    RAW corpus — the production train-on-sample/assign-everything
-    split) bound which pairs get exact cosine; cos ≥ 0.9 against a
-    lower-id cell-mate drops the vector. The planted perturbed copies
-    (cos ≥ 0.9428 to their source) are the expected drop set wherever
-    source and copy land in one cell; the oracle replays training,
-    assignment, and the intra-cell compare CTE-for-CTE, so it also
-    pins WHICH planted pairs the cell partition finds — SemDeDup's
-    published boundary-miss mode is thereby exact, not hand-waved."""
+    """SemDeDup semantic dedup over the planted-dup corpus: quantizer
+    cells (md5-sampled from the RAW corpus — the production
+    train-on-sample/assign-everything split) bound which pairs get
+    exact cosine; cos ≥ 0.9 against a lower-id cell-mate drops the
+    vector. The planted perturbed copies (cos ≥ 0.9428 to their
+    source) are the expected drop set wherever source and copy land in
+    one cell; the oracle replays sampling, assignment, and the
+    intra-cell compare CTE-for-CTE, so it also pins WHICH planted
+    pairs the cell partition finds — SemDeDup's published
+    boundary-miss mode is thereby exact, not hand-waved.
+
+    ``max_exact_cells=0`` pins the SAMPLED-quantizer kernel at every
+    scale factor (round-7: the r6 form switched kernels at k > 16, so
+    its fixed-16 Lloyd oracle was only valid for n ≤ 1024 — green at
+    the sf0.01 driver gate but rows-mismatched at the sf0.1 sweep).
+    With one kernel and a scale-aware oracle (k = max(16, n//64)
+    computed in SQL), the pair is hash-exact at sf0.001/0.01/0.1 —
+    verified in SWEEPS_r07. The Lloyd-refined exact kernel remains
+    available on the operator for callers that want refined cells."""
     emb = load_table(spark, sf_dir, "embeddings")
     # localCheckpoint: the assignment + both pair sides re-scan the
     # corpus; blocks are released by the bench harness post-query
@@ -573,6 +582,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # auto-sized cells: k = max(16, n/64) — the count is ~free on
         # the checkpointed frame; keeps Σ|cell|² linear in n
         n=corpus.count(),
+        max_exact_cells=0,
     )
     return drops.orderBy("vec_id")
 
@@ -3035,17 +3045,22 @@ LLM_ORACLES["docs_bpe_encode"] = (
 """
 )
 
-# emb_semdedup: reuses the Lloyd-training CTEs verbatim (quantizer is
-# trained on the RAW corpus), then assigns the planted corpus to c2
-# cells with the same DECIMAL-exact kernel and compares only inside a
-# cell. Pair membership at cos ≥ 0.9 has the analytic planted-dup
-# margin (≥ 0.9428 vs ≤ ~0.51 natural), so no float column is output.
-# NOTE: this SQL pins the k=16 regime. max_exact_cells defaults to 16
-# so the exact kernel NEVER trains any other k (k = max(16, n/64) ≤ 16
-# ⇔ k = 16); every larger corpus takes the Arrow kernel, whose
-# contract is test-pinned instead. No n leaves both paths un-gated.
-LLM_ORACLES["emb_semdedup"] = _KMEANS_CTES + """
-    ,
+# emb_semdedup: SCALE-AWARE replay of the sampled-quantizer kernel
+# (round-7 rewrite — the old fixed-16 Lloyd oracle was only valid for
+# n ≤ 1024 and rows-mismatched at the sf0.1 sweep): k = max(16, n//64)
+# is computed IN SQL from the planted corpus, the k centroids are the
+# md5-ordered raw-corpus sample (the emb_knn_ivf pick, verbatim), and
+# assignment is argmax cosine with the (sim DESC, cid ASC) tie-break
+# the Arrow matmul's argsort produces. Pair membership at cos ≥ 0.9
+# has the analytic planted-dup margin (≥ 0.9428 vs ≤ ~0.51 natural),
+# so no float column is output and summation-order ulps cannot flip a
+# pair — only a cell assignment, and only at a true cosine near-tie
+# (none at any tested SF; the emb_knn_ivf oracle banks on the same
+# argmax equality corpus-wide at sf0.1).
+LLM_ORACLES["emb_semdedup"] = """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
     planted AS (
         SELECT vec_id + 1000000 AS vec_id,
                list_concat([v[1] * 2], v[2:]) AS v
@@ -3054,31 +3069,38 @@ LLM_ORACLES["emb_semdedup"] = _KMEANS_CTES + """
     allv AS (
         SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM planted
     ),
-    compp AS (
-        SELECT vec_id, unnest(range(0, len(v))) AS pos, unnest(v) AS x
-        FROM allv
+    kk AS (SELECT GREATEST(16, COUNT(*) // 64) AS k FROM allv),
+    cents AS (
+        SELECT * FROM (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+                   ) - 1 AS cid,
+                   v AS cv,
+                   sqrt(list_dot_product(v, v)) AS cn
+            FROM base
+        ) WHERE cid < (SELECT k FROM kk)
     ),
-    dsd AS (
-        SELECT compp.vec_id, c2.cid,
-               SUM(CAST((compp.x - c2.y) * (compp.x - c2.y)
-                        AS DECIMAL(28,14))) AS d
-        FROM compp JOIN c2 USING (pos) GROUP BY 1, 2
-    ),
-    msd AS (SELECT vec_id, MIN(d) AS md FROM dsd GROUP BY 1),
-    asd AS (
-        SELECT dsd.vec_id, MIN(dsd.cid) AS cid
-        FROM dsd JOIN msd ON dsd.vec_id = msd.vec_id AND dsd.d = msd.md
-        GROUP BY 1
-    ),
-    nsd AS (
+    nall AS (
         SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM allv
+    ),
+    asd AS (
+        SELECT vec_id, cid FROM (
+            SELECT a.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(a.v, c.cv) / (a.nrm * c.cn)
+                                DESC,
+                                c.cid ASC
+                   ) AS rn
+            FROM nall a CROSS JOIN cents c
+        ) WHERE rn = 1
     ),
     hits AS (
         SELECT sb.vec_id AS vec_id, sb.cid AS cid, sa.vec_id AS other
         FROM asd sa
         JOIN asd sb ON sa.cid = sb.cid AND sa.vec_id < sb.vec_id
-        JOIN nsd na ON na.vec_id = sa.vec_id
-        JOIN nsd nb ON nb.vec_id = sb.vec_id
+        JOIN nall na ON na.vec_id = sa.vec_id
+        JOIN nall nb ON nb.vec_id = sb.vec_id
         WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.9
     )
     SELECT vec_id, cid, MIN(other) AS first_match, COUNT(*) AS n_matches
