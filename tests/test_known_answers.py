@@ -122,3 +122,24 @@ def test_revenue_seasonality_hand_computed(spark, tmp_path):
         ("2024-02", 200.0, 200.0, 1.0),
         ("2024-03", 300.0, 250.0, 1.2),
     ]
+
+
+def test_docs_token_budget_hand_computed(spark, tmp_path):
+    """'hello world' = 2 ws / 2 bpe tokens; 'a1b, c-2!' = 2 ws tokens
+    but 8 BPE-ish pre-tokens ([a1b,] -> a|1|b|, and [c-2!] -> c|-|2|!),
+    so source 'a' budgets (ws 4, bpe 10, inflation 2.5); source 'b'
+    with pure words stays at 1.0."""
+    sf = str(tmp_path)
+    rows = [
+        (1, "hello world", "en", "a", 11),
+        (2, "a1b, c-2!", "en", "a", 9),
+        (3, "three plain words", "en", "b", 17),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    got = [tuple(r) for r in QUERIES["docs_token_budget"](spark, sf).collect()]
+    assert got == [
+        ("a", 2, 4, 10, 2.5),
+        ("b", 1, 3, 3, 1.0),
+    ]
