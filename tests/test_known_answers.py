@@ -143,3 +143,17 @@ def test_docs_token_budget_hand_computed(spark, tmp_path):
         ("a", 2, 4, 10, 2.5),
         ("b", 1, 3, 3, 1.0),
     ]
+
+
+def test_docs_zipf_fit_hand_computed(spark, tmp_path):
+    """Token counts 12/6/4/3 = 12/rank exactly: the log-log OLS must
+    return slope -1, intercept ln(12) = 2.4849, R^2 = 1 over 4
+    points — a perfect-Zipf corpus by construction."""
+    sf = str(tmp_path)
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    got = [tuple(r) for r in QUERIES["docs_zipf_fit"](spark, sf).collect()]
+    assert got == [(4, -1.0, 2.4849, 1.0)]
