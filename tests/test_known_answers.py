@@ -157,3 +157,42 @@ def test_docs_zipf_fit_hand_computed(spark, tmp_path):
     ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
     got = [tuple(r) for r in QUERIES["docs_zipf_fit"](spark, sf).collect()]
     assert got == [(4, -1.0, 2.4849, 1.0)]
+
+
+def test_events_markov_attribution_hand_computed(spark, tmp_path):
+    """Two journeys (view->purchase, view->click) give P(view->purchase)
+    = P(view->click) = 0.5 and first-touch mass all on view, so
+    conv_full = 0.5. Removing click/error/signup changes nothing that
+    reaches purchase (effect 0.0); removing view kills the only start
+    state, so conversion collapses to 0 (effect 1.0) — exercising both
+    removal semantics (inbound transitions AND start-state mass) plus
+    the absorbing walk, all hand-checkable."""
+    import datetime
+
+    sf = str(tmp_path)
+    t0 = datetime.datetime(2024, 5, 1, 9, 0, 0)
+
+    def ev(eid, user, minutes, typ):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), user, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0, "view"),
+        ev(2, 1, 5, "purchase"),
+        ev(3, 2, 0, "view"),
+        ev(4, 2, 5, "click"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = [
+        tuple(r)
+        for r in QUERIES["events_markov_attribution"](spark, sf).collect()
+    ]
+    assert got == [
+        ("click", 0.5, 0.5, 0.0),
+        ("error", 0.5, 0.5, 0.0),
+        ("signup", 0.5, 0.5, 0.0),
+        ("view", 0.5, 0.0, 1.0),
+    ]
