@@ -370,6 +370,12 @@ def exact_quantiles_twopass(
     if hi == lo:
         return [(q, lo) for q in qs]
     width = (hi - lo) / n_bins
+    if not width > 0:
+        # subnormal range: (hi - lo)/n_bins can UNDERFLOW to 0.0 even
+        # with hi > lo, and the /0.0 divide throws under ANSI mode
+        # (hypothesis-found). One bin is correct: the extraction
+        # window ranks within it.
+        width = 1.0
     bin_expr = F.least(
         F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)),
         F.lit(n_bins - 1),
@@ -471,6 +477,10 @@ def exact_rank_rows_twopass(
         width = 1.0  # single bin: every row maps to bin 0
     else:
         width = (hi - lo) / n_bins
+        if not width > 0:
+            # subnormal range underflows to width 0.0 (ANSI /0 throws;
+            # hypothesis-found) — collapse to one window-ranked bin
+            width = 1.0
     bin_expr = F.least(
         F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)),
         F.lit(n_bins - 1),
