@@ -112,10 +112,19 @@ def verify_jaccard(
         .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("_inter") / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
-                4,
-            ),
+            # two sub-n-token docs have EMPTY shingle sets: 0/0 throws
+            # under ANSI, and Jaccard of two empty sets is 0 by
+            # convention (unreachable from the shipped candidate
+            # generators — no shingles means no band keys — but this
+            # is a general-purpose verification tail)
+            F.when(
+                F.size("_sa") + F.size("_sb") - F.col("_inter") > 0,
+                F.round(
+                    F.col("_inter")
+                    / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
