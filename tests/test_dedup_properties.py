@@ -51,3 +51,49 @@ def test_verify_jaccard_empty_shingle_sets_is_zero(spark):
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [(2, 1, 0.0)]
     # and a positive threshold filters the pair instead of crashing
     assert DD.verify_jaccard(cand, docs, threshold=0.5).count() == 0
+
+
+# -- text-index merge equivalence under random batches -----------------------
+
+_XTOK = st.sampled_from(
+    ["alpha", "beta", "g:h", "50%", "x=y", "#tag", "q?z", "p*q", "a[b]", "w"]
+)
+_XDOC = st.lists(_XTOK, min_size=1, max_size=6).map(" ".join)
+
+
+@given(
+    st.lists(_XDOC, min_size=1, max_size=5),
+    st.lists(_XDOC, min_size=1, max_size=5),
+)
+@settings(max_examples=8, deadline=None)
+def test_merge_text_index_equals_rebuild_random(spark, tmp_path_factory, da, db):
+    """Randomized twin of the deterministic merge-equivalence test,
+    over an alphabet that stresses Spark's partition-value escaping
+    (':', '%', '=', '#', '?', '*', brackets): folding batch B into an
+    index built from batch A must equal one build over A ∪ B in all
+    three components — the r7 merge rewrite (DPP read, staged-listing
+    renames, marker) holds under arbitrary batch splits."""
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        merge_text_index,
+        write_text_index,
+    )
+
+    tmp = tmp_path_factory.mktemp("midx")
+    mk = lambda rows, base: spark.createDataFrame(  # noqa: E731
+        [(base + i, t, "en", "s", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    inc, full = str(tmp / "inc"), str(tmp / "full")
+    write_text_index(mk(da, 0), inc)
+    merge_text_index(mk(db, 1000), inc)
+    write_text_index(
+        mk(da, 0).unionByName(mk(db, 1000)), full
+    )
+    for part in ("postings", "dfreq", "stats"):
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(f"{inc}/{part}").collect()
+        )
+        want = sorted(
+            tuple(r) for r in spark.read.parquet(f"{full}/{part}").collect()
+        )
+        assert got == want, part
