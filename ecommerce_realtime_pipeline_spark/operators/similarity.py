@@ -1394,8 +1394,9 @@ def merge_ivf_index(
     ``text.merge_text_index``): the swap loop runs inside a
     ``_MERGE_IN_PROGRESS`` marker; per-directory renames are atomic
     but the sequence is not, so a crash leaves the marker behind and
-    the next merge refuses the index — recovery is a rebuild via
-    ``write_ivf_index``."""
+    the next merge refuses the index — recovery is delete-then-rebuild
+    via ``write_ivf_index`` (in-place rebuild would lose the
+    stage-rename and silently no-op)."""
     import os as _os
     import shutil as _sh
     import uuid as _uuid
@@ -1406,7 +1407,10 @@ def merge_ivf_index(
     if _os.path.exists(marker):
         raise RuntimeError(
             f"IVF index at {path} has a torn merge (marker {MERGE_MARKER}"
-            " present); recovery is a rebuild via write_ivf_index"
+            " present); recovery: DELETE the index directory, then"
+            " rebuild via write_ivf_index (the builder's atomic"
+            " stage-rename deliberately loses to an existing path, so"
+            " rebuilding over the torn index would silently no-op)"
         )
     spark = new_emb.sparkSession
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()

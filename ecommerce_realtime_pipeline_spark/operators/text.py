@@ -708,9 +708,11 @@ def merge_text_index(new_docs: DataFrame, path: str) -> list[str]:
     not; a crash mid-merge leaves the marker behind, and the next
     merge (or any marker-aware reader) refuses the index with a
     rebuild instruction instead of silently compounding the torn
-    state. Recovery from a torn merge is a rebuild
-    (``write_text_index``), like recovering a torn Lucene commit from
-    the last full segment set.
+    state. Recovery from a torn merge is DELETE-then-rebuild
+    (``write_text_index`` after removing the index directory — the
+    builder's stage-rename deliberately loses to an existing path, so
+    rebuilding in place would silently no-op), like recovering a torn
+    Lucene commit from the last full segment set.
 
     Doc-id disjointness is the caller's contract (re-adding an indexed
     doc would double its postings — deletes/updates go through a
@@ -730,7 +732,10 @@ def merge_text_index(new_docs: DataFrame, path: str) -> list[str]:
     if _os.path.exists(marker):
         raise RuntimeError(
             f"text index at {path} has a torn merge (marker {MERGE_MARKER}"
-            " present); recovery is a rebuild via write_text_index"
+            " present); recovery: DELETE the index directory, then"
+            " rebuild via write_text_index (the builder's atomic"
+            " stage-rename deliberately loses to an existing path, so"
+            " rebuilding over the torn index would silently no-op)"
         )
     spark = new_docs.sparkSession
     base = new_docs.select(

@@ -1402,6 +1402,16 @@ def test_merge_indexes_refuse_torn_merge(spark, tmp_path):
             ivf,
         )
 
+    # the DOCUMENTED recovery path must actually work: delete, rebuild,
+    # and the next merge proceeds (an in-place rebuild would silently
+    # lose the builder's stage-rename and leave the torn index)
+    import shutil
+
+    shutil.rmtree(inc)
+    write_text_index(mk([(1, "alpha beta")]), inc)
+    assert merge_text_index(mk([(2, "beta gamma")]), inc) == ["beta", "gamma"]
+    assert not os.path.exists(os.path.join(inc, MERGE_MARKER))
+
 
 def test_merge_ivf_index_incremental_equivalence(spark, tmp_path):
     """merge_ivf_index must leave untouched cell partitions
