@@ -40,7 +40,18 @@ def embedding_dim(
     length in the schema, so this can't come from metadata alone)."""
     if cache_key is not None and cache_key in _DIM_CACHE:
         return _DIM_CACHE[cache_key]
-    dim = len(emb.select(col).first()[0])
+    row = emb.select(col).first()
+    if row is None:
+        # loud contract instead of the NoneType-subscript the bare
+        # first()[0] throws (empty-corpus audit, r7): every ANN/dedup
+        # entry point funnels through here, so this one check converts
+        # a family of obscure numpy/TypeError crashes into one message
+        raise ValueError(
+            "embedding corpus is empty — dim cannot be inferred and "
+            "cosine/ANN operators have no meaningful output; filter "
+            "upstream or skip the call"
+        )
+    dim = len(row[0])
     if cache_key is not None:
         _DIM_CACHE[cache_key] = dim
     return dim
@@ -241,6 +252,11 @@ def ivf_centroids(
         .limit(n_centroids)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "ivf_centroids: empty training corpus — an IVF quantizer "
+            "needs at least one vector (empty-corpus contract)"
+        )
     cents = [list(r[1]) for r in rows]
     if memo is not None:
         _IVF_CENTROID_CACHE[memo] = cents

@@ -619,6 +619,14 @@ def write_text_index(docs: DataFrame, path: str) -> None:
         token_count("text").alias("dl"),
         tokens("text").alias("_toks"),
     ).localCheckpoint()
+    if base.isEmpty():
+        # an empty partitionBy write produces a directory Spark cannot
+        # re-read (UNABLE_TO_INFER_SCHEMA) — refuse loudly instead of
+        # publishing an unreadable index (empty-corpus audit, r7)
+        raise ValueError(
+            "write_text_index: empty corpus — a search index over "
+            "nothing is unreadable on the way back; filter upstream"
+        )
     postings = (
         base.select("doc_id", "dl", F.explode("_toks").alias("token"))
         .groupBy("token", "doc_id")

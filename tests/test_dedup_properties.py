@@ -97,3 +97,22 @@ def test_merge_text_index_equals_rebuild_random(spark, tmp_path_factory, da, db)
             tuple(r) for r in spark.read.parquet(f"{full}/{part}").collect()
         )
         assert got == want, part
+
+
+def test_empty_corpus_contracts_are_loud_and_clear(spark):
+    """Empty-corpus audit (r7): every ANN/index entry point must fail
+    with a CLEAR contract error, not an obscure numpy AxisError /
+    NoneType subscript / unreadable-index AnalysisException."""
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+    from ecommerce_realtime_pipeline_spark.operators.text import write_text_index
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="corpus is empty"):
+        SIM.embedding_dim(empty_emb)
+    with pytest.raises(ValueError, match="empty training corpus"):
+        SIM.ivf_centroids(empty_emb, 4)
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        write_text_index(empty_docs, "/tmp/should_never_exist_idx")
