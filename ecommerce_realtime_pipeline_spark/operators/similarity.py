@@ -216,6 +216,9 @@ def _exact_rerank(
 #: query-many by definition — re-deriving the quantizer and the cell
 #: table per query call is pure waste (the r3 bench paid a full md5
 #: TakeOrdered scan + an extra corpus matmul on every invocation).
+#: manifest format tag for the persisted IVF index (see indexfmt)
+IVF_INDEX_FORMAT = "ivf-index"
+
 _IVF_CENTROID_CACHE: dict[tuple, list] = {}
 _IVF_CELL_CACHE: dict[tuple, DataFrame] = {}
 
@@ -278,7 +281,11 @@ def _probe_udf(centroids: list[list[float]], n_probe: int):
         M = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         sims = Mn @ Cn  # (n, n_c)
-        idx = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        # stable sort so exact cosine ties resolve to the LOWER cid,
+        # matching the oracle's row_number ORDER BY sim DESC, cid ASC
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe].astype(
+            np.int32
+        )
         return pd.Series(list(idx))
 
     return probes
@@ -421,27 +428,34 @@ def write_ivf_index(
     cache_key: str | None = None,
 ) -> None:
     """Persist the IVF-flat index: posting lists written as parquet
-    PARTITIONED BY CELL (`<path>/cells/cell=<i>/`) with the vectors
-    stored inline (the IVF-flat layout — serving never rejoins the
-    corpus), plus the quantizer centroids (`<path>/centroids/`).
+    PARTITIONED BY CELL inside an immutable SEGMENT directory
+    (`<path>/seg-<id>/cell=<i>/`) with the vectors stored inline (the
+    IVF-flat layout — serving never rejoins the corpus), plus the
+    quantizer centroids, both named by a `_CURRENT` manifest (see
+    :mod:`.indexfmt` — the shared versioned-index layout).
     Partitioning by cell is the point: at query time the probed cells
     become PartitionFilters, so the scan touches n_probe directories
-    out of n_centroids — the columnar analogue of an inverted-file
-    seek. At 100 TB each cell directory holds its own row groups and
-    the index is rebuilt (or merged) offline like any search index.
+    per segment out of n_centroids — the columnar analogue of an
+    inverted-file seek. At 100 TB each cell directory holds its own
+    row groups and the index is rebuilt (or merged) offline like any
+    search index.
 
-    PUBLICATION IS ATOMIC: both tables are staged into a scratch
-    directory and a single `os.rename` exposes them — a concurrent
-    reader sees either no index or a complete one, and if two
-    builders race, the loser's rename fails and it discards its
+    PUBLICATION IS ATOMIC: everything (manifest included) is staged
+    into a scratch directory and a single `os.rename` exposes it — a
+    concurrent reader sees either no index or a complete one, and if
+    two builders race, the loser's rename fails and it discards its
     staging dir (the winner's identical index serves both). Object
-    stores swap the rename for a manifest flip."""
+    stores swap the rename for a conditional manifest PUT."""
     import shutil as _sh
     import uuid as _uuid
+
+    from . import indexfmt
 
     cents = ivf_centroids(emb, n_centroids, col, seed, cache_key=cache_key)
     spark = emb.sparkSession
     assign = _probe_udf(cents, 1)
+    seg = indexfmt.new_dir_name("seg")
+    cent_dir = indexfmt.new_dir_name("centroids")
     stage = f"{path}.stage-{_uuid.uuid4().hex[:8]}"
     (
         emb.select(
@@ -451,17 +465,49 @@ def write_ivf_index(
         )
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{stage}/cells")
+        .parquet(f"{stage}/{seg}")
     )
     spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
         "cid int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{stage}/centroids")
+    ).write.mode("overwrite").parquet(f"{stage}/{cent_dir}")
+    indexfmt.write_manifest(
+        stage,
+        {
+            "format": IVF_INDEX_FORMAT,
+            "version": 1,
+            "segments": [seg],
+            "centroids": cent_dir,
+        },
+    )
     try:
         os.rename(stage, path)
     except OSError:
         # another builder published first; its index is identical
         _sh.rmtree(stage, ignore_errors=True)
+
+
+def read_ivf_index(spark, path: str) -> tuple[list[list[float]], DataFrame]:
+    """Resolve the `_CURRENT` manifest and open the live IVF index:
+    (centroids as a driver list — the quantizer is k·dim tiny, the
+    same bounded-collect class as `ivf_centroids` — and the cell
+    postings as the union of the manifest's segment scans). Each
+    segment keeps its own cell partitioning, so probed-cell filters
+    prune to n_probe directories PER SEGMENT (plan-pinned)."""
+    from functools import reduce
+
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT)
+    cent_rows = (
+        spark.read.parquet(f"{path}/{m['centroids']}").orderBy("cid").collect()
+    )
+    cents = [list(r["centroid"]) for r in cent_rows]
+    segs = [
+        spark.read.parquet(f"{path}/{s}").select("neighbor_id", "_v", "cell")
+        for s in m["segments"]
+    ]
+    return cents, reduce(lambda a, b: a.unionByName(b), segs)
 
 
 def knn_ivf_from_index(
@@ -483,8 +529,7 @@ def knn_ivf_from_index(
 
     The probed-cell id collect is bounded by |queries|·n_probe (the
     same bounded-collect class as the centroid pick)."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
-    cents = [list(r["centroid"]) for r in cent_rows]
+    cents, all_cells = read_ivf_index(spark, path)
     probe = _probe_udf(cents, n_probe)
     q_rows = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -496,11 +541,12 @@ def knn_ivf_from_index(
     )
     probed = sorted({int(r["cell"]) for r in q_rows})
     # candidate generation and rerank each read the PRUNED cell
-    # partitions (n_probe of n_centroids directories — PartitionFilters
-    # pinned in tests); two pruned scans beat caching here because a
-    # localCheckpoint would hide the scan (and its pruning) from the
-    # serving plan and pin the blocks past the query's lifetime
-    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probed))
+    # partitions (n_probe of n_centroids directories per segment —
+    # PartitionFilters pinned in tests); two pruned scans beat caching
+    # here because a localCheckpoint would hide the scan (and its
+    # pruning) from the serving plan and pin the blocks past the
+    # query's lifetime
+    cells = all_cells.filter(F.col("cell").isin(probed))
     cand = (
         cells.join(F.broadcast(q_cells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1389,47 +1435,33 @@ def merge_ivf_index(
 ) -> list[int]:
     """INCREMENTAL IVF maintenance — the ANN twin of
     ``text.merge_text_index``: append a batch of new vectors to a
-    persisted ``write_ivf_index`` layout using the index's SHIPPED
+    persisted ``write_ivf_index`` index using the index's SHIPPED
     quantizer (no retrain — the production append path; quantizer
     refresh is a rebuild, like a Lucene segment merge vs a reindex).
 
     The batch assigns to cells via the persisted centroids (one Arrow
-    pass), and ONLY the touched cell partitions are read back, unioned
-    with the delta, and swapped in via stage + per-directory atomic
-    rename — untouched cell directories are never opened and stay
-    byte-identical (test-pinned). Doc-id disjointness is the caller's
-    contract. Cost: |touched cells| partition rewrites, never
-    O(index). Returns the touched cell ids.
+    pass) and is written as ONE new immutable cell-partitioned
+    SEGMENT; the single atomic ``_CURRENT`` manifest flip commits it
+    (:mod:`.indexfmt`). Vec-id disjointness is the caller's contract,
+    so the segment union is identical to consolidating into the
+    existing cell partitions — the merge never READS existing cells
+    at all (zero read amplification; the r7 design read-merged-
+    rewrote every touched cell partition under a torn-merge marker).
 
-    The ``isin(touched)`` read-side pruning is scale-safe HERE
-    (unlike the text-index twin, which uses a broadcast semi-join):
-    the list is bounded by ``n_centroids``, a build-time constant,
-    not by batch content.
+    TORN MERGES ARE STRUCTURALLY IMPOSSIBLE: a crash before the flip
+    leaves an orphan segment and a fully-intact old index; recovery
+    is re-running the merge, and ``compact_ivf_index`` reclaims
+    orphans. Cost: one |batch|-sized write + one pointer flip, never
+    O(index). Read amplification grows by one segment per merge;
+    compaction is the tiered-merge knob. Returns the touched cell ids
+    (reporting — never enters a plan)."""
+    from . import indexfmt
 
-    TORN-MERGE PROTECTION (same contract as
-    ``text.merge_text_index``): the swap loop runs inside a
-    ``_MERGE_IN_PROGRESS`` marker; per-directory renames are atomic
-    but the sequence is not, so a crash leaves the marker behind and
-    the next merge refuses the index — recovery is delete-then-rebuild
-    via ``write_ivf_index`` (in-place rebuild would lose the
-    stage-rename and silently no-op)."""
-    import os as _os
-    import shutil as _sh
-    import uuid as _uuid
-
-    from .text import MERGE_MARKER
-
-    marker = _os.path.join(path, MERGE_MARKER)
-    if _os.path.exists(marker):
-        raise RuntimeError(
-            f"IVF index at {path} has a torn merge (marker {MERGE_MARKER}"
-            " present); recovery: DELETE the index directory, then"
-            " rebuild via write_ivf_index (the builder's atomic"
-            " stage-rename deliberately loses to an existing path, so"
-            " rebuilding over the torn index would silently no-op)"
-        )
     spark = new_emb.sparkSession
-    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT)
+    cent_rows = (
+        spark.read.parquet(f"{path}/{m['centroids']}").orderBy("cid").collect()
+    )
     cents = [list(r["centroid"]) for r in cent_rows]
     assign = _probe_udf(cents, 1)
     delta = new_emb.select(
@@ -1442,28 +1474,48 @@ def merge_ivf_index(
     )
     if not touched:
         return touched
-    existing = (
-        spark.read.parquet(f"{path}/cells")
-        .filter(F.col("cell").isin(touched))
-        .select("neighbor_id", "_v", "cell")
+    seg = indexfmt.new_dir_name("seg")
+    delta.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/{seg}")
+    indexfmt.write_manifest(  # ---- the single commit point ----
+        path,
+        {
+            "format": IVF_INDEX_FORMAT,
+            "version": int(m["version"]) + 1,
+            "segments": [*m["segments"], seg],
+            "centroids": m["centroids"],
+        },
     )
-    merged = existing.unionByName(delta.select("neighbor_id", "_v", "cell"))
-    tmp = f"{path}/cells__tmp_{_uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    with open(marker, "w") as fh:  # ---- mutation phase opens ----
-        fh.write(_os.path.basename(tmp))
-    for c in touched:
-        src = _os.path.join(tmp, f"cell={c}")
-        dst = _os.path.join(path, "cells", f"cell={c}")
-        old = f"{dst}__old_{_uuid.uuid4().hex[:8]}"
-        if _os.path.exists(dst):
-            _os.rename(dst, old)
-        if _os.path.exists(src):
-            _os.rename(src, dst)
-        _sh.rmtree(old, ignore_errors=True)
-    _sh.rmtree(tmp, ignore_errors=True)
-    _os.remove(marker)  # ---- mutation phase closes ----
     return touched
+
+
+def compact_ivf_index(spark, path: str) -> int:
+    """Fold all IVF segments back into ONE and vacuum unreferenced
+    children (pre-compaction segments, crashed-merge orphans) — the
+    tiered-merge step bounding per-query segment fan-out, mirroring
+    ``text.compact_text_index``. The quantizer carries over untouched
+    (compaction is a layout operation, not a retrain). Returns the
+    number of segments folded. O(index) by design, scheduled offline
+    like any segment-merge policy."""
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT)
+    n = len(m["segments"])
+    _, all_cells = read_ivf_index(spark, path)
+    seg = indexfmt.new_dir_name("seg")
+    all_cells.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/{seg}"
+    )
+    indexfmt.write_manifest(
+        path,
+        {
+            "format": IVF_INDEX_FORMAT,
+            "version": int(m["version"]) + 1,
+            "segments": [seg],
+            "centroids": m["centroids"],
+        },
+    )
+    indexfmt.vacuum(path, IVF_INDEX_FORMAT)
+    return n
 
 
 def top_component_power(

@@ -592,33 +592,56 @@ def winnow_fingerprints(
     ).distinct()
 
 
-def write_text_index(docs: DataFrame, path: str) -> None:
-    """Persist the inverted TEXT index — the keyword-search twin of
-    ``similarity.write_ivf_index``: postings written as parquet
-    PARTITIONED BY TOKEN (``<path>/postings/token=<t>/``) carrying
-    (doc_id, tf, dl) — Lucene's docid/freq/norm triple in columnar
-    form — plus the |vocab|-row document-frequency table and the 1-row
-    corpus stats. At query time the query's terms become
-    PartitionFilters, so serving touches |query terms| directories out
-    of |vocab| — the columnar posting-list seek (pinned in tests).
 
-    PUBLICATION IS ATOMIC, same contract as the IVF index: everything
-    stages into a scratch dir and one ``os.rename`` exposes it; a
-    losing concurrent builder discards its stage. At 100 TB the index
-    rebuilds/merges offline like any search index; token partitions
-    are the merge unit (hot stopword partitions are the skew knob —
-    df-cutoff them out of the index exactly like the Jaccard blocker).
-    """
-    import os as _os
-    import shutil as _sh
-    import uuid as _uuid
 
-    spark = docs.sparkSession
+#: manifest format tag for the persisted inverted text index
+TEXT_INDEX_FORMAT = "text-index"
+
+
+def _doc_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One pass over a doc batch → (per-doc base with dl, postings
+    (token, doc_id, tf, dl)). The base is checkpointed so the stats
+    aggregate and the postings explode share the tokenize work."""
     base = docs.select(
         "doc_id",
         token_count("text").alias("dl"),
         tokens("text").alias("_toks"),
     ).localCheckpoint()
+    postings = (
+        base.select("doc_id", "dl", F.explode("_toks").alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    return base, postings
+
+
+def write_text_index(docs: DataFrame, path: str) -> None:
+    """Persist the inverted TEXT index — the keyword-search twin of
+    ``similarity.write_ivf_index``: postings written as parquet
+    PARTITIONED BY TOKEN inside an immutable SEGMENT directory
+    (``<path>/seg-<id>/token=<t>/``) carrying (doc_id, tf, dl) —
+    Lucene's docid/freq/norm triple in columnar form — plus the
+    |vocab|-row document-frequency table and the 1-row corpus stats,
+    all named by a single ``_CURRENT`` manifest (see
+    :mod:`..operators.indexfmt`). At query time the query's terms
+    become PartitionFilters, so serving touches |query terms|
+    directories per segment out of |vocab| — the columnar
+    posting-list seek (pinned in tests).
+
+    PUBLICATION IS ATOMIC, same contract as the IVF index: everything
+    (manifest included) stages into a scratch dir and one
+    ``os.rename`` exposes it; a losing concurrent builder discards
+    its stage. At 100 TB the index rebuilds/merges offline like any
+    search index; segments are the merge unit and hot stopword
+    partitions are the skew knob — df-cutoff them out of the index
+    exactly like the Jaccard blocker."""
+    import os as _os
+    import shutil as _sh
+    import uuid as _uuid
+
+    from . import indexfmt
+
+    base, postings = _doc_postings(docs)
     if base.isEmpty():
         # an empty partitionBy write produces a directory Spark cannot
         # re-read (UNABLE_TO_INFER_SCHEMA) — refuse loudly instead of
@@ -627,37 +650,70 @@ def write_text_index(docs: DataFrame, path: str) -> None:
             "write_text_index: empty corpus — a search index over "
             "nothing is unreadable on the way back; filter upstream"
         )
-    postings = (
-        base.select("doc_id", "dl", F.explode("_toks").alias("token"))
-        .groupBy("token", "doc_id")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-    )
+    seg = indexfmt.new_dir_name("seg")
+    dfreq = indexfmt.new_dir_name("dfreq")
+    stats = indexfmt.new_dir_name("stats")
     stage = f"{path}.stage-{_uuid.uuid4().hex[:8]}"
     postings.write.mode("overwrite").partitionBy("token").parquet(
-        f"{stage}/postings"
+        f"{stage}/{seg}"
     )
     postings.groupBy("token").agg(F.count("*").alias("df")).write.mode(
         "overwrite"
-    ).parquet(f"{stage}/dfreq")
+    ).parquet(f"{stage}/{dfreq}")
     base.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).write.mode("overwrite").parquet(f"{stage}/stats")
+    ).write.mode("overwrite").parquet(f"{stage}/{stats}")
+    indexfmt.write_manifest(
+        stage,
+        {
+            "format": TEXT_INDEX_FORMAT,
+            "version": 1,
+            "segments": [seg],
+            "dfreq": dfreq,
+            "stats": stats,
+        },
+    )
     try:
         _os.rename(stage, path)
     except OSError:
         _sh.rmtree(stage, ignore_errors=True)
 
 
-MERGE_MARKER = "_MERGE_IN_PROGRESS"
+def read_text_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Resolve the ``_CURRENT`` manifest and open the live index:
+    (postings, dfreq, stats). Postings are the union of the manifest's
+    segment scans — each segment keeps its own token partitioning, so
+    a term filter prunes to |terms| directories PER SEGMENT (both
+    static ``isin`` pruning and DPP fire per scan; plan-pinned).
+    Readers never see a half-merged index: the manifest names only
+    fully-written immutable directories."""
+    from functools import reduce
+
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
+    segs = [
+        spark.read.parquet(f"{path}/{s}").select("token", "doc_id", "tf", "dl")
+        for s in m["segments"]
+    ]
+    postings = reduce(lambda a, b: a.unionByName(b), segs)
+    dfreq = spark.read.parquet(f"{path}/{m['dfreq']}")
+    stats = spark.read.parquet(f"{path}/{m['stats']}")
+    return postings, dfreq, stats
 
 
-def _read_touched_postings(spark, path: str, delta_tokens: DataFrame) -> DataFrame:
-    """Read back ONLY the token partitions present in the batch: a
-    broadcast LEFT SEMI join on the partition column, which dynamic
-    partition pruning turns into PartitionFilters on the postings scan
-    (plan-pinned in test_plan_discipline). Deliberately NOT
-    ``isin(<collected tokens>)`` — a backfill batch can carry 10⁵-10⁶
-    distinct tokens, and an In-literal that size is a plan/driver
+def read_postings_for_tokens(
+    spark, path: str, tokens_df: DataFrame
+) -> DataFrame:
+    """Bulk-token read path: the token partitions named by a
+    DataFrame-valued term set (decontamination term lists, backfill
+    audits — sets far too large for an In-literal), via a broadcast
+    LEFT SEMI join which dynamic partition pruning turns into
+    PartitionFilters on every segment scan (plan-pinned in
+    test_plan_discipline). Deliberately NOT ``isin(<collected>)`` — a
+    10⁵-10⁶-token set as an In-literal is a plan-size/driver
     bottleneck, while the broadcast set is just a hashed relation.
 
     The ``length(token) >= 0`` no-op predicate is load-bearing:
@@ -665,167 +721,150 @@ def _read_touched_postings(spark, path: str, delta_tokens: DataFrame) -> DataFra
     the build side carries a likely-selective filter (BinaryComparison
     et al.) — a bare distinct/LogicalRDD does not qualify, and the
     scan would silently fall back to reading EVERY token partition
-    (verified empirically; the pin in test_plan_discipline guards the
-    dynamicpruningexpression in the scan's PartitionFilters)."""
-    return (
-        spark.read.parquet(f"{path}/postings")
-        .join(
-            F.broadcast(delta_tokens.filter(F.length("token") >= 0)),
-            "token",
-            "left_semi",
-        )
-        .select("token", "doc_id", "tf", "dl")
-    )
+    (verified empirically; pinned in test_plan_discipline)."""
+    postings, _, _ = read_text_index(spark, path)
+    return postings.join(
+        F.broadcast(tokens_df.filter(F.length("token") >= 0)),
+        "token",
+        "left_semi",
+    ).select("token", "doc_id", "tf", "dl")
 
 
 def merge_text_index(new_docs: DataFrame, path: str) -> list[str]:
     """INCREMENTAL text-index maintenance — the search-index twin of
     the bucketed-silver CDC loop: fold a batch of NEW documents into a
-    persisted ``write_text_index`` layout touching only the token
-    partitions the batch actually contains.
+    persisted ``write_text_index`` index as ONE new immutable segment
+    plus a metadata rewrite, committed by a single atomic manifest
+    flip (:mod:`..operators.indexfmt`).
 
-    - delta postings (token, doc_id, tf, dl) come from one pass over
-      the batch;
-    - ONLY the touched token partitions are read back: the existing
-      postings are LEFT-SEMI-joined against the broadcast delta token
-      set, so dynamic partition pruning turns the token set into
-      PartitionFilters on the postings scan (plan-pinned). No
-      driver-side token-literal list ever enters the plan — at a
-      100 TB backfill (10⁵-10⁶ distinct batch tokens) an
-      ``isin(touched)`` In-predicate would be a plan-size/driver
-      bottleneck; the broadcast set is just a hashed relation;
-    - the merged partitions swap in via stage + per-directory atomic
-      rename. Directory names come from LISTING the staged output —
-      never from formatting ``token=<t>`` ourselves — because Spark
-      escapes partition values (``%``, ``/``, ``=``, ``#``, quotes,
-      …) via ``escapePathName``; a hand-built name would miss the
-      escaped directory and silently drop the merge. NULL/empty
-      tokens (``__HIVE_DEFAULT_PARTITION__``) are rejected up front:
-      an equality semi-join cannot read the existing NULL partition
-      back, so swapping it would lose postings. Renames run in a
-      bounded thread pool (|batch tokens| serial renames would gate a
-      large backfill on round-trips);
-    - ``dfreq`` merges by summing per-token document frequencies and
-      is rewritten whole (|vocab| rows — index metadata, not data);
-      ``stats`` adds the batch's (n_docs, sum_dl) to the 1-row corpus
-      stats.
+    Because doc-id disjointness is the caller's contract (re-adding an
+    indexed doc would double its postings — deletes/updates go through
+    a rebuild, exactly like a Lucene segment merge discards
+    tombstones), appending the batch's postings as a segment is
+    semantically identical to consolidating them into the existing
+    token partitions: BM25 and every other reader union the segments.
+    The merge therefore never READS existing postings at all — zero
+    read amplification, compared to the r7 design's DPP-pruned
+    read-merge-rewrite of |batch tokens| partitions.
 
-    TORN-MERGE PROTECTION: the mutation phase (postings swap → dfreq
-    → stats) runs inside a ``_MERGE_IN_PROGRESS`` commit marker. The
-    per-directory renames are individually atomic but the sequence is
-    not; a crash mid-merge leaves the marker behind, and the next
-    merge (or any marker-aware reader) refuses the index with a
-    rebuild instruction instead of silently compounding the torn
-    state. Recovery from a torn merge is DELETE-then-rebuild
-    (``write_text_index`` after removing the index directory — the
-    builder's stage-rename deliberately loses to an existing path, so
-    rebuilding in place would silently no-op), like recovering a torn
-    Lucene commit from the last full segment set.
+    TORN MERGES ARE STRUCTURALLY IMPOSSIBLE: the segment and the
+    merged dfreq/stats tables are written under fresh names no reader
+    resolves, and the ONE ``os.replace`` of the ``_CURRENT`` pointer
+    is the commit point. A crash before the flip leaves orphan
+    directories and a fully-intact old index; recovery is simply
+    re-running the merge (orphans are reclaimed by the next
+    ``compact_text_index``). This replaces the r7
+    ``_MERGE_IN_PROGRESS`` marker + delete-then-rebuild protocol.
 
-    Doc-id disjointness is the caller's contract (re-adding an indexed
-    doc would double its postings — deletes/updates go through a
-    rebuild, exactly like a Lucene segment merge discards tombstones).
+    NULL/empty tokens are rejected up front: Spark writes them as the
+    ``__HIVE_DEFAULT_PARTITION__`` directory, whose partition value
+    reads back as NULL — a token no equality predicate (BM25 term
+    match, dfreq join) can ever hit, so the postings would be
+    dead weight that still desynchronizes dfreq/stats.
 
-    Cost at 100 TB: |batch tokens| partition rewrites + a vocab-row
-    metadata rewrite, never O(index); the only driver-materialized
-    token list is the RETURN value (reporting) and the staged-dir
-    listing (rename targets) — neither enters a query plan. Returns
-    the touched tokens."""
-    import os as _os
-    import shutil as _sh
-    import uuid as _uuid
-    from concurrent.futures import ThreadPoolExecutor
+    Cost at 100 TB: one |batch|-sized partitioned write + a
+    |vocab|-row metadata rewrite + one pointer flip — never O(index),
+    and no per-partition rename fan-out (the r7 design's |batch
+    tokens| filesystem round-trips inside the commit window are
+    gone). Read amplification grows by one segment per merge;
+    ``compact_text_index`` is the tiered-merge knob that folds
+    segments back to one. Returns the touched tokens (reporting —
+    never enters a plan)."""
+    from . import indexfmt
 
-    marker = _os.path.join(path, MERGE_MARKER)
-    if _os.path.exists(marker):
-        raise RuntimeError(
-            f"text index at {path} has a torn merge (marker {MERGE_MARKER}"
-            " present); recovery: DELETE the index directory, then"
-            " rebuild via write_text_index (the builder's atomic"
-            " stage-rename deliberately loses to an existing path, so"
-            " rebuilding over the torn index would silently no-op)"
-        )
     spark = new_docs.sparkSession
-    base = new_docs.select(
-        "doc_id",
-        token_count("text").alias("dl"),
-        tokens("text").alias("_toks"),
-    ).localCheckpoint()
-    delta = (
-        base.select("doc_id", "dl", F.explode("_toks").alias("token"))
-        .groupBy("token", "doc_id")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-        .localCheckpoint()
-    )
+    m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
+    base, delta = _doc_postings(new_docs)
+    delta = delta.localCheckpoint()
     delta_tokens = delta.select("token").distinct()
-    touched = sorted(r["token"] for r in delta_tokens.collect())
-    if not touched:
-        return touched
-    if any(t is None or t == "" for t in touched):
+    # NULL/empty check BEFORE sorted(): sorted() on a list containing
+    # None raises TypeError (NoneType vs str) and would mask the
+    # contract message
+    toks = [r["token"] for r in delta_tokens.collect()]
+    if any(t is None or t == "" for t in toks):
         raise ValueError(
             "merge_text_index: batch contains NULL/empty tokens, which "
-            "Spark writes as __HIVE_DEFAULT_PARTITION__ and an equality "
-            "semi-join cannot read back; clean the tokenizer output"
+            "Spark writes as __HIVE_DEFAULT_PARTITION__ and reads back "
+            "as NULL — unreachable by any term equality; clean the "
+            "tokenizer output"
         )
-    existing = _read_touched_postings(spark, path, delta_tokens)
-    merged = existing.unionByName(delta.select("token", "doc_id", "tf", "dl"))
-    tmp = f"{path}/postings__tmp_{_uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").partitionBy("token").parquet(tmp)
-    # rename targets from the STAGED listing (Spark-escaped names)
-    staged = sorted(
-        d for d in _os.listdir(tmp) if d.startswith("token=")
-    )
-    if len(staged) != len(touched):
-        _sh.rmtree(tmp, ignore_errors=True)
-        raise RuntimeError(
-            f"merge_text_index: staged {len(staged)} token directories "
-            f"for {len(touched)} touched tokens — aborting before swap"
-        )
-    # metadata frames materialize BEFORE the marker opens so a plan
-    # failure can't leave a torn index
+    touched = sorted(toks)
+    if not touched:
+        return touched
+    seg = indexfmt.new_dir_name("seg")
+    delta.select("token", "doc_id", "tf", "dl").write.mode(
+        "overwrite"
+    ).partitionBy("token").parquet(f"{path}/{seg}")
+    # metadata tables: |vocab| dfreq rows and the 1-row corpus stats,
+    # merged by summation and written under fresh names (index
+    # metadata, not data — same cost class as r7's whole rewrite)
     delta_df = delta.groupBy("token").agg(F.count("*").alias("df"))
-    old_df = spark.read.parquet(f"{path}/dfreq")
     merged_df = (
-        old_df.unionByName(delta_df)
+        spark.read.parquet(f"{path}/{m['dfreq']}")
+        .unionByName(delta_df)
         .groupBy("token")
         .agg(F.sum("df").cast("long").alias("df"))
-    ).localCheckpoint()
-    old_stats = spark.read.parquet(f"{path}/stats")
+    )
+    dfreq = indexfmt.new_dir_name("dfreq")
+    merged_df.write.mode("overwrite").parquet(f"{path}/{dfreq}")
     batch_stats = base.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     merged_stats = (
-        old_stats.unionByName(batch_stats)
+        spark.read.parquet(f"{path}/{m['stats']}")
+        .unionByName(batch_stats)
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("sum_dl").cast("long").alias("sum_dl"),
         )
-    ).localCheckpoint()
-    dfreq_stage = f"{path}/dfreq__tmp_{_uuid.uuid4().hex[:8]}"
-    merged_df.write.mode("overwrite").parquet(dfreq_stage)
-    stats_stage = f"{path}/stats__tmp_{_uuid.uuid4().hex[:8]}"
-    merged_stats.write.mode("overwrite").parquet(stats_stage)
-
-    with open(marker, "w") as fh:  # ---- mutation phase opens ----
-        fh.write(_os.path.basename(tmp))
-
-    def _swap(dirname: str) -> None:
-        src = _os.path.join(tmp, dirname)
-        dst = _os.path.join(path, "postings", dirname)
-        old = f"{dst}__old_{_uuid.uuid4().hex[:8]}"
-        if _os.path.exists(dst):
-            _os.rename(dst, old)
-        _os.rename(src, dst)
-        _sh.rmtree(old, ignore_errors=True)
-
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        list(pool.map(_swap, staged))  # list() re-raises worker errors
-    _sh.rmtree(tmp, ignore_errors=True)
-    for name, stage in (("dfreq", dfreq_stage), ("stats", stats_stage)):
-        old = f"{path}/{name}__old_{_uuid.uuid4().hex[:8]}"
-        if _os.path.exists(f"{path}/{name}"):
-            _os.rename(f"{path}/{name}", old)
-        _os.rename(stage, f"{path}/{name}")
-        _sh.rmtree(old, ignore_errors=True)
-    _os.remove(marker)  # ---- mutation phase closes ----
+    )
+    stats = indexfmt.new_dir_name("stats")
+    merged_stats.write.mode("overwrite").parquet(f"{path}/{stats}")
+    indexfmt.write_manifest(  # ---- the single commit point ----
+        path,
+        {
+            "format": TEXT_INDEX_FORMAT,
+            "version": int(m["version"]) + 1,
+            "segments": [*m["segments"], seg],
+            "dfreq": dfreq,
+            "stats": stats,
+        },
+    )
     return touched
+
+
+def compact_text_index(spark, path: str) -> int:
+    """Fold all segments back into ONE (the Lucene tiered-merge
+    step): rewrites the unioned postings as a single token-partitioned
+    segment, flips the manifest, and vacuums every unreferenced child
+    (pre-compaction segments, superseded dfreq/stats generations,
+    crashed-merge orphans). Dfreq/stats are already corpus-accurate —
+    they carry over by rewrite, not recomputation. Returns the number
+    of segments folded. O(index) by design — the offline amortization
+    knob that bounds per-merge read amplification, scheduled like any
+    segment-merge policy (e.g. when |segments| exceeds a tier size)."""
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
+    n = len(m["segments"])
+    postings, dfreq_df, stats_df = read_text_index(spark, path)
+    seg = indexfmt.new_dir_name("seg")
+    dfreq = indexfmt.new_dir_name("dfreq")
+    stats = indexfmt.new_dir_name("stats")
+    postings.write.mode("overwrite").partitionBy("token").parquet(
+        f"{path}/{seg}"
+    )
+    dfreq_df.write.mode("overwrite").parquet(f"{path}/{dfreq}")
+    stats_df.write.mode("overwrite").parquet(f"{path}/{stats}")
+    indexfmt.write_manifest(
+        path,
+        {
+            "format": TEXT_INDEX_FORMAT,
+            "version": int(m["version"]) + 1,
+            "segments": [seg],
+            "dfreq": dfreq,
+            "stats": stats,
+        },
+    )
+    indexfmt.vacuum(path, TEXT_INDEX_FORMAT)
+    return n

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -438,7 +439,14 @@ def emb_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         "spark_graft_ivf_" + hashlib.md5(stamp.encode()).hexdigest()[:12],
     )
-    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    if not indexfmt.has_index(path):
+        # a leftover non-index dir (crashed publish, pre-manifest
+        # layout) would make the builder's atomic rename lose to it
+        # forever; it holds nothing referenced, so clear it
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
         SIM.write_ivf_index(emb, path, cache_key=f"{sf_dir}/embeddings")
     return SIM.knn_ivf_from_index(
         spark, path, _query_vectors(emb), k=KNN_K, n_probe=8
@@ -1539,22 +1547,23 @@ def docs_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ecommerce_realtime_pipeline_spark.operators.text import write_text_index
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        read_text_index,
+        write_text_index,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     tmp = tempfile.mkdtemp(prefix="eng_textidx_q_")
     try:
         path = os.path.join(tmp, "index")
         write_text_index(docs, path)
-        postings = spark.read.parquet(f"{path}/postings").filter(
-            F.col("token").isin(*BM25_TERMS)
-        )
-        dfreq = spark.read.parquet(f"{path}/dfreq").filter(
-            F.col("token").isin(*BM25_TERMS)
-        )
-        stats = spark.read.parquet(f"{path}/stats")
+        postings, dfreq, stats = read_text_index(spark, path)
         return _bm25_rank(
-            postings.select("doc_id", "token", "tf", "dl"), dfreq, stats
+            postings.filter(F.col("token").isin(*BM25_TERMS)).select(
+                "doc_id", "token", "tf", "dl"
+            ),
+            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
+            stats,
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -4468,6 +4477,7 @@ def docs_bm25_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ecommerce_realtime_pipeline_spark.operators.text import (
         merge_text_index,
+        read_text_index,
         write_text_index,
     )
 
@@ -4477,15 +4487,13 @@ def docs_bm25_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(tmp, "index")
         write_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
         merge_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
-        postings = spark.read.parquet(f"{path}/postings").filter(
-            F.col("token").isin(*BM25_TERMS)
-        )
-        dfreq = spark.read.parquet(f"{path}/dfreq").filter(
-            F.col("token").isin(*BM25_TERMS)
-        )
-        stats = spark.read.parquet(f"{path}/stats")
+        postings, dfreq, stats = read_text_index(spark, path)
         return _bm25_rank(
-            postings.select("doc_id", "token", "tf", "dl"), dfreq, stats
+            postings.filter(F.col("token").isin(*BM25_TERMS)).select(
+                "doc_id", "token", "tf", "dl"
+            ),
+            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
+            stats,
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

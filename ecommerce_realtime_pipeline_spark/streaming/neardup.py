@@ -105,6 +105,18 @@ def guard_journal_generation(work_dir: str, checkpoint: str) -> None:
         return
     cp_id = _checkpoint_query_id(checkpoint)
     j_id = _journal_query_id(work_dir)
+    if j_id is None and cp_id is not None:
+        # missing stamp + live checkpoint: the stamp is written only
+        # after start() returns, so a crash in that window (or a
+        # pre-stamp-era journal) leaves journal rows that were keyed
+        # by THIS checkpoint's epochs — the only generation that can
+        # have delivered them while its metadata file exists. Adopt
+        # the checkpoint id (one-time migration) instead of forcing a
+        # journal rebuild. A recreated checkpoint still trips the
+        # guard: recreation changes the metadata query id, and the
+        # adopted stamp then mismatches on the next run.
+        _stamp_journal_query_id(work_dir, cp_id)
+        return
     if cp_id is None or j_id is None or cp_id != j_id:
         raise RuntimeError(
             f"journal at {work_dir} was written under streaming query "

@@ -71,10 +71,12 @@ def test_merge_text_index_equals_rebuild_random(spark, tmp_path_factory, da, db)
     over an alphabet that stresses Spark's partition-value escaping
     (':', '%', '=', '#', '?', '*', brackets): folding batch B into an
     index built from batch A must equal one build over A ∪ B in all
-    three components — the r7 merge rewrite (DPP read, staged-listing
-    renames, marker) holds under arbitrary batch splits."""
+    three components — the r8 segment-append merge (immutable
+    segments + atomic manifest flip) holds under arbitrary batch
+    splits and arbitrary partition-value escapes."""
     from ecommerce_realtime_pipeline_spark.operators.text import (
         merge_text_index,
+        read_text_index,
         write_text_index,
     )
 
@@ -89,14 +91,12 @@ def test_merge_text_index_equals_rebuild_random(spark, tmp_path_factory, da, db)
     write_text_index(
         mk(da, 0).unionByName(mk(db, 1000)), full
     )
-    for part in ("postings", "dfreq", "stats"):
-        got = sorted(
-            tuple(r) for r in spark.read.parquet(f"{inc}/{part}").collect()
-        )
-        want = sorted(
-            tuple(r) for r in spark.read.parquet(f"{full}/{part}").collect()
-        )
-        assert got == want, part
+    for got_df, want_df in zip(
+        read_text_index(spark, inc), read_text_index(spark, full)
+    ):
+        got = sorted(tuple(r) for r in got_df.collect())
+        want = sorted(tuple(r) for r in want_df.collect())
+        assert got == want
 
 
 def test_empty_corpus_contracts_are_loud_and_clear(spark):

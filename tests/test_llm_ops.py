@@ -7,6 +7,8 @@ pin them against their exact counterparts instead.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1254,64 +1256,122 @@ def test_ann_recall_eval_bounds_and_floor(spark):
     assert mean >= 0.8  # the documented isotropic-corpus floor for 4x12 LSH
 
 
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _text_index_content(spark, path):
+    from ecommerce_realtime_pipeline_spark.operators.text import read_text_index
+
+    postings, dfreq, stats = read_text_index(spark, path)
+    return (
+        sorted(tuple(r) for r in postings.collect()),
+        sorted(tuple(r) for r in dfreq.collect()),
+        sorted(tuple(r) for r in stats.collect()),
+    )
+
+
+def _seg_bytes(path, seg):
+    """Every parquet file byte under one immutable segment dir."""
+    out = {}
+    for root, _, files in os.walk(os.path.join(path, seg)):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                out[os.path.relpath(full, path)] = open(full, "rb").read()
+    return out
+
+
+def test_probe_udf_cosine_ties_resolve_to_lower_cid(spark):
+    """Exact cosine ties between centroids must assign the LOWER cid
+    — the documented tie-break every SQL oracle replicates via
+    row_number() ORDER BY sim DESC, cid ASC. np.argsort's default
+    quicksort is NOT stable, so this pins the kind='stable' sort:
+    duplicate centroids (the worst case — every vector ties) must
+    always probe in ascending-cid order."""
+    # cids 0 and 1 are identical; 2 is orthogonal — every corpus
+    # vector along [1,0,...] ties exactly between 0 and 1
+    cents = [[1.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    probe = SIM._probe_udf(cents, 2)
+    vecs = spark.createDataFrame(
+        [(i, [float(i + 1), 0.0, 0.0, 0.0]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    out = vecs.select(probe(F.col("embedding")).alias("p")).collect()
+    assert all(list(r["p"]) == [0, 1] for r in out)
+
+
 def test_merge_text_index_incremental_equivalence(spark, tmp_path):
-    """merge_text_index must (a) leave every UNTOUCHED token partition
-    byte-identical (the O(|batch tokens|) maintenance claim), and
-    (b) produce an index whose postings/dfreq/stats equal a full
-    rebuild over the union corpus."""
-    import os
-
-    from pyspark.sql import functions as F
-
+    """merge_text_index must (a) append ONE new segment and leave the
+    existing segment's files byte-identical (immutable-segment claim
+    — the merge never even opens existing postings), and (b) produce
+    an index whose postings/dfreq/stats CONTENT equals a full rebuild
+    over the union corpus, with the manifest version bumped by one."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
     from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
         merge_text_index,
         write_text_index,
     )
 
     rows_a = [(1, "alpha beta gamma"), (2, "alpha delta")]
     rows_b = [(3, "beta epsilon"), (4, "zeta zeta eta")]
-    mk = lambda rows: spark.createDataFrame(  # noqa: E731
-        [(i, t, "en", "s", len(t)) for i, t in rows],
-        "doc_id long, text string, lang string, source string, n_chars long",
-    )
     inc = str(tmp_path / "inc")
     full = str(tmp_path / "full")
-    write_text_index(mk(rows_a), inc)
-
-    def dir_bytes(token):
-        d = os.path.join(inc, "postings", f"token={token}")
-        return {
-            f: open(os.path.join(d, f), "rb").read()
-            for f in sorted(os.listdir(d))
-            if f.endswith(".parquet")
-        }
-
-    before = {t: dir_bytes(t) for t in ("alpha", "gamma", "delta")}
-    touched = merge_text_index(mk(rows_b), inc)
+    write_text_index(_mk_docs(spark, rows_a), inc)
+    m0 = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    assert len(m0["segments"]) == 1
+    before = _seg_bytes(inc, m0["segments"][0])
+    touched = merge_text_index(_mk_docs(spark, rows_b), inc)
     assert touched == ["beta", "epsilon", "eta", "zeta"]
-    # (a) untouched token partitions byte-identical
-    for t in ("alpha", "gamma", "delta"):
-        assert dir_bytes(t) == before[t], f"token={t} was rewritten"
-    # (b) merged == full rebuild, all three index components
-    write_text_index(mk(rows_a + rows_b), full)
-    for part in ("postings", "dfreq", "stats"):
-        got = sorted(
-            tuple(r)
-            for r in spark.read.parquet(f"{inc}/{part}").collect()
-        )
-        want = sorted(
-            tuple(r)
-            for r in spark.read.parquet(f"{full}/{part}").collect()
-        )
-        assert got == want, part
+    m1 = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    # (a) one appended segment; the original is byte-identical
+    assert m1["version"] == m0["version"] + 1
+    assert m1["segments"][:1] == m0["segments"] and len(m1["segments"]) == 2
+    assert _seg_bytes(inc, m0["segments"][0]) == before
+    # (b) merged CONTENT == full rebuild (layouts differ: 2 segs vs 1)
+    write_text_index(_mk_docs(spark, rows_a + rows_b), full)
+    assert _text_index_content(spark, inc) == _text_index_content(spark, full)
+
+
+def test_compact_text_index_folds_segments_and_vacuums(spark, tmp_path):
+    """compact_text_index must fold the segment list back to ONE with
+    identical content and vacuum every unreferenced child (superseded
+    segments and dfreq/stats generations) — the tiered-merge step that
+    bounds per-query segment fan-out."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        compact_text_index,
+        merge_text_index,
+        write_text_index,
+    )
+
+    inc = str(tmp_path / "inc")
+    write_text_index(_mk_docs(spark, [(1, "alpha beta")]), inc)
+    merge_text_index(_mk_docs(spark, [(2, "beta gamma")]), inc)
+    merge_text_index(_mk_docs(spark, [(3, "gamma delta")]), inc)
+    want = _text_index_content(spark, inc)
+    assert len(indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)["segments"]) == 3
+    assert compact_text_index(spark, inc) == 3
+    m = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    assert len(m["segments"]) == 1
+    assert _text_index_content(spark, inc) == want
+    # vacuumed: every child dir on disk is referenced by the manifest
+    on_disk = {
+        d for d in os.listdir(inc) if os.path.isdir(os.path.join(inc, d))
+    }
+    assert on_disk == indexfmt.referenced_children(m)
 
 
 def test_merge_text_index_escaped_tokens(spark, tmp_path):
     """Tokens whose partition values Spark escapes (':', '%', '=', '#')
-    must round-trip through an incremental merge: the rename targets
-    come from the STAGED listing, not a hand-built f'token={t}' (which
-    would miss the escaped directory name and silently drop the merged
-    postings while dfreq/stats still absorbed the delta)."""
+    must round-trip through an incremental merge: the segment write and
+    the read-back both go through Spark's partition-value escaping, so
+    an escaped token must come back verbatim with its postings."""
     from ecommerce_realtime_pipeline_spark.operators.text import (
         merge_text_index,
         write_text_index,
@@ -1319,31 +1379,22 @@ def test_merge_text_index_escaped_tokens(spark, tmp_path):
 
     rows_a = [(1, "a:b plain 50%"), (2, "x=y plain")]
     rows_b = [(3, "a:b #tag"), (4, "50% x=y q?z")]
-    mk = lambda rows: spark.createDataFrame(  # noqa: E731
-        [(i, t, "en", "s", len(t)) for i, t in rows],
-        "doc_id long, text string, lang string, source string, n_chars long",
-    )
     inc = str(tmp_path / "inc")
     full = str(tmp_path / "full")
-    write_text_index(mk(rows_a), inc)
-    touched = merge_text_index(mk(rows_b), inc)
+    write_text_index(_mk_docs(spark, rows_a), inc)
+    touched = merge_text_index(_mk_docs(spark, rows_b), inc)
     assert touched == ["#tag", "50%", "a:b", "q?z", "x=y"]
-    write_text_index(mk(rows_a + rows_b), full)
-    for part in ("postings", "dfreq", "stats"):
-        got = sorted(
-            tuple(r) for r in spark.read.parquet(f"{inc}/{part}").collect()
-        )
-        want = sorted(
-            tuple(r) for r in spark.read.parquet(f"{full}/{part}").collect()
-        )
-        assert got == want, part
+    write_text_index(_mk_docs(spark, rows_a + rows_b), full)
+    assert _text_index_content(spark, inc) == _text_index_content(spark, full)
 
 
 def test_merge_text_index_rejects_null_empty_tokens(spark, tmp_path):
     """A batch containing an empty token (bare space-split artifact)
-    must be rejected up front: Spark writes it as
-    __HIVE_DEFAULT_PARTITION__ and the equality semi-join cannot read
-    the existing NULL partition back, so swapping would lose postings."""
+    must be rejected up front with the CONTRACT message (a ValueError,
+    not the TypeError a premature sorted() over None would raise):
+    Spark writes NULL/empty as __HIVE_DEFAULT_PARTITION__, whose
+    partition value reads back as NULL — unreachable by any term
+    equality, silently desynchronizing postings from dfreq/stats."""
     import pytest as _pytest
 
     from ecommerce_realtime_pipeline_spark.operators.text import (
@@ -1351,77 +1402,103 @@ def test_merge_text_index_rejects_null_empty_tokens(spark, tmp_path):
         write_text_index,
     )
 
-    mk = lambda rows: spark.createDataFrame(  # noqa: E731
-        [(i, t, "en", "s", len(t)) for i, t in rows],
-        "doc_id long, text string, lang string, source string, n_chars long",
-    )
     inc = str(tmp_path / "inc")
-    write_text_index(mk([(1, "alpha beta")]), inc)
+    write_text_index(_mk_docs(spark, [(1, "alpha beta")]), inc)
     with _pytest.raises(ValueError, match="NULL/empty"):
-        merge_text_index(mk([(2, " leading space")]), inc)
+        merge_text_index(_mk_docs(spark, [(2, " leading space")]), inc)
 
 
-def test_merge_indexes_refuse_torn_merge(spark, tmp_path):
-    """A leftover _MERGE_IN_PROGRESS marker (crash mid-swap) must make
-    the next merge raise with a rebuild instruction instead of
-    compounding the torn state — for BOTH index families."""
-    import os
-
+def test_crashed_merge_leaves_old_index_readable_and_retry_succeeds(
+    spark, tmp_path, monkeypatch
+):
+    """THE torn-merge crash class, structurally closed by the manifest
+    design (round-7 verdict task 2): kill the merge at the WORST
+    moment — after every segment/metadata write, one instruction
+    before the pointer flip — and the old index must still read
+    byte-for-byte identically; then a plain RETRY of the same merge
+    must succeed with content equal to a full rebuild. No marker, no
+    delete-then-rebuild protocol. Both index families."""
     import pytest as _pytest
 
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
     from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
     from ecommerce_realtime_pipeline_spark.operators.text import (
-        MERGE_MARKER,
         merge_text_index,
         write_text_index,
     )
 
-    mk = lambda rows: spark.createDataFrame(  # noqa: E731
-        [(i, t, "en", "s", len(t)) for i, t in rows],
-        "doc_id long, text string, lang string, source string, n_chars long",
-    )
     inc = str(tmp_path / "inc")
-    write_text_index(mk([(1, "alpha beta")]), inc)
-    open(os.path.join(inc, MERGE_MARKER), "w").close()
-    with _pytest.raises(RuntimeError, match="rebuild"):
-        merge_text_index(mk([(2, "beta gamma")]), inc)
+    full = str(tmp_path / "full")
+    write_text_index(_mk_docs(spark, [(1, "alpha beta")]), inc)
+    want_old = _text_index_content(spark, inc)
 
-    emb = spark.createDataFrame(
-        [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0) for i in range(20)],
-        "vec_id long, embedding array<float>, label int",
-    )
-    ivf = str(tmp_path / "ivf")
-    SIM.write_ivf_index(emb, ivf, n_centroids=2)
-    open(os.path.join(ivf, MERGE_MARKER), "w").close()
-    with _pytest.raises(RuntimeError, match="rebuild"):
-        SIM.merge_ivf_index(
-            spark.createDataFrame(
-                [(100, [1.0, 2.0, 3.0, 4.0], 0)],
-                "vec_id long, embedding array<float>, label int",
-            ),
-            ivf,
+    real_write = indexfmt.write_manifest
+
+    def crash(path, manifest):
+        raise OSError("injected crash at the commit point")
+
+    monkeypatch.setattr(indexfmt, "write_manifest", crash)
+    with _pytest.raises(OSError, match="injected crash"):
+        merge_text_index(_mk_docs(spark, [(2, "beta gamma")]), inc)
+    monkeypatch.setattr(indexfmt, "write_manifest", real_write)
+    # old index fully intact (the manifest never moved)
+    assert _text_index_content(spark, inc) == want_old
+    # retry just works — no recovery protocol
+    assert merge_text_index(_mk_docs(spark, [(2, "beta gamma")]), inc) == [
+        "beta",
+        "gamma",
+    ]
+    write_text_index(_mk_docs(spark, [(1, "alpha beta"), (2, "beta gamma")]), full)
+    assert _text_index_content(spark, inc) == _text_index_content(spark, full)
+
+    def mk_emb(ids):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids
+            ],
+            "vec_id long, embedding array<float>, label int",
         )
 
-    # the DOCUMENTED recovery path must actually work: delete, rebuild,
-    # and the next merge proceeds (an in-place rebuild would silently
-    # lose the builder's stage-rename and leave the torn index)
-    import shutil
-
-    shutil.rmtree(inc)
-    write_text_index(mk([(1, "alpha beta")]), inc)
-    assert merge_text_index(mk([(2, "beta gamma")]), inc) == ["beta", "gamma"]
-    assert not os.path.exists(os.path.join(inc, MERGE_MARKER))
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk_emb(range(0, 40, 2)), ivf, n_centroids=2)
+    _, cells0 = SIM.read_ivf_index(spark, ivf)
+    want_ivf = sorted(
+        (int(r["cell"]), int(r["neighbor_id"])) for r in cells0.collect()
+    )
+    monkeypatch.setattr(indexfmt, "write_manifest", crash)
+    with _pytest.raises(OSError, match="injected crash"):
+        SIM.merge_ivf_index(mk_emb([1, 3]), ivf)
+    monkeypatch.setattr(indexfmt, "write_manifest", real_write)
+    _, cells1 = SIM.read_ivf_index(spark, ivf)
+    assert (
+        sorted((int(r["cell"]), int(r["neighbor_id"])) for r in cells1.collect())
+        == want_ivf
+    )
+    assert SIM.merge_ivf_index(mk_emb([1, 3]), ivf)  # retry lands
+    _, cells2 = SIM.read_ivf_index(spark, ivf)
+    assert sorted(int(r["neighbor_id"]) for r in cells2.collect()) == sorted(
+        list(range(0, 40, 2)) + [1, 3]
+    )
+    # compaction reclaims the crashed merge's orphan segment
+    SIM.compact_ivf_index(spark, ivf)
+    m = indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)
+    on_disk = {
+        d for d in os.listdir(ivf) if os.path.isdir(os.path.join(ivf, d))
+    }
+    assert on_disk == indexfmt.referenced_children(m)
+    _, cells3 = SIM.read_ivf_index(spark, ivf)
+    assert sorted(int(r["neighbor_id"]) for r in cells3.collect()) == sorted(
+        list(range(0, 40, 2)) + [1, 3]
+    )
 
 
 def test_merge_ivf_index_incremental_equivalence(spark, tmp_path):
-    """merge_ivf_index must leave untouched cell partitions
-    byte-identical and land every appended vector in the cell the
-    shipped quantizer assigns (merged postings == one-shot build with
-    the same quantizer over the union)."""
-    import os
-
-    from pyspark.sql import functions as F
-
+    """merge_ivf_index must append ONE immutable segment (existing
+    segment files byte-identical — the merge never opens them) and
+    land every appended vector in the cell the shipped quantizer
+    assigns (merged content == one-shot build + merge determinism)."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
     from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
 
     def mk(ids):
@@ -1437,37 +1514,28 @@ def test_merge_ivf_index_incremental_equivalence(spark, tmp_path):
     new_ids = [1, 3]
     path = str(tmp_path / "ivf")
     SIM.write_ivf_index(mk(base_ids), path, n_centroids=4)
-
-    def cell_bytes(c):
-        d = os.path.join(path, "cells", f"cell={c}")
-        if not os.path.isdir(d):
-            return None
-        return {
-            f: open(os.path.join(d, f), "rb").read()
-            for f in sorted(os.listdir(d))
-            if f.endswith(".parquet")
-        }
-
-    before = {c: cell_bytes(c) for c in range(4)}
+    m0 = indexfmt.read_manifest(path, SIM.IVF_INDEX_FORMAT)
+    before = _seg_bytes(path, m0["segments"][0])
     touched = SIM.merge_ivf_index(mk(new_ids), path)
     assert touched  # the batch landed somewhere
-    for c in range(4):
-        if c not in touched:
-            assert cell_bytes(c) == before[c], f"cell={c} was rewritten"
+    m1 = indexfmt.read_manifest(path, SIM.IVF_INDEX_FORMAT)
+    assert m1["version"] == m0["version"] + 1
+    assert m1["segments"][:1] == m0["segments"] and len(m1["segments"]) == 2
+    assert m1["centroids"] == m0["centroids"]  # quantizer carried over
+    assert _seg_bytes(path, m0["segments"][0]) == before
     # merged postings == full union assigned by the SAME quantizer
     # (centroids trained on base_ids in both cases)
+    _, cells = SIM.read_ivf_index(spark, path)
     got = sorted(
-        (int(r["cell"]), int(r["neighbor_id"]))
-        for r in spark.read.parquet(f"{path}/cells").collect()
+        (int(r["cell"]), int(r["neighbor_id"])) for r in cells.collect()
     )
     path2 = str(tmp_path / "ivf2")
     SIM.write_ivf_index(mk(base_ids), path2, n_centroids=4)
     SIM.merge_ivf_index(mk(new_ids), path2)
-    want_ids = sorted(base_ids + new_ids)
-    assert sorted(i for _, i in got) == want_ids
+    assert sorted(i for _, i in got) == sorted(base_ids + new_ids)
+    _, cells2 = SIM.read_ivf_index(spark, path2)
     got2 = sorted(
-        (int(r["cell"]), int(r["neighbor_id"]))
-        for r in spark.read.parquet(f"{path2}/cells").collect()
+        (int(r["cell"]), int(r["neighbor_id"])) for r in cells2.collect()
     )
     assert got == got2  # deterministic merge
 

@@ -318,25 +318,34 @@ def test_heavy_hitters_recount_is_broadcast_filtered(spark, sf_dir):
 def test_text_index_serve_prunes_token_partitions(spark, sf_dir, tmp_path):
     """The persisted inverted text index must serve queries through
     PARTITION FILTERS on the token directories — |query terms| dirs
-    read out of |vocab|, the columnar posting-list seek (the keyword
-    twin of the IVF cell-pruning pin)."""
+    read per segment out of |vocab|, the columnar posting-list seek
+    (the keyword twin of the IVF cell-pruning pin). Pinned across the
+    manifest layout: EVERY segment scan in the union must carry the
+    token PartitionFilters."""
     from pyspark.sql import functions as F
 
     from ecommerce_realtime_pipeline_spark.catalog import load_table
-    from ecommerce_realtime_pipeline_spark.operators.text import write_text_index
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        merge_text_index,
+        read_text_index,
+        write_text_index,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     path = str(tmp_path / "tindex")
-    write_text_index(docs, path)
+    write_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    merge_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+    postings, _, _ = read_text_index(spark, path)
     plan = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("token").isin("spark", "join", "stream"))
+        postings.filter(F.col("token").isin("spark", "join", "stream"))
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and "token" in m.group(1), plan[:800]
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert len(filters) == 2, plan[:800]  # one scan per segment
+    for f in filters:
+        assert "token" in f, plan[:800]
 
 
 def test_distinctive_terms_broadcasts_margins_single_scan(spark, sf_dir):
@@ -721,17 +730,21 @@ def test_skew_report_scalar_branches_read_checkpoint(spark, sf_dir):
     assert len(re.findall(r"events\.parquet", plan)) == 0, plan
 
 
-def test_text_index_merge_read_uses_dpp_not_in_literal(spark, tmp_path):
-    """The incremental text-index merge must read back existing
-    postings via DYNAMIC PARTITION PRUNING from the broadcast delta
-    token set — never an isin(<collected tokens>) In-literal, which at
-    a 100 TB backfill (10⁵-10⁶ distinct batch tokens) is a plan-size/
-    driver bottleneck. Pins dynamicpruningexpression in the scan's
-    PartitionFilters and the absence of any token In-literal."""
+def test_bulk_token_read_uses_dpp_not_in_literal(spark, tmp_path):
+    """The bulk-token index read (DataFrame-valued term sets:
+    decontamination lists, backfill audits) must prune token
+    partitions via DYNAMIC PARTITION PRUNING from the broadcast term
+    set — never an isin(<collected tokens>) In-literal, which at a
+    10⁵-10⁶-token set is a plan-size/driver bottleneck. Pins
+    dynamicpruningexpression in EVERY segment scan's PartitionFilters
+    (the load-bearing length(token)>=0 build-side predicate — see
+    read_postings_for_tokens) and the absence of any token
+    In-literal."""
     from pyspark.sql import functions as F
 
     from ecommerce_realtime_pipeline_spark.operators.text import (
-        _read_touched_postings,
+        merge_text_index,
+        read_postings_for_tokens,
         write_text_index,
     )
 
@@ -740,16 +753,19 @@ def test_text_index_merge_read_uses_dpp_not_in_literal(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     path = str(tmp_path / "idx")
-    write_text_index(docs, path)
+    write_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    merge_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
     delta_tokens = spark.createDataFrame(
         [("tok1",), ("tok2",), ("tok3",)], "token string"
     ).distinct()
     plan = (
-        _read_touched_postings(spark, path, delta_tokens)
+        read_postings_for_tokens(spark, path, delta_tokens)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and "dynamicpruning" in m.group(1), plan
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert len(filters) == 2, plan  # one scan per segment
+    for f in filters:
+        assert "dynamicpruning" in f, plan
     assert not re.search(r"token#\d+ IN \(tok", plan), plan

@@ -442,6 +442,48 @@ def test_recreated_checkpoint_refuses_journal_double_add(spark, tmp_path):
         ED.run_embdedup_stream(spark, esrc, ework, str(tmp_path / "eck2"))
 
 
+def test_missing_journal_stamp_adopts_live_checkpoint(spark, tmp_path):
+    """The stamp is written only AFTER start() returns, so a crash in
+    that window (or a pre-stamp-era journal) leaves journal rows with
+    no generation stamp. A same-checkpoint resume must ADOPT the live
+    checkpoint's query id (one-time migration) instead of refusing —
+    refusing would force an unnecessary journal rebuild — while a
+    RECREATED checkpoint must still trip the guard on the next run
+    (the adopted stamp then mismatches the fresh metadata id)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from ecommerce_realtime_pipeline_spark.streaming import neardup as ND
+
+    toks = [f"h{j}" for j in range(40)]
+    src, work, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "work"),
+        str(tmp_path / "ck"),
+    )
+    spark.createDataFrame(
+        [(1, " ".join(toks))], ND.DOC_STREAM_SCHEMA
+    ).repartition(1).write.mode("append").parquet(src)
+    ND.run_neardup_stream(spark, src, work, ckpt).awaitTermination(120)
+    stamp = os.path.join(work, ND._JOURNAL_ID_FILE)
+    stamped_id = open(stamp).read().strip()
+    os.remove(stamp)  # the crash window: journal written, stamp lost
+    n_decisions = ND.read_decisions(spark, work).count()
+    # same-checkpoint resume: adopts, re-stamps, processes nothing new
+    ND.run_neardup_stream(spark, src, work, ckpt).awaitTermination(120)
+    assert open(stamp).read().strip() == stamped_id
+    assert ND.read_decisions(spark, work).count() == n_decisions
+    # a recreated checkpoint still trips the generation guard
+    os.remove(stamp)
+    shutil.rmtree(ckpt)
+    with _pytest.raises(RuntimeError, match="generation"):
+        # first run against the fresh checkpoint adopts nothing: the
+        # fresh checkpoint has no metadata id yet (cp_id None) and the
+        # journal is non-empty, which is exactly the double-add case
+        ND.run_neardup_stream(spark, src, work, str(tmp_path / "ck2"))
+
+
 def test_compact_buckets_layout_only(spark, tmp_path):
     """Compaction must (a) reduce every fragmented bucket to ONE
     parquet file, (b) change zero rows, and (c) leave single-file
