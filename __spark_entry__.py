@@ -35,90 +35,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     harness checks the FIRST 50 registered queries per round, so the
     dict is ordered by verification need, not by topic —
 
-    1. positions 1-50 (the round-7 window): the 22 round-6 additions
-       that have never had a driver row (everything else in the repo
-       is driver-green from rounds 3-6), plus 26 oldest-evidence
-       re-checks (the 18 r3-era docs/text/dedup rows and 8 r4-era
-       KPI/DQ rows, now 2+ rounds stale) and 2 ANN warmers
-       (``emb_knn_ivf``/``emb_kmeans_refine`` run BEFORE
-       ``emb_knn_graph_beam``/``emb_knn_same_label`` so the session
-       artifact memo makes the dependents cheap). A green round 7
-       makes the driver-green ledger 184/184. Cheap analytics first;
-       the streaming fixture closes the window so a wall-budget cut
-       costs the fewest rows;
-    2. positions 51+: driver-green in rounds 3-6, re-checkable on any
-       future rotation (freshest evidence — the round-6 window — last).
+    1. positions 1-50 (the round-8 window): the NEW settings-surface
+       corruption sweep, then ALL 36 queries whose latest driver
+       evidence is round 4 (the oldest in the repo), then 12 round-5
+       rows chosen because round 7/8 touched their code paths (BM25
+       index layout, IVF persistence, semdedup tie-break, dedup
+       streams' journal stamp) plus the oldest docs/text block, and
+       the ``emb_knn_ivf`` warmer re-registered BEFORE the persisted/
+       PQ/semdedup dependents so the session artifact memo makes them
+       cheap. After a green round 8, no query's driver evidence is
+       older than round 5. Cheap analytics first; the streaming
+       fixtures close the window so a wall-budget cut costs the
+       fewest rows;
+    2. positions 51+: driver-green rounds 5-7, ordered OLDEST
+       EVIDENCE FIRST (remaining r5 block, then the r6 window, then
+       the r7 window) so any future rotation can slice from the top.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ---- positions 1-50: THE ROUND-7 CHECK WINDOW ----
-        # never-driver-green round-6 classic analytics (cheap first)
-        "cheapest_supplier_per_part": kpi.cheapest_supplier_per_part,
-        "product_profit_by_nation_year": kpi.product_profit_by_nation_year,
-        "small_quantity_revenue": kpi.small_quantity_revenue,
-        "disjunctive_promo_revenue": kpi.disjunctive_promo_revenue,
-        "excess_volume_suppliers": kpi.excess_volume_suppliers,
-        "waiting_orders_suppliers": kpi.waiting_orders_suppliers,
-        "supplier_part_diversity": kpi.supplier_part_diversity,
-        "shipping_delay_priority_split": kpi.shipping_delay_priority_split,
-        "revenue_seasonality": kpi.revenue_seasonality,
-        "events_key_skew_report": kpi.events_key_skew_report,
-        "session_path_mining": kpi.session_path_mining,
-        # never-driver-green graph / attribution / basket analytics
-        "parts_copurchase_triangles": kpi.parts_copurchase_triangles,
-        "parts_dense_community": kpi.parts_dense_community,
-        "events_markov_attribution": kpi.events_markov_attribution,
-        "market_basket_rules": kpi.market_basket_rules,
-        # never-driver-green docs / multimodal analytics
-        "docs_token_budget": llm.docs_token_budget,
-        "docs_heldout_perplexity": llm.docs_heldout_perplexity,
-        "mm_image_ahash_neardup": llm.mm_image_ahash_neardup,
-        # ANN: warmers populate the session artifact memo
-        # (_IVF_CELL_CACHE, refined centroids, kNN graph inputs), then
-        # the never-driver-green dependents run warm
-        "emb_top_component": llm.emb_top_component,
-        "emb_knn_ivf": llm.emb_knn_ivf,
-        "emb_kmeans_refine": llm.emb_kmeans_refine,
-        "emb_knn_graph_beam": llm.emb_knn_graph_beam,
-        "emb_knn_same_label": llm.emb_knn_same_label,
-        # r3-era re-checks (oldest driver evidence in the repo)
-        "docs_text_stats": llm.docs_text_stats,
-        "docs_quality": llm.docs_quality,
-        "docs_lang_id": llm.docs_lang_id,
-        "docs_fingerprint_minhash": llm.docs_fingerprint_minhash,
-        "docs_neardup_jaccard": llm.docs_neardup_jaccard,
-        "docs_neardup_jaccard_cutoff": llm.docs_neardup_jaccard_cutoff,
-        "docs_neardup_simhash": llm.docs_neardup_simhash,
-        "docs_neardup_clusters": llm.docs_neardup_clusters,
-        "docs_train_split": llm.docs_train_split,
-        "docs_quality_filter": llm.docs_quality_filter,
-        "docs_decontaminate": llm.docs_decontaminate,
-        "docs_repetition": llm.docs_repetition,
-        "docs_pack_sequences": llm.docs_pack_sequences,
-        "mm_feature_summary": llm.mm_feature_summary,
-        "revenue_grouping_sets": dq.revenue_grouping_sets,
-        "set_ops_actors": dq.set_ops_actors,
-        "emb_cosine_neardup": llm.emb_cosine_neardup,
-        "emb_label_centroids": llm.emb_label_centroids,
-        # r4-era re-checks (next-oldest evidence)
-        "top_products_by_revenue": kpi.top_products_by_revenue,
-        "pricing_summary": kpi.pricing_summary,
-        "revenue_by_nation": kpi.revenue_by_nation,
-        "jsonb_adhoc": kpi.jsonb_adhoc,
-        "dq_fk_orphans": dq.dq_fk_orphans,
-        "dq_duplicate_keys": dq.dq_duplicate_keys,
-        "dq_constraint_violations": dq.dq_constraint_violations,
-        "order_total_reagg": dq.order_total_reagg,
-        # streaming fixture closes the window
-        "streaming_dim_enrichment": gen.streaming_dim_enrichment,
-        # ---- positions 51+: driver-green r3-r6, freshest last ----
-        # rounds 4-5 evidence
+        # ---- positions 1-50: THE ROUND-8 CHECK WINDOW ----
+        # NEW (r8): env->Settings->corrupt_batch at forced 1.0, analytic oracle
+        "gen_corrupt_rates_sweep": gen.gen_corrupt_rates_sweep,
+        # r4-era re-checks: cheap KPI aggregates first
+        "top_customers_by_spend": kpi.top_customers_by_spend,
+        "revenue_trend_daily": kpi.revenue_trend_daily,
+        "revenue_trend_hourly_by_type": kpi.revenue_trend_hourly_by_type,
+        "orders_per_minute": kpi.orders_per_minute,
+        "order_status_distribution": kpi.order_status_distribution,
+        "orders_status_pivot": kpi.orders_status_pivot,
+        "revenue_rollup_region_nation": kpi.revenue_rollup_region_nation,
+        "throughput_per_topic": kpi.throughput_per_topic,
+        "customer_history": kpi.customer_history,
+        "customer_running_totals": kpi.customer_running_totals,
+        "order_value_percentiles": kpi.order_value_percentiles,
+        "events_metrics_unpivot": kpi.events_metrics_unpivot,
+        # r4-era funnels / sessions / cohorts
+        "funnel_stage_counts": kpi.funnel_stage_counts,
+        "funnel_conversion": kpi.funnel_conversion,
+        "sessionization": kpi.sessionization,
+        "sessionization_session_window": kpi.sessionization_session_window,
+        "cohort_retention": kpi.cohort_retention,
+        "repurchase_intervals": kpi.repurchase_intervals,
+        # r4-era events family
+        "events_sliding_window": kpi.events_sliding_window,
+        "events_by_segment_salted": kpi.events_by_segment_salted,
+        "events_type_transitions": kpi.events_type_transitions,
+        "events_volume_anomalies": kpi.events_volume_anomalies,
+        "events_value_outliers_per_type": kpi.events_value_outliers_per_type,
+        "events_decayed_engagement": kpi.events_decayed_engagement,
+        "events_asof_attribution": temporal.events_asof_attribution,
+        "events_range_attribution": temporal.events_range_attribution,
+        "events_bloom_semijoin": kpi.events_bloom_semijoin,
+        # r4-era sketches
+        "events_hll_users": kpi.events_hll_users,
+        "events_cms_user_counts": kpi.events_cms_user_counts,
+        "events_value_quantile_sketch": kpi.events_value_quantile_sketch,
+        "events_heavy_hitters_mg": kpi.events_heavy_hitters_mg,
+        # r4-era layout / top-k / graph
+        "events_zorder_roundtrip": kpi.events_zorder_roundtrip,
+        "top_products_per_nation": kpi.top_products_per_nation,
+        "top_products_per_nation_heap": kpi.top_products_per_nation_heap,
+        "market_basket_pairs": kpi.market_basket_pairs,
+        "parts_copurchase_pagerank": kpi.parts_copurchase_pagerank,
+        # oldest-r5 docs/text re-checks
         "docs_winnow_overlap": llm.docs_winnow_overlap,
         "docs_neardup_editdist": llm.docs_neardup_editdist,
         "docs_neardup_clusters_lss": llm.docs_neardup_clusters_lss,
         "docs_cluster_representatives": llm.docs_cluster_representatives,
+        "docs_quality_lr": llm.docs_quality_lr,
+        # r5 rows whose index layout changed in r8 (manifest segments)
+        "docs_bm25_search": llm.docs_bm25_search,
+        "docs_bm25_from_index": llm.docs_bm25_from_index,
+        # ANN: warmer populates the cell memo, then r8-touched dependents
+        "emb_knn_ivf": llm.emb_knn_ivf,
+        "emb_knn_ivf_persisted": llm.emb_knn_ivf_persisted,
+        "emb_knn_ivfpq": llm.emb_knn_ivfpq,
+        "emb_semdedup": llm.emb_semdedup,
+        # streaming fixtures close the window (r8 journal-stamp change)
+        "streaming_neardup_dedup": gen.streaming_neardup_dedup,
+        "streaming_embdedup": gen.streaming_embdedup,
+        # ---- positions 51+: driver-green r5-r7, oldest evidence first ----
+        # latest driver evidence: round 5
         "docs_cluster_size_distribution": llm.docs_cluster_size_distribution,
         "docs_leakage_safe_split": llm.docs_leakage_safe_split,
-        "docs_quality_lr": llm.docs_quality_lr,
         "docs_unigram_surprisal": llm.docs_unigram_surprisal,
         "docs_bigram_surprisal": llm.docs_bigram_surprisal,
         "docs_collocations": llm.docs_collocations,
@@ -126,8 +124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_encode": llm.docs_bpe_encode,
         "docs_duplicate_spans": llm.docs_duplicate_spans,
         "vocab_top_terms": llm.vocab_top_terms,
-        "docs_bm25_search": llm.docs_bm25_search,
-        "docs_bm25_from_index": llm.docs_bm25_from_index,
         "docs_pii_redact": llm.docs_pii_redact,
         "docs_stratified_sample": llm.docs_stratified_sample,
         "docs_stratified_exact_k": llm.docs_stratified_exact_k,
@@ -140,9 +136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codes": llm.emb_pq_codes,
         "emb_knn_pq": llm.emb_knn_pq,
         "emb_knn_ivf_refined": llm.emb_knn_ivf_refined,
-        "emb_knn_ivfpq": llm.emb_knn_ivfpq,
-        "emb_knn_ivf_persisted": llm.emb_knn_ivf_persisted,
-        "emb_semdedup": llm.emb_semdedup,
         "emb_decontaminate": llm.emb_decontaminate,
         "emb_label_drift": llm.emb_label_drift,
         "emb_dim_reduce": llm.emb_dim_reduce,
@@ -155,49 +148,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution_join": gen.streaming_attribution_join,
         "streaming_funnel_cep": gen.streaming_funnel_cep,
         "streaming_continuous_agg": gen.streaming_continuous_agg,
-        "streaming_neardup_dedup": gen.streaming_neardup_dedup,
-        "streaming_embdedup": gen.streaming_embdedup,
         "streaming_hll_users": gen.streaming_hll_users,
         "streaming_cms_user_counts": gen.streaming_cms_user_counts,
         "monitoring_stats": gen.monitoring_stats,
         "pipeline_end_to_end": gen.pipeline_end_to_end,
-        "revenue_trend_daily": kpi.revenue_trend_daily,
-        "orders_per_minute": kpi.orders_per_minute,
-        "revenue_trend_hourly_by_type": kpi.revenue_trend_hourly_by_type,
-        "events_sliding_window": kpi.events_sliding_window,
-        "events_by_segment_salted": kpi.events_by_segment_salted,
-        "events_bloom_semijoin": kpi.events_bloom_semijoin,
-        "events_hll_users": kpi.events_hll_users,
-        "events_decayed_engagement": kpi.events_decayed_engagement,
-        "events_cms_user_counts": kpi.events_cms_user_counts,
-        "events_value_quantile_sketch": kpi.events_value_quantile_sketch,
-        "top_customers_by_spend": kpi.top_customers_by_spend,
-        "revenue_rollup_region_nation": kpi.revenue_rollup_region_nation,
-        "order_status_distribution": kpi.order_status_distribution,
-        "customer_history": kpi.customer_history,
-        "funnel_stage_counts": kpi.funnel_stage_counts,
-        "funnel_conversion": kpi.funnel_conversion,
-        "sessionization": kpi.sessionization,
-        "market_basket_pairs": kpi.market_basket_pairs,
-        "parts_copurchase_pagerank": kpi.parts_copurchase_pagerank,
-        "events_zorder_roundtrip": kpi.events_zorder_roundtrip,
-        "events_heavy_hitters_mg": kpi.events_heavy_hitters_mg,
-        "events_type_transitions": kpi.events_type_transitions,
-        "events_volume_anomalies": kpi.events_volume_anomalies,
-        "events_value_outliers_per_type": kpi.events_value_outliers_per_type,
-        "cohort_retention": kpi.cohort_retention,
-        "repurchase_intervals": kpi.repurchase_intervals,
-        "sessionization_session_window": kpi.sessionization_session_window,
-        "throughput_per_topic": kpi.throughput_per_topic,
-        "top_products_per_nation": kpi.top_products_per_nation,
-        "top_products_per_nation_heap": kpi.top_products_per_nation_heap,
-        "customer_running_totals": kpi.customer_running_totals,
-        "orders_status_pivot": kpi.orders_status_pivot,
-        "events_metrics_unpivot": kpi.events_metrics_unpivot,
-        "order_value_percentiles": kpi.order_value_percentiles,
-        "events_asof_attribution": temporal.events_asof_attribution,
-        "events_range_attribution": temporal.events_range_attribution,
-        # round-6 window (freshest driver evidence in the repo)
+        # latest driver evidence: round 6
         "shipping_priority": kpi.shipping_priority,
         "returned_items_report": kpi.returned_items_report,
         "promo_revenue_share": kpi.promo_revenue_share,
@@ -247,6 +202,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_windows": gen.streaming_session_windows,
         "streaming_outer_attribution": gen.streaming_outer_attribution,
         "streaming_late_drop_stats": gen.streaming_late_drop_stats,
+        # latest driver evidence: round 7
+        "cheapest_supplier_per_part": kpi.cheapest_supplier_per_part,
+        "product_profit_by_nation_year": kpi.product_profit_by_nation_year,
+        "small_quantity_revenue": kpi.small_quantity_revenue,
+        "disjunctive_promo_revenue": kpi.disjunctive_promo_revenue,
+        "excess_volume_suppliers": kpi.excess_volume_suppliers,
+        "waiting_orders_suppliers": kpi.waiting_orders_suppliers,
+        "supplier_part_diversity": kpi.supplier_part_diversity,
+        "shipping_delay_priority_split": kpi.shipping_delay_priority_split,
+        "revenue_seasonality": kpi.revenue_seasonality,
+        "events_key_skew_report": kpi.events_key_skew_report,
+        "session_path_mining": kpi.session_path_mining,
+        "parts_copurchase_triangles": kpi.parts_copurchase_triangles,
+        "parts_dense_community": kpi.parts_dense_community,
+        "events_markov_attribution": kpi.events_markov_attribution,
+        "market_basket_rules": kpi.market_basket_rules,
+        "docs_token_budget": llm.docs_token_budget,
+        "docs_heldout_perplexity": llm.docs_heldout_perplexity,
+        "mm_image_ahash_neardup": llm.mm_image_ahash_neardup,
+        "emb_top_component": llm.emb_top_component,
+        "emb_kmeans_refine": llm.emb_kmeans_refine,
+        "emb_knn_graph_beam": llm.emb_knn_graph_beam,
+        "emb_knn_same_label": llm.emb_knn_same_label,
+        "docs_text_stats": llm.docs_text_stats,
+        "docs_quality": llm.docs_quality,
+        "docs_lang_id": llm.docs_lang_id,
+        "docs_fingerprint_minhash": llm.docs_fingerprint_minhash,
+        "docs_neardup_jaccard": llm.docs_neardup_jaccard,
+        "docs_neardup_jaccard_cutoff": llm.docs_neardup_jaccard_cutoff,
+        "docs_neardup_simhash": llm.docs_neardup_simhash,
+        "docs_neardup_clusters": llm.docs_neardup_clusters,
+        "docs_train_split": llm.docs_train_split,
+        "docs_quality_filter": llm.docs_quality_filter,
+        "docs_decontaminate": llm.docs_decontaminate,
+        "docs_repetition": llm.docs_repetition,
+        "docs_pack_sequences": llm.docs_pack_sequences,
+        "mm_feature_summary": llm.mm_feature_summary,
+        "revenue_grouping_sets": dq.revenue_grouping_sets,
+        "set_ops_actors": dq.set_ops_actors,
+        "emb_cosine_neardup": llm.emb_cosine_neardup,
+        "emb_label_centroids": llm.emb_label_centroids,
+        "top_products_by_revenue": kpi.top_products_by_revenue,
+        "pricing_summary": kpi.pricing_summary,
+        "revenue_by_nation": kpi.revenue_by_nation,
+        "jsonb_adhoc": kpi.jsonb_adhoc,
+        "dq_fk_orphans": dq.dq_fk_orphans,
+        "dq_duplicate_keys": dq.dq_duplicate_keys,
+        "dq_constraint_violations": dq.dq_constraint_violations,
+        "order_total_reagg": dq.order_total_reagg,
+        "streaming_dim_enrichment": gen.streaming_dim_enrichment,
     }
     return q
 

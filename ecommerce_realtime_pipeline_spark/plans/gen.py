@@ -1448,6 +1448,123 @@ def gen_corrupt_validate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("table_name", "rule")
 
 
+def gen_corrupt_rates_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SETTINGS surface of the corruption engine, end to end: the
+    corruption rates flow env → ``Settings()`` → ``corrupt_batch``
+    (the reference's pydantic-settings path, ``settings.py:63-67`` →
+    ``corruptions.py:105-122``) at the FORCED non-default value 1.0 —
+    the reference's own forced-path regime (``test_corruptions.py:
+    84-119``) — then the batch runs validate → quarantine.
+
+    At rate 1.0 every row of every entity takes exactly one corruption
+    whose SIGNATURE is paper-derivable (NULLed field, negative value,
+    'not-an-email', empty items/description), and for customers/
+    orders/events every corruption type violates a constraint
+    (generated prices are U(2,500) and quantities ≥ 1, so totals are
+    strictly positive and the negated values are strictly negative) —
+    hence n_quarantined == n_rows analytically. Products are the
+    documented exception: 'empty_description' violates no DDL rule
+    and 'negative_stock' is a no-op on a U{0..500} stock of 0, so
+    their quarantine count is seed-dependent and intentionally NOT
+    emitted (the signature count still is — every corruption leaves
+    its mark).
+
+    The env overrides are scoped (set → Settings() → restored) so the
+    query is deterministic under any ambient environment while still
+    exercising the real env-resolution path."""
+    sizes = {"products": 120, "customers": 80, "orders": 100, "events": 150}
+    env_keys = {
+        "CORRUPTION_PROBABILITY_PRODUCT": "1.0",
+        "CORRUPTION_PROBABILITY_CUSTOMER": "1.0",
+        "CORRUPTION_PROBABILITY_ORDER": "1.0",
+        "CORRUPTION_PROBABILITY_EVENT": "1.0",
+    }
+    import os as _os
+
+    saved = {k: _os.environ.get(k) for k in env_keys}
+    try:
+        _os.environ.update(env_keys)
+        settings = Settings()  # rates resolve from the env, not kwargs
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                _os.environ.pop(k, None)
+            else:
+                _os.environ[k] = v
+    assert settings.corruption_product_rate == 1.0  # the surface proof
+    batch = (
+        G.generate_batch(
+            spark,
+            sizes["products"],
+            sizes["customers"],
+            sizes["orders"],
+            sizes["events"],
+            seed=SEED,
+            corruption_enabled=True,
+            settings=settings,
+        )
+        .drop_indexes()
+        .materialize()
+    )
+    signatures = {
+        "products": (
+            F.col("name").isNull()
+            | (F.col("price") <= 0)
+            | F.col("category").isNull()
+            | (F.col("stock_quantity") <= 0)
+            | (F.col("description") == "")
+        ),
+        "customers": (
+            F.col("email").isNull()
+            | (F.col("email") == "not-an-email")
+            | F.col("name").isNull()
+        ),
+        "orders": (
+            F.col("customer_id").isNull()
+            | (F.size("items") == 0)
+            | F.col("status").isNull()
+            | (F.col("total") <= 0)
+        ),
+        "events": (
+            F.col("customer_id").isNull() | F.col("event_type").isNull()
+        ),
+    }
+    parents = {"customers": batch.customers}
+    out: DataFrame | None = None
+    for entity, df in [
+        ("products", batch.products),
+        ("customers", batch.customers),
+        ("orders", batch.orders),
+        ("events", batch.events),
+    ]:
+        rows = df.agg(
+            F.count("*").alias("_rows"),
+            F.sum(signatures[entity].cast("long")).alias("_sig"),
+        ).select(
+            F.lit(entity).alias("table_name"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("rows").alias("metric"), F.col("_rows").alias("n")),
+                    F.struct(
+                        F.lit("corruption_signature").alias("metric"),
+                        F.col("_sig").alias("n"),
+                    ),
+                )
+            ).alias("_m"),
+        ).select("table_name", "_m.metric", "_m.n")
+        out = rows if out is None else out.unionByName(rows)
+        if entity != "products":
+            _, quarantine, _ = V.validate_entity(entity, df, parents)
+            q = quarantine.agg(F.count("*").alias("n")).select(
+                F.lit(entity).alias("table_name"),
+                F.lit("quarantined").alias("metric"),
+                F.col("n"),
+            )
+            out = out.unionByName(q)
+    assert out is not None
+    return out.orderBy("table_name", "metric")
+
+
 # ---------------------------------------------------------------------------
 # Contract oracles: these two queries return ANALYTIC constants — the
 # requested batch shape, zero orphans (coherent generation), 50
@@ -2014,4 +2131,32 @@ GEN_ORACLES["streaming_dim_enrichment"] = """
         ('p6', 'c1', 'gold')
     ) AS t(purchase_id, customer_id, segment)
     ORDER BY purchase_id
+"""
+
+# gen_corrupt_rates_sweep: ANALYTIC oracle — at forced rate 1.0 every
+# generated row carries exactly one corruption signature, and every
+# customer/order/event corruption violates a constraint (prices
+# U(2,500) > 0, quantities >= 1 => totals > 0, so negations are
+# strictly negative; NULLed fields hit NOT NULL rules; 'not-an-email'
+# fails the format rule; empty items fail order_items_not_empty).
+# Products are excluded from the quarantine row on paper grounds:
+# empty_description violates no rule and negative_stock no-ops on a
+# stock of 0. The constants below are the requested batch shape —
+# derivable without running either engine.
+GEN_ORACLES["gen_corrupt_rates_sweep"] = """
+    SELECT table_name, metric, CAST(n AS BIGINT) AS n
+    FROM (VALUES
+        ('customers', 'corruption_signature', 80),
+        ('customers', 'quarantined', 80),
+        ('customers', 'rows', 80),
+        ('events', 'corruption_signature', 150),
+        ('events', 'quarantined', 150),
+        ('events', 'rows', 150),
+        ('orders', 'corruption_signature', 100),
+        ('orders', 'quarantined', 100),
+        ('orders', 'rows', 100),
+        ('products', 'corruption_signature', 120),
+        ('products', 'rows', 120)
+    ) AS t(table_name, metric, n)
+    ORDER BY table_name, metric
 """
