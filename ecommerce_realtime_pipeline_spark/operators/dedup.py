@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ecommerce_realtime_pipeline_spark.session import materialize
+
 from ecommerce_realtime_pipeline_spark.operators import text as TX
 
 
@@ -229,18 +231,18 @@ def neardup_clusters(
     """
     # materialize the pair list ONCE: the edge union references it
     # twice, and the upstream pair-finding join is the expensive part
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    pairs = pairs.select("doc_a", "doc_b").transform(materialize)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    edges = edges.localCheckpoint()
+    edges = edges.transform(materialize)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     for rnd in range(max_iter):
         neighbor_min = (
@@ -265,7 +267,7 @@ def neardup_clusters(
                 new_label.alias("label"),
                 (new_label < F.col("label")).alias("_chg"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
         labels = new_labels
         if rnd >= warmup_rounds and (rnd - warmup_rounds) % 2 == 0:
@@ -307,7 +309,7 @@ def neardup_clusters_lss(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             F.least("doc_a", "doc_b").alias("p"),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     prev_sig: tuple | None = None
     for _ in range(max_iter):
@@ -336,7 +338,7 @@ def neardup_clusters_lss(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .select(F.col("nbr").alias("c"), F.col("_m").alias("p"))
             .unionByName(mins2.select(F.col("node").alias("c"), F.col("_m").alias("p")))
             .distinct()
-            .localCheckpoint()
+            .transform(materialize)
         )
         row = edges.agg(
             F.count("*").alias("n"),

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ecommerce_realtime_pipeline_spark.session import materialize
+
 #: decimal type for exact partition-order-independent contribution
 #: sums (same exactness contract as label_centroids / logistic GD).
 _DEC = "decimal(28,14)"
@@ -87,11 +89,11 @@ def pagerank(
         ew = (
             e.join(deg, "_u")
             .repartition(n_parts, F.col("_u"))
-            .localCheckpoint()
+            .transform(materialize)
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
-    nodes = ew.select(F.col("_u").alias("node")).distinct().localCheckpoint()
+    nodes = ew.select(F.col("_u").alias("node")).distinct().transform(materialize)
     # 1-row scalar broadcast (node count), not a cartesian blowup
     n_row = nodes.agg(F.count("*").alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
@@ -141,7 +143,7 @@ def peel_dense_subgraph(edges: DataFrame, rounds: int = 4) -> DataFrame:
     PageRank pattern). The 1-row (N, E) stats broadcast into the keep
     filter. Rounds are fixed ⇒ the whole computation is a finite
     expression chain a SQL oracle replays CTE-for-CTE."""
-    cur = edges.select("u", "v").localCheckpoint(eager=True)
+    cur = edges.select("u", "v").transform(materialize)
     out_rows = []
     spark = edges.sparkSession
     for r in range(rounds + 1):
@@ -150,7 +152,7 @@ def peel_dense_subgraph(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .unionAll(cur.select(F.col("v").alias("n")))
             .groupBy("n")
             .agg(F.count("*").alias("d"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         row = deg.agg(
             F.count("*").alias("nn"), (F.sum("d") / 2).cast("long").alias("ne")
@@ -167,7 +169,7 @@ def peel_dense_subgraph(edges: DataFrame, rounds: int = 4) -> DataFrame:
             cur.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     # density computed as an engine expression (F.round = HALF_UP,
     # matching the oracle's ROUND) — never Python round (HALF_EVEN)

@@ -19,6 +19,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ecommerce_realtime_pipeline_spark.session import materialize as _materialize
+
+
+def _lazy_materialize(df):
+    return _materialize(df, eager=False)
+
 # Tiny per-language marker lexicons for the heuristic language-ID.
 # (The classic stopword-profile approach compressed to a lexicon per
 # language; deterministic and SQL-expressible on both engines.)
@@ -475,7 +481,7 @@ def bpe_train(
     )
     if memo is not None and memo in _BPE_CACHE:
         return _BPE_CACHE[memo]
-    seqs = bpe_init_seqs(words).localCheckpoint(eager=False)
+    seqs = bpe_init_seqs(words).transform(_lazy_materialize)
     merges: list[tuple] = []
     for r in range(1, n_merges + 1):
         top = (
@@ -492,7 +498,7 @@ def bpe_train(
         # once unreferenced (DataFrame.unpersist would be a no-op on
         # localCheckpoint blocks); vocab-sized state keeps the window
         # of live copies small
-        seqs = apply_merge(seqs, t.w1, t.w2).localCheckpoint(eager=False)
+        seqs = apply_merge(seqs, t.w1, t.w2).transform(_lazy_materialize)
     if memo is not None:
         _BPE_CACHE[memo] = (merges, seqs)
     return merges, seqs

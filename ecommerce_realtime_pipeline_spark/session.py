@@ -64,3 +64,43 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def materialize(df, eager: bool = True):
+    """The engine's checkpoint primitive for iterative operators
+    (pagerank's edge table, BPE's per-round seqs, near-dup cluster
+    tables): cut lineage and pin the rows so each iteration reads a
+    materialized table instead of replaying the chain.
+
+    Mode is ``Settings().checkpoint_mode`` (env
+    ``ENGINE_CHECKPOINT_MODE``):
+
+    - ``local`` (default): ``Dataset.localCheckpoint`` — blocks live in
+      executor memory/disk. Fastest, and correct on local[n] where the
+      "executors" share the driver process; but on a real cluster the
+      blocks are NOT replicated, so losing one executor past the
+      checkpoint kills the job (no lineage left to recompute from).
+    - ``reliable``: ``Dataset.checkpoint`` — blocks are written to the
+      SparkContext checkpoint directory (HDFS/object store in
+      production; a temp dir is auto-assigned here if unset) and
+      survive executor loss. Costs a write+read round-trip per
+      materialization; at 100 TB this is what the long iterative jobs
+      (multi-hour pagerank, deep clustering chains) should run with.
+
+    Both primitives surface as a LogicalRDD that preserves
+    outputPartitioning only when AQE was disabled at creation time —
+    callers that rely on a carried partitioning (the pagerank edge
+    table) already wrap the call in an AQE-off scope, which applies
+    identically to both modes.
+    """
+    if Settings().checkpoint_mode != "reliable":
+        return df.localCheckpoint(eager=eager)
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(
+            tempfile.mkdtemp(prefix="spark_graft_reliable_ckpt_")
+        )
+    return df.checkpoint(eager=eager)

@@ -105,3 +105,14 @@ class Settings:
         default_factory=lambda: _env("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     cpus: int = field(default_factory=lambda: int(_env("SPARK_GRAFT_CPUS", "32")))
+    # Materialization primitive for iterative operators (pagerank, BPE,
+    # near-dup clustering): 'local' = Dataset.localCheckpoint (executor-
+    # memory blocks — fast, but blocks DIE WITH EXECUTORS, so a lost
+    # executor kills the job past the checkpoint); 'reliable' =
+    # Dataset.checkpoint to the SparkContext checkpoint dir (HDFS/object
+    # store on a cluster) — survives executor loss at the cost of a
+    # write+read round-trip per materialization. See session.materialize
+    # and SCALE.md §checkpoint-durability.
+    checkpoint_mode: str = field(
+        default_factory=lambda: _env("ENGINE_CHECKPOINT_MODE", "local")
+    )

@@ -241,6 +241,25 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
         assert v == pytest.approx(1.0 / 3.0, abs=1e-12)
 
 
+def test_pagerank_reliable_checkpoint_mode_matches_local(spark, monkeypatch):
+    """ENGINE_CHECKPOINT_MODE=reliable must swap the materialization
+    primitive (Dataset.checkpoint to the SparkContext checkpoint dir —
+    the executor-loss-safe path a real cluster needs for long
+    iterative jobs) with BIT-IDENTICAL results to the default
+    localCheckpoint mode, and must actually write checkpoint data."""
+    import os
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 3)])
+    want = sorted(tuple(r) for r in G.pagerank(edges, iters=3).collect())
+    monkeypatch.setenv("ENGINE_CHECKPOINT_MODE", "reliable")
+    got = sorted(tuple(r) for r in G.pagerank(edges, iters=3).collect())
+    assert got == want
+    ckpt_dir = spark.sparkContext.getCheckpointDir()
+    assert ckpt_dir is not None  # materialize() auto-assigned one
+    local = ckpt_dir.removeprefix("file:")
+    assert any(os.scandir(local))  # reliable blocks actually on disk
+
+
 def test_pagerank_star_center_dominates_and_mass_conserved(spark):
     """Star K1,4: the hub must outrank every leaf, leaves are
     symmetric-equal, and (no dangling nodes on a symmetrized edge
