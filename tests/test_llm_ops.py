@@ -331,6 +331,68 @@ def test_knn_ivfpq_recall_floor(spark):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def _planted_recall_fixture(spark):
+    """Planted-ground-truth corpus for retrieval-QUALITY gates (the
+    emb_ann_recall fixture pattern): every 10th base vector gets a
+    perturbed copy at id+1e6 with cosine >= 0.9428 analytically, while
+    natural pairs max out near 0.51 — so a serving path with working
+    retrieval must put the planted copy in its original's top-k.
+    Returns (planted corpus, query vectors = the originals, n_queries,
+    the planted delta batch alone)."""
+    from ecommerce_realtime_pipeline_spark.plans.llm import _with_planted_dups
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus = _with_planted_dups(emb)
+    qs = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    planted_only = corpus.join(emb.select("vec_id"), "vec_id", "left_anti")
+    return corpus, qs, qs.count(), planted_only
+
+
+def _planted_recall(res, n_queries):
+    hits: dict = {}
+    for r in res.collect():
+        hits.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return sum(1 for q, s in hits.items() if q + 1_000_000 in s) / n_queries
+
+
+def test_knn_ivfpq_planted_recall_floor(spark):
+    """IVF-PQ serving must SURVIVE THE CODEC: the exactness oracle
+    proves plan equivalence, not retrieval quality — this gate proves
+    the quantize->probe->ADC->refine pipeline still retrieves a true
+    near-duplicate. Planted copies measured at recall 1.0 on this
+    corpus; floor 0.9 guards regressions (codebook/probe changes)."""
+    corpus, qs, n, _ = _planted_recall_fixture(spark)
+    assert _planted_recall(SIM.knn_ivfpq(corpus, qs, k=5), n) >= 0.9
+
+
+def test_persisted_ivf_planted_recall_floor(spark, tmp_path):
+    """Serving from the PERSISTED manifest index must retrieve planted
+    near-duplicates across the write/read boundary — a layout bug that
+    scrambled segments or cells would pass a schema check but fail
+    this. Measured 1.0; floor 0.9."""
+    corpus, qs, n, _ = _planted_recall_fixture(spark)
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(corpus, path)
+    res = SIM.knn_ivf_from_index(spark, path, qs, k=5, n_probe=8)
+    assert _planted_recall(res, n) >= 0.9
+
+
+def test_merged_ivf_planted_recall_floor(spark, tmp_path):
+    """Recall ACROSS THE MERGE BOUNDARY: the index is built over the
+    base corpus, the planted duplicates arrive via merge_ivf_index (a
+    separate manifest segment), and serving must still surface them —
+    the gate that would catch a merge writing an unreadable/unpruned
+    segment while the exactness oracle still passed on the base half.
+    Measured 1.0; floor 0.9."""
+    _, qs, n, planted_only = _planted_recall_fixture(spark)
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(emb, path)
+    assert SIM.merge_ivf_index(planted_only, path)
+    res = SIM.knn_ivf_from_index(spark, path, qs, k=5, n_probe=8)
+    assert _planted_recall(res, n) >= 0.9
+
+
 def test_pq_fast_assign_matches_exact(spark):
     """The Arrow-matmul fast path must produce the same codes as the
     decimal-exact join path — float64 argmin can only diverge on exact
