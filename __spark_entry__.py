@@ -37,10 +37,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     1. positions 1-50 (the round-8 window): the NEW settings-surface
        corruption sweep, then ALL 36 queries whose latest driver
-       evidence is round 4 (the oldest in the repo), then 12 round-5
+       evidence is round 4 (the oldest in the repo), then 11 round-5
        rows chosen because round 7/8 touched their code paths (BM25
        index layout, IVF persistence, semdedup tie-break, dedup
-       streams' journal stamp) plus the oldest docs/text block, and
+       streams' journal stamp) plus the oldest docs/text block, the
+       NEW ``docs_bm25_index_compacted`` row (build -> merge ->
+       compact -> serve through the r8 manifest layout), and
        the ``emb_knn_ivf`` warmer re-registered BEFORE the persisted/
        PQ/semdedup dependents so the session artifact memo makes them
        cheap. After a green round 8, no query's driver evidence is
@@ -101,10 +103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardup_editdist": llm.docs_neardup_editdist,
         "docs_neardup_clusters_lss": llm.docs_neardup_clusters_lss,
         "docs_cluster_representatives": llm.docs_cluster_representatives,
-        "docs_quality_lr": llm.docs_quality_lr,
         # r5 rows whose index layout changed in r8 (manifest segments)
         "docs_bm25_search": llm.docs_bm25_search,
         "docs_bm25_from_index": llm.docs_bm25_from_index,
+        # NEW (r8): build -> merge -> compact -> serve, hash-gated
+        "docs_bm25_index_compacted": llm.docs_bm25_index_compacted,
         # ANN: warmer populates the cell memo, then r8-touched dependents
         "emb_knn_ivf": llm.emb_knn_ivf,
         "emb_knn_ivf_persisted": llm.emb_knn_ivf_persisted,
@@ -115,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_embdedup": gen.streaming_embdedup,
         # ---- positions 51+: driver-green r5-r7, oldest evidence first ----
         # latest driver evidence: round 5
+        "docs_quality_lr": llm.docs_quality_lr,
         "docs_cluster_size_distribution": llm.docs_cluster_size_distribution,
         "docs_leakage_safe_split": llm.docs_leakage_safe_split,
         "docs_unigram_surprisal": llm.docs_unigram_surprisal,

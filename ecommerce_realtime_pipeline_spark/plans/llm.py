@@ -4502,6 +4502,52 @@ def docs_bm25_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 LLM_ORACLES["docs_bm25_index_merge"] = LLM_ORACLES["docs_bm25_search"]
 
 
+def docs_bm25_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL index lifecycle through the r8 manifest layout: build
+    over half the corpus (even doc_ids), MERGE the other half in as a
+    second segment (`text.merge_text_index`), COMPACT the segments
+    back to one (`text.compact_text_index` — the Lucene tiered-merge
+    step that bounds per-query segment fan-out and vacuums orphans),
+    then serve BM25 from the compacted index. Bit-identical to a
+    one-shot full build — shares `docs_bm25_search`'s oracle, so the
+    driver hash-gates build → merge → compact → serve end to end."""
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        compact_text_index,
+        merge_text_index,
+        read_text_index,
+        write_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="eng_textidx_c_")
+    try:
+        path = os.path.join(tmp, "index")
+        write_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+        merge_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+        assert compact_text_index(spark, path) == 2
+        m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
+        assert len(m["segments"]) == 1  # folded to one segment
+        postings, dfreq, stats = read_text_index(spark, path)
+        return _bm25_rank(
+            postings.filter(F.col("token").isin(*BM25_TERMS)).select(
+                "doc_id", "token", "tf", "dl"
+            ),
+            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
+            stats,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+LLM_ORACLES["docs_bm25_index_compacted"] = LLM_ORACLES["docs_bm25_search"]
+
+
 def emb_knn_ivf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance end to end
     (`similarity.merge_ivf_index`): the IVF-flat index is built over
