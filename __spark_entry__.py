@@ -117,6 +117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup_dedup": gen.streaming_neardup_dedup,
         "streaming_embdedup": gen.streaming_embdedup,
         # ---- positions 51+: driver-green r5-r7, oldest evidence first ----
+        # NEW (r8, tail — rotate into the r9 window): tombstone-delete
+        # serving with the documented stale-idf semantics, judge-sweep
+        # gated this round
+        "docs_bm25_index_deleted": llm.docs_bm25_index_deleted,
         # latest driver evidence: round 5
         "docs_quality_lr": llm.docs_quality_lr,
         "docs_cluster_size_distribution": llm.docs_cluster_size_distribution,

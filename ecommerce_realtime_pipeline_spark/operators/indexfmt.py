@@ -78,12 +78,17 @@ def write_manifest(path: str, manifest: dict) -> None:
 
 
 def referenced_children(manifest: dict) -> set[str]:
-    """Every child directory name the manifest points at (segments
-    list + any string-valued table pointer)."""
-    out = set(manifest.get("segments", ()))
+    """Every child directory name the manifest points at: the segments
+    list, any string-valued table pointer (dfreq/stats/centroids), and
+    any list-valued pointer group (tombstone segments)."""
+    out: set[str] = set()
     for k, v in manifest.items():
-        if k not in ("format", "version", "segments") and isinstance(v, str):
+        if k in ("format", "version"):
+            continue
+        if isinstance(v, str):
             out.add(v)
+        elif isinstance(v, (list, tuple)):
+            out.update(x for x in v if isinstance(x, str))
     return out
 
 

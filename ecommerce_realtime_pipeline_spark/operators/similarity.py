@@ -507,7 +507,23 @@ def read_ivf_index(spark, path: str) -> tuple[list[list[float]], DataFrame]:
         spark.read.parquet(f"{path}/{s}").select("neighbor_id", "_v", "cell")
         for s in m["segments"]
     ]
-    return cents, reduce(lambda a, b: a.unionByName(b), segs)
+    cells = reduce(lambda a, b: a.unionByName(b), segs)
+    tombs = m.get("tombstones", [])
+    if tombs:
+        # deleted vectors vanish from serving immediately via a
+        # broadcast ANTI join (bounded by deletes-since-compaction);
+        # compact_ivf_index applies tombstones physically
+        dead = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(f"{path}/{t}").select("neighbor_id")
+                for t in tombs
+            ],
+        )
+        cells = cells.join(F.broadcast(dead), "neighbor_id", "left_anti").select(
+            "neighbor_id", "_v", "cell"
+        )
+    return cents, cells
 
 
 def knn_ivf_from_index(
@@ -1483,9 +1499,47 @@ def merge_ivf_index(
             "version": int(m["version"]) + 1,
             "segments": [*m["segments"], seg],
             "centroids": m["centroids"],
+            # live tombstones carry through a merge untouched (the
+            # batch is new vec ids by contract, never resurrections)
+            "tombstones": m.get("tombstones", []),
         },
     )
     return touched
+
+
+def delete_from_ivf_index(vec_ids: DataFrame, path: str) -> int:
+    """DELETE support for the persisted IVF index — the Lucene
+    live-docs model, mirroring ``text.delete_from_text_index``: the
+    vec-id set is written as an immutable TOMBSTONE child and one
+    atomic pointer flip commits it. `read_ivf_index` (and therefore
+    `knn_ivf_from_index` serving) anti-joins the tombstones, so
+    deleted vectors stop appearing as neighbors immediately;
+    `compact_ivf_index` applies them physically and clears the list.
+    An UPDATE is delete + `merge_ivf_index` of the new vector. Cost:
+    O(|deleted ids|) write + a pointer flip, never O(index). Returns
+    the number of tombstoned ids."""
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT)
+    ids = (
+        vec_ids.select(F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = ids.count()
+    if n == 0:
+        return 0
+    tomb = indexfmt.new_dir_name("tomb")
+    ids.write.mode("overwrite").parquet(f"{path}/{tomb}")
+    indexfmt.write_manifest(  # ---- the single commit point ----
+        path,
+        {
+            **m,
+            "version": int(m["version"]) + 1,
+            "tombstones": [*m.get("tombstones", []), tomb],
+        },
+    )
+    return n
 
 
 def compact_ivf_index(spark, path: str) -> int:
@@ -1501,6 +1555,16 @@ def compact_ivf_index(spark, path: str) -> int:
     m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT)
     n = len(m["segments"])
     _, all_cells = read_ivf_index(spark, path)
+    if m.get("tombstones"):
+        # the reader already masked tombstoned vectors; refuse to
+        # publish an unreadable empty index (write_ivf_index contract)
+        all_cells = all_cells.localCheckpoint()
+        if all_cells.isEmpty():
+            raise ValueError(
+                "compact_ivf_index: every vector is tombstoned — an "
+                "empty index is unreadable on the way back; delete "
+                "the index directory instead"
+            )
     seg = indexfmt.new_dir_name("seg")
     all_cells.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/{seg}"

@@ -694,7 +694,16 @@ def read_text_index(
     a term filter prunes to |terms| directories PER SEGMENT (both
     static ``isin`` pruning and DPP fire per scan; plan-pinned).
     Readers never see a half-merged index: the manifest names only
-    fully-written immutable directories."""
+    fully-written immutable directories.
+
+    Tombstones (``delete_from_text_index``) are applied here as a
+    broadcast ANTI join on doc_id — deleted docs vanish from every
+    search immediately, while ``dfreq``/``stats`` stay the PRE-DELETE
+    values until the next compaction (exactly Lucene's live-docs
+    semantics: deleted docs still count in idf/avgdl until a segment
+    merge reclaims them — documented, test-pinned). The tombstone set
+    is bounded by deletes-since-compaction, which the compaction
+    policy keeps broadcast-small."""
     from functools import reduce
 
     from . import indexfmt
@@ -705,6 +714,15 @@ def read_text_index(
         for s in m["segments"]
     ]
     postings = reduce(lambda a, b: a.unionByName(b), segs)
+    tombs = m.get("tombstones", [])
+    if tombs:
+        dead = reduce(
+            lambda a, b: a.unionByName(b),
+            [spark.read.parquet(f"{path}/{t}").select("doc_id") for t in tombs],
+        )
+        postings = postings.join(
+            F.broadcast(dead), "doc_id", "left_anti"
+        ).select("token", "doc_id", "tf", "dl")
     dfreq = spark.read.parquet(f"{path}/{m['dfreq']}")
     stats = spark.read.parquet(f"{path}/{m['stats']}")
     return postings, dfreq, stats
@@ -834,9 +852,50 @@ def merge_text_index(new_docs: DataFrame, path: str) -> list[str]:
             "segments": [*m["segments"], seg],
             "dfreq": dfreq,
             "stats": stats,
+            # live tombstones carry through a merge untouched (the
+            # batch is new doc ids by contract, never resurrections)
+            "tombstones": m.get("tombstones", []),
         },
     )
     return touched
+
+
+def delete_from_text_index(doc_ids: DataFrame, path: str) -> int:
+    """DELETE support for the persisted text index — the Lucene
+    live-docs model on the manifest layout: the doc-id set is written
+    as an immutable TOMBSTONE child and one atomic pointer flip
+    commits it. Every reader (`read_text_index`, and therefore BM25
+    serving and the bulk-token path) anti-joins the tombstones, so
+    deleted docs vanish from results immediately; ``dfreq``/``stats``
+    deliberately keep their pre-delete values until the next
+    ``compact_text_index``, which applies tombstones physically,
+    RECOMPUTES dfreq/stats from the surviving postings, and clears
+    the tombstone list (exactly a Lucene segment merge reclaiming
+    deletes). An UPDATE is delete + `merge_text_index` of the new
+    version under the same contract.
+
+    Cost: O(|deleted ids|) write + a pointer flip — never O(index);
+    serving pays one broadcast anti-join while tombstones are live,
+    which the compaction policy keeps bounded. Returns the number of
+    tombstoned ids."""
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
+    ids = doc_ids.select("doc_id").distinct().localCheckpoint()
+    n = ids.count()
+    if n == 0:
+        return 0
+    tomb = indexfmt.new_dir_name("tomb")
+    ids.write.mode("overwrite").parquet(f"{path}/{tomb}")
+    indexfmt.write_manifest(  # ---- the single commit point ----
+        path,
+        {
+            **m,
+            "version": int(m["version"]) + 1,
+            "tombstones": [*m.get("tombstones", []), tomb],
+        },
+    )
+    return n
 
 
 def compact_text_index(spark, path: str) -> int:
@@ -844,16 +903,45 @@ def compact_text_index(spark, path: str) -> int:
     step): rewrites the unioned postings as a single token-partitioned
     segment, flips the manifest, and vacuums every unreferenced child
     (pre-compaction segments, superseded dfreq/stats generations,
-    crashed-merge orphans). Dfreq/stats are already corpus-accurate —
-    they carry over by rewrite, not recomputation. Returns the number
-    of segments folded. O(index) by design — the offline amortization
-    knob that bounds per-merge read amplification, scheduled like any
-    segment-merge policy (e.g. when |segments| exceeds a tier size)."""
+    tombstone sets, crashed-merge orphans). With NO live tombstones,
+    dfreq/stats are already corpus-accurate and carry over by rewrite;
+    with tombstones, compaction APPLIES them physically (the surviving
+    postings are what gets rewritten — `read_text_index` masks) and
+    RECOMPUTES dfreq/stats exactly from the survivors, clearing the
+    tombstone list — the Lucene segment merge reclaiming deletes, so
+    idf/avgdl snap from the documented stale values to exact. Returns
+    the number of segments folded. O(index) by design — the offline
+    amortization knob that bounds per-merge read amplification,
+    scheduled like any segment-merge policy (e.g. when |segments| or
+    |tombstones| exceeds a tier size)."""
     from . import indexfmt
 
     m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
     n = len(m["segments"])
     postings, dfreq_df, stats_df = read_text_index(spark, path)
+    if m.get("tombstones"):
+        # postings are already tombstone-masked by the reader; the
+        # metadata recomputes from survivors. (doc_id, dl) is unique
+        # per doc by construction, so the distinct pass is exact.
+        postings = postings.localCheckpoint()
+        if postings.isEmpty():
+            raise ValueError(
+                "compact_text_index: every document is tombstoned — an "
+                "empty index is unreadable on the way back (same "
+                "contract as write_text_index); delete the index "
+                "directory instead"
+            )
+        dfreq_df = postings.groupBy("token").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        stats_df = (
+            postings.select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("dl").cast("long").alias("sum_dl"),
+            )
+        )
     seg = indexfmt.new_dir_name("seg")
     dfreq = indexfmt.new_dir_name("dfreq")
     stats = indexfmt.new_dir_name("stats")

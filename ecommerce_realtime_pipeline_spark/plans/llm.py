@@ -4548,6 +4548,89 @@ def docs_bm25_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 LLM_ORACLES["docs_bm25_index_compacted"] = LLM_ORACLES["docs_bm25_search"]
 
 
+def docs_bm25_index_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE lifecycle on the persisted text index, hash-gating the
+    documented Lucene live-docs semantics (`text.delete_from_text_index`):
+    the index is built over the FULL corpus, the odd doc_ids are
+    tombstoned, and BM25 serves from the masked index — deleted docs
+    vanish from results immediately while idf/avgdl keep their
+    PRE-DELETE values until compaction. The oracle replicates exactly
+    that: df/stats over the full corpus, scores restricted to the
+    surviving docs. (The compacted/exact half of the lifecycle is
+    hash-gated by pytest: delete -> compact == fresh build over the
+    survivors.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        delete_from_text_index,
+        read_text_index,
+        write_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="eng_textidx_d_")
+    try:
+        path = os.path.join(tmp, "index")
+        write_text_index(docs, path)
+        deleted = delete_from_text_index(
+            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), path
+        )
+        assert deleted > 0
+        postings, dfreq, stats = read_text_index(spark, path)
+        return _bm25_rank(
+            postings.filter(F.col("token").isin(*BM25_TERMS)).select(
+                "doc_id", "token", "tf", "dl"
+            ),
+            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
+            stats,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# stale-stats delete oracle: df/dl/stats over the FULL corpus (the
+# pre-delete values the index deliberately serves until compaction),
+# scores restricted to the surviving (even doc_id) docs.
+LLM_ORACLES["docs_bm25_index_deleted"] = f"""
+    WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    postings AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token IN ({_BM25_IN})
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM postings GROUP BY 1),
+    scored AS (
+        SELECT p.doc_id, p.token,
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * {BM25_K1 + 1!r}
+                  / (p.tf + {BM25_K1!r} * ({1 - BM25_B!r}
+                     + {BM25_B!r} * l.dl
+                       / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS sc
+        FROM postings p
+        JOIN dfreq d USING (token)
+        CROSS JOIN stats s
+        JOIN dl l USING (doc_id)
+        WHERE p.doc_id % 2 = 0
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_terms_matched,
+               {_BM25_COLS}
+        FROM scored GROUP BY 1
+    )
+    SELECT doc_id, n_terms_matched, ROUND({_BM25_SUM}, 4) AS score
+    FROM agg
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+"""
+
+
 def emb_knn_ivf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance end to end
     (`similarity.merge_ivf_index`): the IVF-flat index is built over

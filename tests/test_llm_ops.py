@@ -1555,6 +1555,120 @@ def test_crashed_merge_leaves_old_index_readable_and_retry_succeeds(
     )
 
 
+def test_delete_from_text_index_lucene_live_docs_semantics(spark, tmp_path):
+    """The full delete lifecycle on the manifest layout: (a) deleted
+    docs vanish from postings (and thus BM25) IMMEDIATELY via the
+    tombstone anti-join; (b) dfreq/stats stay the PRE-DELETE values
+    until compaction (the documented Lucene staleness); (c) deletes
+    survive a subsequent merge; (d) compaction applies tombstones
+    physically, RECOMPUTES dfreq/stats exactly — content equals a
+    fresh build over the surviving docs — and vacuums the tombstone
+    dirs; (e) an empty delete set is a no-op (no pointer flip)."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        compact_text_index,
+        delete_from_text_index,
+        merge_text_index,
+        read_text_index,
+        write_text_index,
+    )
+
+    rows_a = [(1, "alpha beta gamma"), (2, "alpha delta")]
+    rows_b = [(3, "beta epsilon"), (4, "zeta zeta eta")]
+    rows_c = [(5, "gamma theta")]
+    inc = str(tmp_path / "inc")
+    write_text_index(_mk_docs(spark, rows_a + rows_b), inc)
+    _, dfreq0, stats0 = read_text_index(spark, inc)
+    dfreq_before = sorted(tuple(r) for r in dfreq0.collect())
+    stats_before = sorted(tuple(r) for r in stats0.collect())
+
+    ids_b = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    assert delete_from_text_index(ids_b, inc) == 2
+    # (e) empty delete set: no-op, version unchanged
+    v = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)["version"]
+    assert (
+        delete_from_text_index(
+            spark.createDataFrame([], "doc_id long"), inc
+        )
+        == 0
+    )
+    assert indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)["version"] == v
+    # (a) postings masked immediately; (b) metadata stale by design
+    postings, dfreq1, stats1 = read_text_index(spark, inc)
+    assert {r["doc_id"] for r in postings.select("doc_id").distinct().collect()} == {1, 2}
+    assert sorted(tuple(r) for r in dfreq1.collect()) == dfreq_before
+    assert sorted(tuple(r) for r in stats1.collect()) == stats_before
+    # (c) deletes survive a merge
+    merge_text_index(_mk_docs(spark, rows_c), inc)
+    postings2, _, _ = read_text_index(spark, inc)
+    assert {r["doc_id"] for r in postings2.select("doc_id").distinct().collect()} == {1, 2, 5}
+    # (d) compact applies + recomputes; equals fresh build over survivors
+    compact_text_index(spark, inc)
+    m = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    assert m.get("tombstones", []) == [] and len(m["segments"]) == 1
+    on_disk = {d for d in os.listdir(inc) if os.path.isdir(os.path.join(inc, d))}
+    assert on_disk == indexfmt.referenced_children(m)
+    full = str(tmp_path / "full")
+    write_text_index(_mk_docs(spark, rows_a + rows_c), full)
+    assert _text_index_content(spark, inc) == _text_index_content(spark, full)
+
+
+def test_compact_refuses_fully_tombstoned_index(spark, tmp_path):
+    """Deleting EVERY doc and compacting must refuse loudly (an empty
+    partitioned write is unreadable on the way back — the same
+    empty-corpus contract as the writers), for both index families."""
+    import pytest as _pytest
+
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        compact_text_index,
+        delete_from_text_index,
+        write_text_index,
+    )
+
+    inc = str(tmp_path / "inc")
+    write_text_index(_mk_docs(spark, [(1, "alpha beta")]), inc)
+    delete_from_text_index(spark.createDataFrame([(1,)], "doc_id long"), inc)
+    with _pytest.raises(ValueError, match="tombstoned"):
+        compact_text_index(spark, inc)
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(emb, ivf, n_centroids=1)
+    SIM.delete_from_ivf_index(emb.select("vec_id"), ivf)
+    with _pytest.raises(ValueError, match="tombstoned"):
+        SIM.compact_ivf_index(spark, ivf)
+
+
+def test_delete_from_ivf_index_removes_planted_neighbors(spark, tmp_path):
+    """ANN delete lifecycle: after planting near-duplicates and
+    building the index over them, deleting the planted ids must
+    remove them from every top-k IMMEDIATELY (tombstone anti-join on
+    the serving path), and compaction must keep them gone while
+    folding to one segment and vacuuming the tombstones."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    corpus, qs, n, planted_only = _planted_recall_fixture(spark)
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(corpus, path)
+    res = SIM.knn_ivf_from_index(spark, path, qs, k=5, n_probe=8)
+    assert _planted_recall(res, n) >= 0.9  # planted present pre-delete
+    assert SIM.delete_from_ivf_index(planted_only.select("vec_id"), path) == n
+    res2 = SIM.knn_ivf_from_index(spark, path, qs, k=5, n_probe=8)
+    planted_ids = {r["vec_id"] for r in planted_only.select("vec_id").collect()}
+    returned = {r["neighbor_id"] for r in res2.collect()}
+    assert not (returned & planted_ids)  # gone immediately
+    SIM.compact_ivf_index(spark, path)
+    m = indexfmt.read_manifest(path, SIM.IVF_INDEX_FORMAT)
+    assert m.get("tombstones", []) == [] and len(m["segments"]) == 1
+    res3 = SIM.knn_ivf_from_index(spark, path, qs, k=5, n_probe=8)
+    assert not ({r["neighbor_id"] for r in res3.collect()} & planted_ids)
+
+
 def test_merge_ivf_index_incremental_equivalence(spark, tmp_path):
     """merge_ivf_index must append ONE immutable segment (existing
     segment files byte-identical — the merge never opens them) and
