@@ -1447,7 +1447,10 @@ def random_projection(
 
 
 def merge_ivf_index(
-    new_emb: DataFrame, path: str, col: str = "embedding"
+    new_emb: DataFrame,
+    path: str,
+    col: str = "embedding",
+    max_segments: int | None = None,
 ) -> list[int]:
     """INCREMENTAL IVF maintenance — the ANN twin of
     ``text.merge_text_index``: append a batch of new vectors to a
@@ -1469,8 +1472,10 @@ def merge_ivf_index(
     is re-running the merge, and ``compact_ivf_index`` reclaims
     orphans. Cost: one |batch|-sized write + one pointer flip, never
     O(index). Read amplification grows by one segment per merge;
-    compaction is the tiered-merge knob. Returns the touched cell ids
-    (reporting — never enters a plan)."""
+    compaction is the tiered-merge knob, and ``max_segments`` makes
+    it a policy (a merge leaving more live segments than that
+    compacts inline — amortized tiered merging). Returns the touched
+    cell ids (reporting — never enters a plan)."""
     from . import indexfmt
 
     spark = new_emb.sparkSession
@@ -1504,6 +1509,8 @@ def merge_ivf_index(
             "tombstones": m.get("tombstones", []),
         },
     )
+    if max_segments is not None and len(m["segments"]) + 1 > max_segments:
+        compact_ivf_index(spark, path)
     return touched
 
 

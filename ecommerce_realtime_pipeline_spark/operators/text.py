@@ -754,7 +754,9 @@ def read_postings_for_tokens(
     ).select("token", "doc_id", "tf", "dl")
 
 
-def merge_text_index(new_docs: DataFrame, path: str) -> list[str]:
+def merge_text_index(
+    new_docs: DataFrame, path: str, max_segments: int | None = None
+) -> list[str]:
     """INCREMENTAL text-index maintenance — the search-index twin of
     the bucketed-silver CDC loop: fold a batch of NEW documents into a
     persisted ``write_text_index`` index as ONE new immutable segment
@@ -792,8 +794,11 @@ def merge_text_index(new_docs: DataFrame, path: str) -> list[str]:
     tokens| filesystem round-trips inside the commit window are
     gone). Read amplification grows by one segment per merge;
     ``compact_text_index`` is the tiered-merge knob that folds
-    segments back to one. Returns the touched tokens (reporting —
-    never enters a plan)."""
+    segments back to one, and ``max_segments`` makes it a POLICY:
+    when set, a merge that leaves more than that many live segments
+    triggers compaction inline (amortized Lucene tiered merging — the
+    occasional merge pays O(index) so every read stays bounded).
+    Returns the touched tokens (reporting — never enters a plan)."""
     from . import indexfmt
 
     spark = new_docs.sparkSession
@@ -857,6 +862,8 @@ def merge_text_index(new_docs: DataFrame, path: str) -> list[str]:
             "tombstones": m.get("tombstones", []),
         },
     )
+    if max_segments is not None and len(m["segments"]) + 1 > max_segments:
+        compact_text_index(spark, path)
     return touched
 
 

@@ -1429,6 +1429,52 @@ def test_compact_text_index_folds_segments_and_vacuums(spark, tmp_path):
     assert on_disk == indexfmt.referenced_children(m)
 
 
+def test_merge_max_segments_policy_compacts_inline(spark, tmp_path):
+    """max_segments turns compaction into a tiered-merge POLICY: a
+    merge that would leave more live segments than the tier size
+    compacts inline, so segment fan-out stays bounded across an
+    arbitrary merge sequence while content still equals a full
+    rebuild — for BOTH index families."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        merge_text_index,
+        write_text_index,
+    )
+
+    rows = [(i, f"w{i} shared") for i in range(6)]
+    inc = str(tmp_path / "inc")
+    write_text_index(_mk_docs(spark, rows[:2]), inc)
+    for i in range(2, 6):
+        merge_text_index(_mk_docs(spark, [rows[i]]), inc, max_segments=2)
+        m = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+        assert len(m["segments"]) <= 2
+    full = str(tmp_path / "full")
+    write_text_index(_mk_docs(spark, rows), full)
+    assert _text_index_content(spark, inc) == _text_index_content(spark, full)
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(range(0, 20, 2)), ivf, n_centroids=2)
+    for batch in ([1], [3], [5], [7]):
+        SIM.merge_ivf_index(mk(batch), ivf, max_segments=2)
+        m = indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)
+        assert len(m["segments"]) <= 2
+    _, cells = SIM.read_ivf_index(spark, ivf)
+    assert sorted(int(r["neighbor_id"]) for r in cells.collect()) == sorted(
+        list(range(0, 20, 2)) + [1, 3, 5, 7]
+    )
+
+
 def test_merge_text_index_escaped_tokens(spark, tmp_path):
     """Tokens whose partition values Spark escapes (':', '%', '=', '#')
     must round-trip through an incremental merge: the segment write and

@@ -730,6 +730,64 @@ def test_skew_report_scalar_branches_read_checkpoint(spark, sf_dir):
     assert len(re.findall(r"events\.parquet", plan)) == 0, plan
 
 
+def test_tombstoned_index_keeps_pruning_and_broadcasts_antijoin(spark, tmp_path):
+    """Live tombstones must not cost the index its seek property: with
+    deletes pending compaction, (a) term filters still prune token
+    partitions on every SEGMENT scan, (b) the live-docs mask plans as
+    a BROADCAST anti-join (the tombstone set is bounded by
+    deletes-since-compaction — a sort-merge anti-join would shuffle
+    the postings corpus), and (c) the bulk-token DPP path still fires
+    through the anti-join."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        delete_from_text_index,
+        merge_text_index,
+        read_postings_for_tokens,
+        read_text_index,
+        write_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 40} common", "en", "s", 10) for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "idx")
+    write_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    merge_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+    delete_from_text_index(
+        spark.createDataFrame([(4,), (5,)], "doc_id long"), path
+    )
+    postings, _, _ = read_text_index(spark, path)
+    plan = (
+        postings.filter(F.col("token").isin("tok1", "tok2"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    seg_filters = [
+        f
+        for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if f.strip()  # tombstone file scans carry no partitions
+    ]
+    assert len(seg_filters) == 2 and all("token" in f for f in seg_filters), plan[:900]
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:900]
+    assert "SortMergeJoin" not in plan, plan[:900]
+    dt = spark.createDataFrame([("tok1",), ("tok2",)], "token string").distinct()
+    plan2 = (
+        read_postings_for_tokens(spark, path, dt)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    dpp = [
+        f
+        for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan2)
+        if "dynamicpruning" in f
+    ]
+    assert len(dpp) == 2, plan2[:900]
+
+
 def test_bulk_token_read_uses_dpp_not_in_literal(spark, tmp_path):
     """The bulk-token index read (DataFrame-valued term sets:
     decontamination lists, backfill audits) must prune token
