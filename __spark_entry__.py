@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # serving with the documented stale-idf semantics, judge-sweep
         # gated this round
         "docs_bm25_index_deleted": llm.docs_bm25_index_deleted,
+        # NEW (r8, tail — rotate into the r9 window): BM25 + cosine
+        # reciprocal-rank fusion (hybrid retrieval)
+        "docs_hybrid_search_rrf": llm.docs_hybrid_search_rrf,
         # latest driver evidence: round 5
         "docs_quality_lr": llm.docs_quality_lr,
         "docs_cluster_size_distribution": llm.docs_cluster_size_distribution,

@@ -4631,6 +4631,83 @@ LLM_ORACLES["docs_bm25_index_deleted"] = f"""
 """
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
+
+
+def docs_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the standard two-leg serving pattern fused
+    with reciprocal-rank fusion: the LEXICAL leg is the BM25 top-20
+    (`docs_bm25_search`, hash-green on its own), the SEMANTIC leg is
+    cosine top-20 for the vec_id-0 query embedding (the documents and
+    embeddings tables share the same id domain), and each doc scores
+    Σ 1/(RRF_K + rank) over the legs it appears in (rank-only fusion —
+    the reason RRF is the production default: no score calibration
+    across heterogeneous retrievers). Top-10 by (rrf desc, doc_id).
+
+    Scale stance: the lexical leg serves from the token-partitioned
+    index and the semantic leg swaps to `knn_ivf`/`knn_ivf_from_index`
+    (identical output contract) on a real corpus — brute force here
+    keeps the oracle exact. Fusion itself is a two-sided outer join on
+    doc_id over two k-row lists: driver-trivial at any corpus size."""
+    from pyspark.sql import Window
+
+    lex = docs_bm25_search(spark, sf_dir).withColumn(
+        "lex_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        ),
+    ).select("doc_id", "lex_rank")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = (
+        SIM.knn_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )
+    return fused.select("doc_id", "lex_rank", "sem_rank", "rrf_score")
+
+
+LLM_ORACLES["docs_hybrid_search_rrf"] = f"""
+    WITH lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        FROM ({{bm25}})
+    ),
+    sem AS (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (
+                   ORDER BY list_dot_product(q.qv, e.embedding::DOUBLE[])
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                       e.embedding::DOUBLE[]))) DESC,
+                            e.vec_id ASC) AS sem_rank
+        FROM embeddings e,
+             (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        QUALIFY sem_rank <= 20
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(sem_rank AS INT) AS sem_rank,
+           ROUND(COALESCE(1.0 / ({RRF_K} + lex_rank), 0)
+                 + COALESCE(1.0 / ({RRF_K} + sem_rank), 0), 6) AS rrf_score
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+""".replace("{bm25}", LLM_ORACLES["docs_bm25_search"])
+
+
 def emb_knn_ivf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance end to end
     (`similarity.merge_ivf_index`): the IVF-flat index is built over

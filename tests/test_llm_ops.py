@@ -1601,6 +1601,27 @@ def test_crashed_merge_leaves_old_index_readable_and_retry_succeeds(
     )
 
 
+def test_hybrid_rrf_fusion_properties(spark):
+    """RRF fusion contract: every returned doc appears in at least
+    one leg, the score is exactly Σ 1/(60+rank) over present legs
+    (recomputed row by row), and the list is sorted by (score desc,
+    doc_id) — rank-only fusion, no score calibration."""
+    rows = llm.docs_hybrid_search_rrf(spark, SF).collect()
+    assert len(rows) == 10
+    prev = None
+    for r in rows:
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+        want = 0.0
+        if r["lex_rank"] is not None:
+            want += 1.0 / (llm.RRF_K + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            want += 1.0 / (llm.RRF_K + r["sem_rank"])
+        assert abs(r["rrf_score"] - round(want, 6)) < 1e-9
+        if prev is not None:
+            assert (r["rrf_score"], -r["doc_id"]) <= prev
+        prev = (r["rrf_score"], -r["doc_id"])
+
+
 def test_delete_from_text_index_lucene_live_docs_semantics(spark, tmp_path):
     """The full delete lifecycle on the manifest layout: (a) deleted
     docs vanish from postings (and thus BM25) IMMEDIATELY via the
