@@ -19,10 +19,19 @@ atomic as a whole).
 On an object store the ``os.replace`` pointer flip becomes a
 conditional PUT of the manifest object — the same design carries over
 unchanged, which is exactly why Iceberg/Delta/Lucene all converge on
-it. Orphans are reclaimed by :func:`vacuum`, which only ever deletes
-children the CURRENT manifest does not reference (called after a
-compaction flip, never concurrently with a reader holding an older
-manifest — production would add a retention grace period here).
+it. Orphans are reclaimed by :func:`vacuum`.
+
+GENERATION RETENTION (the concurrent-reader grace window): every
+pointer flip first preserves the superseded manifest as an immutable
+``_GEN-<version>`` snapshot, and :func:`vacuum` spares children
+referenced by ANY retained generation — so a reader that resolved the
+previous manifest keeps a complete index for as long as its
+generation is retained, even across an inline post-merge compaction
+(the Iceberg snapshot-expiry model: ``expire_snapshots`` then
+``remove_orphan_files``). The horizon is ``KEEP_GENERATIONS``
+superseded snapshots (pruned oldest-first at flip time); production
+would widen it to a wall-clock retention matched to the longest
+query, but the mechanism is identical.
 """
 
 from __future__ import annotations
@@ -33,6 +42,16 @@ import uuid
 
 #: the pointer file: the ONLY mutable name in an index directory
 MANIFEST = "_CURRENT"
+
+#: retained superseded-manifest snapshots (``_GEN-<version>`` files).
+#: 1 = a reader holding the immediately-previous generation survives
+#: one flip+vacuum (covers the inline ``max_segments`` compaction a
+#: routine merge can trigger); raise for longer-running readers.
+KEEP_GENERATIONS = 1
+
+#: superseded-manifest snapshot prefix, followed by the generation's
+#: integer version (``_GEN-3``)
+GEN_PREFIX = "_GEN-"
 
 
 def new_dir_name(prefix: str) -> str:
@@ -66,15 +85,70 @@ def read_manifest(path: str, expect_format: str) -> dict:
     return m
 
 
-def write_manifest(path: str, manifest: dict) -> None:
-    """Atomic pointer flip: write to a temp name in the SAME directory
-    (os.replace is only atomic within a filesystem) and replace. This
-    is the single commit point of every index mutation."""
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, f"{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+def _atomic_write_json(path: str, name: str, obj: dict) -> None:
+    """Crash-safe file publish: write to a temp name in the SAME
+    directory (os.replace is only atomic within a filesystem) and
+    replace. Stale ``*.tmp-*`` leftovers from a crash between write
+    and replace are reclaimed by :func:`vacuum`."""
+    tmp = os.path.join(path, f"{name}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(path, MANIFEST))
+        json.dump(obj, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, name))
+
+
+def write_manifest(
+    path: str, manifest: dict, keep_generations: int = KEEP_GENERATIONS
+) -> None:
+    """Atomic pointer flip — the single commit point of every index
+    mutation. Before the flip, the superseded manifest (if any) is
+    preserved as an immutable ``_GEN-<version>`` snapshot and the
+    snapshot set is pruned oldest-first to ``keep_generations`` — the
+    retention horizon :func:`vacuum` honors, so a concurrent reader
+    holding the previous generation keeps its files through the next
+    flip+vacuum."""
+    os.makedirs(path, exist_ok=True)
+    cur = os.path.join(path, MANIFEST)
+    if os.path.exists(cur):
+        try:
+            with open(cur) as fh:
+                old = json.load(fh)
+            gen_name = f"{GEN_PREFIX}{int(old.get('version', 0))}"
+            if not os.path.exists(os.path.join(path, gen_name)):
+                _atomic_write_json(path, gen_name, old)
+        except (OSError, ValueError):
+            pass  # unreadable old pointer: nothing to retain
+    _atomic_write_json(path, MANIFEST, manifest)
+    for name in _generation_names(path)[: -keep_generations or None]:
+        try:
+            os.remove(os.path.join(path, name))
+        except OSError:
+            pass
+
+
+def _generation_names(path: str) -> list[str]:
+    """Retained ``_GEN-<k>`` snapshot file names, oldest first."""
+    out = []
+    for name in os.listdir(path):
+        if name.startswith(GEN_PREFIX) and ".tmp-" not in name:
+            try:
+                out.append((int(name[len(GEN_PREFIX):]), name))
+            except ValueError:
+                continue
+    return [name for _, name in sorted(out)]
+
+
+def retained_manifests(path: str) -> list[dict]:
+    """The CURRENT manifest plus every retained ``_GEN-<k>`` snapshot
+    (newest generation last = CURRENT) — the reader-visible set whose
+    referenced children :func:`vacuum` must spare."""
+    out = []
+    for name in [*_generation_names(path), MANIFEST]:
+        try:
+            with open(os.path.join(path, name)) as fh:
+                out.append(json.load(fh))
+        except (OSError, ValueError):
+            continue
+    return out
 
 
 def referenced_children(manifest: dict) -> set[str]:
@@ -93,18 +167,32 @@ def referenced_children(manifest: dict) -> set[str]:
 
 
 def vacuum(path: str, expect_format: str) -> list[str]:
-    """Delete child directories the CURRENT manifest does not
-    reference (crashed-merge orphans, superseded metadata tables,
-    pre-compaction segments). Returns the deleted names. Safe against
-    crashes (deleting an orphan twice is a no-op) but NOT against
-    concurrent readers holding an older manifest — production inserts
-    a retention grace period; callers here run it after compaction."""
+    """Delete child directories no RETAINED manifest generation
+    references (crashed-merge orphans, metadata tables and segments
+    superseded past the retention horizon), plus stale ``*.tmp-*``
+    pointer-staging files a crash between write and replace left
+    behind. Returns the deleted directory names.
+
+    Safe against crashes (deleting an orphan twice is a no-op) AND
+    against concurrent readers holding any retained generation — a
+    reader older than the ``KEEP_GENERATIONS`` horizon can still lose
+    files, which is the same contract as Iceberg snapshot expiry:
+    size the horizon to the longest-running query."""
     import shutil
 
-    live = referenced_children(read_manifest(path, expect_format))
+    read_manifest(path, expect_format)  # refuse a non-index directory
+    live: set[str] = set()
+    for m in retained_manifests(path):
+        live |= referenced_children(m)
     deleted = []
     for name in sorted(os.listdir(path)):
         full = os.path.join(path, name)
+        if os.path.isfile(full) and ".tmp-" in name:
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+            continue
         if name == MANIFEST or not os.path.isdir(full):
             continue
         if name not in live:

@@ -58,7 +58,18 @@ def logistic_train(
     (_w_bias, _w_<feature>, ...). ``label_col`` must be int 0/1.
 
     Update rule: w += lr * Σ (y − σ(w·x)) x / n, the exact-sum form
-    described in the module docstring."""
+    described in the module docstring.
+
+    Each round's 1-row weight frame is pinned through
+    ``session.materialize`` (the engine checkpoint primitive —
+    ``ENGINE_CHECKPOINT_MODE`` selects local vs reliable): without the
+    cut, iteration k's plan nests k crossJoin(broadcast(w)) layers
+    over the full gradient chain, so analysis cost grows superlinearly
+    in ``iters`` and a long training run replays every earlier scan on
+    recompute. Values are bit-identical either way (a checkpoint never
+    changes results), which the reliable-mode equivalence test pins."""
+    from ecommerce_realtime_pipeline_spark.session import materialize
+
     spark = feats.sparkSession
     n_row = feats.agg(F.count("*").alias("_n"))
     w = spark.range(1).select(
@@ -91,6 +102,7 @@ def logistic_train(
                 for c in feature_cols
             ],
         )
+        w = materialize(w)
     return w
 
 

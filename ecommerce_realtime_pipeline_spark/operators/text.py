@@ -659,6 +659,7 @@ def write_text_index(docs: DataFrame, path: str) -> None:
     seg = indexfmt.new_dir_name("seg")
     dfreq = indexfmt.new_dir_name("dfreq")
     stats = indexfmt.new_dir_name("stats")
+    docs_tbl = indexfmt.new_dir_name("docs")
     stage = f"{path}.stage-{_uuid.uuid4().hex[:8]}"
     postings.write.mode("overwrite").partitionBy("token").parquet(
         f"{stage}/{seg}"
@@ -669,6 +670,14 @@ def write_text_index(docs: DataFrame, path: str) -> None:
     base.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).write.mode("overwrite").parquet(f"{stage}/{stats}")
+    # per-doc (doc_id, dl) sidecar — Lucene's norms file: the ONLY
+    # record of docs whose text tokenized to zero tokens (present in
+    # n_docs/sum_dl but absent from postings), which is what lets a
+    # tombstone compaction recompute stats over the TRUE survivor set
+    # instead of silently dropping zero-token docs
+    base.select("doc_id", "dl").write.mode("overwrite").parquet(
+        f"{stage}/{docs_tbl}"
+    )
     indexfmt.write_manifest(
         stage,
         {
@@ -677,6 +686,7 @@ def write_text_index(docs: DataFrame, path: str) -> None:
             "segments": [seg],
             "dfreq": dfreq,
             "stats": stats,
+            "docs": [docs_tbl],
         },
     )
     try:
@@ -797,13 +807,18 @@ def merge_text_index(
     segments back to one, and ``max_segments`` makes it a POLICY:
     when set, a merge that leaves more than that many live segments
     triggers compaction inline (amortized Lucene tiered merging — the
-    occasional merge pays O(index) so every read stays bounded).
+    occasional merge pays O(index) so every read stays bounded; safe
+    under concurrent readers because the post-compaction vacuum
+    spares every child the RETAINED manifest generations reference —
+    see :mod:`.indexfmt` generation retention).
     Returns the touched tokens (reporting — never enters a plan)."""
     from . import indexfmt
 
     spark = new_docs.sparkSession
     m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
     base, delta = _doc_postings(new_docs)
+    if base.isEmpty():
+        return []
     delta = delta.localCheckpoint()
     delta_tokens = delta.select("token").distinct()
     # NULL/empty check BEFORE sorted(): sorted() on a list containing
@@ -818,24 +833,30 @@ def merge_text_index(
             "tokenizer output"
         )
     touched = sorted(toks)
-    if not touched:
-        return touched
-    seg = indexfmt.new_dir_name("seg")
-    delta.select("token", "doc_id", "tf", "dl").write.mode(
-        "overwrite"
-    ).partitionBy("token").parquet(f"{path}/{seg}")
-    # metadata tables: |vocab| dfreq rows and the 1-row corpus stats,
-    # merged by summation and written under fresh names (index
-    # metadata, not data — same cost class as r7's whole rewrite)
-    delta_df = delta.groupBy("token").agg(F.count("*").alias("df"))
-    merged_df = (
-        spark.read.parquet(f"{path}/{m['dfreq']}")
-        .unionByName(delta_df)
-        .groupBy("token")
-        .agg(F.sum("df").cast("long").alias("df"))
-    )
-    dfreq = indexfmt.new_dir_name("dfreq")
-    merged_df.write.mode("overwrite").parquet(f"{path}/{dfreq}")
+    # a non-empty batch whose docs ALL tokenized to zero tokens still
+    # changes the corpus (n_docs grows, avgdl shifts — a fresh build
+    # over the union would count them), so only the postings segment
+    # and dfreq rewrite are skipped, never the stats/docs commit
+    segments = m["segments"]
+    dfreq = m["dfreq"]
+    if touched:
+        seg = indexfmt.new_dir_name("seg")
+        delta.select("token", "doc_id", "tf", "dl").write.mode(
+            "overwrite"
+        ).partitionBy("token").parquet(f"{path}/{seg}")
+        segments = [*m["segments"], seg]
+        # metadata tables: |vocab| dfreq rows and the 1-row corpus
+        # stats, merged by summation and written under fresh names
+        # (index metadata, not data)
+        delta_df = delta.groupBy("token").agg(F.count("*").alias("df"))
+        merged_df = (
+            spark.read.parquet(f"{path}/{m['dfreq']}")
+            .unionByName(delta_df)
+            .groupBy("token")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        dfreq = indexfmt.new_dir_name("dfreq")
+        merged_df.write.mode("overwrite").parquet(f"{path}/{dfreq}")
     batch_stats = base.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -849,20 +870,25 @@ def merge_text_index(
     )
     stats = indexfmt.new_dir_name("stats")
     merged_stats.write.mode("overwrite").parquet(f"{path}/{stats}")
+    docs_tbl = indexfmt.new_dir_name("docs")
+    base.select("doc_id", "dl").write.mode("overwrite").parquet(
+        f"{path}/{docs_tbl}"
+    )
     indexfmt.write_manifest(  # ---- the single commit point ----
         path,
         {
             "format": TEXT_INDEX_FORMAT,
             "version": int(m["version"]) + 1,
-            "segments": [*m["segments"], seg],
+            "segments": segments,
             "dfreq": dfreq,
             "stats": stats,
+            "docs": [*m.get("docs", []), docs_tbl],
             # live tombstones carry through a merge untouched (the
             # batch is new doc ids by contract, never resurrections)
             "tombstones": m.get("tombstones", []),
         },
     )
-    if max_segments is not None and len(m["segments"]) + 1 > max_segments:
+    if max_segments is not None and len(segments) > max_segments:
         compact_text_index(spark, path)
     return touched
 
@@ -920,34 +946,70 @@ def compact_text_index(spark, path: str) -> int:
     the number of segments folded. O(index) by design — the offline
     amortization knob that bounds per-merge read amplification,
     scheduled like any segment-merge policy (e.g. when |segments| or
-    |tombstones| exceeds a tier size)."""
+    |tombstones| exceeds a tier size). The closing vacuum spares
+    children referenced by retained manifest generations, so readers
+    holding the previous generation survive an inline compaction."""
+    from functools import reduce
+
     from . import indexfmt
 
     m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
     n = len(m["segments"])
     postings, dfreq_df, stats_df = read_text_index(spark, path)
+    # the per-doc (doc_id, dl) sidecar — the survivor-set ground truth
+    # that includes zero-token docs (they have stats presence but no
+    # postings rows, so a postings-derived recount would drop them)
+    doc_tbls = m.get("docs", [])
+    survivors = (
+        reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(f"{path}/{t}").select("doc_id", "dl")
+                for t in doc_tbls
+            ],
+        )
+        if doc_tbls
+        else None
+    )
     if m.get("tombstones"):
-        # postings are already tombstone-masked by the reader; the
-        # metadata recomputes from survivors. (doc_id, dl) is unique
-        # per doc by construction, so the distinct pass is exact.
         postings = postings.localCheckpoint()
         if postings.isEmpty():
+            # covers both all-tombstoned and the pathological
+            # every-survivor-has-zero-tokens corpus: either way the
+            # partitioned postings rewrite would be empty
             raise ValueError(
-                "compact_text_index: every document is tombstoned — an "
-                "empty index is unreadable on the way back (same "
-                "contract as write_text_index); delete the index "
-                "directory instead"
+                "compact_text_index: every document is tombstoned (or "
+                "no surviving document has any tokens) — an empty "
+                "index is unreadable on the way back (same contract "
+                "as write_text_index); delete the index directory "
+                "instead"
             )
+        dead = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(f"{path}/{t}").select("doc_id")
+                for t in m["tombstones"]
+            ],
+        )
+        if survivors is not None:
+            survivors = survivors.join(
+                F.broadcast(dead), "doc_id", "left_anti"
+            ).localCheckpoint()
+        # postings are already tombstone-masked by the reader; dfreq
+        # recomputes from surviving postings, stats from the survivor
+        # DOC set (exact for zero-token docs; pre-sidecar indexes fall
+        # back to the postings-derived distinct, which excludes them)
         dfreq_df = postings.groupBy("token").agg(
             F.count("*").cast("long").alias("df")
         )
-        stats_df = (
-            postings.select("doc_id", "dl")
-            .distinct()
-            .agg(
-                F.count("*").cast("long").alias("n_docs"),
-                F.sum("dl").cast("long").alias("sum_dl"),
-            )
+        stats_src = (
+            survivors
+            if survivors is not None
+            else postings.select("doc_id", "dl").distinct()
+        )
+        stats_df = stats_src.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
         )
     seg = indexfmt.new_dir_name("seg")
     dfreq = indexfmt.new_dir_name("dfreq")
@@ -957,15 +1019,18 @@ def compact_text_index(spark, path: str) -> int:
     )
     dfreq_df.write.mode("overwrite").parquet(f"{path}/{dfreq}")
     stats_df.write.mode("overwrite").parquet(f"{path}/{stats}")
-    indexfmt.write_manifest(
-        path,
-        {
-            "format": TEXT_INDEX_FORMAT,
-            "version": int(m["version"]) + 1,
-            "segments": [seg],
-            "dfreq": dfreq,
-            "stats": stats,
-        },
-    )
+    manifest = {
+        "format": TEXT_INDEX_FORMAT,
+        "version": int(m["version"]) + 1,
+        "segments": [seg],
+        "dfreq": dfreq,
+        "stats": stats,
+    }
+    if survivors is not None:
+        # fold the sidecar generations to one table of the survivors
+        docs_tbl = indexfmt.new_dir_name("docs")
+        survivors.write.mode("overwrite").parquet(f"{path}/{docs_tbl}")
+        manifest["docs"] = [docs_tbl]
+    indexfmt.write_manifest(path, manifest)
     indexfmt.vacuum(path, TEXT_INDEX_FORMAT)
     return n

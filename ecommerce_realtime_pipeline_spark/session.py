@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # reliable checkpoint_mode writes one Dataset.checkpoint copy
+        # per materialize(); Spark only deletes superseded reliable
+        # checkpoint data when this cleaner flag is on (localCheckpoint
+        # blocks are ContextCleaner-reaped regardless), so without it a
+        # long iterative job accumulates every iteration's copy
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # explicit scan-split size: 128m input splits keep a scan task's
         # working set well inside executor memory at any SF (tunable via
         # env for clusters with bigger/smaller executors); shuffle-side
@@ -92,15 +98,38 @@ def materialize(df, eager: bool = True):
     callers that rely on a carried partitioning (the pagerank edge
     table) already wrap the call in an AQE-off scope, which applies
     identically to both modes.
+
+    The mode string is VALIDATED (a typo'd ``ENGINE_CHECKPOINT_MODE``
+    like ``Reliable``/``durable`` must fail loudly, not silently fall
+    back to the non-durable local mode on exactly the long cluster
+    jobs the knob exists for). Superseded reliable-checkpoint data is
+    cleaner-reaped (``spark.cleaner.referenceTracking.cleanCheckpoints``
+    in :func:`get_spark`), and an auto-assigned local checkpoint dir
+    is removed at interpreter exit.
     """
-    if Settings().checkpoint_mode != "reliable":
+    mode = Settings().checkpoint_mode.strip().lower()
+    if mode not in ("local", "reliable"):
+        raise ValueError(
+            f"ENGINE_CHECKPOINT_MODE={Settings().checkpoint_mode!r} is not "
+            "a checkpoint mode; use 'local' (Dataset.localCheckpoint — "
+            "fast, dies with executors) or 'reliable' "
+            "(Dataset.checkpoint to the checkpoint dir — survives "
+            "executor loss)"
+        )
+    if mode != "reliable":
         return df.localCheckpoint(eager=eager)
     spark = df.sparkSession
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
+        import atexit
+        import shutil
         import tempfile
 
-        sc.setCheckpointDir(
-            tempfile.mkdtemp(prefix="spark_graft_reliable_ckpt_")
-        )
+        ckpt_dir = tempfile.mkdtemp(prefix="spark_graft_reliable_ckpt_")
+        sc.setCheckpointDir(ckpt_dir)
+        # the auto-assigned dir is a convenience for local runs (a
+        # cluster sets an HDFS/object-store URI before any job);
+        # nothing else ever removes it, so tie its lifetime to the
+        # interpreter
+        atexit.register(shutil.rmtree, ckpt_dir, ignore_errors=True)
     return df.checkpoint(eager=eager)

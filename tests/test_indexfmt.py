@@ -98,6 +98,61 @@ def test_vacuum_deletes_only_unreferenced_dirs(tmp_path):
     assert indexfmt.vacuum(p, "ivf-index") == []
 
 
+def test_flip_retains_previous_generation_and_vacuum_spares_it(tmp_path):
+    """The concurrent-reader grace window: after a flip, the
+    superseded manifest survives as ``_GEN-<version>`` and vacuum
+    spares every child it references — so a reader that resolved the
+    old manifest keeps a complete index through one flip+vacuum (the
+    Iceberg snapshot-expiry model)."""
+    p = str(tmp_path / "idx")
+    _mk(p, {"format": "text-index", "version": 1, "segments": ["seg-a"],
+            "dfreq": "dfreq-1", "stats": "stats-1"})
+    for d in ("seg-a", "dfreq-1", "stats-1", "seg-b", "dfreq-2", "stats-2"):
+        os.makedirs(os.path.join(p, d))
+    # compaction-style flip: an entirely new child set
+    _mk(p, {"format": "text-index", "version": 2, "segments": ["seg-b"],
+            "dfreq": "dfreq-2", "stats": "stats-2"})
+    assert os.path.exists(os.path.join(p, f"{indexfmt.GEN_PREFIX}1"))
+    assert indexfmt.vacuum(p, "text-index") == []  # v1 children spared
+    for d in ("seg-a", "dfreq-1", "stats-1"):
+        assert os.path.isdir(os.path.join(p, d))
+    # the retained set is readable: old + current manifests, in order
+    gens = indexfmt.retained_manifests(p)
+    assert [m["version"] for m in gens] == [1, 2]
+
+
+def test_vacuum_reclaims_past_the_retention_horizon(tmp_path):
+    """One more flip prunes the oldest snapshot (KEEP_GENERATIONS=1)
+    and vacuum then reclaims the v1-only children — retention delays
+    reclamation by exactly the horizon, it never leaks forever."""
+    p = str(tmp_path / "idx")
+    _mk(p, {"format": "text-index", "version": 1, "segments": ["seg-a"]})
+    for d in ("seg-a", "seg-b", "seg-c"):
+        os.makedirs(os.path.join(p, d))
+    _mk(p, {"format": "text-index", "version": 2, "segments": ["seg-b"]})
+    _mk(p, {"format": "text-index", "version": 3, "segments": ["seg-c"]})
+    assert not os.path.exists(os.path.join(p, f"{indexfmt.GEN_PREFIX}1"))
+    assert os.path.exists(os.path.join(p, f"{indexfmt.GEN_PREFIX}2"))
+    assert indexfmt.vacuum(p, "text-index") == ["seg-a"]
+    assert os.path.isdir(os.path.join(p, "seg-b"))  # inside horizon
+    assert os.path.isdir(os.path.join(p, "seg-c"))  # current
+
+
+def test_vacuum_reclaims_stale_tmp_pointer_files(tmp_path):
+    """A crash between writing the staging file and os.replace leaves
+    ``*.tmp-*`` files no flip ever reclaims (fresh uuid per flip) —
+    vacuum must sweep them."""
+    p = str(tmp_path / "idx")
+    _mk(p, {"format": "text-index", "version": 1, "segments": ["seg-a"]})
+    os.makedirs(os.path.join(p, "seg-a"))
+    for stale in (f"{indexfmt.MANIFEST}.tmp-dead", f"{indexfmt.GEN_PREFIX}1.tmp-dead"):
+        with open(os.path.join(p, stale), "w") as fh:
+            fh.write("{}")
+    indexfmt.vacuum(p, "text-index")
+    assert not [f for f in os.listdir(p) if ".tmp-" in f]
+    assert indexfmt.read_manifest(p, "text-index")["version"] == 1
+
+
 def test_write_manifest_flip_is_replace_not_append(tmp_path):
     """A second flip fully replaces the pointer contents (no partial
     JSON): simulate successive merges and check the last one wins."""

@@ -1422,11 +1422,18 @@ def test_compact_text_index_folds_segments_and_vacuums(spark, tmp_path):
     m = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
     assert len(m["segments"]) == 1
     assert _text_index_content(spark, inc) == want
-    # vacuumed: every child dir on disk is referenced by the manifest
+    # vacuumed up to the retention horizon: every child dir on disk is
+    # referenced by a RETAINED manifest generation (the previous
+    # generation's children survive one flip+vacuum — the concurrent-
+    # reader grace window), and nothing else
+    live = set()
+    for gen in indexfmt.retained_manifests(inc):
+        live |= indexfmt.referenced_children(gen)
     on_disk = {
         d for d in os.listdir(inc) if os.path.isdir(os.path.join(inc, d))
     }
-    assert on_disk == indexfmt.referenced_children(m)
+    assert on_disk == live
+    assert indexfmt.referenced_children(m) <= live
 
 
 def test_merge_max_segments_policy_compacts_inline(spark, tmp_path):
@@ -1588,13 +1595,16 @@ def test_crashed_merge_leaves_old_index_readable_and_retry_succeeds(
     assert sorted(int(r["neighbor_id"]) for r in cells2.collect()) == sorted(
         list(range(0, 40, 2)) + [1, 3]
     )
-    # compaction reclaims the crashed merge's orphan segment
+    # compaction reclaims the crashed merge's orphan segment (the
+    # retained previous generation never referenced it either)
     SIM.compact_ivf_index(spark, ivf)
-    m = indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)
+    live = set()
+    for gen in indexfmt.retained_manifests(ivf):
+        live |= indexfmt.referenced_children(gen)
     on_disk = {
         d for d in os.listdir(ivf) if os.path.isdir(os.path.join(ivf, d))
     }
-    assert on_disk == indexfmt.referenced_children(m)
+    assert on_disk == live
     _, cells3 = SIM.read_ivf_index(spark, ivf)
     assert sorted(int(r["neighbor_id"]) for r in cells3.collect()) == sorted(
         list(range(0, 40, 2)) + [1, 3]
@@ -1644,8 +1654,15 @@ def test_delete_from_text_index_lucene_live_docs_semantics(spark, tmp_path):
     rows_a = [(1, "alpha beta gamma"), (2, "alpha delta")]
     rows_b = [(3, "beta epsilon"), (4, "zeta zeta eta")]
     rows_c = [(5, "gamma theta")]
+    # a surviving doc with NO postings rows (NULL text → explode drops
+    # it, but it counts in n_docs): compaction must keep it in the
+    # recomputed stats via the per-doc sidecar, not silently drop it
+    no_tokens = spark.createDataFrame(
+        [(6, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
     inc = str(tmp_path / "inc")
-    write_text_index(_mk_docs(spark, rows_a + rows_b), inc)
+    write_text_index(_mk_docs(spark, rows_a + rows_b).unionByName(no_tokens), inc)
     _, dfreq0, stats0 = read_text_index(spark, inc)
     dfreq_before = sorted(tuple(r) for r in dfreq0.collect())
     stats_before = sorted(tuple(r) for r in stats0.collect())
@@ -1670,15 +1687,29 @@ def test_delete_from_text_index_lucene_live_docs_semantics(spark, tmp_path):
     merge_text_index(_mk_docs(spark, rows_c), inc)
     postings2, _, _ = read_text_index(spark, inc)
     assert {r["doc_id"] for r in postings2.select("doc_id").distinct().collect()} == {1, 2, 5}
-    # (d) compact applies + recomputes; equals fresh build over survivors
+    # (d) compact applies + recomputes; equals fresh build over the
+    # survivors INCLUDING the zero-postings doc (stats recompute goes
+    # through the per-doc sidecar, so n_docs/sum_dl stay exact)
     compact_text_index(spark, inc)
     m = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
     assert m.get("tombstones", []) == [] and len(m["segments"]) == 1
+    live = set()
+    for gen in indexfmt.retained_manifests(inc):
+        live |= indexfmt.referenced_children(gen)
     on_disk = {d for d in os.listdir(inc) if os.path.isdir(os.path.join(inc, d))}
-    assert on_disk == indexfmt.referenced_children(m)
+    assert on_disk == live
     full = str(tmp_path / "full")
-    write_text_index(_mk_docs(spark, rows_a + rows_c), full)
+    write_text_index(
+        _mk_docs(spark, rows_a + rows_c).unionByName(no_tokens), full
+    )
     assert _text_index_content(spark, inc) == _text_index_content(spark, full)
+    # the folded sidecar names exactly the survivor docs
+    assert len(m["docs"]) == 1
+    side = sorted(
+        (r["doc_id"], r["dl"])
+        for r in spark.read.parquet(f"{inc}/{m['docs'][0]}").collect()
+    )
+    assert [d for d, _ in side] == [1, 2, 5, 6]
 
 
 def test_compact_refuses_fully_tombstoned_index(spark, tmp_path):
