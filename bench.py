@@ -20,6 +20,21 @@ Queries whose runs spread >2.5× (the sandbox-contention signature) are
 flagged in ``contention_suspects`` AND re-timed solo after the pass;
 ``solo_sec`` carries the trustworthy best-of next to the suspect
 median so comparisons never need a by-hand re-time.
+
+The spread heuristic is blind to UNIFORM contention (round 8's
+recorded bench ran concurrently with the pytest suite: all three runs
+of ~60 queries were equally slowed, so no triple spread fired). Two
+defenses, per round-8 verdict task 2:
+
+- ``$SPARK_GRAFT_BENCH_PREV`` (path to the previous round's
+  BENCH_LOCAL json): any query whose median moved >2× in EITHER
+  direction vs that round — above a 0.5 s noise floor — is added to
+  the solo-retime set and reported in ``prev_comparison`` /
+  ``movers``, so the JSON itself carries the round-over-round table
+  with a trustworthy number next to every suspicious move.
+- the recorded bench must run ALONE: use ``tools/close_round.py``,
+  which serializes pytest → multi-SF sweep → bench instead of letting
+  them share the machine.
 """
 
 from __future__ import annotations
@@ -126,6 +141,59 @@ STRESS_QUERIES = [
     "market_basket_rules",
     "events_markov_attribution",
 ]
+
+
+#: previous round's BENCH_LOCAL json (optional): enables the >2x
+#: round-over-round mover check the spread heuristic cannot see
+PREV_PATH = os.environ.get("SPARK_GRAFT_BENCH_PREV", "")
+#: medians below this are scheduler noise at local[32]; a 0.3s->0.7s
+#: "2.3x move" is not a regression signal
+MOVER_FLOOR_SEC = 0.5
+MOVER_RATIO = 2.0
+
+
+def _load_prev(key: str) -> dict[str, float]:
+    """Per-query medians from the previous round's BENCH_LOCAL json.
+    key='queries' for the main pass, 'stress' for the stress block.
+    Refuses a prev recorded at a DIFFERENT scale factor — a cross-SF
+    compare would flag every query as a mover and trigger a pointless
+    solo-retime storm."""
+    if not PREV_PATH:
+        return {}
+    try:
+        with open(PREV_PATH) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError) as exc:
+        print(f"# prev bench unreadable ({exc}); mover check off", file=sys.stderr)
+        return {}
+    cur_sf = _sf_from_dir(SF_DIR)
+    if prev.get("sf") != cur_sf:
+        print(
+            f"# prev bench sf={prev.get('sf')} != current sf={cur_sf}; "
+            "mover check off",
+            file=sys.stderr,
+        )
+        return {}
+    block = prev.get("stress", {}).get("queries", {}) if key == "stress" else prev.get("queries", {})
+    return {k: v for k, v in block.items() if isinstance(v, (int, float))}
+
+
+def _movers(cur: dict[str, float | None], prev: dict[str, float]) -> tuple[list[str], dict]:
+    """Queries whose median moved >MOVER_RATIO either way vs the
+    previous round (above the noise floor), plus the full comparison
+    table for the JSON."""
+    comparison: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name, p in sorted(prev.items()):
+        c = cur.get(name)
+        if c is None or p <= 0:
+            continue
+        ratio = round(c / p, 3)
+        comparison[name] = {"prev": p, "cur": c, "ratio": ratio}
+        if max(c, p) >= MOVER_FLOOR_SEC and (ratio > MOVER_RATIO or ratio < 1.0 / MOVER_RATIO):
+            flagged.append(name)
+            comparison[name]["mover"] = True
+    return sorted(flagged), comparison
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -335,6 +403,8 @@ def main() -> int:
                 for name, ts in stress_runs.items()
                 if len(ts) >= 2 and min(ts) > 0 and max(ts) / min(ts) > 2.5
             )
+            s_movers, s_cmp = _movers(stress_q, _load_prev("stress"))
+            retime = sorted(set(suspects) | set(s_movers))
             stress = {
                 "multiplier": STRESS_MULT,
                 "approx_sf": round(_sf_from_dir(SF_DIR) * STRESS_MULT, 4),
@@ -343,8 +413,10 @@ def main() -> int:
                 "queries": stress_q,
                 "runs_sec": stress_runs,
                 "contention_suspects": suspects,
+                "movers": s_movers,
+                "prev_comparison": s_cmp,
                 "solo_sec": (
-                    _solo_retime(queries, suspects, spark, stress_dir)
+                    _solo_retime(queries, retime, spark, stress_dir)
                     if SOLO_RUNS > 0
                     else {}
                 ),
@@ -356,12 +428,16 @@ def main() -> int:
             if stress_dir:
                 shutil.rmtree(stress_dir, ignore_errors=True)
 
-    # same >2.5x within-triple spread flag as the stress pass
+    # same >2.5x within-triple spread flag as the stress pass, PLUS
+    # the >2x round-over-round mover flag (uniform contention makes
+    # all three runs agree, so only a cross-round compare catches it)
     main_suspects = sorted(
         name
         for name, ts in per_query_runs.items()
         if len(ts) >= 2 and min(ts) > 0 and max(ts) / min(ts) > 2.5
     )
+    movers, prev_cmp = _movers(per_query, _load_prev("queries"))
+    retime = sorted(set(main_suspects) | set(movers))
     out = {
         "metric": "suite_median_wall_sec",
         "value": total,
@@ -369,8 +445,10 @@ def main() -> int:
         "queries": per_query,
         "runs_sec": per_query_runs,
         "contention_suspects": main_suspects,
+        "movers": movers,
+        "prev_comparison": prev_cmp,
         "solo_sec": (
-            _solo_retime(queries, main_suspects, spark, SF_DIR)
+            _solo_retime(queries, retime, spark, SF_DIR)
             if SOLO_RUNS > 0
             else {}
         ),

@@ -44,10 +44,14 @@ import uuid
 MANIFEST = "_CURRENT"
 
 #: retained superseded-manifest snapshots (``_GEN-<version>`` files).
-#: 1 = a reader holding the immediately-previous generation survives
-#: one flip+vacuum (covers the inline ``max_segments`` compaction a
-#: routine merge can trigger); raise for longer-running readers.
-KEEP_GENERATIONS = 1
+#: 2 because ONE logical operation can flip twice: a merge whose
+#: ``max_segments`` policy triggers an inline compaction commits the
+#: merge (flip 1) then the compaction (flip 2) — a reader that
+#: resolved the pre-merge manifest is two generations behind by the
+#: time the compaction's vacuum runs, and its metadata tables
+#: (dfreq/stats, superseded at EVERY flip) must still be spared.
+#: Raise further for longer-running readers.
+KEEP_GENERATIONS = 2
 
 #: superseded-manifest snapshot prefix, followed by the generation's
 #: integer version (``_GEN-3``)
@@ -63,10 +67,15 @@ def has_index(path: str) -> bool:
     return os.path.exists(os.path.join(path, MANIFEST))
 
 
-def read_manifest(path: str, expect_format: str) -> dict:
-    """Resolve the live manifest; refuses a directory that is not a
-    published index of the expected format (missing/foreign pointer),
-    with the rebuild instruction in the message."""
+def read_manifest(
+    path: str, expect_format: str, version: int | None = None
+) -> dict:
+    """Resolve the live manifest — or, with ``version``, a RETAINED
+    older generation (time travel within the retention horizon: the
+    Iceberg snapshot-read model — audits, incident forensics, A/B of
+    an index mutation). Refuses a directory that is not a published
+    index of the expected format (missing/foreign pointer), and an
+    expired/unknown version with the retained set in the message."""
     try:
         with open(os.path.join(path, MANIFEST)) as fh:
             m = json.load(fh)
@@ -77,6 +86,16 @@ def read_manifest(path: str, expect_format: str) -> dict:
             "directory is not an index; build one with the writer "
             "(write_text_index / write_ivf_index)"
         ) from None
+    if version is not None and int(m.get("version", -1)) != version:
+        gens = {int(g.get("version", -1)): g for g in retained_manifests(path)}
+        if version not in gens:
+            raise ValueError(
+                f"index at {path} has no retained generation {version}; "
+                f"retained: {sorted(gens)} (older generations were "
+                "pruned past KEEP_GENERATIONS — widen the horizon for "
+                "longer time travel)"
+            )
+        m = gens[version]
     if m.get("format") != expect_format:
         raise ValueError(
             f"index at {path} is format {m.get('format')!r}, expected "

@@ -487,8 +487,12 @@ def write_ivf_index(
         _sh.rmtree(stage, ignore_errors=True)
 
 
-def read_ivf_index(spark, path: str) -> tuple[list[list[float]], DataFrame]:
-    """Resolve the `_CURRENT` manifest and open the live IVF index:
+def read_ivf_index(
+    spark, path: str, version: int | None = None
+) -> tuple[list[list[float]], DataFrame]:
+    """Resolve the `_CURRENT` manifest — or a RETAINED generation via
+    ``version`` (time travel inside the retention horizon; see
+    :func:`.indexfmt.read_manifest`) — and open the IVF index:
     (centroids as a driver list — the quantizer is k·dim tiny, the
     same bounded-collect class as `ivf_centroids` — and the cell
     postings as the union of the manifest's segment scans). Each
@@ -498,7 +502,7 @@ def read_ivf_index(spark, path: str) -> tuple[list[list[float]], DataFrame]:
 
     from . import indexfmt
 
-    m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT)
+    m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT, version=version)
     cent_rows = (
         spark.read.parquet(f"{path}/{m['centroids']}").orderBy("cid").collect()
     )

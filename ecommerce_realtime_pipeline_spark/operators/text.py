@@ -696,9 +696,11 @@ def write_text_index(docs: DataFrame, path: str) -> None:
 
 
 def read_text_index(
-    spark, path: str
+    spark, path: str, version: int | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Resolve the ``_CURRENT`` manifest and open the live index:
+    """Resolve the ``_CURRENT`` manifest — or a RETAINED generation
+    via ``version`` (time travel inside the retention horizon; see
+    :func:`..operators.indexfmt.read_manifest`) — and open the index:
     (postings, dfreq, stats). Postings are the union of the manifest's
     segment scans — each segment keeps its own token partitioning, so
     a term filter prunes to |terms| directories PER SEGMENT (both
@@ -718,7 +720,7 @@ def read_text_index(
 
     from . import indexfmt
 
-    m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
+    m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT, version=version)
     segs = [
         spark.read.parquet(f"{path}/{s}").select("token", "doc_id", "tf", "dl")
         for s in m["segments"]

@@ -4708,6 +4708,138 @@ LLM_ORACLES["docs_hybrid_search_rrf"] = f"""
 """.replace("{bm25}", LLM_ORACLES["docs_bm25_search"])
 
 
+def docs_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hybrid-retrieval composition
+    (`docs_hybrid_search_rrf`'s docstring promise, exercised): BOTH
+    legs serve from persisted indexes with LIVE TOMBSTONES — the
+    lexical leg is BM25 top-20 from the token-partitioned text index
+    after the odd doc_ids are deleted (`delete_from_text_index` —
+    stale idf/avgdl until compaction, the documented Lucene
+    semantics), the semantic leg is IVF ANN top-20 for the vec_id-0
+    query from the cell-partitioned IVF index after the odd vec_ids
+    are deleted (`delete_from_ivf_index` — same live-docs model), and
+    the tails fuse by reciprocal rank exactly like the brute-force
+    variant. Every serving surface in the two index families is on
+    the hash-gated path at once: manifest resolution, partition-pruned
+    segment reads, broadcast tombstone anti-joins, shared scorers.
+
+    Scale stance: identical to the legs' own queries — the fusion is
+    a full-outer join of two k-row lists, driver-trivial anywhere."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        delete_from_text_index,
+        read_text_index,
+        write_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="eng_hybrid_idx_")
+    try:
+        # lexical index: full build, odd ids tombstoned
+        tpath = os.path.join(tmp, "text")
+        write_text_index(docs, tpath)
+        delete_from_text_index(
+            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), tpath
+        )
+        postings, dfreq, stats = read_text_index(spark, tpath)
+        lex = (
+            _bm25_rank(
+                postings.filter(F.col("token").isin(*BM25_TERMS)).select(
+                    "doc_id", "token", "tf", "dl"
+                ),
+                dfreq.filter(F.col("token").isin(*BM25_TERMS)),
+                stats,
+            )
+            .withColumn(
+                "lex_rank",
+                F.row_number().over(
+                    Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+                ),
+            )
+            .select("doc_id", "lex_rank")
+        )
+        # semantic index: full build (emb_knn_ivf's quantizer — shared
+        # session memo), odd ids tombstoned
+        ipath = os.path.join(tmp, "ivf")
+        SIM.write_ivf_index(emb, ipath, cache_key=f"{sf_dir}/embeddings")
+        SIM.delete_from_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 1).select("vec_id"), ipath
+        )
+        sem = SIM.knn_ivf_from_index(
+            spark, ipath, emb.filter(F.col("vec_id") == 0), k=20, n_probe=8
+        ).select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("sem_rank"),
+        )
+        fused = (
+            lex.join(sem, "doc_id", "full_outer")
+            .withColumn(
+                "rrf_score",
+                F.round(
+                    F.coalesce(
+                        1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+                    )
+                    + F.coalesce(
+                        1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
+                    ),
+                    6,
+                ),
+            )
+            .orderBy(F.col("rrf_score").desc(), "doc_id")
+            .limit(10)
+            .select("doc_id", "lex_rank", "sem_rank", "rrf_score")
+        )
+        return fused.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ivf_tombstoned_sem_leg_sql() -> str:
+    """The emb_knn_ivf oracle chain reshaped into the indexed hybrid's
+    semantic leg: query set = vec_id 0 only, candidates restricted to
+    the surviving (even) vectors — the tombstone anti-join's effect —
+    and the cut deepened to top-20."""
+    sql = LLM_ORACLES["emb_knn_ivf"]
+    probe_anchor = "WHERE rn <= 8 AND vec_id < 10"
+    cand_anchor = "WHERE a.vec_id <> p.query_id"
+    cut_anchor = "FROM ranked WHERE rank <= 5"
+    for a in (probe_anchor, cand_anchor, cut_anchor):
+        assert sql.count(a) == 1
+    return (
+        sql.replace(probe_anchor, "WHERE rn <= 8 AND vec_id = 0")
+        .replace(cand_anchor, "WHERE a.vec_id <> p.query_id AND a.vec_id % 2 = 0")
+        .replace(cut_anchor, "FROM ranked WHERE rank <= 20")
+    )
+
+
+LLM_ORACLES["docs_hybrid_search_rrf_indexed"] = f"""
+    WITH lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        FROM ({{bm25_deleted}})
+    ),
+    sem AS (
+        SELECT neighbor_id AS doc_id, rank AS sem_rank
+        FROM ({{ivf_sem}})
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(sem_rank AS INT) AS sem_rank,
+           ROUND(COALESCE(1.0 / ({RRF_K} + lex_rank), 0)
+                 + COALESCE(1.0 / ({RRF_K} + sem_rank), 0), 6) AS rrf_score
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+""".replace("{bm25_deleted}", LLM_ORACLES["docs_bm25_index_deleted"]).replace(
+    "{ivf_sem}", _ivf_tombstoned_sem_leg_sql()
+)
+
+
 def emb_knn_ivf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance end to end
     (`similarity.merge_ivf_index`): the IVF-flat index is built over

@@ -122,20 +122,22 @@ def test_flip_retains_previous_generation_and_vacuum_spares_it(tmp_path):
 
 
 def test_vacuum_reclaims_past_the_retention_horizon(tmp_path):
-    """One more flip prunes the oldest snapshot (KEEP_GENERATIONS=1)
+    """Enough flips prune the oldest snapshots (KEEP_GENERATIONS=2 —
+    the merge+inline-compact double flip is one logical operation)
     and vacuum then reclaims the v1-only children — retention delays
     reclamation by exactly the horizon, it never leaks forever."""
     p = str(tmp_path / "idx")
-    _mk(p, {"format": "text-index", "version": 1, "segments": ["seg-a"]})
-    for d in ("seg-a", "seg-b", "seg-c"):
+    for d in ("seg-a", "seg-b", "seg-c", "seg-d"):
         os.makedirs(os.path.join(p, d))
-    _mk(p, {"format": "text-index", "version": 2, "segments": ["seg-b"]})
-    _mk(p, {"format": "text-index", "version": 3, "segments": ["seg-c"]})
+    for v, seg in enumerate(("seg-a", "seg-b", "seg-c", "seg-d"), start=1):
+        _mk(p, {"format": "text-index", "version": v, "segments": [seg]})
+    # newest 2 snapshots retained, v1's pruned
     assert not os.path.exists(os.path.join(p, f"{indexfmt.GEN_PREFIX}1"))
     assert os.path.exists(os.path.join(p, f"{indexfmt.GEN_PREFIX}2"))
+    assert os.path.exists(os.path.join(p, f"{indexfmt.GEN_PREFIX}3"))
     assert indexfmt.vacuum(p, "text-index") == ["seg-a"]
-    assert os.path.isdir(os.path.join(p, "seg-b"))  # inside horizon
-    assert os.path.isdir(os.path.join(p, "seg-c"))  # current
+    for kept in ("seg-b", "seg-c", "seg-d"):  # inside horizon + current
+        assert os.path.isdir(os.path.join(p, kept))
 
 
 def test_vacuum_reclaims_stale_tmp_pointer_files(tmp_path):

@@ -1712,6 +1712,156 @@ def test_delete_from_text_index_lucene_live_docs_semantics(spark, tmp_path):
     assert [d for d, _ in side] == [1, 2, 5, 6]
 
 
+def test_concurrent_reader_survives_inline_compaction(spark, tmp_path):
+    """THE concurrent-reader window the r8 design documented and r9
+    closes with generation retention: a reader resolves the index
+    (lazy frames pin the OLD manifest's file list), a merge with
+    max_segments then triggers an INLINE compaction + vacuum — and
+    the reader's collect() must still succeed, because vacuum spares
+    every child the retained previous generation references. One
+    more flip+vacuum later (past the horizon) the old segments are
+    actually reclaimed — retention delays, never leaks."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        compact_text_index,
+        merge_text_index,
+        read_text_index,
+        write_text_index,
+    )
+
+    inc = str(tmp_path / "inc")
+    write_text_index(_mk_docs(spark, [(1, "alpha beta")]), inc)
+    merge_text_index(_mk_docs(spark, [(2, "beta gamma")]), inc)
+    m_old = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    # the reader: resolves the 2-segment manifest, does NOT execute yet
+    postings_old, dfreq_old, _ = read_text_index(spark, inc)
+    # a routine merge crosses the tier size -> inline compact + vacuum
+    merge_text_index(_mk_docs(spark, [(3, "gamma delta")]), inc, max_segments=2)
+    m_new = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    assert len(m_new["segments"]) == 1  # compaction really ran
+    # old generation's children all still on disk...
+    for child in indexfmt.referenced_children(m_old):
+        assert os.path.isdir(os.path.join(inc, child)), child
+    # ...so the in-flight reader completes instead of FileNotFound —
+    # including its METADATA tables, which are superseded at every
+    # flip and sit TWO generations back after the merge+compact
+    # double flip (why KEEP_GENERATIONS is 2)
+    assert {r["doc_id"] for r in postings_old.collect()} == {1, 2}
+    assert dfreq_old.count() > 0
+    # past the horizon: two more flips prune the old snapshots and
+    # vacuum actually reclaims the pre-compaction segments
+    merge_text_index(_mk_docs(spark, [(4, "delta epsilon")]), inc)
+    merge_text_index(_mk_docs(spark, [(5, "epsilon zeta")]), inc)
+    reclaimed = indexfmt.vacuum(inc, TEXT_INDEX_FORMAT)
+    assert set(m_old["segments"]) <= set(reclaimed)
+
+
+def test_index_time_travel_reads_retained_generation(spark, tmp_path):
+    """Snapshot reads within the retention horizon (the Iceberg
+    time-travel model on the _GEN snapshots): after a merge, reading
+    at the pre-merge version returns exactly the pre-merge index for
+    BOTH families; an expired/unknown version names the retained set
+    in the error."""
+    import pytest as _pytest
+
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        merge_text_index,
+        read_text_index,
+        write_text_index,
+    )
+
+    inc = str(tmp_path / "inc")
+    write_text_index(_mk_docs(spark, [(1, "alpha beta")]), inc)
+    want_v1 = _text_index_content(spark, inc)
+    merge_text_index(_mk_docs(spark, [(2, "beta gamma")]), inc)
+    assert _text_index_content(spark, inc) != want_v1  # live index moved
+    p1, d1, s1 = read_text_index(spark, inc, version=1)
+    got_v1 = (
+        sorted(tuple(r) for r in p1.collect()),
+        sorted(tuple(r) for r in d1.collect()),
+        sorted(tuple(r) for r in s1.collect()),
+    )
+    assert got_v1 == want_v1
+    with _pytest.raises(ValueError, match="no retained generation 99"):
+        read_text_index(spark, inc, version=99)
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, [float((i * 3 + d) % 7) - 3.0 for d in range(4)], 0) for i in ids],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(range(0, 10)), ivf, n_centroids=2)
+    _, cells1 = SIM.read_ivf_index(spark, ivf)
+    want_ids = sorted(int(r["neighbor_id"]) for r in cells1.collect())
+    SIM.merge_ivf_index(mk(range(10, 14)), ivf)
+    _, old_cells = SIM.read_ivf_index(spark, ivf, version=1)
+    assert sorted(int(r["neighbor_id"]) for r in old_cells.collect()) == want_ids
+    # reading the CURRENT version explicitly is also fine
+    cur_v = indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)["version"]
+    _, cur_cells = SIM.read_ivf_index(spark, ivf, version=cur_v)
+    assert cur_cells.count() == len(want_ids) + 4
+
+
+def test_ivf_delete_compact_equals_fresh_build_over_survivors(spark, tmp_path):
+    """Tombstone lifecycle SYMMETRY for the IVF family (text already
+    pins delete→compact ≡ fresh-build-over-survivors): build over the
+    evens (quantizer trains there — the emb_knn_ivf_merged sample
+    contract), merge the odds in, tombstone exactly the odds, compact
+    — the physical index must be bit-identical (cells, ids, stored
+    vectors) to the ORIGINAL even-only index, and serving from it must
+    equal serving from a fresh even-only build (same quantizer sample
+    ⇒ same centroids ⇒ same everything)."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    def content(path):
+        _, cells = SIM.read_ivf_index(spark, path)
+        return sorted(
+            (int(r["cell"]), int(r["neighbor_id"]), tuple(r["_v"]))
+            for r in cells.collect()
+        )
+
+    def serve(path):
+        return sorted(
+            tuple(r)
+            for r in SIM.knn_ivf_from_index(
+                spark, path, mk([100, 102]), k=3, n_probe=2
+            ).collect()
+        )
+
+    evens, odds = list(range(100, 140, 2)), list(range(101, 140, 2))
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    SIM.write_ivf_index(mk(evens), a, n_centroids=4)
+    want_content, cents0 = content(a), SIM.read_ivf_index(spark, a)[0]
+    SIM.merge_ivf_index(mk(odds), a)
+    assert SIM.delete_from_ivf_index(
+        spark.createDataFrame([(i,) for i in odds], "vec_id long"), a
+    ) == len(odds)
+    assert SIM.compact_ivf_index(spark, a) == 2
+    m = indexfmt.read_manifest(a, SIM.IVF_INDEX_FORMAT)
+    assert m.get("tombstones", []) == [] and len(m["segments"]) == 1
+    # physical identity across the delete/compact boundary
+    assert content(a) == want_content
+    assert SIM.read_ivf_index(spark, a)[0] == cents0  # quantizer untouched
+    # serving identity vs a fresh build over the survivor set
+    SIM.write_ivf_index(mk(evens), b, n_centroids=4)
+    assert serve(a) == serve(b)
+
+
 def test_compact_refuses_fully_tombstoned_index(spark, tmp_path):
     """Deleting EVERY doc and compacting must refuse loudly (an empty
     partitioned write is unreadable on the way back — the same

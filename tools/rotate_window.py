@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Generate the driver-window rotation for ``__spark_entry__.queries()``.
+
+The external driver verifies the FIRST 50 registered queries each
+round, so registration order IS the verification rotation. Rewriting
+the dict by hand at 189+ queries is error-prone (round-8 verdict task
+7), so this tool derives the order mechanically:
+
+1. Fold every ``CORRECTNESS_r*.json`` into a latest-evidence map
+   (query -> last round with a driver row, plus whether it was green).
+2. Order the window: never-driver-checked queries FIRST (they need
+   evidence most), then everything else OLDEST EVIDENCE FIRST;
+   queries named via ``--new`` (registered this round, no evidence by
+   construction) are placed at the END of the non-streaming window
+   instead of the front, per the verdict's "window tail" placement.
+3. Apply the two standing layout constraints inside the window:
+   - WARMERS_BEFORE: a dependent never precedes its session-memo
+     warmer (ANN artifact reuse keeps the window cheap);
+   - streaming/monitoring fixtures close the window, so a wall-budget
+     cut costs the fewest rows.
+4. The tail (positions 51+) is everything else, oldest evidence
+   first, so the NEXT rotation can slice from the top.
+
+Prints the full ``queries()`` dict body (``"name": mod.func,`` lines
+with section comments) for review + paste, and a per-round evidence
+summary to stderr. Pass ``--force-window name ...`` to pin specific
+queries into the window regardless of age (e.g. rows whose code
+changed this round)."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+#: session-memo warmers: key must precede any of its dependents that
+#: share the window (the dependents reuse the warmer's cached ANN
+#: artifacts — quantizer cells, PQ codebooks)
+WARMERS_BEFORE = {
+    "emb_knn_ivf": [
+        "emb_knn_ivf_persisted",
+        "emb_knn_ivfpq",
+        "emb_semdedup",
+        "emb_knn_same_label",
+        "emb_recall_vs_probes",
+        "emb_ann_recall",
+    ],
+    "emb_pq_codes": ["emb_knn_pq", "emb_knn_ivfpq"],
+}
+
+#: fixtures that should CLOSE the window (micro-batch machinery and
+#: end-to-end pipelines — the most wall-expensive rows)
+_CLOSERS = re.compile(r"^(streaming_|monitoring_|pipeline_)")
+
+
+def fold_evidence() -> dict[str, tuple[int, bool]]:
+    """query -> (latest round with a driver row, green on that row)."""
+    out: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r0*(\d+)", path).group(1))
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            green = bool(
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            out[name] = (rnd, green)
+    return out
+
+
+def registry() -> dict[str, str]:
+    """name -> 'module_alias.func' from the live registry."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry  # noqa: PLC0415
+
+    alias = {
+        "ecommerce_realtime_pipeline_spark.plans.kpi": "kpi",
+        "ecommerce_realtime_pipeline_spark.plans.dq": "dq",
+        "ecommerce_realtime_pipeline_spark.plans.llm": "llm",
+        "ecommerce_realtime_pipeline_spark.plans.gen": "gen",
+        "ecommerce_realtime_pipeline_spark.plans.temporal": "temporal",
+    }
+    out = {}
+    for name, fn in entry.queries().items():
+        out[name] = f"{alias.get(fn.__module__, fn.__module__)}.{fn.__name__}"
+    return out
+
+
+def order_window(names: list[str]) -> list[str]:
+    """Apply the in-window layout constraints: closers last, warmers
+    before their in-window dependents (stable otherwise)."""
+    body = [n for n in names if not _CLOSERS.match(n)]
+    closers = [n for n in names if _CLOSERS.match(n)]
+    for warmer, deps in WARMERS_BEFORE.items():
+        if warmer not in body:
+            continue
+        first_dep = min(
+            (body.index(d) for d in deps if d in body), default=None
+        )
+        if first_dep is not None and body.index(warmer) > first_dep:
+            body.remove(warmer)
+            body.insert(first_dep, warmer)
+    return body + closers
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--new", nargs="*", default=[], help="queries registered this round: placed at the window tail (before closers), not the front")
+    ap.add_argument("--force-window", nargs="*", default=[], help="pin these into the window regardless of evidence age")
+    args = ap.parse_args()
+
+    ev = fold_evidence()
+    reg = registry()
+    pos = {n: i for i, n in enumerate(reg)}
+    missing = [n for n in ev if n not in reg]
+    if missing:
+        print(f"WARNING: evidence for unregistered queries: {missing}", file=sys.stderr)
+
+    never = [n for n in reg if n not in ev and n not in args.new]
+    aged = sorted(
+        (n for n in reg if n in ev),
+        key=lambda n: (ev[n][0], pos[n]),
+    )
+    red = [n for n in reg if n in ev and not ev[n][1]]
+    if red:
+        print(f"WARNING: latest driver verdict RED for: {red}", file=sys.stderr)
+
+    forced = [n for n in args.force_window if n in reg]
+    head = never + [n for n in forced if n not in never]
+    rest = [n for n in aged if n not in head]
+    take = WINDOW - len(head) - len(args.new)
+    window = order_window(head + rest[:take] + list(args.new))
+    tail = [n for n in rest[take:] if n not in args.new]
+
+    by_round: dict[int, int] = {}
+    for n in window:
+        by_round[ev.get(n, (0, False))[0]] = by_round.get(ev.get(n, (0, False))[0], 0) + 1
+    print(f"window={len(window)} tail={len(tail)} evidence-rounds-in-window={by_round}", file=sys.stderr)
+
+    print("        # ---- positions 1-50: THE CHECK WINDOW (generated by tools/rotate_window.py) ----")
+    for n in window:
+        rnd = ev.get(n, (None, None))[0]
+        note = f"  # evidence: r{rnd}" if rnd else "  # NEW — no driver evidence yet"
+        print(f'        "{n}": {reg[n]},{note}')
+    print("        # ---- positions 51+: driver-green tail, oldest evidence first ----")
+    for n in tail:
+        print(f'        "{n}": {reg[n]},  # evidence: r{ev[n][0]}')
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
