@@ -1757,6 +1757,58 @@ def test_concurrent_reader_survives_inline_compaction(spark, tmp_path):
     assert set(m_old["segments"]) <= set(reclaimed)
 
 
+def test_streaming_index_fold_exactly_once_and_empty_landing(spark, tmp_path):
+    """The streaming index-maintenance loop's idempotence story: two
+    availableNow runs over ONE checkpoint fold each landed file into
+    the index exactly once (a replay would double postings — tf would
+    inflate, caught here by exact content equality vs a one-shot
+    build), and a third run with NO new files is a complete no-op
+    (no version bump, no empty-batch write)."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        merge_text_index,
+        write_text_index,
+    )
+
+    rows_a = [(1, "alpha beta"), (2, "beta gamma")]
+    rows_b = [(3, "gamma delta")]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def fold(batch_df, batch_id):
+        rows = batch_df.select("doc_id", "text", "lang", "source", "n_chars")
+        if rows.isEmpty():
+            return
+        if indexfmt.has_index(idx):
+            merge_text_index(rows, idx)
+        else:
+            write_text_index(rows, idx)
+
+    def run():
+        (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    for batch in (rows_a, rows_b):
+        _mk_docs(spark, batch).repartition(1).write.mode("append").parquet(src)
+        run()
+    v2 = indexfmt.read_manifest(idx, TEXT_INDEX_FORMAT)["version"]
+    run()  # no new files: exactly-once tracking makes this a no-op
+    assert indexfmt.read_manifest(idx, TEXT_INDEX_FORMAT)["version"] == v2
+    full = str(tmp_path / "full")
+    write_text_index(_mk_docs(spark, rows_a + rows_b), full)
+    assert _text_index_content(spark, idx) == _text_index_content(spark, full)
+
+
 def test_index_time_travel_reads_retained_generation(spark, tmp_path):
     """Snapshot reads within the retention horizon (the Iceberg
     time-travel model on the _GEN snapshots): after a merge, reading
