@@ -788,6 +788,48 @@ def test_tombstoned_index_keeps_pruning_and_broadcasts_antijoin(spark, tmp_path)
     assert len(dpp) == 2, plan2[:900]
 
 
+def test_tombstoned_ivf_serving_keeps_pruning_and_broadcasts_antijoin(
+    spark, tmp_path
+):
+    """The IVF twin of the tombstoned-text pin, on the FULL serving
+    path (`knn_ivf_from_index` with deletes pending compaction):
+    (a) probed cells still land as PartitionFilters on every segment
+    scan, (b) the live-docs mask plans as a BROADCAST anti-join (the
+    tombstone set is bounded by deletes-since-compaction; a sort-merge
+    anti-join would shuffle the cell corpus), and (c) no SortMergeJoin
+    anywhere in the serving plan."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(range(0, 60, 2)), path, n_centroids=4)
+    SIM.merge_ivf_index(mk(range(1, 60, 2)), path)
+    SIM.delete_from_ivf_index(
+        spark.createDataFrame([(3,), (7,)], "vec_id long"), path
+    )
+    served = SIM.knn_ivf_from_index(spark, path, mk([100]), k=3, n_probe=2)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    seg_filters = [
+        f
+        for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if f.strip()  # tombstone/centroid scans carry no partitions
+    ]
+    # 2 segments x 2 pruned scans (candidate gen + rerank vectors)
+    assert len(seg_filters) >= 2 and all("cell" in f for f in seg_filters), plan[:900]
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:900]
+    assert "SortMergeJoin" not in plan, plan[:900]
+
+
 def test_bulk_token_read_uses_dpp_not_in_literal(spark, tmp_path):
     """The bulk-token index read (DataFrame-valued term sets:
     decontamination lists, backfill audits) must prune token
