@@ -425,10 +425,22 @@ def emb_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same quantizer parameters as ``emb_knn_ivf`` ⇒ bit-identical
     results ⇒ shares its DuckDB oracle verbatim."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # path key includes the source file's (size, mtime): a regenerated
-    # corpus invalidates the on-disk index instead of serving stale
-    # cells (the poor man's index-freshness check; production tracks a
-    # source snapshot id in the index manifest)
+    path = _persisted_ivf_path(spark, sf_dir, emb)
+    return SIM.knn_ivf_from_index(
+        spark, path, _query_vectors(emb), k=KNN_K, n_probe=8
+    )
+
+
+def _persisted_ivf_path(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+    """Build-once path of the session-shared persisted IVF index.
+
+    The path key includes the source file's (size, mtime): a
+    regenerated corpus invalidates the on-disk index instead of
+    serving stale cells (the poor man's index-freshness check;
+    production tracks a source snapshot id in the index manifest).
+    Shared by every query that SERVES from the canonical full-corpus
+    index (`emb_knn_ivf_persisted`, `emb_ivf_index_health`) — queries
+    that MUTATE an index (deletes, merges) build their own copy."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
         st = os.stat(src)
@@ -448,9 +460,7 @@ def emb_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(path):
             shutil.rmtree(path, ignore_errors=True)
         SIM.write_ivf_index(emb, path, cache_key=f"{sf_dir}/embeddings")
-    return SIM.knn_ivf_from_index(
-        spark, path, _query_vectors(emb), k=KNN_K, n_probe=8
-    )
+    return path
 
 
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4706,6 +4716,147 @@ LLM_ORACLES["docs_hybrid_search_rrf"] = f"""
     ORDER BY rrf_score DESC, doc_id
     LIMIT 10
 """.replace("{bm25}", LLM_ORACLES["docs_bm25_search"])
+
+
+def emb_ivf_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index HEALTH report — the ops query every ANN deployment
+    runs on a schedule: per-cell posting-list occupancy plus each
+    cell's ratio to the mean. Occupancy skew is the quantizer-drift
+    alarm (merges assign new vectors to FROZEN centroids, so a
+    drifting corpus piles into few cells, degrading the cell-pruning
+    guarantee that makes IVF sublinear — ratios ≫ 1 say "rebuild the
+    quantizer", exactly Lucene's force-merge / Faiss re-train
+    trigger). Serves from the persisted index (shared stamp-keyed
+    build with `emb_knn_ivf_persisted`); the count aggregates prune
+    to zero data columns, so the scan is column-pruned to the
+    partition key — index metadata cost, not vector I/O. The oracle
+    re-derives the assignment from the IVF CTE chain and aggregates
+    the same occupancy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _persisted_ivf_path(spark, sf_dir, emb)
+    _, cells = SIM.read_ivf_index(spark, path)
+    occ = cells.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    mean = occ.agg(F.avg("n_vecs").alias("_mean"))
+    return (
+        occ.crossJoin(F.broadcast(mean))
+        .select(
+            "cell",
+            "n_vecs",
+            F.round(F.col("n_vecs").cast("double") / F.col("_mean"), 4).alias(
+                "occupancy_ratio"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+def _ivf_occupancy_sql() -> str:
+    """Truncate the emb_knn_ivf oracle chain after its `assign` CTE
+    and aggregate per-cell occupancy — the health report's oracle."""
+    sql = LLM_ORACLES["emb_knn_ivf"]
+    anchor = "assign AS (SELECT vec_id, cid FROM cell_sims WHERE rn = 1),"
+    assert sql.count(anchor) == 1
+    prefix = sql[: sql.index(anchor) + len(anchor)].rstrip().rstrip(",")
+    return f"""{prefix},
+        occ AS (SELECT cid AS cell, count(*) AS n_vecs FROM assign GROUP BY 1),
+        tot AS (SELECT AVG(n_vecs * 1.0) AS mean_n FROM occ)
+        SELECT CAST(cell AS INT) AS cell,
+               CAST(n_vecs AS BIGINT) AS n_vecs,
+               ROUND(n_vecs / (SELECT mean_n FROM tot), 4) AS occupancy_ratio
+        FROM occ ORDER BY cell
+    """
+
+
+LLM_ORACLES["emb_ivf_index_health"] = _ivf_occupancy_sql()
+
+
+def docs_text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-index LIFECYCLE observability — the `_cat/segments` API of
+    a search cluster as one driver-checkable row: run the scripted
+    lifecycle (build evens → merge odds → tombstone odds) and report
+    the manifest plane (version, live segments, pending tombstones)
+    next to the data plane (vocab size, the deliberately-stale
+    pre-delete n_docs/sum_dl, and the post-mask live doc count). The
+    split view IS the point: n_docs ≠ n_live_docs is the
+    "compaction owed" signal operators alert on (Lucene's
+    deleted-docs ratio). Manifest fields are analytic constants of
+    the script; corpus fields recompute in SQL."""
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        delete_from_text_index,
+        merge_text_index,
+        read_text_index,
+        write_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="eng_textidx_h_")
+    try:
+        path = os.path.join(tmp, "index")
+        write_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+        merge_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+        n_tomb = delete_from_text_index(
+            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), path
+        )
+        m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
+        postings, dfreq, stats = read_text_index(spark, path)
+        return (
+            dfreq.agg(F.count("*").cast("long").alias("vocab_size"))
+            .crossJoin(
+                stats.select(
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("sum_dl").cast("long").alias("sum_dl"),
+                )
+            )
+            .crossJoin(
+                postings.select("doc_id")
+                .distinct()
+                .agg(F.count("*").cast("long").alias("n_live_docs"))
+            )
+            .select(
+                F.lit(int(m["version"])).cast("int").alias("version"),
+                F.lit(len(m["segments"])).cast("int").alias("n_segments"),
+                F.lit(n_tomb).cast("long").alias("n_tombstoned"),
+                "vocab_size",
+                "n_docs",
+                "sum_dl",
+                "n_live_docs",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# manifest plane = analytic constants of the scripted lifecycle
+# (build=v1, merge=v2, delete=v3; merge appends exactly one segment);
+# corpus plane recomputed from the documents table.
+LLM_ORACLES["docs_text_index_stats"] = """
+    WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    SELECT CAST(3 AS INT) AS version,
+           CAST(2 AS INT) AS n_segments,
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 2 = 1)
+               AS BIGINT) AS n_tombstoned,
+           CAST((SELECT count(DISTINCT token) FROM toks) AS BIGINT)
+               AS vocab_size,
+           CAST((SELECT count(*) FROM dl) AS BIGINT) AS n_docs,
+           -- SUM over BIGINT is HUGEINT in DuckDB; pin the wire type
+           CAST((SELECT SUM(dl) FROM dl) AS BIGINT) AS sum_dl,
+           CAST((SELECT count(DISTINCT doc_id) FROM toks
+                 WHERE doc_id % 2 = 0) AS BIGINT) AS n_live_docs
+"""
 
 
 def docs_bm25_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
