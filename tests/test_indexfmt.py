@@ -155,6 +155,65 @@ def test_vacuum_reclaims_stale_tmp_pointer_files(tmp_path):
     assert indexfmt.read_manifest(p, "text-index")["version"] == 1
 
 
+def test_retention_invariants_hold_under_random_lifecycles(tmp_path):
+    """Property test over random flip/vacuum sequences (the hypothesis
+    stateful pattern, driven with a seeded RNG for determinism): after
+    ANY interleaving of manifest flips (each publishing a fresh child
+    set) and vacuums,
+
+    1. every child referenced by ANY retained generation still exists
+       (the concurrent-reader guarantee),
+    2. at most KEEP_GENERATIONS snapshot files are retained,
+    3. reading at any retained version succeeds and returns exactly
+       that generation's manifest,
+    4. a vacuum never touches the CURRENT manifest's children.
+    """
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(20):
+        p = str(tmp_path / f"idx{trial}")
+        os.makedirs(p)
+        version = 0
+        next_child = 0
+        for _ in range(rng.randint(2, 9)):
+            if rng.random() < 0.7 or version == 0:
+                version += 1
+                children = []
+                for _ in range(rng.randint(1, 3)):
+                    name = f"seg-{next_child:04d}"
+                    next_child += 1
+                    os.makedirs(os.path.join(p, name))
+                    children.append(name)
+                indexfmt.write_manifest(
+                    p,
+                    {"format": "text-index", "version": version,
+                     "segments": children},
+                )
+            else:
+                indexfmt.vacuum(p, "text-index")
+            # invariant 2: snapshot count bounded
+            gens = [
+                f for f in os.listdir(p)
+                if f.startswith(indexfmt.GEN_PREFIX) and ".tmp-" not in f
+            ]
+            assert len(gens) <= indexfmt.KEEP_GENERATIONS, (trial, gens)
+            # invariants 1 + 3: every retained generation fully readable
+            for m in indexfmt.retained_manifests(p):
+                got = indexfmt.read_manifest(
+                    p, "text-index", version=int(m["version"])
+                )
+                assert got == m
+                for child in indexfmt.referenced_children(m):
+                    assert os.path.isdir(os.path.join(p, child)), (trial, child)
+        # invariant 4: a final vacuum spares the live children
+        live = indexfmt.referenced_children(
+            indexfmt.read_manifest(p, "text-index")
+        )
+        deleted = indexfmt.vacuum(p, "text-index")
+        assert not set(deleted) & live
+
+
 def test_write_manifest_flip_is_replace_not_append(tmp_path):
     """A second flip fully replaces the pointer contents (no partial
     JSON): simulate successive merges and check the last one wins."""
