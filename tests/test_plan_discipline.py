@@ -830,6 +830,24 @@ def test_tombstoned_ivf_serving_keeps_pruning_and_broadcasts_antijoin(
     assert "SortMergeJoin" not in plan, plan[:900]
 
 
+def test_ivf_health_report_reads_zero_data_columns(spark, sf_dir):
+    """The occupancy health report must cost index METADATA, not
+    vector I/O: counting rows per cell prunes every data column (the
+    inline vectors are the index's bulk), so each segment FileScan
+    shows ReadSchema: struct<> with only the cell partition key."""
+    from ecommerce_realtime_pipeline_spark.plans import llm
+
+    plan = (
+        llm.emb_ivf_index_health(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = re.findall(r"FileScan parquet \[[^\]]*\][^\n]*ReadSchema: (\S+)", plan)
+    ivf_scans = [s for s in scans if s.startswith("struct")]
+    assert ivf_scans and all(s == "struct<>" for s in ivf_scans), plan[:900]
+
+
 def test_bulk_token_read_uses_dpp_not_in_literal(spark, tmp_path):
     """The bulk-token index read (DataFrame-valued term sets:
     decontamination lists, backfill audits) must prune token
