@@ -1518,7 +1518,9 @@ def merge_ivf_index(
     return touched
 
 
-def delete_from_ivf_index(vec_ids: DataFrame, path: str) -> int:
+def delete_from_ivf_index(
+    vec_ids: DataFrame, path: str, max_deleted_ratio: float | None = None
+) -> int:
     """DELETE support for the persisted IVF index — the Lucene
     live-docs model, mirroring ``text.delete_from_text_index``: the
     vec-id set is written as an immutable TOMBSTONE child and one
@@ -1527,10 +1529,17 @@ def delete_from_ivf_index(vec_ids: DataFrame, path: str) -> int:
     deleted vectors stop appearing as neighbors immediately;
     `compact_ivf_index` applies them physically and clears the list.
     An UPDATE is delete + `merge_ivf_index` of the new vector. Cost:
-    O(|deleted ids|) write + a pointer flip, never O(index). Returns
-    the number of tombstoned ids."""
+    O(|deleted ids|) write + a pointer flip, never O(index).
+
+    ``max_deleted_ratio`` is the deletes-percentage compaction POLICY
+    (mirroring the text twin): when the cumulative tombstone count
+    exceeds that ratio of the live cell rows, compaction runs inline,
+    bounding the serving anti-join and the dead bytes on disk. Safe
+    under concurrent readers via generation retention. Returns the
+    number of newly tombstoned ids."""
     from . import indexfmt
 
+    spark = vec_ids.sparkSession
     m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT)
     ids = (
         vec_ids.select(F.col("vec_id").alias("neighbor_id"))
@@ -1542,14 +1551,26 @@ def delete_from_ivf_index(vec_ids: DataFrame, path: str) -> int:
         return 0
     tomb = indexfmt.new_dir_name("tomb")
     ids.write.mode("overwrite").parquet(f"{path}/{tomb}")
+    tombs = [*m.get("tombstones", []), tomb]
     indexfmt.write_manifest(  # ---- the single commit point ----
         path,
         {
             **m,
             "version": int(m["version"]) + 1,
-            "tombstones": [*m.get("tombstones", []), tomb],
+            "tombstones": tombs,
         },
     )
+    if max_deleted_ratio is not None:
+        n_rows = sum(
+            spark.read.parquet(f"{path}/{s}").count() for s in m["segments"]
+        )
+        n_dead = sum(
+            spark.read.parquet(f"{path}/{t}").count() for t in tombs
+        )
+        # n_dead == n_rows stays tombstoned: compaction refuses to
+        # publish an empty index (caller drops the directory instead)
+        if 0 < n_dead < n_rows and n_dead / n_rows > max_deleted_ratio:
+            compact_ivf_index(spark, path)
     return n
 
 

@@ -895,7 +895,9 @@ def merge_text_index(
     return touched
 
 
-def delete_from_text_index(doc_ids: DataFrame, path: str) -> int:
+def delete_from_text_index(
+    doc_ids: DataFrame, path: str, max_deleted_ratio: float | None = None
+) -> int:
     """DELETE support for the persisted text index — the Lucene
     live-docs model on the manifest layout: the doc-id set is written
     as an immutable TOMBSTONE child and one atomic pointer flip
@@ -911,10 +913,17 @@ def delete_from_text_index(doc_ids: DataFrame, path: str) -> int:
 
     Cost: O(|deleted ids|) write + a pointer flip — never O(index);
     serving pays one broadcast anti-join while tombstones are live,
-    which the compaction policy keeps bounded. Returns the number of
-    tombstoned ids."""
+    which the compaction policy keeps bounded. ``max_deleted_ratio``
+    makes that policy EXPLICIT (Lucene's deletes-percentage tier
+    trigger): when set and the cumulative tombstone count exceeds the
+    ratio of the index's doc count, compaction runs inline — so the
+    stale-idf window, the serving anti-join size, and the dead bytes
+    on disk are all bounded by the knob. Safe under concurrent
+    readers via generation retention, same as ``max_segments``.
+    Returns the number of newly tombstoned ids."""
     from . import indexfmt
 
+    spark = doc_ids.sparkSession
     m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
     ids = doc_ids.select("doc_id").distinct().localCheckpoint()
     n = ids.count()
@@ -922,14 +931,28 @@ def delete_from_text_index(doc_ids: DataFrame, path: str) -> int:
         return 0
     tomb = indexfmt.new_dir_name("tomb")
     ids.write.mode("overwrite").parquet(f"{path}/{tomb}")
+    tombs = [*m.get("tombstones", []), tomb]
     indexfmt.write_manifest(  # ---- the single commit point ----
         path,
         {
             **m,
             "version": int(m["version"]) + 1,
-            "tombstones": [*m.get("tombstones", []), tomb],
+            "tombstones": tombs,
         },
     )
+    if max_deleted_ratio is not None:
+        # both counts are metadata-cheap: the 1-row stats table and
+        # the bounded tombstone id sets
+        n_docs = int(
+            spark.read.parquet(f"{path}/{m['stats']}").collect()[0]["n_docs"]
+        )
+        n_dead = sum(
+            spark.read.parquet(f"{path}/{t}").count() for t in tombs
+        )
+        # n_dead == n_docs stays tombstoned: compaction refuses to
+        # publish an empty index (caller drops the directory instead)
+        if 0 < n_dead < n_docs and n_dead / n_docs > max_deleted_ratio:
+            compact_text_index(spark, path)
     return n
 
 

@@ -1914,6 +1914,69 @@ def test_ivf_delete_compact_equals_fresh_build_over_survivors(spark, tmp_path):
     assert serve(a) == serve(b)
 
 
+def test_max_deleted_ratio_policy_compacts_inline_both_families(spark, tmp_path):
+    """The deletes-percentage compaction policy (Lucene's tier
+    trigger), both families: a delete below the ratio leaves
+    tombstones live (no O(index) work on the hot path); the delete
+    that crosses it compacts INLINE — tombstones cleared, content
+    equal to a fresh build over the survivors; and deleting EVERYTHING
+    stays tombstoned instead of raising (an empty index is
+    unpublishable — the caller drops the directory)."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        delete_from_text_index,
+        write_text_index,
+    )
+
+    rows = [(i, f"tok{i} shared") for i in range(10)]
+    inc = str(tmp_path / "inc")
+    write_text_index(_mk_docs(spark, rows), inc)
+
+    def ids(lo, hi):
+        return spark.createDataFrame([(i,) for i in range(lo, hi)], "doc_id long")
+
+    # 2/10 dead: under the 0.3 ratio, tombstones stay live
+    assert delete_from_text_index(ids(0, 2), inc, max_deleted_ratio=0.3) == 2
+    m = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    assert len(m.get("tombstones", [])) == 1
+    # +2 more = 4/10 > 0.3: inline compaction fires
+    assert delete_from_text_index(ids(2, 4), inc, max_deleted_ratio=0.3) == 2
+    m = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    assert m.get("tombstones", []) == [] and len(m["segments"]) == 1
+    full = str(tmp_path / "full")
+    write_text_index(_mk_docs(spark, rows[4:]), full)
+    assert _text_index_content(spark, inc) == _text_index_content(spark, full)
+    # deleting every survivor under the policy: tombstoned, not raised
+    assert (
+        delete_from_text_index(ids(4, 10), inc, max_deleted_ratio=0.3) == 6
+    )
+    assert indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)["tombstones"]
+
+    def mk(ids_):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids_
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(range(10)), ivf, n_centroids=2)
+    vid = spark.createDataFrame([(0,), (1,)], "vec_id long")
+    assert SIM.delete_from_ivf_index(vid, ivf, max_deleted_ratio=0.3) == 2
+    m = indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)
+    assert len(m.get("tombstones", [])) == 1
+    vid2 = spark.createDataFrame([(2,), (3,)], "vec_id long")
+    assert SIM.delete_from_ivf_index(vid2, ivf, max_deleted_ratio=0.3) == 2
+    m = indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)
+    assert m.get("tombstones", []) == [] and len(m["segments"]) == 1
+    _, cells = SIM.read_ivf_index(spark, ivf)
+    assert sorted(int(r["neighbor_id"]) for r in cells.collect()) == list(range(4, 10))
+
+
 def test_compact_refuses_fully_tombstoned_index(spark, tmp_path):
     """Deleting EVERY doc and compacting must refuse loudly (an empty
     partitioned write is unreadable on the way back — the same
