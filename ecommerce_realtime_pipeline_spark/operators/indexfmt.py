@@ -124,7 +124,17 @@ def write_manifest(
     snapshot set is pruned oldest-first to ``keep_generations`` — the
     retention horizon :func:`vacuum` honors, so a concurrent reader
     holding the previous generation keeps its files through the next
-    flip+vacuum."""
+    flip+vacuum.
+
+    SINGLE WRITER ASSUMED (readers unlimited): the read-old →
+    snapshot → flip sequence is not atomic as a whole, so two
+    concurrent writers can interleave such that one superseded
+    manifest never lands as a ``_GEN`` snapshot — quietly voiding the
+    retention guarantee above. That matches the engine-wide mutation
+    contract (merge/delete/compact are maintenance operations, one at
+    a time, like Iceberg's single-committer table lock); coordinate
+    writers externally (a job scheduler or directory lock) when more
+    than one mutator can target the same index path."""
     os.makedirs(path, exist_ok=True)
     cur = os.path.join(path, MANIFEST)
     if os.path.exists(cur):

@@ -1561,11 +1561,38 @@ def delete_from_ivf_index(
         },
     )
     if max_deleted_ratio is not None:
+        from functools import reduce
+
         n_rows = sum(
             spark.read.parquet(f"{path}/{s}").count() for s in m["segments"]
         )
-        n_dead = sum(
-            spark.read.parquet(f"{path}/{t}").count() for t in tombs
+        # n_dead counts DISTINCT tombstoned ids THAT EXIST in the
+        # index (one narrow vec-id column scan semi-joined against
+        # the broadcast tombstone set) — raw tombstone-row sums
+        # over-count on re-deletes / never-indexed ids, and once the
+        # inflated n_dead reaches n_rows the 0 < n_dead < n_rows
+        # guard would disable the policy for good (text twin has the
+        # same fix).
+        _union = lambda a, b: a.unionByName(b)  # noqa: E731
+        dead_ids = reduce(
+            _union,
+            [
+                spark.read.parquet(f"{path}/{t}").select("neighbor_id")
+                for t in tombs
+            ],
+        ).distinct()
+        live = reduce(
+            _union,
+            [
+                spark.read.parquet(f"{path}/{s}").select("neighbor_id")
+                for s in m["segments"]
+            ],
+        )
+        n_dead = (
+            live.join(F.broadcast(dead_ids), "neighbor_id", "left_semi")
+            .select("neighbor_id")
+            .distinct()
+            .count()
         )
         # n_dead == n_rows stays tombstoned: compaction refuses to
         # publish an empty index (caller drops the directory instead)

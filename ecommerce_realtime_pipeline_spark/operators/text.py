@@ -941,13 +941,51 @@ def delete_from_text_index(
         },
     )
     if max_deleted_ratio is not None:
-        # both counts are metadata-cheap: the 1-row stats table and
-        # the bounded tombstone id sets
+        from functools import reduce
+
         n_docs = int(
             spark.read.parquet(f"{path}/{m['stats']}").collect()[0]["n_docs"]
         )
-        n_dead = sum(
-            spark.read.parquet(f"{path}/{t}").count() for t in tombs
+        # n_dead counts DISTINCT tombstoned ids THAT EXIST in the
+        # index — raw tombstone-row sums over-count (re-deleting an
+        # already-tombstoned id, or deleting an id the index never
+        # held, inflates the ratio; once the inflated n_dead reaches
+        # n_docs the 0 < n_dead < n_docs guard would disable the
+        # policy for good). The live doc plane is the |docs|-row
+        # sidecar when it covers the whole index, else the postings
+        # doc_id column; either way one narrow scan semi-joined
+        # against the broadcast (bounded) tombstone set.
+        _union = lambda a, b: a.unionByName(b)  # noqa: E731
+        dead_ids = reduce(
+            _union,
+            [spark.read.parquet(f"{path}/{t}").select("doc_id") for t in tombs],
+        ).distinct()
+        doc_tbls = m.get("docs", [])
+        live = (
+            reduce(
+                _union,
+                [
+                    spark.read.parquet(f"{path}/{t}").select("doc_id")
+                    for t in doc_tbls
+                ],
+            )
+            if doc_tbls
+            else None
+        )
+        if live is None or live.count() < n_docs:  # partial sidecar
+            post = reduce(
+                _union,
+                [
+                    spark.read.parquet(f"{path}/{s}").select("doc_id")
+                    for s in m["segments"]
+                ],
+            )
+            live = post if live is None else live.unionByName(post)
+        n_dead = (
+            live.join(F.broadcast(dead_ids), "doc_id", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .count()
         )
         # n_dead == n_docs stays tombstoned: compaction refuses to
         # publish an empty index (caller drops the directory instead)
@@ -996,6 +1034,25 @@ def compact_text_index(spark, path: str) -> int:
         if doc_tbls
         else None
     )
+    if survivors is not None:
+        # The sidecar can be PARTIAL: an index built by a pre-sidecar
+        # writer then merged by sidecar-writing code carries sidecar
+        # tables only for the merged batches, and trusting it alone
+        # would silently drop every pre-sidecar doc from the recomputed
+        # stats (wrong avgdl/idf) AND from the folded sidecar. The
+        # manifest stats row is the ground-truth UNMASKED doc count:
+        # when the sidecar covers fewer docs, union it with the
+        # postings-derived doc set (which misses only zero-token docs —
+        # exactly the rows the sidecar DOES have) and dedupe by doc_id;
+        # the two agree on dl wherever both carry a row. Complete
+        # sidecars (every index this writer built) skip the extra scan.
+        n_indexed = int(
+            spark.read.parquet(f"{path}/{m['stats']}").collect()[0]["n_docs"]
+        )
+        if survivors.count() < n_indexed:
+            survivors = survivors.unionByName(
+                postings.select("doc_id", "dl").distinct()
+            ).dropDuplicates(["doc_id"])
     if m.get("tombstones"):
         postings = postings.localCheckpoint()
         if postings.isEmpty():

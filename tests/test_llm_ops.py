@@ -2160,3 +2160,113 @@ def test_knn_graph_beam_recall_floor(spark):
         gb.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(bf[q] & gb.get(q, set())) / len(bf[q]) for q in bf]
     assert sum(recalls) / len(recalls) >= 0.4
+
+
+def test_compact_partial_sidecar_falls_back_to_postings(spark, tmp_path):
+    """r9-ADVICE regression: an index built by a PRE-sidecar writer
+    (simulated by stripping ``docs`` from the manifest) then merged by
+    sidecar-writing code carries sidecar tables only for the merged
+    batches. Compaction must NOT trust that partial sidecar — the
+    recomputed BM25 stats (and the folded sidecar) have to cover the
+    pre-sidecar survivors too, i.e. equal a fresh build over the
+    survivor set."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        compact_text_index,
+        delete_from_text_index,
+        merge_text_index,
+        write_text_index,
+    )
+
+    base = [(i, f"tok{i} alpha beta") for i in range(6)]
+    extra = [(i, f"tok{i} gamma") for i in range(6, 9)]
+    inc = str(tmp_path / "inc")
+    write_text_index(_mk_docs(spark, base), inc)
+    # simulate the pre-sidecar layout: drop the docs pointer group
+    m = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    indexfmt.write_manifest(
+        inc,
+        {k: v for k, v in m.items() if k != "docs"}
+        | {"version": int(m["version"]) + 1},
+    )
+    merge_text_index(_mk_docs(spark, extra), inc)
+    m = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    assert len(m.get("docs", [])) == 1  # sidecar is PARTIAL by construction
+    # tombstone one pre-sidecar doc and one merged doc, then compact
+    assert (
+        delete_from_text_index(
+            spark.createDataFrame([(0,), (6,)], "doc_id long"), inc
+        )
+        == 2
+    )
+    compact_text_index(spark, inc)
+    fresh = str(tmp_path / "fresh")
+    write_text_index(_mk_docs(spark, base[1:] + extra[1:]), fresh)
+    assert _text_index_content(spark, inc) == _text_index_content(spark, fresh)
+    # the folded sidecar is now COMPLETE (future compactions can trust it)
+    m = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    docs = spark.read.parquet(f"{inc}/{m['docs'][0]}")
+    assert sorted(int(r["doc_id"]) for r in docs.collect()) == [1, 2, 3, 4, 5, 7, 8]
+
+
+def test_max_deleted_ratio_counts_distinct_live_dead(spark, tmp_path):
+    """r9-ADVICE regression, both families: n_dead must count DISTINCT
+    tombstoned ids THAT EXIST in the index. Raw tombstone-row sums let
+    (a) deletes of never-indexed ids and (b) re-deletes of
+    already-dead ids inflate n_dead past n_docs, where the
+    ``0 < n_dead < n_docs`` guard silently disabled the policy
+    forever; after the fix the same sequence still triggers compaction
+    the moment the TRUE dead ratio crosses the knob."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        delete_from_text_index,
+        write_text_index,
+    )
+
+    rows = [(i, f"tok{i} shared") for i in range(10)]
+    inc = str(tmp_path / "inc")
+    write_text_index(_mk_docs(spark, rows), inc)
+
+    def ids(seq):
+        return spark.createDataFrame([(i,) for i in seq], "doc_id long")
+
+    # 21 never-indexed ids: raw sum would be 21 >= n_docs=10; true dead = 0
+    assert delete_from_text_index(ids(range(100, 121)), inc, max_deleted_ratio=0.3) == 21
+    # re-delete id 0 twice: raw sum grows, distinct live dead stays 1
+    for _ in range(2):
+        assert delete_from_text_index(ids([0]), inc, max_deleted_ratio=0.3) == 1
+    m = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    assert m["tombstones"]  # 1/10 true dead: policy correctly idle
+    # 4/10 true dead > 0.3: the policy MUST still fire (old code: the
+    # inflated n_dead=24 >= 10 guard had disabled it for good)
+    assert delete_from_text_index(ids(range(1, 4)), inc, max_deleted_ratio=0.3) == 3
+    m = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    assert m.get("tombstones", []) == [] and len(m["segments"]) == 1
+    fresh = str(tmp_path / "fresh")
+    write_text_index(_mk_docs(spark, rows[4:]), fresh)
+    assert _text_index_content(spark, inc) == _text_index_content(spark, fresh)
+
+    def mk(ids_):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids_
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(range(10)), ivf, n_centroids=2)
+    vids = lambda seq: spark.createDataFrame([(i,) for i in seq], "vec_id long")  # noqa: E731
+    assert SIM.delete_from_ivf_index(vids(range(100, 121)), ivf, max_deleted_ratio=0.3) == 21
+    for _ in range(2):
+        assert SIM.delete_from_ivf_index(vids([0]), ivf, max_deleted_ratio=0.3) == 1
+    assert indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)["tombstones"]
+    assert SIM.delete_from_ivf_index(vids(range(1, 4)), ivf, max_deleted_ratio=0.3) == 3
+    m = indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)
+    assert m.get("tombstones", []) == [] and len(m["segments"]) == 1
+    _, cells = SIM.read_ivf_index(spark, ivf)
+    assert sorted(int(r["neighbor_id"]) for r in cells.collect()) == list(range(4, 10))

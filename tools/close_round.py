@@ -24,6 +24,7 @@ Exit code is the first failing step's.
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -67,7 +68,20 @@ def main() -> int:
     sys.stderr.write(proc.stderr)
     if proc.returncode != 0:
         return proc.returncode
-    last = [l for l in proc.stdout.splitlines() if l.strip()][-1]
+    # scan stdout from the END for the first line that parses as a
+    # JSON object — a trailing non-JSON print in bench.py (or empty
+    # stdout) must fail loudly here, never corrupt the round artifact
+    last = None
+    for line in reversed([l for l in proc.stdout.splitlines() if l.strip()]):
+        try:
+            if isinstance(json.loads(line), dict):
+                last = line
+                break
+        except ValueError:
+            continue
+    if last is None:
+        print("ERROR: bench.py stdout carried no JSON object line; artifact not written", file=sys.stderr)
+        return 3
     out = os.path.join(REPO, f"BENCH_LOCAL_r{rnd:02d}.json")
     with open(out, "w") as fh:
         fh.write(last + "\n")

@@ -125,21 +125,31 @@ def main() -> int:
     if missing:
         print(f"WARNING: evidence for unregistered queries: {missing}", file=sys.stderr)
 
-    never = [n for n in reg if n not in ev and n not in args.new]
+    # --new / --force-window names must exist in the registry (a typo
+    # would otherwise KeyError at print time or silently shrink the
+    # window), and a --new name that ALREADY has driver evidence must
+    # not also be emitted via the aged list (duplicate dict key whose
+    # paste silently drops one window row)
+    unknown = [n for n in [*args.new, *args.force_window] if n not in reg]
+    if unknown:
+        print(f"WARNING: not in registry, ignored: {unknown}", file=sys.stderr)
+    new = [n for n in args.new if n in reg]
+
+    never = [n for n in reg if n not in ev and n not in new]
     aged = sorted(
-        (n for n in reg if n in ev),
+        (n for n in reg if n in ev and n not in new),
         key=lambda n: (ev[n][0], pos[n]),
     )
     red = [n for n in reg if n in ev and not ev[n][1]]
     if red:
         print(f"WARNING: latest driver verdict RED for: {red}", file=sys.stderr)
 
-    forced = [n for n in args.force_window if n in reg]
+    forced = [n for n in args.force_window if n in reg and n not in new]
     head = never + [n for n in forced if n not in never]
     rest = [n for n in aged if n not in head]
-    take = WINDOW - len(head) - len(args.new)
-    window = order_window(head + rest[:take] + list(args.new))
-    tail = [n for n in rest[take:] if n not in args.new]
+    take = WINDOW - len(head) - len(new)
+    window = order_window(head + rest[:take] + new)
+    tail = rest[take:]
 
     by_round: dict[int, int] = {}
     for n in window:
