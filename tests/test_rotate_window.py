@@ -70,3 +70,58 @@ def test_registry_matches_live_entrypoint():
     assert set(reg) == set(entry.queries())
     # rendered references use the entrypoint's own module aliases
     assert all("." in ref for ref in reg.values())
+
+
+def test_docstring_carries_generated_rotation_summary():
+    """Round-9 verdict task 7: the queries() docstring narrative is
+    tool-emitted, so it must carry the generated ``round-N window:``
+    composition line — and while the evidence state still matches
+    generation time (no newer CORRECTNESS artifact has landed), the
+    line must equal the summary recomputed FROM THE LIVE DICT, so the
+    narrative can't drift from the registered order."""
+    import re
+
+    sys.path.insert(0, rotate_window.REPO)
+    import __spark_entry__ as entry
+
+    doc = entry.queries.__doc__
+    m = re.search(r"round-(\d+) window: ", doc)
+    assert m, "queries() docstring must carry the generated rotation summary"
+    doc_round = int(m.group(1))
+    ev = rotate_window.fold_evidence()
+    nxt = rotate_window.next_round(ev)
+    # the docstring may be one round stale in the gap between the
+    # driver landing CORRECTNESS_r{N} and the next builder rotation,
+    # never more
+    assert doc_round in (nxt - 1, nxt)
+    if doc_round == nxt:  # same evidence state as generation time
+        window_live = list(entry.queries())[: rotate_window.WINDOW]
+        assert rotate_window.window_summary(window_live, ev, nxt) in doc
+        # layout constraints hold on the LIVE window: closers last
+        closer_idx = [
+            i
+            for i, n in enumerate(window_live)
+            if rotate_window._CLOSERS.match(n)
+        ]
+        assert closer_idx == list(
+            range(len(window_live) - len(closer_idx), len(window_live))
+        )
+
+
+def test_plan_rotation_heads_never_checked_and_respects_new():
+    """plan_rotation: never-driver-checked names head the window, a
+    --new name with existing evidence is emitted exactly once (at the
+    window tail), unknown names are dropped, and window+tail cover
+    the registry exactly."""
+    green = (1, True)
+    reg = {f"q{i:03d}": f"kpi.q{i:03d}" for i in range(60)}
+    ev = {n: green for n in reg if n not in ("q005", "q006")}
+    window, tail = rotate_window.plan_rotation(
+        ev, reg, new=["q007", "nope"], forced=["q059"]
+    )
+    assert window[:2] == ["q005", "q006"]  # never-checked first
+    assert window[2] == "q059"  # forced next
+    assert window[-1] == "q007"  # --new at the window tail
+    combined = window + tail
+    assert sorted(combined) == sorted(reg)  # exact cover, no dupes
+    assert len(window) == rotate_window.WINDOW

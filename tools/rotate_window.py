@@ -112,54 +112,93 @@ def order_window(names: list[str]) -> list[str]:
     return body + closers
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--new", nargs="*", default=[], help="queries registered this round: placed at the window tail (before closers), not the front")
-    ap.add_argument("--force-window", nargs="*", default=[], help="pin these into the window regardless of evidence age")
-    args = ap.parse_args()
-
-    ev = fold_evidence()
-    reg = registry()
+def plan_rotation(
+    ev: dict[str, tuple[int, bool]],
+    reg: dict[str, str],
+    new: list[str] | tuple[str, ...] = (),
+    forced: list[str] | tuple[str, ...] = (),
+) -> tuple[list[str], list[str]]:
+    """The rotation itself: (window, tail). Never-driver-checked
+    queries head the window, then oldest evidence first; ``new``
+    names (registered this round) go at the window tail before the
+    closers; ``forced`` names are pinned into the window regardless
+    of evidence age. Names absent from ``reg`` are ignored (callers
+    warn), and ``new`` names are excluded from the aged list so a
+    name can never be emitted twice."""
     pos = {n: i for i, n in enumerate(reg)}
-    missing = [n for n in ev if n not in reg]
-    if missing:
-        print(f"WARNING: evidence for unregistered queries: {missing}", file=sys.stderr)
-
-    # --new / --force-window names must exist in the registry (a typo
-    # would otherwise KeyError at print time or silently shrink the
-    # window), and a --new name that ALREADY has driver evidence must
-    # not also be emitted via the aged list (duplicate dict key whose
-    # paste silently drops one window row)
-    unknown = [n for n in [*args.new, *args.force_window] if n not in reg]
-    if unknown:
-        print(f"WARNING: not in registry, ignored: {unknown}", file=sys.stderr)
-    new = [n for n in args.new if n in reg]
-
+    new = [n for n in new if n in reg]
     never = [n for n in reg if n not in ev and n not in new]
     aged = sorted(
         (n for n in reg if n in ev and n not in new),
         key=lambda n: (ev[n][0], pos[n]),
     )
-    red = [n for n in reg if n in ev and not ev[n][1]]
-    if red:
-        print(f"WARNING: latest driver verdict RED for: {red}", file=sys.stderr)
-
-    forced = [n for n in args.force_window if n in reg and n not in new]
+    forced = [n for n in forced if n in reg and n not in new]
     head = never + [n for n in forced if n not in never]
     rest = [n for n in aged if n not in head]
     take = WINDOW - len(head) - len(new)
     window = order_window(head + rest[:take] + new)
     tail = rest[take:]
+    return window, tail
 
+
+def window_summary(
+    window: list[str], ev: dict[str, tuple[int, bool]], rnd: int
+) -> str:
+    """The canonical one-line window composition — emitted into the
+    queries() docstring AND recomputed by the registry-matches-live
+    test, so the narrative can't drift from the generated order."""
     by_round: dict[int, int] = {}
     for n in window:
-        by_round[ev.get(n, (0, False))[0]] = by_round.get(ev.get(n, (0, False))[0], 0) + 1
-    print(f"window={len(window)} tail={len(tail)} evidence-rounds-in-window={by_round}", file=sys.stderr)
+        r = ev.get(n, (0, False))[0]
+        by_round[r] = by_round.get(r, 0) + 1
+    parts = [
+        f"{c} never-checked" if r == 0 else f"{c} r{r}-evidence"
+        for r, c in sorted(by_round.items())
+    ]
+    return f"round-{rnd} window: " + " + ".join(parts)
 
+
+def next_round(ev: dict[str, tuple[int, bool]]) -> int:
+    """The round this rotation is FOR: one past the newest folded
+    driver artifact (0 evidence files -> round 1)."""
+    return max((r for r, _ in ev.values()), default=0) + 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--new", nargs="*", default=[], help="queries registered this round: placed at the window tail (before closers), not the front")
+    ap.add_argument("--force-window", nargs="*", default=[], help="pin these into the window regardless of evidence age")
+    ap.add_argument("--round", type=int, default=None, help="round number for the docstring block (default: newest CORRECTNESS round + 1)")
+    args = ap.parse_args()
+
+    ev = fold_evidence()
+    reg = registry()
+    missing = [n for n in ev if n not in reg]
+    if missing:
+        print(f"WARNING: evidence for unregistered queries: {missing}", file=sys.stderr)
+    # --new / --force-window names must exist in the registry (a typo
+    # would otherwise silently shrink the window)
+    unknown = [n for n in [*args.new, *args.force_window] if n not in reg]
+    if unknown:
+        print(f"WARNING: not in registry, ignored: {unknown}", file=sys.stderr)
+    red = [n for n in reg if n in ev and not ev[n][1]]
+    if red:
+        print(f"WARNING: latest driver verdict RED for: {red}", file=sys.stderr)
+
+    window, tail = plan_rotation(ev, reg, args.new, args.force_window)
+    rnd = args.round if args.round is not None else next_round(ev)
+    summary = window_summary(window, ev, rnd)
+    print(f"window={len(window)} tail={len(tail)} {summary}", file=sys.stderr)
+
+    print("    --- docstring block (paste into the queries() docstring) ---")
+    print(f"    {summary}; tail = {len(tail)} driver-green rows, oldest")
+    print("    evidence first, so the next rotation can slice from the top.")
+    print("    Head of the window: " + ", ".join(window[:3]) + ".")
+    print("    --- dict body ---")
     print("        # ---- positions 1-50: THE CHECK WINDOW (generated by tools/rotate_window.py) ----")
     for n in window:
-        rnd = ev.get(n, (None, None))[0]
-        note = f"  # evidence: r{rnd}" if rnd else "  # NEW — no driver evidence yet"
+        r = ev.get(n, (None, None))[0]
+        note = f"  # evidence: r{r}" if r else "  # NEW — no driver evidence yet"
         print(f'        "{n}": {reg[n]},{note}')
     print("        # ---- positions 51+: driver-green tail, oldest evidence first ----")
     for n in tail:
