@@ -564,18 +564,29 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_realtime_pipeline_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # items dedup is partitioned by ok ALONE (hashpartitioning(ok)
+    # satisfies the (ok, pk) dedup's required distribution), so the
+    # basket self-join consumes the SAME exchange on both sides
+    # (ReusedExchange) with zero re-shuffle — one items-sized exchange
+    # for the whole pair build. The raw pair stream goes to pagerank
+    # UN-deduped (dedup_edges=True): the edge dedup fuses into the
+    # single _u-partitioned exchange that builds the checkpointed edge
+    # table, instead of paying its own (src,dst) distinct shuffle
+    # first (the co-purchase pair stream is ~duplicate-free anyway —
+    # a dup needs two orders sharing both parts).
+    items = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .repartition(F.col("ok"))
+        .dropDuplicates(["ok", "pk"])
+    )
     a = items.select("ok", F.col("pk").alias("src"))
     b = items.select("ok", F.col("pk").alias("dst"))
     edges = (
         a.join(b, "ok")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .distinct()
     )
-    ranks = pagerank(edges, iters=3, damping=0.85)
+    ranks = pagerank(edges, iters=3, damping=0.85, dedup_edges=True)
     return (
         ranks.select(
             F.col("node").alias("part_key"), F.round("rank", 8).alias("rank")
