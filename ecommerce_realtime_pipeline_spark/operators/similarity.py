@@ -537,19 +537,24 @@ def knn_ivf_from_index(
     k: int = 5,
     n_probe: int = 4,
     col: str = "embedding",
+    version: int | None = None,
 ) -> DataFrame:
     """Serve ANN top-k from a PERSISTED IVF index (built by
     :func:`write_ivf_index`) — the load half of the index lifecycle:
     read the (tiny) centroid table, probe each query's ``n_probe``
     cells, read ONLY those cell partitions (partition pruning asserted
     in tests), exact-cosine rerank on the vectors stored inline.
+    ``version`` serves from a RETAINED manifest generation instead of
+    ``_CURRENT`` — the Iceberg snapshot-read contract (time travel
+    inside the retention horizon), pinned equal to the pre-mutation
+    query in tests.
     Given the same quantizer parameters this returns bit-identical
     results to the in-session :func:`knn_ivf` — which is what lets the
     persisted path share its SQL oracle.
 
     The probed-cell id collect is bounded by |queries|·n_probe (the
     same bounded-collect class as the centroid pick)."""
-    cents, all_cells = read_ivf_index(spark, path)
+    cents, all_cells = read_ivf_index(spark, path, version=version)
     probe = _probe_udf(cents, n_probe)
     q_rows = queries.select(
         F.col("vec_id").alias("query_id"),

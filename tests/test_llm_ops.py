@@ -2270,3 +2270,132 @@ def test_max_deleted_ratio_counts_distinct_live_dead(spark, tmp_path):
     assert m.get("tombstones", []) == [] and len(m["segments"]) == 1
     _, cells = SIM.read_ivf_index(spark, ivf)
     assert sorted(int(r["neighbor_id"]) for r in cells.collect()) == list(range(4, 10))
+
+
+def _bm25_rows(postings, dfreq, stats):
+    """BM25 over the fixed query terms, from pre-resolved index
+    handles — the serving composition of docs_bm25_from_index."""
+    res = llm._bm25_rank(
+        postings.filter(F.col("token").isin(*llm.BM25_TERMS)).select(
+            "doc_id", "token", "tf", "dl"
+        ),
+        dfreq.filter(F.col("token").isin(*llm.BM25_TERMS)),
+        stats,
+    )
+    return sorted(tuple(r) for r in res.collect())
+
+
+def test_retention_serves_preresolved_handles_through_compaction(spark, tmp_path):
+    """r9 verdict task 5 — the end-to-end version of the manifest-layer
+    retention pin: resolve index handles at version v, run
+    delete→compact (which VACUUMS), then finish serving from the
+    v-resolved handles — generation retention must keep the old
+    segments alive, so the stale reader's results hash-match the
+    pre-compaction truth. Both families."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        compact_text_index,
+        delete_from_text_index,
+        read_text_index,
+        write_text_index,
+    )
+
+    rows = [(i, f"spark join tok{i}") for i in range(8)]
+    inc = str(tmp_path / "inc")
+    write_text_index(_mk_docs(spark, rows), inc)
+    expected = _bm25_rows(*read_text_index(spark, inc))  # pre-mutation truth
+    handles = read_text_index(spark, inc)  # v-resolved, NOT executed yet
+    assert (
+        delete_from_text_index(
+            spark.createDataFrame([(0,), (1,)], "doc_id long"), inc
+        )
+        == 2
+    )
+    compact_text_index(spark, inc)  # flips the pointer AND vacuums
+    m = indexfmt.read_manifest(inc, TEXT_INDEX_FORMAT)
+    assert m.get("tombstones", []) == []  # the mutation really happened
+    assert _bm25_rows(*handles) == expected  # stale reader unaffected
+    # the CURRENT index genuinely moved (deletes applied): guard that
+    # the equality above is not vacuous
+    assert _bm25_rows(*read_text_index(spark, inc)) != expected
+
+    def mk(ids_):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids_
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(range(20)), ivf, n_centroids=4)
+    _, pre_cells = SIM.read_ivf_index(spark, ivf)
+    expected_cells = sorted(
+        (int(r["cell"]), int(r["neighbor_id"]), tuple(r["_v"]))
+        for r in pre_cells.collect()
+    )
+    _, stale = SIM.read_ivf_index(spark, ivf)  # v-resolved handle
+    assert (
+        SIM.delete_from_ivf_index(
+            spark.createDataFrame([(0,), (1,), (2,)], "vec_id long"), ivf
+        )
+        == 3
+    )
+    SIM.compact_ivf_index(spark, ivf)  # flips + vacuums
+    got = sorted(
+        (int(r["cell"]), int(r["neighbor_id"]), tuple(r["_v"]))
+        for r in stale.collect()
+    )
+    assert got == expected_cells
+    _, cur = SIM.read_ivf_index(spark, ivf)
+    assert cur.count() == 17  # the current index genuinely moved
+
+
+def test_time_travel_serving_parity_across_merge(spark, tmp_path):
+    """r9 verdict task 6 — the POSITIVE time-travel pin (erroring on
+    expired versions is already pinned): serving from ``version=v``
+    AFTER a merge equals the query run BEFORE the merge — the Iceberg
+    snapshot-read contract, for both families. The merge must change
+    the current result (BM25 stats move; new vectors join cells), so
+    the parity is non-vacuous."""
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        merge_text_index,
+        read_text_index,
+        write_text_index,
+    )
+
+    rows_a = [(i, f"spark join tok{i}") for i in range(6)]
+    rows_b = [(i, f"spark stream tok{i}") for i in range(6, 12)]
+    inc = str(tmp_path / "inc")
+    write_text_index(_mk_docs(spark, rows_a), inc)  # version 1
+    expected = _bm25_rows(*read_text_index(spark, inc))
+    merge_text_index(_mk_docs(spark, rows_b), inc)  # version 2
+    assert _bm25_rows(*read_text_index(spark, inc, version=1)) == expected
+    assert _bm25_rows(*read_text_index(spark, inc)) != expected
+
+    def mk(ids_):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids_
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    def serve(path, **kw):
+        return sorted(
+            tuple(r)
+            for r in SIM.knn_ivf_from_index(
+                spark, path, mk([200, 201]), k=3, n_probe=2, **kw
+            ).collect()
+        )
+
+    evens, odds = list(range(100, 140, 2)), list(range(101, 140, 2))
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(evens), ivf, n_centroids=4)  # version 1
+    expected = serve(ivf)
+    SIM.merge_ivf_index(mk(odds), ivf)  # version 2
+    assert serve(ivf, version=1) == expected
+    assert serve(ivf) != expected
