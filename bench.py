@@ -155,7 +155,7 @@ STRESS_QUERIES = [
 ]
 
 
-def _default_prev() -> str:
+def _default_prev(here: str | None = None) -> str:
     """Latest ``BENCH_LOCAL_r*.json`` in the repo root — the default
     previous-round artifact for the mover check. Round 9's DRIVER-run
     bench recorded 5-9x uniform contention inflation with
@@ -164,7 +164,7 @@ def _default_prev() -> str:
     serialized local artifact makes the defense fire in ANY
     invocation (a driver run then auto-compares against the builder's
     clean serialized numbers and solo-retimes every uniform mover)."""
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = here or os.path.dirname(os.path.abspath(__file__))
     cands = []
     for p in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")):
         m = re.search(r"_r0*(\d+)\.json$", p)

@@ -1,0 +1,46 @@
+"""bench.py's round-over-round mover defense must be
+environment-independent (round-9 verdict task 2): with no env var,
+the previous artifact defaults to the NEWEST serialized
+BENCH_LOCAL_r*.json next to the script, so a driver-style invocation
+still emits a populated prev_comparison."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_SPEC = importlib.util.spec_from_file_location(
+    "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+)
+bench = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(bench)
+
+
+def test_default_prev_picks_highest_round(tmp_path):
+    for r in (7, 10, 9):
+        (tmp_path / f"BENCH_LOCAL_r{r:02d}.json").write_text("{}")
+    (tmp_path / "BENCH_LOCAL_notaround.json").write_text("{}")
+    got = bench._default_prev(str(tmp_path))
+    assert got.endswith("BENCH_LOCAL_r10.json")
+
+
+def test_default_prev_empty_dir_is_safe(tmp_path):
+    assert bench._default_prev(str(tmp_path)) == ""
+
+
+def test_default_prev_resolves_in_this_repo():
+    # the repo carries serialized artifacts from earlier rounds, so a
+    # no-env invocation MUST find one (the driver-style path is live)
+    assert bench._default_prev() != ""
+
+
+def test_movers_flags_both_directions_above_floor():
+    cur = {"a": 2.0, "b": 0.2, "c": 1.0, "d": 0.4}
+    prev = {"a": 0.6, "b": 0.05, "c": 0.9, "d": 1.0}
+    flagged, cmp_ = bench._movers(cur, prev)
+    assert "a" in flagged          # 3.3x up, above floor
+    assert "b" not in flagged      # 4x up but under the 0.5s floor
+    assert "c" not in flagged      # 1.1x: not a mover
+    assert "d" in flagged          # 2.5x DOWN, above floor
+    assert cmp_["a"]["mover"] and cmp_["d"]["mover"]
+    assert set(cmp_) == {"a", "b", "c", "d"}
