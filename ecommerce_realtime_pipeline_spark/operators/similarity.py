@@ -1646,6 +1646,78 @@ def compact_ivf_index(spark, path: str) -> int:
     return n
 
 
+def requantize_ivf_index(
+    spark, path: str, n_centroids: int = 16, seed: int = 42
+) -> int:
+    """Quantizer-drift REMEDIATION — the write half of the
+    ``emb_ivf_index_health`` alarm (which reports per-cell occupancy
+    skew): RETRAIN the coarse quantizer over the CURRENT live vector
+    set and re-bucket every vector under it, in place, as one more
+    manifest generation. A long-lived index drifts because the
+    quantizer is frozen at build time while merges keep pouring new
+    vectors into the old cells (the merged-index fixture trains on
+    half the corpus for exactly this reason) — hot cells make probes
+    scan ever-larger posting lists. Re-quantization is the standard
+    periodic fix (Faiss retrain / Lucene HNSW rebuild tier).
+
+    Semantics: the result is IDENTICAL to a fresh
+    :func:`write_ivf_index` over the live (tombstone-masked) vectors
+    with the same ``n_centroids``/``seed`` — :func:`ivf_centroids` is
+    a pure function of the (vec_id, vector) set, and assignment is a
+    pure function of the quantizer — which is what licenses the SQL
+    oracle (test-pinned). Tombstones are applied physically on the
+    way (same as compaction), so the new generation starts clean.
+
+    Cost: O(index) — one masked read, one |live|-row quantizer-
+    assignment pass, one partitioned rewrite — the same offline
+    maintenance class as ``compact_ivf_index``, scheduled when the
+    health report's occupancy skew crosses a threshold. Crash-safe
+    and concurrent-reader-safe like every mutation here: the rewrite
+    lands in fresh child directories, one pointer flip commits, and
+    the closing vacuum spares retained generations. Returns the new
+    cell count."""
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT)
+    _, cells = read_ivf_index(spark, path)
+    # one materialization feeds both consumers (the quantizer-sample
+    # TakeOrdered and the re-assignment rewrite) and backs the
+    # empty-index refusal (write_ivf_index's empty-corpus contract)
+    live = cells.select(
+        F.col("neighbor_id").alias("vec_id"), F.col("_v").alias("embedding")
+    ).localCheckpoint()
+    if live.isEmpty():
+        raise ValueError(
+            "requantize_ivf_index: every vector is tombstoned — an "
+            "empty index is unreadable on the way back; delete the "
+            "index directory instead"
+        )
+    cents = ivf_centroids(live, n_centroids, "embedding", seed)
+    assign = _probe_udf(cents, 1)
+    seg = indexfmt.new_dir_name("seg")
+    cent_dir = indexfmt.new_dir_name("centroids")
+    live.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_v"),
+        F.element_at(assign(F.col("embedding")), 1).alias("cell"),
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/{seg}")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+        "cid int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/{cent_dir}")
+    indexfmt.write_manifest(  # ---- the single commit point ----
+        path,
+        {
+            "format": IVF_INDEX_FORMAT,
+            "version": int(m["version"]) + 1,
+            "segments": [seg],
+            "centroids": cent_dir,
+        },
+    )
+    indexfmt.vacuum(path, IVF_INDEX_FORMAT)
+    return len(cents)
+
+
 def top_component_power(
     emb: DataFrame,
     iters: int = 2,

@@ -5121,6 +5121,46 @@ def _ivf_even_trained_sql() -> str:
 LLM_ORACLES["emb_knn_ivf_merged"] = _ivf_even_trained_sql()
 
 
+def emb_knn_ivf_requantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-drift remediation end to end
+    (`similarity.requantize_ivf_index` — the write half of the
+    `emb_ivf_index_health` alarm): the index is built over HALF the
+    corpus (even vec_ids — the quantizer freezes there), the odd half
+    is merged in under that stale quantizer (the drift the health
+    report flags as occupancy skew), then the quantizer is RETRAINED
+    over the full live set and every vector re-bucketed in place; top-5
+    serves from the re-quantized index. Because re-quantization is
+    bit-identical to a fresh build over the live vectors (pure
+    deterministic sample + pure assignment, pinned in
+    test_llm_ops), the oracle is exactly the full-corpus-trained
+    emb_knn_ivf chain — the driver hash-gates the remediation path
+    against the drift-free ideal it promises to restore."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="eng_ivfrq_q_")
+    try:
+        path = os.path.join(tmp, "index")
+        SIM.write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            path,
+            cache_key=f"{sf_dir}/embeddings#even",
+        )
+        SIM.merge_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+        SIM.requantize_ivf_index(spark, path)
+        return SIM.knn_ivf_from_index(
+            spark, path, _query_vectors(emb), k=KNN_K, n_probe=8
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: requantize over the full live set == fresh full-corpus build, so
+#: the drift-free emb_knn_ivf chain IS the oracle (see docstring)
+LLM_ORACLES["emb_knn_ivf_requantized"] = LLM_ORACLES["emb_knn_ivf"]
+
+
 def emb_knn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED vector search: IVF ANN top-5 where neighbors must
     carry the query's own label (`similarity.knn_ivf_filtered`) — the

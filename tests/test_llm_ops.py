@@ -2399,3 +2399,61 @@ def test_time_travel_serving_parity_across_merge(spark, tmp_path):
     SIM.merge_ivf_index(mk(odds), ivf)  # version 2
     assert serve(ivf, version=1) == expected
     assert serve(ivf) != expected
+
+
+def test_requantize_equals_fresh_build_over_live(spark, tmp_path):
+    """requantize_ivf_index (quantizer-drift remediation, r10) must be
+    BIT-IDENTICAL to a fresh build over the live vector set with the
+    same n_centroids/seed — quantizer, cell contents, and serving —
+    with tombstones applied physically and the stale generation still
+    readable (retention). This identity is what licenses the
+    emb_knn_ivf_requantized oracle being the plain full-corpus
+    emb_knn_ivf chain."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    def mk(ids_):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids_
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    def content(path):
+        cents, cells = SIM.read_ivf_index(spark, path)
+        return cents, sorted(
+            (int(r["cell"]), int(r["neighbor_id"]), tuple(r["_v"]))
+            for r in cells.collect()
+        )
+
+    def serve(path):
+        return sorted(
+            tuple(r)
+            for r in SIM.knn_ivf_from_index(
+                spark, path, mk([300, 301]), k=3, n_probe=2
+            ).collect()
+        )
+
+    evens, odds = list(range(100, 160, 2)), list(range(101, 160, 2))
+    dead = [101, 103, 105, 110]
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    SIM.write_ivf_index(mk(evens), a, n_centroids=4)  # quantizer: evens only
+    SIM.merge_ivf_index(mk(odds), a)  # drift: odds under the stale quantizer
+    SIM.delete_from_ivf_index(
+        spark.createDataFrame([(i,) for i in dead], "vec_id long"), a
+    )
+    assert SIM.requantize_ivf_index(spark, a, n_centroids=8) == 8
+    m = indexfmt.read_manifest(a, SIM.IVF_INDEX_FORMAT)
+    assert m.get("tombstones", []) == [] and len(m["segments"]) == 1
+    live = [i for i in evens + odds if i not in dead]
+    SIM.write_ivf_index(mk(live), b, n_centroids=8)
+    assert content(a) == content(b)  # quantizer + cells bit-identical
+    assert serve(a) == serve(b)  # serving identity
+    # the stale pre-requantize generation still serves (retention) and
+    # the quantizer genuinely moved (the remediation is non-vacuous)
+    old_cents, old_cells = SIM.read_ivf_index(
+        spark, a, version=int(m["version"]) - 1
+    )
+    assert old_cents != content(a)[0]
+    assert old_cells.count() == len(evens) + len(odds) - len(dead)
