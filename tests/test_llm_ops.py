@@ -2457,3 +2457,34 @@ def test_requantize_equals_fresh_build_over_live(spark, tmp_path):
     )
     assert old_cents != content(a)[0]
     assert old_cells.count() == len(evens) + len(odds) - len(dead)
+
+
+def test_requantize_refuses_fully_tombstoned_index(spark, tmp_path):
+    """Re-quantization over an all-tombstoned index must refuse loudly
+    (the empty-corpus contract shared with write/compact) and leave
+    the index untouched — still serving the tombstone-masked view."""
+    import pytest as _pytest
+
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    def mk(ids_):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids_
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(range(6)), ivf, n_centroids=2)
+    SIM.delete_from_ivf_index(
+        spark.createDataFrame([(i,) for i in range(6)], "vec_id long"), ivf
+    )
+    v_before = indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)["version"]
+    with _pytest.raises(ValueError, match="every vector is tombstoned"):
+        SIM.requantize_ivf_index(spark, ivf)
+    m = indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)
+    assert m["version"] == v_before  # no partial commit
+    _, cells = SIM.read_ivf_index(spark, ivf)
+    assert cells.isEmpty()

@@ -125,3 +125,51 @@ def test_plan_rotation_heads_never_checked_and_respects_new():
     combined = window + tail
     assert sorted(combined) == sorted(reg)  # exact cover, no dupes
     assert len(window) == rotate_window.WINDOW
+
+
+def test_plan_rotation_invariants_hold_over_random_evidence():
+    """Property coverage for the rotation planner: for arbitrary
+    evidence states, (window, tail) exactly covers the registry with
+    no duplicates, the window is WINDOW-sized whenever the registry
+    is large enough, never-checked names all land in the window, and
+    closers sit at the window's end."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = [f"q{i:03d}" for i in range(70)] + [
+        "streaming_a",
+        "monitoring_b",
+        "pipeline_c",
+    ]
+    reg = {n: f"kpi.{n}" for n in names}
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        ev_rounds=st.dictionaries(
+            st.sampled_from(names), st.integers(min_value=1, max_value=9)
+        )
+    )
+    def check(ev_rounds):
+        ev = {n: (r, True) for n, r in ev_rounds.items()}
+        window, tail = rotate_window.plan_rotation(ev, reg)
+        assert sorted(window + tail) == sorted(reg)
+        never = [n for n in reg if n not in ev]
+        # when never-checked names overflow the window they ALL stay
+        # in it (they need evidence most); otherwise exactly WINDOW
+        assert len(window) == max(rotate_window.WINDOW, len(never))
+        assert all(n in window for n in never)
+        closer_idx = [
+            i for i, n in enumerate(window) if rotate_window._CLOSERS.match(n)
+        ]
+        assert closer_idx == list(
+            range(len(window) - len(closer_idx), len(window))
+        )
+        # evidence ordering: the window takes a round-sorted PREFIX of
+        # the aged list, so nothing in the tail is staler than the
+        # freshest aged name inside the window
+        in_ev = [ev[n][0] for n in window if n in ev]
+        out_ev = [ev[n][0] for n in tail]
+        if in_ev and out_ev:
+            assert max(in_ev) <= min(out_ev)
+
+    check()

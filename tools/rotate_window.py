@@ -135,7 +135,10 @@ def plan_rotation(
     forced = [n for n in forced if n in reg and n not in new]
     head = never + [n for n in forced if n not in never]
     rest = [n for n in aged if n not in head]
-    take = WINDOW - len(head) - len(new)
+    # clamp at 0: with more never-checked names than WINDOW slots
+    # (early rounds), a negative take would NEGATIVE-SLICE rest and
+    # silently drag nearly every aged name into the window
+    take = max(0, WINDOW - len(head) - len(new))
     window = order_window(head + rest[:take] + new)
     tail = rest[take:]
     return window, tail
