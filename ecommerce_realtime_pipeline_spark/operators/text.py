@@ -1116,3 +1116,181 @@ def compact_text_index(spark, path: str) -> int:
     indexfmt.write_manifest(path, manifest)
     indexfmt.vacuum(path, TEXT_INDEX_FORMAT)
     return n
+
+
+# -- positional index (phrase / proximity search) ----------------------------
+# The positions plane of a search index — Lucene's .prx/.pos file next
+# to the docid/freq/norm postings the BM25 index persists. Kept as a
+# SEPARATE index family (not a position array fattening every BM25
+# posting) for the same reason Lucene makes positions an optional
+# per-field plane: bag-of-words scoring never reads them, and the
+# positional plane is ~|tokens| rows vs |distinct (token, doc)|.
+# Reference parity: the reference's pg_trgm/tsvector GIN indexes
+# (sql/init/03_create_indexes.sql) serve containment; phrase/proximity
+# is the positional upgrade of the same serving surface.
+
+POS_INDEX_FORMAT = "pos-index"
+
+
+def positional_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One pass over a doc batch → positional postings
+    ``(token, doc_id, pos)`` with 0-based token offsets — exactly what
+    phrase adjacency (``pos_{i+1} = pos_i + 1``) and proximity windows
+    consume.
+
+    Scale: narrow projection + posexplode straight off the scan — no
+    shuffle, ~|corpus tokens| output rows."""
+    return docs.select(
+        "doc_id", F.posexplode(tokens(text_col)).alias("pos", "token")
+    ).select("token", "doc_id", F.col("pos").cast("int").alias("pos"))
+
+
+def write_positional_index(docs: DataFrame, path: str) -> None:
+    """Persist the POSITIONAL index: postings written as parquet
+    PARTITIONED BY TOKEN inside an immutable segment directory, named
+    by the same atomic ``_CURRENT`` manifest protocol as the BM25/IVF
+    indexes (:mod:`.indexfmt` — stage everything, one ``os.rename``
+    publishes; losing concurrent builders discard their stage). At
+    query time the phrase's terms become PartitionFilters, so a k-term
+    phrase touches k directories per segment out of |vocab| — the
+    positional posting-list seek (plan-pinned in tests)."""
+    import os as _os
+    import shutil as _sh
+    import uuid as _uuid
+
+    from . import indexfmt
+
+    postings = positional_postings(docs)
+    if postings.isEmpty():
+        raise ValueError(
+            "write_positional_index: empty corpus — a phrase index "
+            "over nothing is unreadable on the way back (empty "
+            "partitionBy write); filter upstream"
+        )
+    seg = indexfmt.new_dir_name("seg")
+    stage = f"{path}.stage-{_uuid.uuid4().hex[:8]}"
+    postings.write.mode("overwrite").partitionBy("token").parquet(
+        f"{stage}/{seg}"
+    )
+    indexfmt.write_manifest(
+        stage,
+        {"format": POS_INDEX_FORMAT, "version": 1, "segments": [seg]},
+    )
+    try:
+        _os.rename(stage, path)
+    except OSError:
+        _sh.rmtree(stage, ignore_errors=True)
+
+
+def merge_positional_index(new_docs: DataFrame, path: str) -> int:
+    """Fold a batch of NEW documents into a persisted positional index
+    as ONE new immutable segment + a pointer flip — the same
+    zero-read-amplification merge as :func:`merge_text_index`
+    (doc-id disjointness is the caller's contract; readers union the
+    segments, so appending ≡ consolidating). A crash before the flip
+    leaves orphans + a fully-intact old index. Cost at 100 TB: one
+    |batch tokens|-sized partitioned write + one pointer flip — never
+    O(index). Returns the number of live segments after the merge."""
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, POS_INDEX_FORMAT)
+    delta = positional_postings(new_docs)
+    if delta.isEmpty():
+        return len(m["segments"])
+    seg = indexfmt.new_dir_name("seg")
+    delta.write.mode("overwrite").partitionBy("token").parquet(
+        f"{path}/{seg}"
+    )
+    segments = list(m["segments"]) + [seg]
+    indexfmt.write_manifest(
+        path,
+        {
+            "format": POS_INDEX_FORMAT,
+            "version": int(m["version"]) + 1,
+            "segments": segments,
+        },
+    )
+    return len(segments)
+
+
+def read_positional_index(
+    spark, path: str, version: int | None = None
+) -> DataFrame:
+    """Resolve the manifest — or a RETAINED generation via ``version``
+    (time travel inside the retention horizon) — and open the
+    positional postings: the union of the manifest's segment scans,
+    each keeping its own token partitioning so a term filter prunes to
+    |terms| directories PER SEGMENT. Tombstones (future deletes) are
+    masked by the same broadcast anti-join as the sibling indexes."""
+    from functools import reduce
+
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, POS_INDEX_FORMAT, version=version)
+    segs = [
+        spark.read.parquet(f"{path}/{s}").select("token", "doc_id", "pos")
+        for s in m["segments"]
+    ]
+    postings = reduce(lambda a, b: a.unionByName(b), segs)
+    tombs = m.get("tombstones", [])
+    if tombs:
+        dead = reduce(
+            lambda a, b: a.unionByName(b),
+            [spark.read.parquet(f"{path}/{t}").select("doc_id") for t in tombs],
+        )
+        postings = postings.join(
+            F.broadcast(dead), "doc_id", "left_anti"
+        ).select("token", "doc_id", "pos")
+    return postings
+
+
+def phrase_occurrences(postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact-phrase matching over positional postings: the k-way
+    ALIGNED join — leg i keeps only ``token = phrase[i]`` rows and
+    normalizes its position to the would-be phrase start
+    (``pos − i``), so an occurrence is one ``(doc_id, p0)`` key every
+    leg agrees on. Output: one row per occurrence ``(doc_id, p0)``.
+
+    Repeated phrase terms are handled by construction (both legs read
+    the same filtered set; alignment does the rest). Scale: each leg
+    is a single-token partition seek (tiny after the filter); the
+    k-way equi-join shares one (doc_id, p0) key, so AQE plans
+    broadcast legs when they fit and the whole match never touches
+    off-phrase tokens."""
+    if not phrase:
+        raise ValueError("phrase_occurrences: empty phrase")
+    legs = [
+        postings.filter(F.col("token") == w).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("p0")
+        )
+        for i, w in enumerate(phrase)
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.join(leg, ["doc_id", "p0"])
+    return out
+
+
+def proximity_pairs(
+    postings: DataFrame, first: str, second: str, slop: int
+) -> DataFrame:
+    """ORDERED proximity matching (Lucene's sloppy phrase, the
+    ``"a b"~slop`` query): pairs where ``second`` occurs 1..slop
+    tokens AFTER ``first`` in the same doc. Output: one row per pair
+    ``(doc_id, p1, gap)``.
+
+    Scale: two single-token partition seeks joined on doc_id with a
+    bounded band predicate on positions — a range join whose legs are
+    already term-filtered tiny, never a corpus-scale inequality
+    join."""
+    a = postings.filter(F.col("token") == first).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    b = postings.filter(F.col("token") == second).select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter((F.col("p2") - F.col("p1")).between(1, slop))
+        .select("doc_id", "p1", (F.col("p2") - F.col("p1")).alias("gap"))
+    )

@@ -5694,3 +5694,286 @@ LLM_ORACLES["docs_token_budget"] = r"""
     GROUP BY source
     ORDER BY source
 """
+
+
+# -- phrase / proximity search (positional plane) ----------------------------
+
+#: fixed exact-phrase query (adjacent tokens, in order) — chosen for
+#: non-trivial match counts at every shipped SF (38/20/274 matching
+#: docs at sf0.001/0.01/0.1)
+PHRASE_QUERY: tuple[str, ...] = ("data", "line")
+#: ordered proximity window for the sloppy variant ("data … line"
+#: within PROX_SLOP tokens, Lucene's "a b"~slop)
+PROX_SLOP = 3
+
+
+def _phrase_hits(occ: DataFrame) -> DataFrame:
+    """Shared tail of both phrase-search serves: occurrences →
+    per-doc (n_occurrences, first_pos), top-20 by count — a
+    TakeOrdered over an already term-filtered tiny set."""
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("p0").cast("int").alias("first_pos"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-PHRASE search over the corpus — the positional upgrade of
+    bag-of-words BM25 (the reference's pg_trgm/tsvector GIN indexes,
+    `sql/init/03_create_indexes.sql`, serve containment; phrase
+    queries are the next rung of the same serving surface): top-20
+    docs containing the adjacent in-order token pair `PHRASE_QUERY`,
+    with per-doc occurrence counts and the first match offset.
+
+    Plan: posexplode positions off ONE corpus scan, then the k-way
+    ALIGNED join (`text.phrase_occurrences`) — each leg keeps only
+    its own term (predicate pushed into the scan) and normalizes
+    position to the phrase start, so the match is a plain equi-join
+    on (doc_id, start). Scale: legs are term-filtered slivers of the
+    positional plane; nothing off-phrase ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = TX.phrase_occurrences(
+        TX.positional_postings(docs), list(PHRASE_QUERY)
+    )
+    return _phrase_hits(occ)
+
+
+# Oracle: re-derive positions with generate_series (1-based in DuckDB,
+# 0-based in Spark — first_pos shifts by 1; occurrence COUNTS and the
+# ordering are offset-free).
+LLM_ORACLES["docs_phrase_search"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS syms FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, syms,
+               unnest(generate_series(1, len(syms) - 1)) AS i
+        FROM t WHERE len(syms) >= 2
+    )
+    SELECT doc_id,
+           count(*) AS n_occurrences,
+           CAST(min(i) - 1 AS INT) AS first_pos
+    FROM idx
+    WHERE syms[i] = '{PHRASE_QUERY[0]}' AND syms[i + 1] = '{PHRASE_QUERY[1]}'
+    GROUP BY doc_id
+    ORDER BY n_occurrences DESC, doc_id
+    LIMIT 20
+"""
+
+
+def docs_phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search served from the PERSISTED positional index
+    (`text.write_positional_index` — token-partitioned positions under
+    the atomic-manifest protocol every index family shares), across a
+    SEGMENT BOUNDARY: the corpus is split at the median doc_id, the
+    first half built, the second MERGED as a second immutable segment
+    (`text.merge_positional_index`, zero read amplification), and the
+    serve unions both — so one query pins build, incremental merge,
+    multi-segment union AND result identity with the in-session scan
+    (`docs_phrase_search`, whose oracle this shares).
+
+    Scale: the phrase's terms become PartitionFilters on every segment
+    scan (k directories out of |vocab| per segment, plan-pinned);
+    everything after the seek is the same aligned join."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.percentile_approx("doc_id", 0.5, 10000).alias("m")
+    ).collect()[0]["m"]
+    tmp = tempfile.mkdtemp(prefix="eng_posidx_q_")
+    try:
+        path = os.path.join(tmp, "index")
+        TX.write_positional_index(docs.filter(F.col("doc_id") <= mid), path)
+        TX.merge_positional_index(docs.filter(F.col("doc_id") > mid), path)
+        postings = TX.read_positional_index(spark, path)
+        occ = TX.phrase_occurrences(
+            postings.filter(F.col("token").isin(*PHRASE_QUERY)),
+            list(PHRASE_QUERY),
+        )
+        return _phrase_hits(occ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+LLM_ORACLES["docs_phrase_search_indexed"] = LLM_ORACLES["docs_phrase_search"]
+
+
+def docs_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED PROXIMITY search (Lucene's sloppy phrase, `"a b"~slop`):
+    top-20 docs where `data` is followed by `line` within PROX_SLOP
+    tokens — the recall-relaxed sibling of the exact phrase query,
+    with the tightest observed gap per doc (gap 1 = the exact phrase).
+
+    Plan: two single-token partition seeks of the positional plane
+    joined on doc_id under a bounded band predicate on positions
+    (`text.proximity_pairs`) — a range join whose legs are already
+    term-filtered tiny, never a corpus-scale inequality join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = TX.proximity_pairs(
+        TX.positional_postings(docs),
+        PHRASE_QUERY[0],
+        PHRASE_QUERY[1],
+        PROX_SLOP,
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("gap").cast("int").alias("min_gap"),
+        )
+        .orderBy(F.col("n_matches").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# gaps are position DIFFERENCES — identical under DuckDB's 1-based and
+# Spark's 0-based offsets, so no shift anywhere.
+LLM_ORACLES["docs_proximity_search"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS syms FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, unnest(generate_series(1, len(syms))) AS i, syms
+        FROM t
+    ),
+    toks AS (SELECT doc_id, i, syms[i] AS tok FROM idx),
+    a AS (SELECT doc_id, i AS p1 FROM toks WHERE tok = '{PHRASE_QUERY[0]}'),
+    b AS (SELECT doc_id, i AS p2 FROM toks WHERE tok = '{PHRASE_QUERY[1]}')
+    SELECT a.doc_id,
+           count(*) AS n_matches,
+           CAST(min(b.p2 - a.p1) AS INT) AS min_gap
+    FROM a JOIN b ON a.doc_id = b.doc_id
+                 AND b.p2 - a.p1 BETWEEN 1 AND {PROX_SLOP}
+    GROUP BY a.doc_id
+    ORDER BY n_matches DESC, a.doc_id
+    LIMIT 20
+"""
+
+
+# -- weighted hybrid fusion ---------------------------------------------------
+
+#: lexical / semantic blend weights for score-level hybrid fusion.
+#: Written as two explicit literals (not 1 − α) so the Spark plan and
+#: the oracle SQL parse the IDENTICAL decimal strings.
+HYB_ALPHA_LEX = 0.6
+HYB_ALPHA_SEM = 0.4
+
+
+def docs_hybrid_search_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval, SCORE-level fusion — the calibrated
+    alternative to `docs_hybrid_search_rrf`'s rank-only fusion: each
+    leg's top-20 scores are min-max normalized WITHIN the leg's
+    result list (the convex-combination recipe; normalization is what
+    makes BM25 magnitudes and cosine similarities commensurable), a
+    doc missing from a leg contributes 0 from it, and the blend is
+    `0.6·lex + 0.4·sem`. Top-10 by (score desc, doc_id). Both legs are
+    the already-hash-green serving chains (`docs_bm25_search`,
+    `emb_knn_bruteforce`-class cosine top-k), and both expose
+    4dp-rounded scores, so the two engines normalize IDENTICAL inputs
+    with the identical op order.
+
+    Scale stance: same as the RRF twin — legs swap to the persisted
+    index serves on a real corpus; fusion itself is a full-outer join
+    of two k-row lists plus two 1-row min/max broadcasts,
+    driver-trivial at any corpus size."""
+    lex = docs_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("score").alias("lex_s")
+    )
+    lex_mm = lex.agg(F.min("lex_s").alias("_mn"), F.max("lex_s").alias("_mx"))
+    lexn = lex.crossJoin(F.broadcast(lex_mm)).select(
+        "doc_id",
+        F.when(
+            F.col("_mx") > F.col("_mn"),
+            (F.col("lex_s") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("lex_norm"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = SIM.knn_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("cos_sim").alias("sem_s")
+    )
+    sem_mm = sem.agg(F.min("sem_s").alias("_mn"), F.max("sem_s").alias("_mx"))
+    semn = sem.crossJoin(F.broadcast(sem_mm)).select(
+        "doc_id",
+        F.when(
+            F.col("_mx") > F.col("_mn"),
+            (F.col("sem_s") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("sem_norm"),
+    )
+    fused = (
+        lexn.join(semn, "doc_id", "full_outer")
+        .withColumn(
+            "hybrid_score",
+            F.round(
+                F.lit(HYB_ALPHA_LEX) * F.coalesce(F.col("lex_norm"), F.lit(0.0))
+                + F.lit(HYB_ALPHA_SEM)
+                * F.coalesce(F.col("sem_norm"), F.lit(0.0)),
+                6,
+            ),
+        )
+        .orderBy(F.col("hybrid_score").desc(), "doc_id")
+        .limit(10)
+    )
+    return fused.select(
+        "doc_id",
+        F.round("lex_norm", 6).alias("lex_norm"),
+        F.round("sem_norm", 6).alias("sem_norm"),
+        "hybrid_score",
+    )
+
+
+LLM_ORACLES["docs_hybrid_search_weighted"] = f"""
+    WITH lex AS (SELECT doc_id, score AS lex_s FROM ({{bm25}})),
+    lexn AS (
+        SELECT doc_id,
+               CASE WHEN mm._mx > mm._mn
+                    THEN (lex_s - mm._mn) / (mm._mx - mm._mn)
+                    ELSE 1.0 END AS lex_norm
+        FROM lex, (SELECT min(lex_s) AS _mn, max(lex_s) AS _mx FROM lex) mm
+    ),
+    sem AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(list_dot_product(q.qv, e.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))),
+                     4) AS sem_s,
+               row_number() OVER (
+                   ORDER BY list_dot_product(q.qv, e.embedding::DOUBLE[])
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                       e.embedding::DOUBLE[]))) DESC,
+                            e.vec_id ASC) AS rk
+        FROM embeddings e,
+             (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        QUALIFY rk <= 20
+    ),
+    semn AS (
+        SELECT doc_id,
+               CASE WHEN mm._mx > mm._mn
+                    THEN (sem_s - mm._mn) / (mm._mx - mm._mn)
+                    ELSE 1.0 END AS sem_norm
+        FROM sem, (SELECT min(sem_s) AS _mn, max(sem_s) AS _mx FROM sem) mm
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           ROUND(l.lex_norm, 6) AS lex_norm,
+           ROUND(s.sem_norm, 6) AS sem_norm,
+           ROUND({HYB_ALPHA_LEX} * COALESCE(l.lex_norm, 0.0)
+                 + {HYB_ALPHA_SEM} * COALESCE(s.sem_norm, 0.0), 6)
+               AS hybrid_score
+    FROM lexn l FULL OUTER JOIN semn s ON l.doc_id = s.doc_id
+    ORDER BY hybrid_score DESC, doc_id
+    LIMIT 10
+""".replace("{bm25}", LLM_ORACLES["docs_bm25_search"])

@@ -1,0 +1,195 @@
+"""Positional index (phrase / proximity search) operator tests.
+
+The positions plane next to the BM25 index's docid/freq/norm triple:
+build / incremental merge / multi-segment read under the shared
+atomic-manifest protocol, the k-way aligned phrase join (including
+repeated phrase terms), ordered proximity windows, and the plan pin
+that keeps the serve a |terms|-directory seek.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_realtime_pipeline_spark.operators import indexfmt
+from ecommerce_realtime_pipeline_spark.operators.text import (
+    POS_INDEX_FORMAT,
+    merge_positional_index,
+    phrase_occurrences,
+    positional_postings,
+    proximity_pairs,
+    read_positional_index,
+    write_positional_index,
+)
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows], DOC_SCHEMA
+    )
+
+
+def _py_phrase(rows, phrase):
+    """Reference scan: one (doc_id, start) per exact occurrence."""
+    out = []
+    k = len(phrase)
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        for s in range(len(toks) - k + 1):
+            if toks[s : s + k] == list(phrase):
+                out.append((doc_id, s))
+    return sorted(out)
+
+
+def _py_prox(rows, first, second, slop):
+    out = []
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        for i, t1 in enumerate(toks):
+            if t1 != first:
+                continue
+            for j in range(i + 1, min(i + slop + 1, len(toks))):
+                if toks[j] == second:
+                    out.append((doc_id, i, j - i))
+    return sorted(out)
+
+
+ROWS = [
+    (1, "a b c a b a"),
+    (2, "b b b a"),
+    (3, "x y z"),
+    (4, "a b"),
+    (5, "b a b c"),
+]
+
+
+def test_phrase_occurrences_matches_reference_scan(spark):
+    docs = _docs(spark, ROWS)
+    post = positional_postings(docs)
+    got = sorted(
+        (r["doc_id"], r["p0"])
+        for r in phrase_occurrences(post, ["a", "b"]).collect()
+    )
+    assert got == _py_phrase(ROWS, ("a", "b"))
+
+
+def test_phrase_occurrences_repeated_term(spark):
+    """'b b' — both legs read the SAME filtered set; alignment must
+    still count overlapping occurrences (doc 2 has starts 0 and 1)."""
+    docs = _docs(spark, ROWS)
+    post = positional_postings(docs)
+    got = sorted(
+        (r["doc_id"], r["p0"])
+        for r in phrase_occurrences(post, ["b", "b"]).collect()
+    )
+    assert got == _py_phrase(ROWS, ("b", "b"))
+    assert (2, 0) in got and (2, 1) in got
+
+
+def test_phrase_occurrences_three_terms(spark):
+    docs = _docs(spark, ROWS)
+    post = positional_postings(docs)
+    got = sorted(
+        (r["doc_id"], r["p0"])
+        for r in phrase_occurrences(post, ["a", "b", "c"]).collect()
+    )
+    assert got == _py_phrase(ROWS, ("a", "b", "c"))
+    assert got  # fixture sanity: docs 1 and (not 5: 'b a b c') match
+
+
+def test_phrase_occurrences_empty_phrase_refused(spark):
+    docs = _docs(spark, ROWS)
+    with pytest.raises(ValueError, match="empty phrase"):
+        phrase_occurrences(positional_postings(docs), [])
+
+
+def test_proximity_pairs_matches_reference_scan(spark):
+    docs = _docs(spark, ROWS)
+    post = positional_postings(docs)
+    got = sorted(
+        (r["doc_id"], r["p1"], r["gap"])
+        for r in proximity_pairs(post, "a", "b", 2).collect()
+    )
+    assert got == _py_prox(ROWS, "a", "b", 2)
+    # ordered: 'b a' at gap -1 in doc 5 must NOT match
+    assert all(g >= 1 for _, _, g in got)
+
+
+def test_write_read_roundtrip_and_merge_equals_fresh(spark, tmp_path):
+    """Build half + merge half reads back EXACTLY the fresh-build
+    postings over the union (segment append ≡ consolidation), with the
+    manifest showing 2 segments and a bumped version."""
+    docs = _docs(spark, ROWS)
+    inc = str(tmp_path / "inc")
+    write_positional_index(docs.filter(F.col("doc_id") <= 2), inc)
+    n_segs = merge_positional_index(docs.filter(F.col("doc_id") > 2), inc)
+    assert n_segs == 2
+    m = indexfmt.read_manifest(inc, POS_INDEX_FORMAT)
+    assert m["version"] == 2 and len(m["segments"]) == 2
+    fresh = str(tmp_path / "fresh")
+    write_positional_index(docs, fresh)
+    key = lambda r: (r["token"], r["doc_id"], r["pos"])  # noqa: E731
+    assert sorted(
+        map(key, read_positional_index(spark, inc).collect())
+    ) == sorted(map(key, read_positional_index(spark, fresh).collect()))
+
+
+def test_empty_corpus_write_refused(spark, tmp_path):
+    with pytest.raises(ValueError, match="empty corpus"):
+        write_positional_index(
+            _docs(spark, []), str(tmp_path / "idx")
+        )
+
+
+def test_merge_empty_batch_is_noop(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    write_positional_index(_docs(spark, ROWS), path)
+    assert merge_positional_index(_docs(spark, []), path) == 1
+    assert indexfmt.read_manifest(path, POS_INDEX_FORMAT)["version"] == 1
+
+
+def test_phrase_serve_prunes_token_partitions(spark, tmp_path):
+    """The seek property: with the phrase's terms filtered, EVERY
+    segment scan carries token PartitionFilters — a k-term phrase
+    touches k directories per segment out of |vocab|."""
+    docs = _docs(
+        spark, [(i, f"tok{i % 30} a b filler{i % 7}") for i in range(120)]
+    )
+    path = str(tmp_path / "idx")
+    write_positional_index(docs.filter(F.col("doc_id") < 60), path)
+    merge_positional_index(docs.filter(F.col("doc_id") >= 60), path)
+    post = read_positional_index(spark, path).filter(
+        F.col("token").isin("a", "b")
+    )
+    plan = (
+        phrase_occurrences(post, ["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    seg_filters = [
+        f
+        for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if f.strip()
+    ]
+    # 2 legs × 2 segments = 4 partition-filtered scans
+    assert len(seg_filters) == 4 and all("token" in f for f in seg_filters), (
+        plan[:900]
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_read_rejects_foreign_format(spark, tmp_path):
+    """A positional read must refuse a TEXT-index directory (manifest
+    format mismatch), not silently scan the wrong schema."""
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        write_text_index,
+    )
+
+    path = str(tmp_path / "tidx")
+    write_text_index(_docs(spark, ROWS), path)
+    with pytest.raises(ValueError, match="format"):
+        read_positional_index(spark, path)
