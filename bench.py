@@ -152,6 +152,13 @@ STRESS_QUERIES = [
     "docs_bm25_index_compacted",
     "emb_knn_ivf_merged",
     "docs_hybrid_search_rrf_indexed",
+    # round-10 second wave: the positional (phrase) index family —
+    # |tokens|-row positional plane, token-clustered segment writes,
+    # term-seek serving; the brute-force scan must stay linear and the
+    # index paths metadata-plane-dominant at 10x
+    "docs_phrase_search",
+    "docs_phrase_search_indexed",
+    "docs_phrase_search_deleted",
 ]
 
 
