@@ -1178,9 +1178,24 @@ def write_positional_index(docs: DataFrame, path: str) -> None:
     postings.repartition(F.col("token")).write.mode("overwrite").partitionBy(
         "token"
     ).parquet(f"{stage}/{seg}")
+    # |docs|-row doc-id sidecar (distinct ids present in the segment,
+    # derived from a column-pruned read-back of what was just
+    # written — no second tokenize pass): the live-set plane that
+    # keeps the max_deleted_ratio policy check |docs|-cheap instead
+    # of a distinct over the |tokens|-row positional plane
+    docs_tbl = indexfmt.new_dir_name("docs")
+    spark = docs.sparkSession
+    spark.read.parquet(f"{stage}/{seg}").select(
+        "doc_id"
+    ).distinct().write.mode("overwrite").parquet(f"{stage}/{docs_tbl}")
     indexfmt.write_manifest(
         stage,
-        {"format": POS_INDEX_FORMAT, "version": 1, "segments": [seg]},
+        {
+            "format": POS_INDEX_FORMAT,
+            "version": 1,
+            "segments": [seg],
+            "docs": [docs_tbl],
+        },
     )
     try:
         _os.rename(stage, path)
@@ -1207,13 +1222,19 @@ def merge_positional_index(new_docs: DataFrame, path: str) -> int:
     delta.repartition(F.col("token")).write.mode("overwrite").partitionBy(
         "token"
     ).parquet(f"{path}/{seg}")
+    spark = new_docs.sparkSession
+    docs_tbl = indexfmt.new_dir_name("docs")
+    spark.read.parquet(f"{path}/{seg}").select(
+        "doc_id"
+    ).distinct().write.mode("overwrite").parquet(f"{path}/{docs_tbl}")
     segments = list(m["segments"]) + [seg]
     indexfmt.write_manifest(
         path,
         {
-            "format": POS_INDEX_FORMAT,
+            **m,
             "version": int(m["version"]) + 1,
             "segments": segments,
+            "docs": [*m.get("docs", []), docs_tbl],
         },
     )
     return len(segments)
@@ -1345,11 +1366,14 @@ def delete_from_positional_index(
     )
     if max_deleted_ratio is not None:
         _union = lambda a, b: a.unionByName(b)  # noqa: E731
+        # the |docs|-row sidecar is the live plane; fall back to the
+        # segments' doc_id column only for pre-sidecar indexes
+        doc_tbls = m.get("docs") or m["segments"]
         live = reduce(
             _union,
             [
-                spark.read.parquet(f"{path}/{s}").select("doc_id")
-                for s in m["segments"]
+                spark.read.parquet(f"{path}/{t}").select("doc_id")
+                for t in doc_tbls
             ],
         ).distinct()
         dead_ids = reduce(
@@ -1393,12 +1417,17 @@ def compact_positional_index(spark, path: str) -> int:
     postings.repartition(F.col("token")).write.mode("overwrite").partitionBy(
         "token"
     ).parquet(f"{path}/{seg}")
+    docs_tbl = indexfmt.new_dir_name("docs")
+    spark.read.parquet(f"{path}/{seg}").select(
+        "doc_id"
+    ).distinct().write.mode("overwrite").parquet(f"{path}/{docs_tbl}")
     indexfmt.write_manifest(
         path,
         {
             "format": POS_INDEX_FORMAT,
             "version": int(m["version"]) + 1,
             "segments": [seg],
+            "docs": [docs_tbl],
         },
     )
     indexfmt.vacuum(path, POS_INDEX_FORMAT)

@@ -336,3 +336,64 @@ def test_retained_generation_serves_across_compaction(spark, tmp_path):
         ).collect()
     )
     assert after_v1 == before == _py_phrase(ROWS, ("a", "b"))
+
+
+def test_docs_sidecar_tracks_live_plane(spark, tmp_path):
+    """Every mutation maintains the |docs|-row doc-id sidecar (the
+    live plane that keeps the delete-policy check off the |tokens|-row
+    positional plane): write, merge, and compact each leave sidecar
+    tables whose union equals the distinct doc_ids in the segments."""
+    delete_from_positional_index, compact_positional_index = (
+        _lifecycle_imports()
+    )
+    path = str(tmp_path / "idx")
+    write_positional_index(_docs(spark, ROWS[:3]), path)
+    merge_positional_index(_docs(spark, ROWS[3:]), path)
+
+    def sidecar_ids():
+        m = indexfmt.read_manifest(path, POS_INDEX_FORMAT)
+        assert m.get("docs"), "sidecar missing"
+        ids = set()
+        for t in m["docs"]:
+            ids |= {
+                r["doc_id"] for r in spark.read.parquet(f"{path}/{t}").collect()
+            }
+        return ids
+
+    assert sidecar_ids() == {1, 2, 3, 4, 5}
+    delete_from_positional_index(
+        spark.createDataFrame([(2,)], "doc_id long"), path
+    )
+    compact_positional_index(spark, path)
+    assert sidecar_ids() == {1, 3, 4, 5}
+
+
+def test_randomized_corpus_matches_reference_scan(spark):
+    """Seeded random corpus over a 3-letter alphabet (maximum overlap
+    density — repeated terms, self-overlapping phrases, slop windows
+    crossing phrase hits) checked against the pure-Python scan for
+    every 2- and 3-gram phrase over the alphabet and both proximity
+    directions."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(rng.choice("aab") for _ in range(rng.randint(1, 12))))
+        for i in range(200)
+    ]
+    post = positional_postings(_docs(spark, rows)).localCheckpoint()
+    for phrase in list(itertools.product("ab", repeat=2)) + list(
+        itertools.product("ab", repeat=3)
+    ):
+        got = sorted(
+            (r["doc_id"], r["p0"])
+            for r in phrase_occurrences(post, list(phrase)).collect()
+        )
+        assert got == _py_phrase(rows, phrase), phrase
+    for first, second, slop in [("a", "b", 1), ("a", "b", 4), ("b", "a", 2)]:
+        got = sorted(
+            (r["doc_id"], r["p1"], r["gap"])
+            for r in proximity_pairs(post, first, second, slop).collect()
+        )
+        assert got == _py_prox(rows, first, second, slop), (first, second, slop)
