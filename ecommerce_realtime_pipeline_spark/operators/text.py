@@ -1432,3 +1432,41 @@ def compact_positional_index(spark, path: str) -> int:
     )
     indexfmt.vacuum(path, POS_INDEX_FORMAT)
     return n
+
+
+def phrase_occurrences_bulk(
+    postings: DataFrame, phrases: DataFrame
+) -> DataFrame:
+    """SET-DRIVEN phrase matching — the bulk-query path (a
+    decontamination-style term-list serve, the positional sibling of
+    ``read_postings_for_tokens``): ``phrases`` carries one row per
+    phrase SLOT ``(phrase, slot, token, n_slots)``, and ONE broadcast
+    join against the positional plane matches EVERY phrase at once —
+    each posting row that hits a slot is normalized to its would-be
+    phrase start (``pos − slot``); a start where the count of DISTINCT
+    matched slots reaches ``n_slots`` is an occurrence. Repeated
+    phrase terms are correct by construction (the same posting row
+    matches several slots at DIFFERENT starts).
+
+    Output: one row per occurrence ``(phrase, doc_id, p0)``. Scale:
+    one broadcast hash join (|phrase slots| is query-sized) + one
+    aggregate keyed on (phrase, doc_id, start) — never a per-phrase
+    plan, so a 10⁴-phrase batch costs the same single pass."""
+    m = postings.join(F.broadcast(phrases), "token")
+    return (
+        m.select(
+            "phrase",
+            "doc_id",
+            (F.col("pos") - F.col("slot")).alias("p0"),
+            "slot",
+            "n_slots",
+        )
+        .filter(F.col("p0") >= 0)
+        .groupBy("phrase", "doc_id", "p0")
+        .agg(
+            F.countDistinct("slot").alias("_k"),
+            F.first("n_slots").alias("_n"),
+        )
+        .filter(F.col("_k") == F.col("_n"))
+        .select("phrase", "doc_id", "p0")
+    )

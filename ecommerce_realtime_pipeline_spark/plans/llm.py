@@ -6034,3 +6034,141 @@ LLM_ORACLES["docs_phrase_search_deleted"] = f"""
     ORDER BY n_occurrences DESC, doc_id
     LIMIT 20
 """
+
+
+#: bulk phrase batch — mixed lengths, incl. a 3-term phrase and a
+#: shared token ('line', 'merge' appear in two phrases) so the
+#: one-join set-driven matcher is exercised on slot collisions
+BULK_PHRASES: tuple[str, ...] = ("batch merge", "data line", "merge data line")
+
+
+def docs_phrase_search_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BULK phrase search — the set-driven serving path
+    (`text.phrase_occurrences_bulk`): a BATCH of phrases lands as a
+    slot table (phrase, slot, token, n_slots), ONE broadcast join
+    against the positional plane matches every phrase at once, and an
+    aggregate keyed on (phrase, doc, start) keeps starts where all
+    slots matched. Per-phrase corpus hit summary: matching docs +
+    total occurrences.
+
+    Scale: never a per-phrase plan — a 10⁴-phrase decontamination
+    batch costs the same single pass as these 3; served from the
+    persisted index the slot table's tokens become the DPP-pruned
+    partition set, exactly `read_postings_for_tokens`'s contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = []
+    for ph in BULK_PHRASES:
+        ws = ph.split()
+        for i, w in enumerate(ws):
+            rows.append((ph, i, w, len(ws)))
+    phrases = spark.createDataFrame(
+        rows, "phrase string, slot int, token string, n_slots int"
+    )
+    occ = TX.phrase_occurrences_bulk(TX.positional_postings(docs), phrases)
+    return (
+        occ.groupBy("phrase")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .orderBy("phrase")
+    )
+
+
+def _bulk_phrase_values() -> str:
+    rows = []
+    for ph in BULK_PHRASES:
+        ws = ph.split()
+        for i, w in enumerate(ws):
+            rows.append(f"('{ph}', {i}, '{w}', {len(ws)})")
+    return ", ".join(rows)
+
+
+LLM_ORACLES["docs_phrase_search_bulk"] = f"""
+    WITH phr(phrase, slot, tok, n_slots) AS (
+        VALUES {_bulk_phrase_values()}
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS syms FROM documents),
+    idx AS (
+        SELECT doc_id, unnest(generate_series(1, len(syms))) AS i, syms
+        FROM t
+    ),
+    tk AS (SELECT doc_id, i, syms[i] AS tok FROM idx),
+    m AS (
+        SELECT p.phrase, k.doc_id, k.i - p.slot AS p0, p.slot, p.n_slots
+        FROM tk k JOIN phr p ON k.tok = p.tok
+        WHERE k.i - p.slot >= 1
+    ),
+    occ AS (
+        SELECT phrase, doc_id, p0
+        FROM m GROUP BY phrase, doc_id, p0, n_slots
+        HAVING count(DISTINCT slot) = n_slots
+    )
+    SELECT phrase,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM occ GROUP BY phrase ORDER BY phrase
+"""
+
+
+def docs_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) snippets — the result-presentation
+    surface of phrase search: for the top-20 phrase-matching docs, the
+    first occurrence rendered with 2 tokens of leading context and 2
+    trailing (clipped at the doc start). The snippet is sliced from
+    the token array by position arithmetic — deterministic, no regex
+    re-search of the text.
+
+    Scale: the top-20 hit list broadcasts back onto the corpus scan
+    (one narrow join); snippet assembly touches 20 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = TX.phrase_occurrences(
+        TX.positional_postings(docs), list(PHRASE_QUERY)
+    )
+    hits = _phrase_hits(occ)
+    k = len(PHRASE_QUERY)
+    s0 = F.greatest(F.col("first_pos") - F.lit(2), F.lit(0))
+    ln = F.col("first_pos") - s0 + F.lit(k + 2)
+    return (
+        docs.select("doc_id", "text")
+        .join(F.broadcast(hits), "doc_id")
+        .select(
+            "doc_id",
+            "n_occurrences",
+            "first_pos",
+            F.concat_ws(
+                " ", F.slice(TX.tokens("text"), s0 + 1, ln)
+            ).alias("snippet"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+    )
+
+
+LLM_ORACLES["docs_phrase_snippets"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS syms FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, syms,
+               unnest(generate_series(1, len(syms) - 1)) AS i
+        FROM t WHERE len(syms) >= 2
+    ),
+    hits AS (
+        SELECT doc_id,
+               count(*) AS n_occurrences,
+               CAST(min(i) - 1 AS INT) AS first_pos
+        FROM idx
+        WHERE syms[i] = '{PHRASE_QUERY[0]}' AND syms[i + 1] = '{PHRASE_QUERY[1]}'
+        GROUP BY doc_id
+        ORDER BY n_occurrences DESC, doc_id
+        LIMIT 20
+    )
+    SELECT h.doc_id, h.n_occurrences, h.first_pos,
+           array_to_string(
+               t.syms[greatest(h.first_pos - 2, 0) + 1
+                      : greatest(h.first_pos - 2, 0)
+                        + (h.first_pos - greatest(h.first_pos - 2, 0) + 4)],
+               ' ') AS snippet
+    FROM hits h JOIN t ON h.doc_id = t.doc_id
+    ORDER BY h.n_occurrences DESC, h.doc_id
+"""

@@ -397,3 +397,33 @@ def test_randomized_corpus_matches_reference_scan(spark):
             for r in proximity_pairs(post, first, second, slop).collect()
         )
         assert got == _py_prox(rows, first, second, slop), (first, second, slop)
+
+
+def test_phrase_occurrences_bulk_matches_per_phrase_path(spark):
+    """The one-join set-driven matcher must agree with the k-way
+    aligned join for every phrase in a mixed batch — including a
+    repeated-term phrase ('b b') and phrases sharing tokens."""
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        phrase_occurrences_bulk,
+    )
+
+    batch = [("a b",), ("b b",), ("a b c",), ("b a",)]
+    rows = []
+    for (ph,) in batch:
+        ws = ph.split()
+        for i, w in enumerate(ws):
+            rows.append((ph, i, w, len(ws)))
+    phrases = spark.createDataFrame(
+        rows, "phrase string, slot int, token string, n_slots int"
+    )
+    post = positional_postings(_docs(spark, ROWS)).localCheckpoint()
+    got = sorted(
+        (r["phrase"], r["doc_id"], r["p0"])
+        for r in phrase_occurrences_bulk(post, phrases).collect()
+    )
+    want = sorted(
+        (ph, doc, p0)
+        for (ph,) in batch
+        for doc, p0 in _py_phrase(ROWS, tuple(ph.split()))
+    )
+    assert got == want
