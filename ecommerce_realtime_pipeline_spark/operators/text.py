@@ -1470,3 +1470,24 @@ def phrase_occurrences_bulk(
         .filter(F.col("_k") == F.col("_n"))
         .select("phrase", "doc_id", "p0")
     )
+
+
+def read_positional_postings_for_tokens(
+    spark, path: str, tokens_df: DataFrame
+) -> DataFrame:
+    """Bulk-token read of the positional index — the partition seek
+    for a DataFrame-valued term set (a phrase BATCH's slot tokens:
+    sets far too large for an In-literal), via a broadcast LEFT SEMI
+    join that dynamic partition pruning turns into PartitionFilters
+    on every segment scan (plan-pinned), mirroring
+    :func:`read_postings_for_tokens` on the text index. The
+    ``length(token) >= 0`` no-op predicate is load-bearing for the
+    same reason documented there: Spark's PartitionPruning rule only
+    inserts the DPP subquery when the build side carries a
+    likely-selective filter."""
+    postings = read_positional_index(spark, path)
+    return postings.join(
+        F.broadcast(tokens_df.filter(F.length("token") >= 0)),
+        "token",
+        "left_semi",
+    ).select("token", "doc_id", "pos")

@@ -427,3 +427,34 @@ def test_phrase_occurrences_bulk_matches_per_phrase_path(spark):
         for doc, p0 in _py_phrase(ROWS, tuple(ph.split()))
     )
     assert got == want
+
+
+def test_bulk_token_read_fires_dpp_on_every_segment(spark, tmp_path):
+    """The bulk serving claim pinned: a DataFrame-valued token set
+    (a phrase batch's slots) must reach every positional segment scan
+    as a dynamic partition pruning filter — without it the scan reads
+    all |vocab| directories."""
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        read_positional_postings_for_tokens,
+    )
+
+    docs = _docs(
+        spark, [(i, f"tok{i % 30} a b filler{i % 7}") for i in range(120)]
+    )
+    path = str(tmp_path / "idx")
+    write_positional_index(docs.filter(F.col("doc_id") < 60), path)
+    merge_positional_index(docs.filter(F.col("doc_id") >= 60), path)
+    dt = spark.createDataFrame([("a",), ("b",)], "token string").distinct()
+    out = read_positional_postings_for_tokens(spark, path, dt)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    dpp = [
+        f
+        for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "dynamicpruning" in f
+    ]
+    assert len(dpp) == 2, plan[:900]
+    # and the read is correct: only the requested tokens come back
+    assert {r["token"] for r in out.select("token").distinct().collect()} == {
+        "a",
+        "b",
+    }
