@@ -6172,3 +6172,79 @@ LLM_ORACLES["docs_phrase_snippets"] = f"""
     FROM hits h JOIN t ON h.doc_id = t.doc_id
     ORDER BY h.n_occurrences DESC, h.doc_id
 """
+
+
+def docs_phrase_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the POSITIONAL index — the third
+    family running the same indexing pipeline as
+    `docs_bm25_index_streaming`: the corpus arrives as files on a
+    stream (two landings: even doc_ids, then odd), a ``foreachBatch``
+    sink folds each micro-batch into the persisted positional index
+    (`write_positional_index` on first contact, then
+    `merge_positional_index` — one immutable token-clustered segment +
+    pointer flip — per batch), and the two ``availableNow`` runs SHARE
+    ONE CHECKPOINT so the file source's exactly-once tracking makes
+    run 2 process only the new file (a replayed batch would double
+    positions — the source's tracking IS the idempotence story).
+    Phrase search then serves from the streamed index — identical to
+    the one-shot scan, so the driver hash-gates stream → merge →
+    serve end to end under `docs_phrase_search`'s oracle.
+
+    Scale stance: each trigger costs one |batch tokens|-sized
+    clustered segment write + a |batch docs|-row sidecar + one pointer
+    flip — never O(index)."""
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="eng_posidx_s_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+        idx = os.path.join(tmp, "index")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+        def fold(batch_df, batch_id):
+            rows = batch_df.select(
+                "doc_id", "text", "lang", "source", "n_chars"
+            )
+            if rows.isEmpty():
+                return
+            if indexfmt.has_index(idx):
+                TX.merge_positional_index(rows, idx)
+            else:
+                TX.write_positional_index(rows, idx)
+
+        for half in (0, 1):
+            docs.filter(F.col("doc_id") % 2 == half).repartition(1).write.mode(
+                "append"
+            ).parquet(src)
+            (
+                spark.readStream.schema(doc_schema)
+                .parquet(src)
+                .writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        m = indexfmt.read_manifest(idx, TX.POS_INDEX_FORMAT)
+        assert int(m["version"]) >= 2 and len(m["segments"]) >= 2
+        postings = TX.read_positional_index(spark, idx)
+        occ = TX.phrase_occurrences(
+            postings.filter(F.col("token").isin(*PHRASE_QUERY)),
+            list(PHRASE_QUERY),
+        )
+        return _phrase_hits(occ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+LLM_ORACLES["docs_phrase_index_streaming"] = LLM_ORACLES["docs_phrase_search"]
