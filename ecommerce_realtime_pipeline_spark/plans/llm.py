@@ -6248,3 +6248,130 @@ def docs_phrase_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LLM_ORACLES["docs_phrase_index_streaming"] = LLM_ORACLES["docs_phrase_search"]
+
+
+def docs_hybrid_search_weighted_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The weighted-fusion twin of `docs_hybrid_search_rrf_indexed`,
+    completing the fusion matrix ({RRF, weighted} × {brute-force,
+    indexed}): BOTH legs serve from persisted indexes with LIVE
+    TOMBSTONES (BM25 from the token-partitioned text index after odd
+    doc_ids are deleted — stale idf until compaction, the documented
+    Lucene semantics; IVF ANN from the cell-partitioned index after
+    odd vec_ids are deleted), each leg's top-20 4dp scores min-max
+    normalized WITHIN its list, blend `0.6·lex + 0.4·sem`, missing
+    leg → 0. Every serving surface of both families plus score-level
+    calibration on one hash-gated path.
+
+    Scale stance: the legs' own plans + two 1-row min/max broadcasts
+    and a full-outer join of two k-row lists — driver-trivial."""
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        delete_from_text_index,
+        read_text_index,
+        write_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="eng_hybrid_widx_")
+
+    def _minmax_norm(leg, col, out):
+        mm = leg.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx"))
+        return leg.crossJoin(F.broadcast(mm)).select(
+            "doc_id",
+            F.when(
+                F.col("_mx") > F.col("_mn"),
+                (F.col(col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias(out),
+        )
+
+    try:
+        tpath = os.path.join(tmp, "text")
+        write_text_index(docs, tpath)
+        delete_from_text_index(
+            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), tpath
+        )
+        postings, dfreq, stats = read_text_index(spark, tpath)
+        lex = _bm25_rank(
+            postings.filter(F.col("token").isin(*BM25_TERMS)).select(
+                "doc_id", "token", "tf", "dl"
+            ),
+            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
+            stats,
+        ).select("doc_id", F.col("score").alias("lex_s"))
+        lexn = _minmax_norm(lex, "lex_s", "lex_norm")
+        ipath = os.path.join(tmp, "ivf")
+        SIM.write_ivf_index(emb, ipath, cache_key=f"{sf_dir}/embeddings")
+        SIM.delete_from_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 1).select("vec_id"), ipath
+        )
+        sem = SIM.knn_ivf_from_index(
+            spark, ipath, emb.filter(F.col("vec_id") == 0), k=20, n_probe=8
+        ).select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("cos_sim").alias("sem_s"),
+        )
+        semn = _minmax_norm(sem, "sem_s", "sem_norm")
+        fused = (
+            lexn.join(semn, "doc_id", "full_outer")
+            .withColumn(
+                "hybrid_score",
+                F.round(
+                    F.lit(HYB_ALPHA_LEX)
+                    * F.coalesce(F.col("lex_norm"), F.lit(0.0))
+                    + F.lit(HYB_ALPHA_SEM)
+                    * F.coalesce(F.col("sem_norm"), F.lit(0.0)),
+                    6,
+                ),
+            )
+            .orderBy(F.col("hybrid_score").desc(), "doc_id")
+            .limit(10)
+            .select(
+                "doc_id",
+                F.round("lex_norm", 6).alias("lex_norm"),
+                F.round("sem_norm", 6).alias("sem_norm"),
+                "hybrid_score",
+            )
+        )
+        return fused.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+LLM_ORACLES["docs_hybrid_search_weighted_indexed"] = f"""
+    WITH lexs AS (SELECT doc_id, score AS lex_s FROM ({{bm25_deleted}})),
+    lexn AS (
+        SELECT doc_id,
+               CASE WHEN mm._mx > mm._mn
+                    THEN (lex_s - mm._mn) / (mm._mx - mm._mn)
+                    ELSE 1.0 END AS lex_norm
+        FROM lexs, (SELECT min(lex_s) AS _mn, max(lex_s) AS _mx FROM lexs) mm
+    ),
+    sems AS (
+        SELECT neighbor_id AS doc_id, cos_sim AS sem_s FROM ({{ivf_sem}})
+    ),
+    semn AS (
+        SELECT doc_id,
+               CASE WHEN mm._mx > mm._mn
+                    THEN (sem_s - mm._mn) / (mm._mx - mm._mn)
+                    ELSE 1.0 END AS sem_norm
+        FROM sems, (SELECT min(sem_s) AS _mn, max(sem_s) AS _mx FROM sems) mm
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           ROUND(l.lex_norm, 6) AS lex_norm,
+           ROUND(s.sem_norm, 6) AS sem_norm,
+           ROUND({HYB_ALPHA_LEX} * COALESCE(l.lex_norm, 0.0)
+                 + {HYB_ALPHA_SEM} * COALESCE(s.sem_norm, 0.0), 6)
+               AS hybrid_score
+    FROM lexn l FULL OUTER JOIN semn s ON l.doc_id = s.doc_id
+    ORDER BY hybrid_score DESC, doc_id
+    LIMIT 10
+""".replace("{bm25_deleted}", LLM_ORACLES["docs_bm25_index_deleted"]).replace(
+    "{ivf_sem}", _ivf_tombstoned_sem_leg_sql()
+)
