@@ -6375,3 +6375,92 @@ LLM_ORACLES["docs_hybrid_search_weighted_indexed"] = f"""
 """.replace("{bm25_deleted}", LLM_ORACLES["docs_bm25_index_deleted"]).replace(
     "{ivf_sem}", _ivf_tombstoned_sem_leg_sql()
 )
+
+
+def docs_pos_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index LIFECYCLE observability — the `_cat/segments`
+    row for the third family, split the same way as
+    `docs_text_index_stats`: run the scripted lifecycle (build evens →
+    merge odds → tombstone odds) and report the manifest plane
+    (version, live segments, pending tombstones) next to the data
+    plane — vocab size, the PRE-delete indexed doc count (from the
+    |docs|-row sidecar, which deletes deliberately do not rewrite)
+    and the post-mask live doc/position counts. n_indexed_docs ≠
+    n_live_docs is the compaction-owed alert.
+
+    Scale: the sidecar read is |docs|-row; the live counts are
+    column-pruned aggregates over the masked postings — index
+    metadata cost, never a text scan."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="eng_posidx_h_")
+    try:
+        path = os.path.join(tmp, "index")
+        TX.write_positional_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+        TX.merge_positional_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+        n_tomb = TX.delete_from_positional_index(
+            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), path
+        )
+        m = indexfmt.read_manifest(path, TX.POS_INDEX_FORMAT)
+        sidecar = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(f"{path}/{t}").select("doc_id")
+                for t in m["docs"]
+            ],
+        )
+        postings = TX.read_positional_index(spark, path)
+        return (
+            postings.agg(
+                F.countDistinct("token").cast("long").alias("vocab_size"),
+                F.countDistinct("doc_id").cast("long").alias("n_live_docs"),
+                F.count("*").cast("long").alias("n_live_positions"),
+            )
+            .crossJoin(
+                sidecar.agg(
+                    F.count("*").cast("long").alias("n_indexed_docs")
+                )
+            )
+            .select(
+                F.lit(int(m["version"])).cast("int").alias("version"),
+                F.lit(len(m["segments"])).cast("int").alias("n_segments"),
+                F.lit(n_tomb).cast("long").alias("n_tombstoned"),
+                "vocab_size",
+                "n_indexed_docs",
+                "n_live_docs",
+                "n_live_positions",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# manifest plane = analytic constants of the scripted lifecycle
+# (build=v1, merge=v2, delete=v3; merge appends exactly one segment);
+# data plane recomputed from the documents table. The masked vocab is
+# corpus-wide: every token appears in some even doc at the shipped SFs
+# is NOT assumed — vocab counts tokens of LIVE (even) docs only.
+LLM_ORACLES["docs_pos_index_stats"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    SELECT CAST(3 AS INT) AS version,
+           CAST(2 AS INT) AS n_segments,
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 2 = 1)
+               AS BIGINT) AS n_tombstoned,
+           CAST((SELECT count(DISTINCT token) FROM toks
+                 WHERE doc_id % 2 = 0) AS BIGINT) AS vocab_size,
+           CAST((SELECT count(*) FROM documents) AS BIGINT)
+               AS n_indexed_docs,
+           CAST((SELECT count(DISTINCT doc_id) FROM toks
+                 WHERE doc_id % 2 = 0) AS BIGINT) AS n_live_docs,
+           CAST((SELECT count(*) FROM toks WHERE doc_id % 2 = 0)
+               AS BIGINT) AS n_live_positions
+"""
