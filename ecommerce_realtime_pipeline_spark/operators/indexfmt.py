@@ -57,6 +57,16 @@ KEEP_GENERATIONS = 2
 #: integer version (``_GEN-3``)
 GEN_PREFIX = "_GEN-"
 
+#: writer lock file guarding the snapshot+flip critical section of
+#: :func:`write_manifest`
+LOCK = "_LOCK"
+
+#: a lock older than this is treated as a crashed writer's leftover
+#: and broken. The critical section is a few file writes
+#: (milliseconds) — 300 s is orders of magnitude of headroom while
+#: still letting maintenance resume automatically after a crash.
+STALE_LOCK_SECONDS = 300.0
+
 
 def new_dir_name(prefix: str) -> str:
     """Collision-free immutable child name (``seg-<hex>``)."""
@@ -115,8 +125,59 @@ def _atomic_write_json(path: str, name: str, obj: dict) -> None:
     os.replace(tmp, os.path.join(path, name))
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second mutator targeted the same index path while another
+    writer held the ``_LOCK`` — the loser fails LOUDLY here instead of
+    interleaving with the winner and silently voiding generation
+    retention."""
+
+
+def _acquire_writer_lock(path: str) -> str:
+    """Best-effort single-writer guard for the snapshot+flip critical
+    section: an ``O_CREAT|O_EXCL`` lock file (atomic on POSIX local
+    filesystems; on an object store this becomes a conditional PUT,
+    same as the pointer flip itself). A lock older than
+    ``STALE_LOCK_SECONDS`` is a crashed writer's leftover and is
+    broken — the crash-release path. Raises
+    :class:`ConcurrentWriterError` when a live writer holds it."""
+    import time
+
+    lock = os.path.join(path, LOCK)
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(f"pid={os.getpid()} t={time.time()}\n")
+            return lock
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder released between open and stat: retry
+            if age <= STALE_LOCK_SECONDS:
+                raise ConcurrentWriterError(
+                    f"index at {path} has a live writer lock ({LOCK}, "
+                    f"age {age:.1f}s): merge/delete/compact are "
+                    "single-writer operations — serialize mutators, or "
+                    "pass lock=False to write_manifest when an external "
+                    "coordinator (job scheduler) already guarantees it"
+                ) from None
+            # crashed writer: break the stale lock and retry once
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+    raise ConcurrentWriterError(
+        f"index at {path}: could not acquire {LOCK} after breaking a "
+        "stale lock — another writer keeps re-acquiring it"
+    )
+
+
 def write_manifest(
-    path: str, manifest: dict, keep_generations: int = KEEP_GENERATIONS
+    path: str,
+    manifest: dict,
+    keep_generations: int = KEEP_GENERATIONS,
+    lock: bool = True,
 ) -> None:
     """Atomic pointer flip — the single commit point of every index
     mutation. Before the flip, the superseded manifest (if any) is
@@ -126,32 +187,73 @@ def write_manifest(
     holding the previous generation keeps its files through the next
     flip+vacuum.
 
-    SINGLE WRITER ASSUMED (readers unlimited): the read-old →
+    SINGLE WRITER ENFORCED (readers unlimited): the read-old →
     snapshot → flip sequence is not atomic as a whole, so two
-    concurrent writers can interleave such that one superseded
+    concurrent writers could interleave such that one superseded
     manifest never lands as a ``_GEN`` snapshot — quietly voiding the
-    retention guarantee above. That matches the engine-wide mutation
-    contract (merge/delete/compact are maintenance operations, one at
-    a time, like Iceberg's single-committer table lock); coordinate
-    writers externally (a job scheduler or directory lock) when more
-    than one mutator can target the same index path."""
+    retention guarantee above. The sequence therefore runs under an
+    ``O_EXCL`` lock file (:func:`_acquire_writer_lock`): a racing
+    second mutator fails loudly with :class:`ConcurrentWriterError`
+    instead, and a crashed writer's lock is broken after
+    ``STALE_LOCK_SECONDS``. ``lock=False`` is the documented escape
+    hatch for deployments whose job scheduler already serializes
+    mutators (the Iceberg external-lock-manager configuration)."""
     os.makedirs(path, exist_ok=True)
-    cur = os.path.join(path, MANIFEST)
-    if os.path.exists(cur):
-        try:
-            with open(cur) as fh:
-                old = json.load(fh)
-            gen_name = f"{GEN_PREFIX}{int(old.get('version', 0))}"
-            if not os.path.exists(os.path.join(path, gen_name)):
-                _atomic_write_json(path, gen_name, old)
-        except (OSError, ValueError):
-            pass  # unreadable old pointer: nothing to retain
-    _atomic_write_json(path, MANIFEST, manifest)
-    for name in _generation_names(path)[: -keep_generations or None]:
-        try:
-            os.remove(os.path.join(path, name))
-        except OSError:
-            pass
+    held = _acquire_writer_lock(path) if lock else None
+    try:
+        cur = os.path.join(path, MANIFEST)
+        if os.path.exists(cur):
+            try:
+                with open(cur) as fh:
+                    old = json.load(fh)
+                gen_name = f"{GEN_PREFIX}{int(old.get('version', 0))}"
+                if not os.path.exists(os.path.join(path, gen_name)):
+                    _atomic_write_json(path, gen_name, old)
+            except (OSError, ValueError):
+                pass  # unreadable old pointer: nothing to retain
+        _atomic_write_json(path, MANIFEST, manifest)
+        for name in _generation_names(path)[: -keep_generations or None]:
+            try:
+                os.remove(os.path.join(path, name))
+            except OSError:
+                pass
+    finally:
+        if held is not None:
+            try:
+                os.remove(held)
+            except OSError:
+                pass
+
+
+def publish_stage(stage: str, path: str) -> None:
+    """Publish a fully-staged index directory with ONE atomic
+    ``os.rename`` — the shared commit step of every initial-build
+    writer (text/positional/IVF). Exactly two outcomes:
+
+    - the rename lands → the index is live at ``path``;
+    - a CONCURRENT BUILDER won the race (rename fails with
+      ENOTEMPTY/EEXIST because ``path`` already holds a published
+      index, re-confirmed via :func:`has_index`) → the losing stage is
+      discarded, silently: the winner's index is equivalent by the
+      builders' shared input contract.
+
+    Every OTHER failure re-raises after discarding the stage — the r10
+    writers swallowed ALL OSErrors here, which turned EXDEV (stage and
+    path on different filesystems — os.rename never crosses one) and
+    permission errors into a mystery "no index at path" much later.
+    """
+    import errno
+    import shutil
+
+    try:
+        os.rename(stage, path)
+    except OSError as e:
+        lost_race = e.errno in (errno.ENOTEMPTY, errno.EEXIST) and has_index(
+            path
+        )
+        shutil.rmtree(stage, ignore_errors=True)
+        if not lost_race:
+            raise
 
 
 def _generation_names(path: str) -> list[str]:

@@ -446,7 +446,6 @@ def write_ivf_index(
     two builders race, the loser's rename fails and it discards its
     staging dir (the winner's identical index serves both). Object
     stores swap the rename for a conditional manifest PUT."""
-    import shutil as _sh
     import uuid as _uuid
 
     from . import indexfmt
@@ -480,11 +479,10 @@ def write_ivf_index(
             "centroids": cent_dir,
         },
     )
-    try:
-        os.rename(stage, path)
-    except OSError:
-        # another builder published first; its index is identical
-        _sh.rmtree(stage, ignore_errors=True)
+    # losing a concurrent-builder race discards the stage silently
+    # (the winner's index is identical); every other rename failure
+    # re-raises — see indexfmt.publish_stage
+    indexfmt.publish_stage(stage, path)
 
 
 def read_ivf_index(
@@ -1716,6 +1714,52 @@ def requantize_ivf_index(
     )
     indexfmt.vacuum(path, IVF_INDEX_FORMAT)
     return len(cents)
+
+
+def maybe_requantize_ivf_index(
+    spark,
+    path: str,
+    max_occupancy_ratio: float,
+    n_centroids: int | None = None,
+    seed: int = 42,
+) -> bool:
+    """Quantizer-drift POLICY — the loop that connects the
+    ``emb_ivf_index_health`` alarm (read half) to
+    :func:`requantize_ivf_index` (write half), shaped exactly like
+    the ``max_deleted_ratio`` deletes-percentage policy on the delete
+    paths: check the health metric, remediate inline when it crosses
+    the threshold, no-op otherwise. The metric is the health report's
+    worst cell: max(|cell|)/mean(|cell|) over the live
+    (tombstone-masked) postings — ratios ≫ 1 mean merges have piled a
+    drifting corpus into few frozen cells and probe cost no longer
+    tracks n/k (the Faiss "retrain when imbalance crosses τ"
+    scheduler). The check itself is index-metadata cheap: the count
+    aggregate prunes the segment scans to the partition key, never
+    the vectors.
+
+    ``n_centroids=None`` retrains at the index's CURRENT cell count
+    (read from the live quantizer) — remediation fixes the
+    assignment, not the capacity. Returns True iff requantization
+    ran; serving results are unchanged either way beyond ranking
+    candidates being re-bucketed (requantize ≡ fresh build over the
+    live set, test-pinned on :func:`requantize_ivf_index`)."""
+    cents, cells = read_ivf_index(spark, path)
+    row = (
+        cells.groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("max_n"), F.avg("n").alias("mean_n"))
+        .collect()[0]
+    )
+    ratio = float(row["max_n"]) / float(row["mean_n"])
+    if ratio <= max_occupancy_ratio:
+        return False
+    requantize_ivf_index(
+        spark,
+        path,
+        n_centroids=len(cents) if n_centroids is None else n_centroids,
+        seed=seed,
+    )
+    return True
 
 
 def top_component_power(

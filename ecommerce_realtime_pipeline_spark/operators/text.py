@@ -641,8 +641,6 @@ def write_text_index(docs: DataFrame, path: str) -> None:
     search index; segments are the merge unit and hot stopword
     partitions are the skew knob — df-cutoff them out of the index
     exactly like the Jaccard blocker."""
-    import os as _os
-    import shutil as _sh
     import uuid as _uuid
 
     from . import indexfmt
@@ -689,10 +687,7 @@ def write_text_index(docs: DataFrame, path: str) -> None:
             "docs": [docs_tbl],
         },
     )
-    try:
-        _os.rename(stage, path)
-    except OSError:
-        _sh.rmtree(stage, ignore_errors=True)
+    indexfmt.publish_stage(stage, path)
 
 
 def read_text_index(
@@ -1145,6 +1140,31 @@ def positional_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("token", "doc_id", F.col("pos").cast("int").alias("pos"))
 
 
+def _positional_batch_counts(postings: DataFrame, caller: str) -> int:
+    """ONE pass over a positional-postings batch → its row count,
+    raising loudly if any token is NULL/empty — the same contract
+    :func:`merge_text_index` enforces: ``tokens('')`` yields ``['']``,
+    and ``partitionBy('token')`` writes the empty string as
+    ``__HIVE_DEFAULT_PARTITION__``, which reads back as a NULL token —
+    unreachable by any phrase equality predicate yet still counted by
+    the stats aggregates, silently desynchronizing the indexed serve
+    from the brute-force scan instead of failing here."""
+    row = postings.agg(
+        F.count("*").alias("n"),
+        F.count(
+            F.when(F.col("token").isNull() | (F.col("token") == ""), 1)
+        ).alias("bad"),
+    ).collect()[0]
+    if int(row["bad"]):
+        raise ValueError(
+            f"{caller}: batch contains NULL/empty tokens, which Spark "
+            "writes as __HIVE_DEFAULT_PARTITION__ and reads back as "
+            "NULL — unreachable by any term equality; clean the "
+            "tokenizer output"
+        )
+    return int(row["n"])
+
+
 def write_positional_index(docs: DataFrame, path: str) -> None:
     """Persist the POSITIONAL index: postings written as parquet
     PARTITIONED BY TOKEN inside an immutable segment directory, named
@@ -1154,14 +1174,12 @@ def write_positional_index(docs: DataFrame, path: str) -> None:
     query time the phrase's terms become PartitionFilters, so a k-term
     phrase touches k directories per segment out of |vocab| — the
     positional posting-list seek (plan-pinned in tests)."""
-    import os as _os
-    import shutil as _sh
     import uuid as _uuid
 
     from . import indexfmt
 
     postings = positional_postings(docs)
-    if postings.isEmpty():
+    if _positional_batch_counts(postings, "write_positional_index") == 0:
         raise ValueError(
             "write_positional_index: empty corpus — a phrase index "
             "over nothing is unreadable on the way back (empty "
@@ -1197,13 +1215,12 @@ def write_positional_index(docs: DataFrame, path: str) -> None:
             "docs": [docs_tbl],
         },
     )
-    try:
-        _os.rename(stage, path)
-    except OSError:
-        _sh.rmtree(stage, ignore_errors=True)
+    indexfmt.publish_stage(stage, path)
 
 
-def merge_positional_index(new_docs: DataFrame, path: str) -> int:
+def merge_positional_index(
+    new_docs: DataFrame, path: str, max_segments: int | None = None
+) -> int:
     """Fold a batch of NEW documents into a persisted positional index
     as ONE new immutable segment + a pointer flip — the same
     zero-read-amplification merge as :func:`merge_text_index`
@@ -1211,12 +1228,24 @@ def merge_positional_index(new_docs: DataFrame, path: str) -> int:
     segments, so appending ≡ consolidating). A crash before the flip
     leaves orphans + a fully-intact old index. Cost at 100 TB: one
     |batch tokens|-sized partitioned write + one pointer flip — never
-    O(index). Returns the number of live segments after the merge."""
+    O(index).
+
+    ``max_segments`` is the same tiered-merge POLICY the text and IVF
+    merges carry: a streamed positional index otherwise accumulates
+    one segment per micro-batch unbounded, and every phrase serve
+    unions (and seeks into) every segment — read amplification linear
+    in merge count. When set, a merge that leaves more than
+    ``max_segments`` live segments triggers
+    :func:`compact_positional_index` inline (the occasional merge
+    pays the O(index) fold so every read stays bounded), safe under
+    concurrent readers via :mod:`.indexfmt` generation retention.
+    Returns the number of live segments after the merge (1 when the
+    inline compaction fired)."""
     from . import indexfmt
 
     m = indexfmt.read_manifest(path, POS_INDEX_FORMAT)
     delta = positional_postings(new_docs)
-    if delta.isEmpty():
+    if _positional_batch_counts(delta, "merge_positional_index") == 0:
         return len(m["segments"])
     seg = indexfmt.new_dir_name("seg")
     delta.repartition(F.col("token")).write.mode("overwrite").partitionBy(
@@ -1237,6 +1266,9 @@ def merge_positional_index(new_docs: DataFrame, path: str) -> int:
             "docs": [*m.get("docs", []), docs_tbl],
         },
     )
+    if max_segments is not None and len(segments) > max_segments:
+        compact_positional_index(spark, path)
+        return 1
     return len(segments)
 
 
@@ -1341,8 +1373,12 @@ def delete_from_positional_index(
     over-count re-deletes and foreign ids — the accounting bug the r10
     advice fixed on text/IVF, not re-introduced here), and when
     n_dead/n_docs crosses the ratio, compaction runs inline — safe
-    under concurrent readers via generation retention. Returns the
-    number of newly tombstoned ids."""
+    under concurrent readers via generation retention. The |docs|-row
+    sidecar keeps that policy check |docs|-cheap; for a PRE-SIDECAR
+    index (manifest with no ``docs`` list) the fallback distincts the
+    |corpus tokens|-row positional plane instead — O(index) on that
+    legacy path until the next compaction writes a sidecar. Returns
+    the number of newly tombstoned ids."""
     from functools import reduce
 
     from . import indexfmt

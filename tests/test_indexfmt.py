@@ -226,3 +226,98 @@ def test_write_manifest_flip_is_replace_not_append(tmp_path):
     with open(os.path.join(p, indexfmt.MANIFEST)) as fh:
         on_disk = json.load(fh)
     assert on_disk["version"] == 2 and on_disk["segments"] == ["seg-a", "seg-b"]
+
+
+def test_publish_stage_discards_loser_of_concurrent_build_race(tmp_path):
+    """Two builders raced: the second publish lands on an already-
+    published index → the losing stage is silently discarded and the
+    winner's index is untouched (the builders' shared-input contract
+    makes them equivalent)."""
+    path = str(tmp_path / "idx")
+    winner = {"format": "text-index", "version": 1, "segments": ["seg-w"]}
+    _mk(path, winner)
+    os.makedirs(os.path.join(path, "seg-w"))
+    stage = str(tmp_path / "idx.stage-deadbeef")
+    _mk(stage, {"format": "text-index", "version": 1, "segments": ["seg-l"]})
+    os.makedirs(os.path.join(stage, "seg-l"))
+    indexfmt.publish_stage(stage, path)  # no raise
+    assert not os.path.exists(stage)
+    assert indexfmt.read_manifest(path, "text-index") == winner
+
+
+def test_publish_stage_reraises_non_race_failures(tmp_path):
+    """The r10 writers swallowed EVERY OSError here; a rename that
+    fails for any reason other than a lost builder race (here: the
+    target is occupied by a non-index directory) must re-raise after
+    discarding the stage — not return success with nothing published."""
+    path = str(tmp_path / "idx")
+    os.makedirs(os.path.join(path, "not-an-index"))  # occupied, no manifest
+    stage = str(tmp_path / "idx.stage-deadbeef")
+    _mk(stage, {"format": "text-index", "version": 1, "segments": ["seg-l"]})
+    with pytest.raises(OSError):
+        indexfmt.publish_stage(stage, path)
+    assert not os.path.exists(stage)  # stage reclaimed on the way out
+
+
+def test_write_manifest_second_writer_fails_loudly(tmp_path):
+    """Single-writer ENFORCEMENT (upgraded from the r10 documented
+    assumption): while one mutator holds the _LOCK, a racing second
+    write_manifest raises ConcurrentWriterError instead of
+    interleaving with the winner and voiding generation retention."""
+    path = str(tmp_path / "idx")
+    _mk(path, {"format": "text-index", "version": 1, "segments": ["seg-a"]})
+    lock = os.path.join(path, indexfmt.LOCK)
+    with open(lock, "w") as fh:  # writer A mid-critical-section
+        fh.write("pid=1 t=now\n")
+    with pytest.raises(indexfmt.ConcurrentWriterError, match="live writer"):
+        indexfmt.write_manifest(
+            path, {"format": "text-index", "version": 2, "segments": ["seg-b"]}
+        )
+    # the loser changed NOTHING: pointer, retention set, and lock intact
+    assert indexfmt.read_manifest(path, "text-index")["version"] == 1
+    assert os.path.exists(lock)
+    os.remove(lock)
+    # with the lock released the same flip goes through and retains v1
+    indexfmt.write_manifest(
+        path, {"format": "text-index", "version": 2, "segments": ["seg-b"]}
+    )
+    assert indexfmt.read_manifest(path, "text-index")["version"] == 2
+    assert [
+        int(m["version"]) for m in indexfmt.retained_manifests(path)
+    ] == [1, 2]
+    assert not os.path.exists(lock)  # released after the flip
+
+
+def test_write_manifest_breaks_stale_crashed_writer_lock(tmp_path):
+    """A crashed writer's leftover lock must not wedge maintenance
+    forever: past STALE_LOCK_SECONDS the lock is broken and the flip
+    proceeds (the crash-release path)."""
+    path = str(tmp_path / "idx")
+    _mk(path, {"format": "text-index", "version": 1, "segments": ["seg-a"]})
+    lock = os.path.join(path, indexfmt.LOCK)
+    with open(lock, "w") as fh:
+        fh.write("pid=1 t=crashed\n")
+    stale = indexfmt.STALE_LOCK_SECONDS + 60
+    os.utime(lock, (os.path.getmtime(lock) - stale,) * 2)
+    indexfmt.write_manifest(
+        path, {"format": "text-index", "version": 2, "segments": ["seg-b"]}
+    )
+    assert indexfmt.read_manifest(path, "text-index")["version"] == 2
+    assert not os.path.exists(lock)
+
+
+def test_write_manifest_lock_false_is_the_escape_hatch(tmp_path):
+    """lock=False (external coordinator owns serialization) skips the
+    guard entirely — flips under a held lock without touching it."""
+    path = str(tmp_path / "idx")
+    _mk(path, {"format": "text-index", "version": 1, "segments": ["seg-a"]})
+    lock = os.path.join(path, indexfmt.LOCK)
+    with open(lock, "w") as fh:
+        fh.write("pid=1 t=now\n")
+    indexfmt.write_manifest(
+        path,
+        {"format": "text-index", "version": 2, "segments": ["seg-b"]},
+        lock=False,
+    )
+    assert indexfmt.read_manifest(path, "text-index")["version"] == 2
+    assert os.path.exists(lock)  # not ours; left alone

@@ -2488,3 +2488,48 @@ def test_requantize_refuses_fully_tombstoned_index(spark, tmp_path):
     assert m["version"] == v_before  # no partial commit
     _, cells = SIM.read_ivf_index(spark, ivf)
     assert cells.isEmpty()
+
+
+def test_maybe_requantize_fires_on_drift_and_noops_on_fresh(spark, tmp_path):
+    """The drift POLICY loop (r11): maybe_requantize_ivf_index
+    connects the emb_ivf_index_health alarm (max/mean cell occupancy)
+    to requantize_ivf_index, shaped like the max_deleted_ratio
+    policies — fires on the drifted fixture (even-trained quantizer +
+    odd merge), no-ops on a fresh build, and serving afterwards is
+    identical to a fresh build over the same vectors."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    def mk(ids_):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids_
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    evens, odds = list(range(100, 160, 2)), list(range(101, 160, 2))
+    drifted = str(tmp_path / "drifted")
+    SIM.write_ivf_index(mk(evens), drifted, n_centroids=4)
+    SIM.merge_ivf_index(mk(odds), drifted)  # drift under frozen cells
+    v_before = indexfmt.read_manifest(drifted, SIM.IVF_INDEX_FORMAT)[
+        "version"
+    ]
+    # threshold 1.0 = "any imbalance at all": guarantees the breach on
+    # the drifted index without hardcoding its skew
+    assert SIM.maybe_requantize_ivf_index(spark, drifted, 1.0) is True
+    m = indexfmt.read_manifest(drifted, SIM.IVF_INDEX_FORMAT)
+    assert int(m["version"]) == v_before + 1 and len(m["segments"]) == 1
+    # n_centroids=None retrained at the index's own capacity, and the
+    # result is the fresh-build identity requantize guarantees
+    fresh = str(tmp_path / "fresh")
+    SIM.write_ivf_index(mk(evens + odds), fresh, n_centroids=4)
+    key = lambda r: (int(r["cell"]), int(r["neighbor_id"]))  # noqa: E731
+    _, got = SIM.read_ivf_index(spark, drifted)
+    _, want = SIM.read_ivf_index(spark, fresh)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    # a freshly-trained index under a sane threshold: policy stays quiet
+    assert SIM.maybe_requantize_ivf_index(spark, fresh, 4.0) is False
+    assert (
+        indexfmt.read_manifest(fresh, SIM.IVF_INDEX_FORMAT)["version"] == 1
+    )

@@ -458,3 +458,47 @@ def test_bulk_token_read_fires_dpp_on_every_segment(spark, tmp_path):
         "a",
         "b",
     }
+
+
+def test_max_segments_triggers_inline_compaction(spark, tmp_path):
+    """Tiered-merge POLICY parity with the text/IVF families (r11):
+    merges under max_segments=2 consolidate inline once a third live
+    segment would appear, and the post-policy serve is hash-identical
+    to a fresh build over the union — appending ≡ consolidating."""
+    path = str(tmp_path / "idx")
+    batches = [ROWS[:2], ROWS[2:4], ROWS[4:]]
+    write_positional_index(_docs(spark, batches[0]), path)
+    assert merge_positional_index(_docs(spark, batches[1]), path, 2) == 2
+    # third segment would exceed the cap → inline compaction → 1
+    assert merge_positional_index(_docs(spark, batches[2]), path, 2) == 1
+    m = indexfmt.read_manifest(path, POS_INDEX_FORMAT)
+    assert len(m["segments"]) == 1 and not m.get("tombstones")
+    fresh = str(tmp_path / "fresh")
+    write_positional_index(_docs(spark, ROWS), fresh)
+    key = lambda r: (r["token"], r["doc_id"], r["pos"])  # noqa: E731
+    assert sorted(
+        map(key, read_positional_index(spark, path).collect())
+    ) == sorted(map(key, read_positional_index(spark, fresh).collect()))
+    # the retained pre-compaction generation still serves completely
+    # (inline policy must be as reader-safe as a manual compaction)
+    prev = int(m["version"]) - 1
+    assert sorted(
+        map(key, read_positional_index(spark, path, version=prev).collect())
+    ) == sorted(map(key, read_positional_index(spark, path).collect()))
+
+
+def test_writers_reject_null_empty_tokens(spark, tmp_path):
+    """tokens('') yields [''], and partitionBy('token') writes it as
+    __HIVE_DEFAULT_PARTITION__ → NULL on read-back — unreachable by
+    any phrase equality yet counted by the stats aggregates. Both
+    positional writers must fail loudly, like merge_text_index."""
+    path = str(tmp_path / "idx")
+    bad = _docs(spark, [(1, "a b"), (2, "")])
+    with pytest.raises(ValueError, match="NULL/empty tokens"):
+        write_positional_index(bad, path)
+    assert not indexfmt.has_index(path)  # nothing half-published
+    write_positional_index(_docs(spark, ROWS), path)
+    v = indexfmt.read_manifest(path, POS_INDEX_FORMAT)["version"]
+    with pytest.raises(ValueError, match="NULL/empty tokens"):
+        merge_positional_index(_docs(spark, [(9, "")]), path)
+    assert indexfmt.read_manifest(path, POS_INDEX_FORMAT)["version"] == v
