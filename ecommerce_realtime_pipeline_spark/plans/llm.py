@@ -5858,6 +5858,153 @@ LLM_ORACLES["docs_proximity_search"] = f"""
 """
 
 
+def _persisted_pos_path(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
+    """Build-once path of the session-shared persisted POSITIONAL
+    index over the full documents corpus — the positional twin of
+    `_persisted_ivf_path` (same (size, mtime) freshness stamp, same
+    build-on-miss), for queries that SERVE from the canonical index;
+    queries that exercise MUTATIONS (merge/delete boundaries) keep
+    building their own scripted copies."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        stamp = sf_dir
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_pos_" + hashlib.md5(stamp.encode()).hexdigest()[:12],
+    )
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    if not indexfmt.has_index(path):
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+        TX.write_positional_index(docs, path)
+    return path
+
+
+def _proximity_boosted(lex: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared tail of both proximity-boost serves: BM25 top-k left-
+    joined to the per-doc tightest gap, boosted, re-ranked. The boost
+    is Lucene's sloppy-phrase shape — factor 1/(1+min_gap), 0 when
+    the pair never co-occurs within the slop (min_gap exposed as 0:
+    real gaps are ≥ 1) — applied multiplicatively to the 4dp BM25
+    score and rounded at 6dp, ORDER BY the rounded column (the
+    cross-engine determinism recipe). Everything here is k rows."""
+    gaps = pairs.groupBy("doc_id").agg(
+        F.min("gap").cast("int").alias("_mg")
+    )
+    joined = lex.join(gaps, "doc_id", "left").select(
+        "doc_id",
+        F.col("score").alias("bm25_score"),
+        F.coalesce(F.col("_mg"), F.lit(0)).cast("int").alias("min_gap"),
+    )
+    boost = F.when(F.col("min_gap") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) / (F.lit(1) + F.col("min_gap"))
+    )
+    return joined.select(
+        "doc_id",
+        "bm25_score",
+        "min_gap",
+        F.round(F.col("bm25_score") * (F.lit(1.0) + boost), 6).alias(
+            "boosted_score"
+        ),
+    ).orderBy(F.col("boosted_score").desc(), "doc_id")
+
+
+def docs_bm25_proximity_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROXIMITY-AWARE RANKING — the composed query that connects the
+    BM25 plane to the positional plane (Lucene's sloppy-phrase boost:
+    docs where the query terms sit NEAR each other outrank
+    bag-of-words ties): the `docs_bm25_search` top-20, boosted by
+    1/(1+min_gap) where min_gap is the tightest ordered
+    `BM25_TERMS[0] … BM25_TERMS[1]` gap within PROX_SLOP tokens.
+
+    Scale stance: the lexical leg is the audited BM25 serve; the
+    position leg is two term-filtered slivers of the positional plane
+    SEMI-JOINED (broadcast — the top-k id list is k rows) down to the
+    top-k docs BEFORE the band join, so position data for off-list
+    docs never shuffles — bounded by k, never a corpus-scale position
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = docs_bm25_search(spark, sf_dir).localCheckpoint()
+    post = TX.positional_postings(docs).filter(
+        F.col("token").isin(BM25_TERMS[0], BM25_TERMS[1])
+    )
+    post = post.join(
+        F.broadcast(lex.select("doc_id")), "doc_id", "left_semi"
+    )
+    pairs = TX.proximity_pairs(post, BM25_TERMS[0], BM25_TERMS[1], PROX_SLOP)
+    return _proximity_boosted(lex, pairs)
+
+
+def docs_bm25_proximity_boost_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Proximity-aware ranking SERVED from the persisted positional
+    index: identical semantics (and oracle) to
+    `docs_bm25_proximity_boost`, with the position leg reading the
+    canonical persisted index (`_persisted_pos_path`) instead of
+    re-exploding the corpus — the two query terms become
+    PartitionFilters on every segment scan (plan-pinned), and the
+    broadcast semi-join masks the read down to the top-k docs before
+    the band join. This is the production shape: BM25 leg from the
+    inverted index, gap leg a k-bounded seek of the positional plane."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = docs_bm25_search(spark, sf_dir).localCheckpoint()
+    path = _persisted_pos_path(spark, sf_dir, docs)
+    post = TX.read_positional_index(spark, path).filter(
+        F.col("token").isin(BM25_TERMS[0], BM25_TERMS[1])
+    )
+    post = post.join(
+        F.broadcast(lex.select("doc_id")), "doc_id", "left_semi"
+    )
+    pairs = TX.proximity_pairs(post, BM25_TERMS[0], BM25_TERMS[1], PROX_SLOP)
+    return _proximity_boosted(lex, pairs)
+
+
+# Oracle: the green BM25 chain as one CTE, the green proximity chain
+# (over the BM25 term pair) as another, composed by a LEFT JOIN. Gaps
+# are position DIFFERENCES (offset-free across DuckDB 1-based / Spark
+# 0-based); the boost arithmetic parenthesizes identically on both
+# sides, rounded at 6dp, ORDER BY the rounded column.
+LLM_ORACLES["docs_bm25_proximity_boost"] = f"""
+    WITH lex AS ({LLM_ORACLES["docs_bm25_search"]}),
+    prox AS (
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS syms FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, unnest(generate_series(1, len(syms))) AS i, syms
+            FROM t
+        ),
+        toks AS (SELECT doc_id, i, syms[i] AS tok FROM idx),
+        a AS (SELECT doc_id, i AS p1 FROM toks WHERE tok = '{BM25_TERMS[0]}'),
+        b AS (SELECT doc_id, i AS p2 FROM toks WHERE tok = '{BM25_TERMS[1]}')
+        SELECT a.doc_id, CAST(min(b.p2 - a.p1) AS INT) AS min_gap
+        FROM a JOIN b ON a.doc_id = b.doc_id
+                     AND b.p2 - a.p1 BETWEEN 1 AND {PROX_SLOP}
+        GROUP BY a.doc_id
+    )
+    SELECT l.doc_id,
+           l.score AS bm25_score,
+           CAST(COALESCE(p.min_gap, 0) AS INT) AS min_gap,
+           ROUND(l.score * (1.0 + CASE WHEN COALESCE(p.min_gap, 0) = 0
+                                       THEN 0.0
+                                       ELSE 1.0 / (1 + p.min_gap) END),
+                 6) AS boosted_score
+    FROM lex l LEFT JOIN prox p USING (doc_id)
+    ORDER BY boosted_score DESC, l.doc_id
+"""
+
+# indexed serve is semantics-identical (same legs, same fusion) →
+# same oracle.
+LLM_ORACLES["docs_bm25_proximity_boost_indexed"] = LLM_ORACLES[
+    "docs_bm25_proximity_boost"
+]
+
+
 # -- weighted hybrid fusion ---------------------------------------------------
 
 #: lexical / semantic blend weights for score-level hybrid fusion.

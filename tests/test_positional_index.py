@@ -502,3 +502,29 @@ def test_writers_reject_null_empty_tokens(spark, tmp_path):
     with pytest.raises(ValueError, match="NULL/empty tokens"):
         merge_positional_index(_docs(spark, [(9, "")]), path)
     assert indexfmt.read_manifest(path, POS_INDEX_FORMAT)["version"] == v
+
+
+def test_proximity_boost_position_leg_is_topk_bounded(spark):
+    """docs_bm25_proximity_boost_indexed (r11): the position leg must
+    be (a) partition-pruned to the two query terms on every positional
+    segment scan and (b) masked down to the BM25 top-k doc ids by a
+    BROADCAST semi-join BEFORE the band join — bounded by k, never a
+    corpus-scale position scan — with no cartesian product anywhere."""
+    from ecommerce_realtime_pipeline_spark.plans import llm
+
+    df = llm.docs_bm25_proximity_boost_indexed(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg_filters = [
+        f
+        for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if f.strip()
+    ]
+    assert seg_filters and all("token" in f for f in seg_filters), plan[:900]
+    assert "LeftSemi" in plan and "Broadcast" in plan, plan[:900]
+    assert "CartesianProduct" not in plan
+    # the boost is non-vacuous on the shipped corpus: some top-20 docs
+    # carry a real gap (and therefore outrank bag-of-words ties)
+    rows = df.collect()
+    assert len(rows) == 20 and any(r["min_gap"] > 0 for r in rows)
