@@ -14,6 +14,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ecommerce_realtime_pipeline_spark.plans import dq, gen, kpi, llm, temporal
+from ecommerce_realtime_pipeline_spark.plans._registry_order import (
+    NARRATIVE,
+    REGISTRY_ORDER,
+)
 from ecommerce_realtime_pipeline_spark.plans.dq import DQ_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.gen import GEN_ORACLES
 from ecommerce_realtime_pipeline_spark.plans.llm import LLM_ORACLES
@@ -33,245 +37,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     REGISTRATION ORDER IS THE DRIVER'S SAMPLING ORDER: the external
     harness checks the FIRST 50 registered queries per round, so the
-    dict is ordered by verification need, not by topic.
-
-    The ordering AND the narrative below are GENERATED by
+    ordering is by verification need, not by topic — and it lives in
+    ONE GENERATED FILE, ``plans/_registry_order.py``, written by
     ``tools/rotate_window.py`` (fold of every CORRECTNESS_r*.json,
     oldest evidence first, warmers before dependents, streaming
     fixtures last; the round number and composition line are gated by
-    ``tests/test_rotate_window.py``) — regenerate, don't hand-edit:
+    ``tests/test_rotate_window.py``). A rotation is a one-file diff;
+    regenerate, don't hand-edit:
 
         python tools/rotate_window.py
 
-    round-10 window: 8 never-checked + 40 r6-evidence + 2 r8-evidence; tail = 153 rows (147
-    driver-green, oldest evidence first, so the next rotation can
-    slice from the top, + 6 late r10 registrations that rotate into
-    the r11 window head as never-checked).
-    Head of the window: docs_bm25_index_streaming, emb_ivf_index_health, docs_text_index_stats.
-
-    The 3 never-checked head rows are the r9-tail additions (streaming
-    text-index maintenance + the two index-observability reports); the
-    2 r8-evidence rows are FORCED in because their code changed this
-    round (the pagerank edge-build fusion; the compaction stats
-    sidecar fallback); the other 5 never-checked rows are the NEW r10
-    registrations at the window tail (quantizer-drift remediation,
-    phrase search brute-force + indexed, proximity search, weighted
-    hybrid fusion); after a green round 10, no registered query's
-    driver evidence is older than round 7. Streaming/monitoring/
-    pipeline fixtures close the window so a wall-budget cut costs the
-    fewest rows; positions 51+ are the driver-green tail, oldest
-    evidence first.
+    The generated narrative for the current rotation is appended to
+    this docstring at import time (below).
     """
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ---- positions 1-50: THE CHECK WINDOW (generated by tools/rotate_window.py) ----
-        "docs_bm25_index_streaming": llm.docs_bm25_index_streaming,  # NEW — no driver evidence yet
-        "emb_ivf_index_health": llm.emb_ivf_index_health,  # NEW — no driver evidence yet
-        "docs_text_index_stats": llm.docs_text_index_stats,  # NEW — no driver evidence yet
-        "parts_copurchase_pagerank": kpi.parts_copurchase_pagerank,  # evidence: r8
-        "docs_bm25_index_compacted": llm.docs_bm25_index_compacted,  # evidence: r8
-        "large_order_customers": kpi.large_order_customers,  # evidence: r6
-        "dormant_customer_balance": kpi.dormant_customer_balance,  # evidence: r6
-        "nation_supplier_hhi": kpi.nation_supplier_hhi,  # evidence: r6
-        "nation_trade_flows": kpi.nation_trade_flows,  # evidence: r6
-        "top_supplier_quarter": kpi.top_supplier_quarter,  # evidence: r6
-        "discount_revenue_impact": kpi.discount_revenue_impact,  # evidence: r6
-        "nation_yoy_growth": kpi.nation_yoy_growth,  # evidence: r6
-        "events_view_to_purchase_asof": temporal.events_view_to_purchase_asof,  # evidence: r6
-        "docs_distinctive_terms": llm.docs_distinctive_terms,  # evidence: r6
-        "docs_source_overlap_matrix": llm.docs_source_overlap_matrix,  # evidence: r6
-        "docs_curriculum_order": llm.docs_curriculum_order,  # evidence: r6
-        "vocab_coverage": llm.vocab_coverage,  # evidence: r6
-        "docs_zipf_fit": llm.docs_zipf_fit,  # evidence: r6
-        "docs_exact_dedup": llm.docs_exact_dedup,  # evidence: r6
-        "docs_dedup_yield_curve": llm.docs_dedup_yield_curve,  # evidence: r6
-        "docs_neardup_minhash": llm.docs_neardup_minhash,  # evidence: r6
-        "customer_value_deciles": kpi.customer_value_deciles,  # evidence: r6
-        "orders_exact_quantiles_twopass": kpi.orders_exact_quantiles_twopass,  # evidence: r6
-        "customers_snapshot_diff": dq.customers_snapshot_diff,  # evidence: r6
-        "customers_incremental_agg": dq.customers_incremental_agg,  # evidence: r6
-        "dedup_lineitem_latest": dq.dedup_lineitem_latest,  # evidence: r6
-        "dq_metrics": dq.dq_metrics,  # evidence: r6
-        "emb_label_outliers": llm.emb_label_outliers,  # evidence: r6
-        "emb_knn_bruteforce": llm.emb_knn_bruteforce,  # evidence: r6
-        "emb_knn_lsh": llm.emb_knn_lsh,  # evidence: r6
-        "emb_ann_recall": llm.emb_ann_recall,  # evidence: r6
-        "emb_hard_negatives": llm.emb_hard_negatives,  # evidence: r6
-        "emb_recall_vs_probes": llm.emb_recall_vs_probes,  # evidence: r6
-        "emb_cluster_quality": llm.emb_cluster_quality,  # evidence: r6
-        "emb_quantize_int8": llm.emb_quantize_int8,  # evidence: r6
-        "gen_batch_shape": gen.gen_batch_shape,  # evidence: r6
-        "gen_corrupt_validate_metrics": gen.gen_corrupt_validate_metrics,  # evidence: r6
-        "produce_envelopes_shape": gen.produce_envelopes_shape,  # evidence: r6
-        "filesrc_quarantine_shape": gen.filesrc_quarantine_shape,  # evidence: r6
-        "silver_compaction_report": gen.silver_compaction_report,  # evidence: r6
-        "cdc_bucket_refresh": gen.cdc_bucket_refresh,  # evidence: r6
-        "emb_knn_ivf_requantized": llm.emb_knn_ivf_requantized,  # NEW — no driver evidence yet
-        "docs_phrase_search": llm.docs_phrase_search,  # NEW — no driver evidence yet
-        "docs_phrase_search_indexed": llm.docs_phrase_search_indexed,  # NEW — no driver evidence yet
-        "docs_proximity_search": llm.docs_proximity_search,  # NEW — no driver evidence yet
-        "docs_hybrid_search_weighted": llm.docs_hybrid_search_weighted,  # NEW — no driver evidence yet
-        "streaming_ingest_roundtrip": gen.streaming_ingest_roundtrip,  # evidence: r6
-        "streaming_session_windows": gen.streaming_session_windows,  # evidence: r6
-        "streaming_outer_attribution": gen.streaming_outer_attribution,  # evidence: r6
-        "streaming_late_drop_stats": gen.streaming_late_drop_stats,  # evidence: r6
-        # ---- positions 51+: driver-green tail, oldest evidence first ----
-        "cheapest_supplier_per_part": kpi.cheapest_supplier_per_part,  # evidence: r7
-        "product_profit_by_nation_year": kpi.product_profit_by_nation_year,  # evidence: r7
-        "small_quantity_revenue": kpi.small_quantity_revenue,  # evidence: r7
-        "disjunctive_promo_revenue": kpi.disjunctive_promo_revenue,  # evidence: r7
-        "excess_volume_suppliers": kpi.excess_volume_suppliers,  # evidence: r7
-        "waiting_orders_suppliers": kpi.waiting_orders_suppliers,  # evidence: r7
-        "supplier_part_diversity": kpi.supplier_part_diversity,  # evidence: r7
-        "shipping_delay_priority_split": kpi.shipping_delay_priority_split,  # evidence: r7
-        "revenue_seasonality": kpi.revenue_seasonality,  # evidence: r7
-        "events_key_skew_report": kpi.events_key_skew_report,  # evidence: r7
-        "session_path_mining": kpi.session_path_mining,  # evidence: r7
-        "parts_copurchase_triangles": kpi.parts_copurchase_triangles,  # evidence: r7
-        "parts_dense_community": kpi.parts_dense_community,  # evidence: r7
-        "events_markov_attribution": kpi.events_markov_attribution,  # evidence: r7
-        "market_basket_rules": kpi.market_basket_rules,  # evidence: r7
-        "docs_token_budget": llm.docs_token_budget,  # evidence: r7
-        "docs_heldout_perplexity": llm.docs_heldout_perplexity,  # evidence: r7
-        "mm_image_ahash_neardup": llm.mm_image_ahash_neardup,  # evidence: r7
-        "emb_top_component": llm.emb_top_component,  # evidence: r7
-        "emb_kmeans_refine": llm.emb_kmeans_refine,  # evidence: r7
-        "emb_knn_graph_beam": llm.emb_knn_graph_beam,  # evidence: r7
-        "emb_knn_same_label": llm.emb_knn_same_label,  # evidence: r7
-        "docs_text_stats": llm.docs_text_stats,  # evidence: r7
-        "docs_quality": llm.docs_quality,  # evidence: r7
-        "docs_lang_id": llm.docs_lang_id,  # evidence: r7
-        "docs_fingerprint_minhash": llm.docs_fingerprint_minhash,  # evidence: r7
-        "docs_neardup_jaccard": llm.docs_neardup_jaccard,  # evidence: r7
-        "docs_neardup_jaccard_cutoff": llm.docs_neardup_jaccard_cutoff,  # evidence: r7
-        "docs_neardup_simhash": llm.docs_neardup_simhash,  # evidence: r7
-        "docs_neardup_clusters": llm.docs_neardup_clusters,  # evidence: r7
-        "docs_train_split": llm.docs_train_split,  # evidence: r7
-        "docs_quality_filter": llm.docs_quality_filter,  # evidence: r7
-        "docs_decontaminate": llm.docs_decontaminate,  # evidence: r7
-        "docs_repetition": llm.docs_repetition,  # evidence: r7
-        "docs_pack_sequences": llm.docs_pack_sequences,  # evidence: r7
-        "mm_feature_summary": llm.mm_feature_summary,  # evidence: r7
-        "revenue_grouping_sets": dq.revenue_grouping_sets,  # evidence: r7
-        "set_ops_actors": dq.set_ops_actors,  # evidence: r7
-        "emb_cosine_neardup": llm.emb_cosine_neardup,  # evidence: r7
-        "emb_label_centroids": llm.emb_label_centroids,  # evidence: r7
-        "top_products_by_revenue": kpi.top_products_by_revenue,  # evidence: r7
-        "pricing_summary": kpi.pricing_summary,  # evidence: r7
-        "revenue_by_nation": kpi.revenue_by_nation,  # evidence: r7
-        "jsonb_adhoc": kpi.jsonb_adhoc,  # evidence: r7
-        "dq_fk_orphans": dq.dq_fk_orphans,  # evidence: r7
-        "dq_duplicate_keys": dq.dq_duplicate_keys,  # evidence: r7
-        "dq_constraint_violations": dq.dq_constraint_violations,  # evidence: r7
-        "order_total_reagg": dq.order_total_reagg,  # evidence: r7
-        "streaming_dim_enrichment": gen.streaming_dim_enrichment,  # evidence: r7
-        "gen_corrupt_rates_sweep": gen.gen_corrupt_rates_sweep,  # evidence: r8
-        "top_customers_by_spend": kpi.top_customers_by_spend,  # evidence: r8
-        "revenue_trend_daily": kpi.revenue_trend_daily,  # evidence: r8
-        "revenue_trend_hourly_by_type": kpi.revenue_trend_hourly_by_type,  # evidence: r8
-        "orders_per_minute": kpi.orders_per_minute,  # evidence: r8
-        "order_status_distribution": kpi.order_status_distribution,  # evidence: r8
-        "orders_status_pivot": kpi.orders_status_pivot,  # evidence: r8
-        "revenue_rollup_region_nation": kpi.revenue_rollup_region_nation,  # evidence: r8
-        "throughput_per_topic": kpi.throughput_per_topic,  # evidence: r8
-        "customer_history": kpi.customer_history,  # evidence: r8
-        "customer_running_totals": kpi.customer_running_totals,  # evidence: r8
-        "order_value_percentiles": kpi.order_value_percentiles,  # evidence: r8
-        "events_metrics_unpivot": kpi.events_metrics_unpivot,  # evidence: r8
-        "funnel_stage_counts": kpi.funnel_stage_counts,  # evidence: r8
-        "funnel_conversion": kpi.funnel_conversion,  # evidence: r8
-        "sessionization": kpi.sessionization,  # evidence: r8
-        "sessionization_session_window": kpi.sessionization_session_window,  # evidence: r8
-        "cohort_retention": kpi.cohort_retention,  # evidence: r8
-        "repurchase_intervals": kpi.repurchase_intervals,  # evidence: r8
-        "events_sliding_window": kpi.events_sliding_window,  # evidence: r8
-        "events_by_segment_salted": kpi.events_by_segment_salted,  # evidence: r8
-        "events_type_transitions": kpi.events_type_transitions,  # evidence: r8
-        "events_volume_anomalies": kpi.events_volume_anomalies,  # evidence: r8
-        "events_value_outliers_per_type": kpi.events_value_outliers_per_type,  # evidence: r8
-        "events_decayed_engagement": kpi.events_decayed_engagement,  # evidence: r8
-        "events_asof_attribution": temporal.events_asof_attribution,  # evidence: r8
-        "events_range_attribution": temporal.events_range_attribution,  # evidence: r8
-        "events_bloom_semijoin": kpi.events_bloom_semijoin,  # evidence: r8
-        "events_hll_users": kpi.events_hll_users,  # evidence: r8
-        "events_cms_user_counts": kpi.events_cms_user_counts,  # evidence: r8
-        "events_value_quantile_sketch": kpi.events_value_quantile_sketch,  # evidence: r8
-        "events_heavy_hitters_mg": kpi.events_heavy_hitters_mg,  # evidence: r8
-        "events_zorder_roundtrip": kpi.events_zorder_roundtrip,  # evidence: r8
-        "top_products_per_nation": kpi.top_products_per_nation,  # evidence: r8
-        "top_products_per_nation_heap": kpi.top_products_per_nation_heap,  # evidence: r8
-        "market_basket_pairs": kpi.market_basket_pairs,  # evidence: r8
-        "docs_winnow_overlap": llm.docs_winnow_overlap,  # evidence: r8
-        "docs_neardup_editdist": llm.docs_neardup_editdist,  # evidence: r8
-        "docs_neardup_clusters_lss": llm.docs_neardup_clusters_lss,  # evidence: r8
-        "docs_cluster_representatives": llm.docs_cluster_representatives,  # evidence: r8
-        "docs_bm25_search": llm.docs_bm25_search,  # evidence: r8
-        "docs_bm25_from_index": llm.docs_bm25_from_index,  # evidence: r8
-        "emb_knn_ivf": llm.emb_knn_ivf,  # evidence: r8
-        "emb_knn_ivf_persisted": llm.emb_knn_ivf_persisted,  # evidence: r8
-        "emb_knn_ivfpq": llm.emb_knn_ivfpq,  # evidence: r8
-        "emb_semdedup": llm.emb_semdedup,  # evidence: r8
-        "streaming_neardup_dedup": gen.streaming_neardup_dedup,  # evidence: r8
-        "streaming_embdedup": gen.streaming_embdedup,  # evidence: r8
-        "docs_bm25_index_deleted": llm.docs_bm25_index_deleted,  # evidence: r9
-        "docs_hybrid_search_rrf": llm.docs_hybrid_search_rrf,  # evidence: r9
-        "docs_bm25_index_merge": llm.docs_bm25_index_merge,  # evidence: r9
-        "emb_knn_ivf_merged": llm.emb_knn_ivf_merged,  # evidence: r9
-        "docs_quality_lr": llm.docs_quality_lr,  # evidence: r9
-        "docs_cluster_size_distribution": llm.docs_cluster_size_distribution,  # evidence: r9
-        "docs_leakage_safe_split": llm.docs_leakage_safe_split,  # evidence: r9
-        "docs_unigram_surprisal": llm.docs_unigram_surprisal,  # evidence: r9
-        "docs_bigram_surprisal": llm.docs_bigram_surprisal,  # evidence: r9
-        "docs_collocations": llm.docs_collocations,  # evidence: r9
-        "docs_bpe_merges": llm.docs_bpe_merges,  # evidence: r9
-        "docs_bpe_encode": llm.docs_bpe_encode,  # evidence: r9
-        "docs_duplicate_spans": llm.docs_duplicate_spans,  # evidence: r9
-        "vocab_top_terms": llm.vocab_top_terms,  # evidence: r9
-        "docs_pii_redact": llm.docs_pii_redact,  # evidence: r9
-        "docs_stratified_sample": llm.docs_stratified_sample,  # evidence: r9
-        "docs_stratified_exact_k": llm.docs_stratified_exact_k,  # evidence: r9
-        "docs_mixture_weights": llm.docs_mixture_weights,  # evidence: r9
-        "docs_chunk_overlap": llm.docs_chunk_overlap,  # evidence: r9
-        "docs_weighted_sample": llm.docs_weighted_sample,  # evidence: r9
-        "docs_training_order": llm.docs_training_order,  # evidence: r9
-        "customers_segment_drift": dq.customers_segment_drift,  # evidence: r9
-        "revenue_cube": dq.revenue_cube,  # evidence: r9
-        "emb_pq_codes": llm.emb_pq_codes,  # evidence: r9
-        "emb_knn_pq": llm.emb_knn_pq,  # evidence: r9
-        "emb_knn_ivf_refined": llm.emb_knn_ivf_refined,  # evidence: r9
-        "emb_decontaminate": llm.emb_decontaminate,  # evidence: r9
-        "emb_label_drift": llm.emb_label_drift,  # evidence: r9
-        "emb_dim_reduce": llm.emb_dim_reduce,  # evidence: r9
-        "mm_decode_image_stats": llm.mm_decode_image_stats,  # evidence: r9
-        "mm_frame_stats": llm.mm_frame_stats,  # evidence: r9
-        "mm_resize_stats": llm.mm_resize_stats,  # evidence: r9
-        "mm_audio_stats": llm.mm_audio_stats,  # evidence: r9
-        "mm_audio_decimate_stats": llm.mm_audio_decimate_stats,  # evidence: r9
-        "shipping_priority": kpi.shipping_priority,  # evidence: r9
-        "returned_items_report": kpi.returned_items_report,  # evidence: r9
-        "promo_revenue_share": kpi.promo_revenue_share,  # evidence: r9
-        "nation_market_share": kpi.nation_market_share,  # evidence: r9
-        "order_priority_fulfillment": kpi.order_priority_fulfillment,  # evidence: r9
-        "customer_rfm_segments": kpi.customer_rfm_segments,  # evidence: r9
-        "customer_order_distribution": kpi.customer_order_distribution,  # evidence: r9
-        "docs_hybrid_search_rrf_indexed": llm.docs_hybrid_search_rrf_indexed,  # evidence: r9
-        "streaming_windowed_kpi": gen.streaming_windowed_kpi,  # evidence: r9
-        "streaming_attribution_join": gen.streaming_attribution_join,  # evidence: r9
-        "streaming_funnel_cep": gen.streaming_funnel_cep,  # evidence: r9
-        "streaming_continuous_agg": gen.streaming_continuous_agg,  # evidence: r9
-        "streaming_hll_users": gen.streaming_hll_users,  # evidence: r9
-        "streaming_cms_user_counts": gen.streaming_cms_user_counts,  # evidence: r9
-        "monitoring_stats": gen.monitoring_stats,  # evidence: r9
-        "pipeline_end_to_end": gen.pipeline_end_to_end,  # evidence: r9
-        "docs_phrase_search_deleted": llm.docs_phrase_search_deleted,  # NEW — tail; rotates into the r11 window head
-        "docs_phrase_search_bulk": llm.docs_phrase_search_bulk,  # NEW — tail; rotates into the r11 window head
-        "docs_phrase_snippets": llm.docs_phrase_snippets,  # NEW — tail; rotates into the r11 window head
-        "docs_phrase_index_streaming": llm.docs_phrase_index_streaming,  # NEW — tail; rotates into the r11 window head
-        "docs_hybrid_search_weighted_indexed": llm.docs_hybrid_search_weighted_indexed,  # NEW — tail; rotates into the r11 window head
-        "docs_pos_index_stats": llm.docs_pos_index_stats,  # NEW — tail; rotates into the r11 window head
-        "docs_bm25_proximity_boost": llm.docs_bm25_proximity_boost,  # NEW r11
-        "docs_bm25_proximity_boost_indexed": llm.docs_bm25_proximity_boost_indexed,  # NEW r11
-    }
+    mods = {"kpi": kpi, "dq": dq, "llm": llm, "gen": gen, "temporal": temporal}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, ref in REGISTRY_ORDER:
+        mod, fn = ref.split(".", 1)
+        q[name] = getattr(mods[mod], fn)
     return q
+
+
+# the tool-generated rotation narrative rides the generated module so
+# it can never drift from the order (test-gated)
+queries.__doc__ = (queries.__doc__ or "") + "\n    " + NARRATIVE + "\n    "
 
 
 def oracle_sql() -> dict[str, str]:

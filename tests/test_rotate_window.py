@@ -173,3 +173,33 @@ def test_plan_rotation_invariants_hold_over_random_evidence():
             assert max(in_ev) <= min(out_ev)
 
     check()
+
+
+def test_render_module_round_trips_the_order(tmp_path):
+    """The generated _registry_order.py must exec cleanly and carry
+    window+tail verbatim (order preserved), with the narrative's
+    summary line matching the emitted window — the one-file-diff
+    rotation contract (round-10 verdict task 8)."""
+    ev = {"a": (3, True), "b": (2, True)}
+    reg = {"a": "kpi.a", "b": "llm.b", "c": "gen.c"}
+    window, tail = ["b", "a"], ["c"]
+    src = rotate_window.render_module(window, tail, ev, reg, 11)
+    ns: dict = {}
+    exec(compile(src, "_registry_order.py", "exec"), ns)
+    assert [n for n, _ in ns["REGISTRY_ORDER"]] == window + tail
+    assert dict(ns["REGISTRY_ORDER"]) == reg
+    assert rotate_window.window_summary(window, ev, 11) in ns["NARRATIVE"]
+    assert "never-checked late registrations" in ns["NARRATIVE"]  # c has no evidence
+
+
+def test_live_registry_order_module_matches_entrypoint():
+    """The live generated module IS what queries() serves: same names,
+    same order (a stale or hand-edited module would silently rotate
+    the wrong window)."""
+    sys.path.insert(0, rotate_window.REPO)
+    import __spark_entry__ as entry
+    from ecommerce_realtime_pipeline_spark.plans._registry_order import (
+        REGISTRY_ORDER,
+    )
+
+    assert [n for n, _ in REGISTRY_ORDER] == list(entry.queries())

@@ -21,11 +21,16 @@ the dict by hand at 189+ queries is error-prone (round-8 verdict task
 4. The tail (positions 51+) is everything else, oldest evidence
    first, so the NEXT rotation can slice from the top.
 
-Prints the full ``queries()`` dict body (``"name": mod.func,`` lines
-with section comments) for review + paste, and a per-round evidence
-summary to stderr. Pass ``--force-window name ...`` to pin specific
+WRITES the generated registration-order module
+(``ecommerce_realtime_pipeline_spark/plans/_registry_order.py``) that
+``__spark_entry__.queries()`` resolves at import time — so a rotation
+is a ONE-FILE diff and hand-edits of the 200+-entry ordering are
+impossible (round-10 verdict task 8). A per-round evidence summary
+goes to stderr. Pass ``--force-window name ...`` to pin specific
 queries into the window regardless of age (e.g. rows whose code
-changed this round)."""
+changed this round); ``--freeze`` re-emits the CURRENT live order
+unchanged (the refactor/migration path, no rotation); ``--stdout``
+prints the module instead of writing it."""
 
 from __future__ import annotations
 
@@ -167,11 +172,84 @@ def next_round(ev: dict[str, tuple[int, bool]]) -> int:
     return max((r for r, _ in ev.values()), default=0) + 1
 
 
+#: where the generated registration-order module lives
+MODULE_PATH = os.path.join(
+    REPO, "ecommerce_realtime_pipeline_spark", "plans", "_registry_order.py"
+)
+
+
+def render_module(
+    window: list[str],
+    tail: list[str],
+    ev: dict[str, tuple[int, bool]],
+    reg: dict[str, str],
+    rnd: int,
+) -> str:
+    """The full source of ``plans/_registry_order.py``: the ordered
+    (name, 'module_alias.function') registration list plus the
+    narrative block ``__spark_entry__`` appends to the queries()
+    docstring — both derived from the same rotation, so neither can
+    drift from the other."""
+    summary = window_summary(window, ev, rnd)
+    n_never_tail = sum(1 for n in tail if n not in ev)
+    tail_desc = (
+        f"{len(tail)} driver-green rows"
+        if not n_never_tail
+        else (
+            f"{len(tail)} rows ({len(tail) - n_never_tail} driver-green, "
+            f"{n_never_tail} never-checked late registrations)"
+        )
+    )
+    narrative = (
+        f"{summary}; tail = {tail_desc}, oldest\n"
+        "    evidence first, so the next rotation can slice from the top.\n"
+        "    Head of the window: " + ", ".join(window[:3]) + "."
+    )
+    lines = [
+        '"""Driver registration order — GENERATED by',
+        "``tools/rotate_window.py``; regenerate, don't hand-edit.",
+        "",
+        "``__spark_entry__.queries()`` resolves this list at import time,",
+        "so registration order (the driver's 50-query sampling window)",
+        "lives in exactly one generated file and a rotation is a one-file",
+        'diff."""',
+        "",
+        "from __future__ import annotations",
+        "",
+        f"#: the driver checks the FIRST {WINDOW} entries each round",
+        f"WINDOW = {WINDOW}",
+        "",
+        "#: generated narrative appended to the queries() docstring (and",
+        "#: re-derived by tests/test_rotate_window.py, so it can't drift",
+        "#: from the order below)",
+        f"NARRATIVE = {narrative!r}",
+        "",
+        "#: (query name, 'module_alias.function') in driver sampling order",
+        "REGISTRY_ORDER: list[tuple[str, str]] = [",
+        "    # ---- positions 1-50: THE CHECK WINDOW ----",
+    ]
+    for n in window:
+        r = ev.get(n, (None, None))[0]
+        note = f"  # evidence: r{r}" if r else "  # NEW — no driver evidence yet"
+        lines.append(f'    ("{n}", "{reg[n]}"),{note}')
+    lines.append(
+        "    # ---- positions 51+: driver-green tail, oldest evidence first ----"
+    )
+    for n in tail:
+        r = ev.get(n, (None, None))[0]
+        note = f"  # evidence: r{r}" if r else "  # NEW — no driver evidence yet"
+        lines.append(f'    ("{n}", "{reg[n]}"),{note}')
+    lines.append("]")
+    return "\n".join(lines) + "\n"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--new", nargs="*", default=[], help="queries registered this round: placed at the window tail (before closers), not the front")
     ap.add_argument("--force-window", nargs="*", default=[], help="pin these into the window regardless of evidence age")
     ap.add_argument("--round", type=int, default=None, help="round number for the docstring block (default: newest CORRECTNESS round + 1)")
+    ap.add_argument("--freeze", action="store_true", help="re-emit the CURRENT live order unchanged (migration/no-op path)")
+    ap.add_argument("--stdout", action="store_true", help="print the generated module instead of writing it")
     args = ap.parse_args()
 
     ev = fold_evidence()
@@ -188,24 +266,22 @@ def main() -> int:
     if red:
         print(f"WARNING: latest driver verdict RED for: {red}", file=sys.stderr)
 
-    window, tail = plan_rotation(ev, reg, args.new, args.force_window)
+    if args.freeze:
+        names = list(reg)
+        window, tail = names[:WINDOW], names[WINDOW:]
+    else:
+        window, tail = plan_rotation(ev, reg, args.new, args.force_window)
     rnd = args.round if args.round is not None else next_round(ev)
     summary = window_summary(window, ev, rnd)
     print(f"window={len(window)} tail={len(tail)} {summary}", file=sys.stderr)
 
-    print("    --- docstring block (paste into the queries() docstring) ---")
-    print(f"    {summary}; tail = {len(tail)} driver-green rows, oldest")
-    print("    evidence first, so the next rotation can slice from the top.")
-    print("    Head of the window: " + ", ".join(window[:3]) + ".")
-    print("    --- dict body ---")
-    print("        # ---- positions 1-50: THE CHECK WINDOW (generated by tools/rotate_window.py) ----")
-    for n in window:
-        r = ev.get(n, (None, None))[0]
-        note = f"  # evidence: r{r}" if r else "  # NEW — no driver evidence yet"
-        print(f'        "{n}": {reg[n]},{note}')
-    print("        # ---- positions 51+: driver-green tail, oldest evidence first ----")
-    for n in tail:
-        print(f'        "{n}": {reg[n]},  # evidence: r{ev[n][0]}')
+    src = render_module(window, tail, ev, reg, rnd)
+    if args.stdout:
+        print(src, end="")
+    else:
+        with open(MODULE_PATH, "w") as fh:
+            fh.write(src)
+        print(f"wrote {os.path.relpath(MODULE_PATH, REPO)}", file=sys.stderr)
     return 0
 
 
