@@ -35,6 +35,23 @@ defenses, per round-8 verdict task 2:
 - the recorded bench must run ALONE: use ``tools/close_round.py``,
   which serializes pytest → multi-SF sweep → bench instead of letting
   them share the machine.
+
+TRUNCATION-PROOF TAIL (round-10 verdict task 4): the driver records
+only the LAST 2000 chars of stdout, which can slice the full artifact
+mid-JSON and eat the adjudication. The FINAL stdout line is therefore
+a compact summary — ``{"bench_summary": true, "suite_sec": ...,
+"n": ..., "sf": ..., "worst_ratio": ..., "movers": {name:
+{"concurrent": ..., "solo": ..., "prev": ...}}}`` — that always fits;
+the full artifact is the line before it (``tools/close_round.py``
+selects the line carrying ``"metric"``).
+
+STRESS LIFECYCLE SPLIT (round-10 verdict task 2): the lifecycle
+STRESS_QUERIES rebuild their index over the 10× corpus IN-PLAN, so
+the O(corpus) build dominates and the serve/merge claims are never
+isolated. ``stress.lifecycle`` therefore builds each persisted-index
+family ONCE per scale and times SERVE-ONLY and MERGE-ONE-BATCH
+separately; the in-plan rebuild numbers stay in ``stress.queries``
+for honesty.
 """
 
 from __future__ import annotations
@@ -332,6 +349,148 @@ def _union_all(dfs):
     return df
 
 
+def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
+    """Maintenance vs serve, measured SEPARATELY per index family
+    (text/BM25, positional/phrase, IVF/ANN) at 1× and 10×:
+
+    - ``build_sec``: one full index build per scale (the O(corpus)
+      cost, paid once offline — reported, not judged);
+    - ``serve_sec``: median query time from the PREBUILT index — the
+      term/cell-pruned seek that must be corpus-size-insensitive
+      (``serve_ratio`` ≤ ~2× at 10× is the claim);
+    - ``merge_sec``: fold ONE fixed 1×-sized batch into each index —
+      |batch|-sized, never O(index), so ``merge_ratio`` must stay
+      ~flat across scales.
+
+    The IVF stress build scales ``n_centroids`` with the corpus
+    (constant target occupancy — the standard IVF sizing rule, same
+    as the auto-sized LSH), otherwise 10× rows in fixed cells makes
+    every probe 10× by design, which would test the sizing mistake,
+    not the engine."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+    from ecommerce_realtime_pipeline_spark.operators import text as TX
+    from ecommerce_realtime_pipeline_spark.plans.llm import (
+        BM25_TERMS,
+        PHRASE_QUERY,
+        _bm25_rank,
+        _phrase_hits,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_lifecycle_")
+    # fixed merge batch: the 1× corpus with offset ids — |batch| is
+    # constant across scales, so a flat merge time IS the
+    # "|batch|-sized, never O(index)" claim
+    docs_batch = spark.read.parquet(f"{base_dir}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(900_000_000)
+    )
+    emb_batch = spark.read.parquet(f"{base_dir}/embeddings.parquet").select(
+        (F.col("vec_id") + F.lit(900_000_000)).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    # fixed ANN query set (8 vectors): serve cost is per-query
+    ann_q = (
+        spark.read.parquet(f"{base_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(8)
+        .localCheckpoint()
+    )
+
+    def bm25_serve(path):
+        postings, dfreq, stats = TX.read_text_index(spark, path)
+        return _bm25_rank(
+            postings.filter(F.col("token").isin(*BM25_TERMS)).select(
+                "doc_id", "token", "tf", "dl"
+            ),
+            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
+            stats,
+        )
+
+    def phrase_serve(path):
+        post = TX.read_positional_index(spark, path).filter(
+            F.col("token").isin(*PHRASE_QUERY)
+        )
+        return _phrase_hits(TX.phrase_occurrences(post, list(PHRASE_QUERY)))
+
+    fams = {
+        "text_bm25": dict(
+            build=lambda docs, emb, path, mult: TX.write_text_index(docs, path),
+            serve=bm25_serve,
+            merge=lambda path: TX.merge_text_index(docs_batch, path),
+        ),
+        "positional_phrase": dict(
+            build=lambda docs, emb, path, mult: TX.write_positional_index(
+                docs, path
+            ),
+            serve=phrase_serve,
+            merge=lambda path: TX.merge_positional_index(docs_batch, path),
+        ),
+        "ivf_ann": dict(
+            build=lambda docs, emb, path, mult: SIM.write_ivf_index(
+                emb, path, n_centroids=16 * mult
+            ),
+            serve=lambda path: SIM.knn_ivf_from_index(
+                spark, path, ann_q, k=5, n_probe=4
+            ),
+            merge=lambda path: SIM.merge_ivf_index(emb_batch, path),
+        ),
+    }
+    out: dict[str, dict] = {}
+    try:
+        for scale, d, mult in (
+            ("base", base_dir, 1),
+            ("stress", stress_dir, STRESS_MULT),
+        ):
+            docs = spark.read.parquet(f"{d}/documents.parquet")
+            emb = spark.read.parquet(f"{d}/embeddings.parquet")
+            for fam, ops in fams.items():
+                path = os.path.join(root, f"{fam}-{scale}")
+                t0 = time.perf_counter()
+                ops["build"](docs, emb, path, mult)
+                build_sec = round(time.perf_counter() - t0, 4)
+                serves = []
+                for _ in range(STRESS_RUNS):
+                    t0 = time.perf_counter()
+                    _force(ops["serve"](path))
+                    serves.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                ops["merge"](path)  # once: a merge mutates the index
+                merge_sec = round(time.perf_counter() - t0, 4)
+                _release_leaked_blocks()
+                out.setdefault(fam, {})[scale] = {
+                    "build_sec": build_sec,
+                    "serve_sec": round(statistics.median(serves), 4),
+                    "merge_sec": merge_sec,
+                }
+                print(
+                    f"# lifecycle {fam}@{scale}: build={build_sec}s "
+                    f"serve={out[fam][scale]['serve_sec']}s "
+                    f"merge={merge_sec}s",
+                    file=sys.stderr,
+                )
+        for fam, scales in out.items():
+            b, s = scales.get("base"), scales.get("stress")
+            if b and s:
+                scales["serve_ratio"] = (
+                    round(s["serve_sec"] / b["serve_sec"], 3)
+                    if b["serve_sec"]
+                    else None
+                )
+                scales["merge_ratio"] = (
+                    round(s["merge_sec"] / b["merge_sec"], 3)
+                    if b["merge_sec"]
+                    else None
+                )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _solo_retime(queries, names, spark, data_dir) -> dict[str, float | None]:
     """Re-run each contention suspect SOLO (serially, after the full
     pass, nothing else in flight) SOLO_RUNS times and report the
@@ -460,6 +619,13 @@ def main() -> int:
                     else {}
                 ),
             }
+            try:
+                stress["lifecycle"] = _lifecycle_stress(
+                    spark, SF_DIR, stress_dir
+                )
+            except Exception as exc:  # never break the stress block
+                print(f"lifecycle stress failed: {exc}", file=sys.stderr)
+                stress["lifecycle"] = {"error": str(exc)}
         except Exception as exc:  # stress must never break the main line
             print(f"stress mode failed: {exc}", file=sys.stderr)
             stress = {"error": str(exc)}
@@ -496,6 +662,37 @@ def main() -> int:
     if stress is not None:
         out["stress"] = stress
     print(json.dumps(out))
+    # FINAL line = compact adjudication summary (the driver keeps only
+    # the last 2000 stdout chars, which can slice the full artifact
+    # mid-JSON — this line always survives whole). Movers capped at
+    # the 10 worst so the line can never outgrow the window.
+    solo = out["solo_sec"]
+    worst = sorted(
+        movers,
+        key=lambda n: -abs(
+            (prev_cmp.get(n, {}).get("ratio") or 1.0) - 1.0
+        ),
+    )[:10]
+    ratios = [c["ratio"] for c in prev_cmp.values()]
+    print(
+        json.dumps(
+            {
+                "bench_summary": True,
+                "suite_sec": total,
+                "n": len(per_query),
+                "sf": _sf_from_dir(SF_DIR),
+                "worst_ratio": max(ratios) if ratios else None,
+                "movers": {
+                    m: {
+                        "concurrent": per_query.get(m),
+                        "solo": solo.get(m),
+                        "prev": prev_cmp.get(m, {}).get("prev"),
+                    }
+                    for m in worst
+                },
+            }
+        )
+    )
     return 0
 
 

@@ -44,3 +44,26 @@ def test_movers_flags_both_directions_above_floor():
     assert "d" in flagged          # 2.5x DOWN, above floor
     assert cmp_["a"]["mover"] and cmp_["d"]["mover"]
     assert set(cmp_) == {"a", "b", "c", "d"}
+
+
+def test_close_round_picks_full_artifact_not_summary(tmp_path):
+    """tools/close_round.py must select the FULL bench artifact (the
+    line carrying "metric"), not the compact bench_summary line that
+    bench.py prints last for the driver's 2000-char stdout tail."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "close_round_mod",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "close_round.py"
+        ),
+    )
+    cr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cr)
+    full = {"metric": "suite_median_wall_sec", "value": 1.0, "queries": {}}
+    summary = {"bench_summary": True, "suite_sec": 1.0, "n": 0}
+    stdout = "\n".join(["# noise", json.dumps(full), json.dumps(summary)])
+    assert cr.pick_artifact(stdout) == json.dumps(full)
+    assert cr.pick_artifact("no json here\n{not json}") is None
+    assert cr.pick_artifact(json.dumps(summary)) is None  # summary alone

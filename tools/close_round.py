@@ -32,6 +32,22 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def pick_artifact(stdout: str) -> str | None:
+    """The FULL bench artifact line from bench.py stdout: scan from
+    the END for the first JSON object carrying ``"metric"`` —
+    bench.py prints a compact ``bench_summary`` adjudication line
+    AFTER the artifact (for the driver's 2000-char stdout tail), and
+    trailing non-JSON prints must be skipped, never recorded."""
+    for line in reversed([l for l in stdout.splitlines() if l.strip()]):
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            return line
+    return None
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if len(args) != 1 or not args[0].isdigit():
@@ -68,19 +84,9 @@ def main() -> int:
     sys.stderr.write(proc.stderr)
     if proc.returncode != 0:
         return proc.returncode
-    # scan stdout from the END for the first line that parses as a
-    # JSON object — a trailing non-JSON print in bench.py (or empty
-    # stdout) must fail loudly here, never corrupt the round artifact
-    last = None
-    for line in reversed([l for l in proc.stdout.splitlines() if l.strip()]):
-        try:
-            if isinstance(json.loads(line), dict):
-                last = line
-                break
-        except ValueError:
-            continue
+    last = pick_artifact(proc.stdout)
     if last is None:
-        print("ERROR: bench.py stdout carried no JSON object line; artifact not written", file=sys.stderr)
+        print("ERROR: bench.py stdout carried no full-artifact JSON line; artifact not written", file=sys.stderr)
         return 3
     out = os.path.join(REPO, f"BENCH_LOCAL_r{rnd:02d}.json")
     with open(out, "w") as fh:
