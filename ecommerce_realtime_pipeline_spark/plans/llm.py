@@ -5161,6 +5161,51 @@ def emb_knn_ivf_requantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 LLM_ORACLES["emb_knn_ivf_requantized"] = LLM_ORACLES["emb_knn_ivf"]
 
 
+def emb_knn_ivf_policy_remediated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantizer-drift POLICY loop end to end
+    (`similarity.maybe_requantize_ivf_index`, r11 — the scheduler that
+    connects the `emb_ivf_index_health` alarm to
+    `requantize_ivf_index`): same drift fixture as
+    `emb_knn_ivf_requantized` (quantizer frozen on the even half, odd
+    half merged under it), but the retrain is DECIDED by the policy —
+    max/mean cell occupancy checked against a 1.2 threshold (the
+    fixture's skew is 1.32–1.47 at every shipped SF, asserted in-plan
+    so a fixture change fails loudly instead of hash-mismatching) —
+    then top-5 serves from the remediated index. The policy retrains
+    at the index's own capacity with the builders' seed, and
+    requantize ≡ fresh full-corpus build (test-pinned), so the oracle
+    is again the drift-free `emb_knn_ivf` chain. The check itself is
+    index-metadata cheap: a count aggregate pruned to the partition
+    key."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="eng_ivfpol_q_")
+    try:
+        path = os.path.join(tmp, "index")
+        SIM.write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            path,
+            cache_key=f"{sf_dir}/embeddings#even",
+        )
+        SIM.merge_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+        fired = SIM.maybe_requantize_ivf_index(spark, path, 1.2)
+        assert fired, "drift fixture must breach the 1.2 occupancy threshold"
+        return SIM.knn_ivf_from_index(
+            spark, path, _query_vectors(emb), k=KNN_K, n_probe=8
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: the policy fires on the fixture and requantize == fresh build over
+#: the live set, so the drift-free chain is the oracle here too
+LLM_ORACLES["emb_knn_ivf_policy_remediated"] = LLM_ORACLES["emb_knn_ivf"]
+
+
 def emb_knn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED vector search: IVF ANN top-5 where neighbors must
     carry the query's own label (`similarity.knn_ivf_filtered`) — the
@@ -6395,6 +6440,60 @@ def docs_phrase_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LLM_ORACLES["docs_phrase_index_streaming"] = LLM_ORACLES["docs_phrase_search"]
+
+
+def docs_phrase_index_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIERED-MERGE POLICY on the positional index end to end
+    (`merge_positional_index(..., max_segments=2)`, r11 — the
+    sibling-parity knob that keeps a streamed index's segment fan-out
+    bounded): the corpus lands in FOUR quartile batches (doc_id % 4 —
+    disjoint ids, deterministic), merges run under the cap, so the
+    third landing overflows it and triggers an inline compaction
+    (1 → 2 → [3 → fold to 1] → 2 live segments, asserted in-plan),
+    and phrase search serves from the policy-managed index —
+    hash-gated by the one-shot scan's oracle, which is exactly the
+    policy's contract: appending ≡ consolidating ≡ fresh build.
+
+    Scale stance: each merge stays |batch|-sized; the cap makes the
+    occasional O(index) fold amortized (Lucene tiered merging), so
+    EVERY serve unions at most max_segments segment scans instead of
+    one per landing."""
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="eng_posidx_t_")
+    try:
+        path = os.path.join(tmp, "index")
+        TX.write_positional_index(docs.filter(F.col("doc_id") % 4 == 0), path)
+        live = [1]
+        for q in (1, 2, 3):
+            live.append(
+                TX.merge_positional_index(
+                    docs.filter(F.col("doc_id") % 4 == q),
+                    path,
+                    max_segments=2,
+                )
+            )
+        # 1 → 2 → (3 > cap → fold to 1) → 2: the policy fired exactly
+        # once and the index never serves more than the cap
+        assert live == [1, 2, 1, 2], live
+        m = indexfmt.read_manifest(path, TX.POS_INDEX_FORMAT)
+        assert len(m["segments"]) == 2 and not m.get("tombstones")
+        postings = TX.read_positional_index(spark, path)
+        occ = TX.phrase_occurrences(
+            postings.filter(F.col("token").isin(*PHRASE_QUERY)),
+            list(PHRASE_QUERY),
+        )
+        return _phrase_hits(occ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: policy-managed index serves the same corpus → the scan's oracle
+LLM_ORACLES["docs_phrase_index_tiered"] = LLM_ORACLES["docs_phrase_search"]
 
 
 def docs_hybrid_search_weighted_indexed(

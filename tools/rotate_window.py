@@ -250,10 +250,20 @@ def main() -> int:
     ap.add_argument("--round", type=int, default=None, help="round number for the docstring block (default: newest CORRECTNESS round + 1)")
     ap.add_argument("--freeze", action="store_true", help="re-emit the CURRENT live order unchanged (migration/no-op path)")
     ap.add_argument("--stdout", action="store_true", help="print the generated module instead of writing it")
+    ap.add_argument("--register", nargs="*", default=[], help="NEW registrations as name=alias.func, appended to the registry before planning (registration is generated too, so brand-new plan functions enter here; combine with --freeze for post-rotation dict-tail additions, or with --new for window-tail placement in a rotation)")
     args = ap.parse_args()
 
     ev = fold_evidence()
     reg = registry()
+    for spec in args.register:
+        name, _, ref = spec.partition("=")
+        if not ref or "." not in ref:
+            print(f"ERROR: --register wants name=alias.func, got {spec!r}", file=sys.stderr)
+            return 2
+        if name in reg:
+            print(f"WARNING: --register {name} already registered; ignored", file=sys.stderr)
+            continue
+        reg[name] = ref
     missing = [n for n in ev if n not in reg]
     if missing:
         print(f"WARNING: evidence for unregistered queries: {missing}", file=sys.stderr)
