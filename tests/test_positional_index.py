@@ -528,3 +528,73 @@ def test_proximity_boost_position_leg_is_topk_bounded(spark):
     # carry a real gap (and therefore outrank bag-of-words ties)
     rows = df.collect()
     assert len(rows) == 20 and any(r["min_gap"] > 0 for r in rows)
+
+
+def test_seek_equals_pruned_read_across_segments_and_tombstones(spark, tmp_path):
+    """seek_positional_tokens (r11 — the term-dictionary seek that
+    skips the |vocab|-linear partition discovery) must be row-for-row
+    identical to read_positional_index(...).filter(token.isin(terms))
+    on a multi-segment index with live tombstones, including a term
+    missing from one segment and a term missing everywhere."""
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        delete_from_positional_index,
+        seek_positional_tokens,
+    )
+
+    path = str(tmp_path / "idx")
+    write_positional_index(_docs(spark, ROWS[:3]), path)  # has x/y/z
+    merge_positional_index(_docs(spark, ROWS[3:]), path)  # no x/y/z
+    delete_from_positional_index(
+        spark.createDataFrame([(2,)], "doc_id long"), path
+    )
+    key = lambda r: (r["token"], r["doc_id"], r["pos"])  # noqa: E731
+    for terms in (["a", "b"], ["x", "b"], ["nope"], ["x", "nope"]):
+        got = sorted(
+            map(key, seek_positional_tokens(spark, path, terms).collect())
+        )
+        want = sorted(
+            map(
+                key,
+                read_positional_index(spark, path)
+                .filter(F.col("token").isin(*terms))
+                .collect(),
+            )
+        )
+        assert got == want, terms
+    # retained-generation seek (time travel parity with the reader)
+    pre = seek_positional_tokens(spark, path, ["a"], version=2)
+    assert {r["doc_id"] for r in pre.collect()} >= {2}  # pre-delete
+
+
+def test_seek_text_postings_equals_pruned_read(spark, tmp_path):
+    """The BM25 twin: seek_text_postings ≡ the pruned multi-segment
+    postings read, tombstones masked."""
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        delete_from_text_index,
+        merge_text_index,
+        read_text_index,
+        seek_text_postings,
+        write_text_index,
+    )
+
+    path = str(tmp_path / "tidx")
+    write_text_index(_docs(spark, ROWS[:3]), path)
+    merge_text_index(_docs(spark, ROWS[3:]), path)
+    delete_from_text_index(
+        spark.createDataFrame([(5,)], "doc_id long"), path
+    )
+    postings, _, _ = read_text_index(spark, path)
+    key = lambda r: (r["token"], r["doc_id"], r["tf"], r["dl"])  # noqa: E731
+    for terms in (["a", "b"], ["x", "nope"], ["nope"]):
+        got = sorted(
+            map(key, seek_text_postings(spark, path, terms).collect())
+        )
+        want = sorted(
+            map(
+                key,
+                postings.filter(F.col("token").isin(*terms))
+                .select("token", "doc_id", "tf", "dl")
+                .collect(),
+            )
+        )
+        assert got == want, terms
