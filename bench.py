@@ -362,7 +362,12 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
       block-manager/GC pressure only ADDS time (the r11 recording saw
       a 3.2× text-serve "ratio" that re-measured at ~0.5× warm solo),
       and contention is one-sided — the same rationale as
-      ``solo_sec``;
+      ``solo_sec``. ``serve_seek_sec`` (text/positional) times the
+      SAME query through the r11 term-dictionary seek readers
+      (`seek_text_postings` / `seek_positional_tokens`) — the
+      serve/seek gap IS the |vocab|-linear partition-discovery cost
+      the split exposed, and ``serve_seek_ratio`` is the
+      corpus-size-insensitivity claim with discovery out of the way;
     - ``merge_sec``: fold a fixed 1×-sized batch into each index,
       best-of-2 (each merge lands a DISJOINT id-offset batch, so
       repeating it is valid — every merge is |batch|-sized by the
@@ -430,16 +435,38 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
             stats,
         )
 
+    def bm25_serve_seek(path):
+        # the r11 term-dictionary seek: same rows, no |vocab|-linear
+        # partition-discovery pass (serve_seek_sec vs serve_sec IS the
+        # discovery cost, measured). dfreq/stats come straight off the
+        # manifest — read_text_index would rebuild the partitioned
+        # postings file index and pay the discovery anyway.
+        from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+        m = indexfmt.read_manifest(path, TX.TEXT_INDEX_FORMAT)
+        dfreq = spark.read.parquet(f"{path}/{m['dfreq']}")
+        stats = spark.read.parquet(f"{path}/{m['stats']}")
+        return _bm25_rank(
+            TX.seek_text_postings(spark, path, list(BM25_TERMS)),
+            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
+            stats,
+        )
+
     def phrase_serve(path):
         post = TX.read_positional_index(spark, path).filter(
             F.col("token").isin(*PHRASE_QUERY)
         )
         return _phrase_hits(TX.phrase_occurrences(post, list(PHRASE_QUERY)))
 
+    def phrase_serve_seek(path):
+        post = TX.seek_positional_tokens(spark, path, list(PHRASE_QUERY))
+        return _phrase_hits(TX.phrase_occurrences(post, list(PHRASE_QUERY)))
+
     fams = {
         "text_bm25": dict(
             build=lambda docs, emb, path, mult: TX.write_text_index(docs, path),
             serve=bm25_serve,
+            serve_seek=bm25_serve_seek,
             merge=lambda path, run: TX.merge_text_index(docs_batch(run), path),
         ),
         "positional_phrase": dict(
@@ -447,6 +474,7 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
                 docs, path
             ),
             serve=phrase_serve,
+            serve_seek=phrase_serve_seek,
             merge=lambda path, run: TX.merge_positional_index(
                 docs_batch(run), path
             ),
@@ -479,6 +507,11 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
                     t0 = time.perf_counter()
                     _force(ops["serve"](path))
                     serves.append(time.perf_counter() - t0)
+                seeks = []
+                for _ in range(STRESS_RUNS if "serve_seek" in ops else 0):
+                    t0 = time.perf_counter()
+                    _force(ops["serve_seek"](path))
+                    seeks.append(time.perf_counter() - t0)
                 merges = []
                 for run in range(2):  # disjoint batches: repeat is valid
                     t0 = time.perf_counter()
@@ -488,6 +521,11 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
                 out.setdefault(fam, {})[scale] = {
                     "build_sec": build_sec,
                     "serve_sec": round(min(serves), 4),
+                    **(
+                        {"serve_seek_sec": round(min(seeks), 4)}
+                        if seeks
+                        else {}
+                    ),
                     "merge_sec": round(min(merges), 4),
                 }
                 print(
@@ -504,6 +542,12 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
                     if b["serve_sec"]
                     else None
                 )
+                if "serve_seek_sec" in b and "serve_seek_sec" in s:
+                    scales["serve_seek_ratio"] = (
+                        round(s["serve_seek_sec"] / b["serve_seek_sec"], 3)
+                        if b["serve_seek_sec"]
+                        else None
+                    )
                 scales["merge_ratio"] = (
                     round(s["merge_sec"] / b["merge_sec"], 3)
                     if b["merge_sec"]
