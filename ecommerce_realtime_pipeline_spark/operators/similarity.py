@@ -528,6 +528,60 @@ def read_ivf_index(
     return cents, cells
 
 
+def seek_ivf_cells(
+    spark, path: str, cell_ids: list[int], version: int | None = None
+) -> tuple[list[list[float]], DataFrame]:
+    """Cell-directory SEEK of the IVF index — the ANN twin of
+    ``text.seek_positional_tokens``: open exactly the probed cells'
+    directories per live segment directly from the manifest, skipping
+    Spark's partition discovery (which lists EVERY cell directory of
+    every segment before pruning — |cells|-linear driver metadata per
+    query; negligible at k=16, but the occupancy-pinned sizing rule
+    makes k track the corpus, so at scale probed reads pay a
+    vocab-class discovery pass exactly like the text families).
+    Row-identical to ``read_ivf_index`` postings filtered to the
+    probed cells, tombstones masked by the same broadcast anti-join
+    (test-pinned); a cell absent from a segment contributes nothing.
+    Returns (centroids, probed postings). Serving plans rewire next
+    round together with the text/positional seeks."""
+    import os as _os
+    from functools import reduce
+
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT, version=version)
+    cent_rows = (
+        spark.read.parquet(f"{path}/{m['centroids']}").orderBy("cid").collect()
+    )
+    cents = [list(r["centroid"]) for r in cent_rows]
+    parts = []
+    for s in m["segments"]:
+        for c in cell_ids:
+            d = f"{path}/{s}/cell={int(c)}"
+            if _os.path.exists(d):
+                parts.append(
+                    spark.read.parquet(d)
+                    .select("neighbor_id", "_v")
+                    .withColumn("cell", F.lit(int(c)).cast("int"))
+                )
+    if not parts:
+        return cents, spark.createDataFrame(
+            [], "neighbor_id long, _v array<float>, cell int"
+        )
+    posts = reduce(lambda a, b: a.unionByName(b), parts)
+    tombs = m.get("tombstones", [])
+    if tombs:
+        dead = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(f"{path}/{t}").select("neighbor_id")
+                for t in tombs
+            ],
+        )
+        posts = posts.join(F.broadcast(dead), "neighbor_id", "left_anti")
+    return cents, posts.select("neighbor_id", "_v", "cell")
+
+
 def knn_ivf_from_index(
     spark,
     path: str,

@@ -2533,3 +2533,43 @@ def test_maybe_requantize_fires_on_drift_and_noops_on_fresh(spark, tmp_path):
     assert (
         indexfmt.read_manifest(fresh, SIM.IVF_INDEX_FORMAT)["version"] == 1
     )
+
+
+def test_seek_ivf_cells_equals_pruned_read(spark, tmp_path):
+    """seek_ivf_cells (r11 — the cell-directory seek that skips
+    partition discovery, twin of the text/positional term seeks) must
+    be row-for-row identical to read_ivf_index postings filtered to
+    the probed cells, on a multi-segment index with live tombstones,
+    including a cell absent from one segment and an empty probe set."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    def mk(ids_):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids_
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(range(100, 140)), ivf, n_centroids=4)
+    SIM.merge_ivf_index(mk(range(140, 146)), ivf)  # tiny second segment
+    SIM.delete_from_ivf_index(
+        spark.createDataFrame([(102,), (141,)], "vec_id long"), ivf
+    )
+    cents_r, cells = SIM.read_ivf_index(spark, ivf)
+    key = lambda r: (int(r["cell"]), int(r["neighbor_id"]), tuple(r["_v"]))  # noqa: E731
+    for probe in ([0, 2], [1], [0, 1, 2, 3], []):
+        cents_s, got = SIM.seek_ivf_cells(spark, ivf, probe)
+        assert cents_s == cents_r
+        want = cells.filter(F.col("cell").isin(probe)) if probe else cells.filter(F.lit(False))
+        assert sorted(map(key, got.collect())) == sorted(
+            map(key, want.collect())
+        ), probe
+    # retained-generation seek sees the pre-delete vectors
+    m = indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)
+    _, pre = SIM.seek_ivf_cells(
+        spark, ivf, [0, 1, 2, 3], version=int(m["version"]) - 1
+    )
+    assert {int(r["neighbor_id"]) for r in pre.collect()} >= {102, 141}
