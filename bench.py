@@ -502,13 +502,15 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
                 t0 = time.perf_counter()
                 ops["build"](docs, emb, path, mult)
                 build_sec = round(time.perf_counter() - t0, 4)
+                runs = max(STRESS_RUNS, 1)  # env can zero STRESS_RUNS;
+                # an empty best-of would throw and void the block
                 serves = []
-                for _ in range(STRESS_RUNS):
+                for _ in range(runs):
                     t0 = time.perf_counter()
                     _force(ops["serve"](path))
                     serves.append(time.perf_counter() - t0)
                 seeks = []
-                for _ in range(STRESS_RUNS if "serve_seek" in ops else 0):
+                for _ in range(runs if "serve_seek" in ops else 0):
                     t0 = time.perf_counter()
                     _force(ops["serve_seek"](path))
                     seeks.append(time.perf_counter() - t0)

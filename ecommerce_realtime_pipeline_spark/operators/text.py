@@ -1303,6 +1303,31 @@ def read_positional_index(
     return postings
 
 
+def _escape_partition_value(spark, value: str) -> str:
+    """Partition-directory name escaping, writer-exact: Spark
+    percent-encodes special characters in partition values
+    (``a/b`` → ``a%2Fb``), so a direct seek built from the RAW token
+    would miss the directory — silently dropping that term's rows
+    while the pruned read finds them (data-dependent identity
+    breach). Prefer the JVM's own ``escapePathName`` (the function
+    the writer used); the Python port of its charset is the fallback
+    for sessions where catalyst internals are unreachable."""
+    try:
+        return (
+            spark._jvm.org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(value)
+        )
+    except Exception:
+        needs = set('"#%\'*/:=?\\{[]^')
+        out = []
+        for ch in value:
+            if ch in needs or ord(ch) < 0x20 or ord(ch) == 0x7F:
+                out.append(f"%{ord(ch):02X}")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+
 def _seek_token_dirs(
     spark, path: str, m: dict, terms: list[str], file_schema: str
 ) -> DataFrame | None:
@@ -1327,7 +1352,7 @@ def _seek_token_dirs(
     parts = []
     for s in m["segments"]:
         for t in terms:
-            d = f"{path}/{s}/token={t}"
+            d = f"{path}/{s}/token={_escape_partition_value(spark, t)}"
             if _os.path.exists(d):
                 parts.append(
                     spark.read.schema(file_schema)

@@ -598,3 +598,45 @@ def test_seek_text_postings_equals_pruned_read(spark, tmp_path):
             )
         )
         assert got == want, terms
+
+
+def test_seek_escapes_partition_values_like_the_writer(spark, tmp_path):
+    """Spark percent-escapes special characters in partition directory
+    names (token 'a/b' → dir 'token=a%2Fb'); a seek built from the RAW
+    token would silently miss those rows while the pruned read finds
+    them. The seek must escape writer-exactly — and the Python
+    fallback must agree with the JVM escaper."""
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        _escape_partition_value,
+        seek_positional_tokens,
+    )
+
+    nasty = [(1, "a/b a:b x%y plain"), (2, "a/b plain")]
+    path = str(tmp_path / "idx")
+    write_positional_index(_docs(spark, nasty), path)
+    key = lambda r: (r["token"], r["doc_id"], r["pos"])  # noqa: E731
+    for terms in (["a/b"], ["a:b", "x%y"], ["a/b", "plain"]):
+        got = sorted(
+            map(key, seek_positional_tokens(spark, path, terms).collect())
+        )
+        want = sorted(
+            map(
+                key,
+                read_positional_index(spark, path)
+                .filter(F.col("token").isin(*terms))
+                .collect(),
+            )
+        )
+        assert got == want and got, terms  # non-empty: rows were found
+    # fallback parity with the JVM escaper on the full nasty charset
+    class _NoJvm:
+        class _jvm:  # noqa: N801 — attribute access raises
+            def __getattr__(self, _):
+                raise RuntimeError("no jvm")
+
+        _jvm = _jvm()
+
+    for t in ["a/b", "a:b", "x%y", 'q"w', "a=b", "a#b", "br[ck]", "p^q"]:
+        jvm = _escape_partition_value(spark, t)
+        py = _escape_partition_value(_NoJvm(), t)
+        assert jvm == py, (t, jvm, py)
