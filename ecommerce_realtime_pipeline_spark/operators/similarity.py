@@ -528,44 +528,34 @@ def read_ivf_index(
     return cents, cells
 
 
-def seek_ivf_cells(
-    spark, path: str, cell_ids: list[int], version: int | None = None
-) -> tuple[list[list[float]], DataFrame]:
-    """Cell-directory SEEK of the IVF index — the ANN twin of
-    ``text.seek_positional_tokens``: open exactly the probed cells'
-    directories per live segment directly from the manifest, skipping
-    Spark's partition discovery (which lists EVERY cell directory of
-    every segment before pruning — |cells|-linear driver metadata per
-    query; negligible at k=16, but the occupancy-pinned sizing rule
-    makes k track the corpus, so at scale probed reads pay a
-    vocab-class discovery pass exactly like the text families).
-    Row-identical to ``read_ivf_index`` postings filtered to the
-    probed cells, tombstones masked by the same broadcast anti-join
-    (test-pinned); a cell absent from a segment contributes nothing.
-    Returns (centroids, probed postings). Serving plans rewire next
-    round together with the text/positional seeks."""
-    import os as _os
+def _seek_cell_dirs(
+    spark, path: str, m: dict, cell_ids: list[int]
+) -> DataFrame:
+    """Shared mechanics of the cell-directory SEEK: open exactly the
+    probed cells' directories per live segment straight off the
+    manifest, mask tombstones with the same broadcast anti-join as the
+    discovery reader. Duplicate cell ids are collapsed
+    (order-preserving ``dict.fromkeys``) so a caller passing a
+    repeated id cannot duplicate that cell's rows; the existence probe
+    routes through :func:`..operators.indexfmt.dir_exists` (local
+    ``os.path`` / Hadoop ``FileSystem`` by scheme — one HEAD per
+    (cell, segment) on an object store)."""
     from functools import reduce
 
     from . import indexfmt
 
-    m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT, version=version)
-    cent_rows = (
-        spark.read.parquet(f"{path}/{m['centroids']}").orderBy("cid").collect()
-    )
-    cents = [list(r["centroid"]) for r in cent_rows]
     parts = []
     for s in m["segments"]:
-        for c in cell_ids:
-            d = f"{path}/{s}/cell={int(c)}"
-            if _os.path.exists(d):
+        for c in dict.fromkeys(int(c) for c in cell_ids):
+            d = f"{path}/{s}/cell={c}"
+            if indexfmt.dir_exists(spark, d):
                 parts.append(
                     spark.read.parquet(d)
                     .select("neighbor_id", "_v")
-                    .withColumn("cell", F.lit(int(c)).cast("int"))
+                    .withColumn("cell", F.lit(c).cast("int"))
                 )
     if not parts:
-        return cents, spark.createDataFrame(
+        return spark.createDataFrame(
             [], "neighbor_id long, _v array<float>, cell int"
         )
     posts = reduce(lambda a, b: a.unionByName(b), parts)
@@ -579,7 +569,34 @@ def seek_ivf_cells(
             ],
         )
         posts = posts.join(F.broadcast(dead), "neighbor_id", "left_anti")
-    return cents, posts.select("neighbor_id", "_v", "cell")
+    return posts.select("neighbor_id", "_v", "cell")
+
+
+def seek_ivf_cells(
+    spark, path: str, cell_ids: list[int], version: int | None = None
+) -> tuple[list[list[float]], DataFrame]:
+    """Cell-directory SEEK of the IVF index — the ANN twin of
+    ``text.seek_positional_tokens``: open exactly the probed cells'
+    directories per live segment directly from the manifest, skipping
+    Spark's partition discovery (which lists EVERY cell directory of
+    every segment before pruning — |cells|-linear driver metadata per
+    query; negligible at k=16, but the occupancy-pinned sizing rule
+    makes k track the corpus, so at scale probed reads pay a
+    vocab-class discovery pass exactly like the text families).
+    Row-identical to ``read_ivf_index`` postings filtered to the
+    probed cells, tombstones masked by the same broadcast anti-join
+    (test-pinned); a cell absent from a segment contributes nothing;
+    duplicate cell ids are collapsed. Returns (centroids, probed
+    postings). This IS the production serving path since r12:
+    :func:`knn_ivf_from_index` reads through it."""
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT, version=version)
+    cent_rows = (
+        spark.read.parquet(f"{path}/{m['centroids']}").orderBy("cid").collect()
+    )
+    cents = [list(r["centroid"]) for r in cent_rows]
+    return cents, _seek_cell_dirs(spark, path, m, cell_ids)
 
 
 def knn_ivf_from_index(
@@ -594,8 +611,9 @@ def knn_ivf_from_index(
     """Serve ANN top-k from a PERSISTED IVF index (built by
     :func:`write_ivf_index`) — the load half of the index lifecycle:
     read the (tiny) centroid table, probe each query's ``n_probe``
-    cells, read ONLY those cell partitions (partition pruning asserted
-    in tests), exact-cosine rerank on the vectors stored inline.
+    cells, read ONLY those cell directories (direct per-cell seeks —
+    asserted in tests), exact-cosine rerank on the vectors stored
+    inline.
     ``version`` serves from a RETAINED manifest generation instead of
     ``_CURRENT`` — the Iceberg snapshot-read contract (time travel
     inside the retention horizon), pinned equal to the pre-mutation
@@ -605,8 +623,23 @@ def knn_ivf_from_index(
     persisted path share its SQL oracle.
 
     The probed-cell id collect is bounded by |queries|·n_probe (the
-    same bounded-collect class as the centroid pick)."""
-    cents, all_cells = read_ivf_index(spark, path, version=version)
+    same bounded-collect class as the centroid pick).
+
+    Since r12 the probed cells are read via the CELL-DIRECTORY SEEK
+    (:func:`_seek_cell_dirs` — row-identity with the pruned discovery
+    read test-pinned): the serve opens exactly |probed| directories
+    per live segment off the manifest instead of letting Spark's
+    partition discovery list all n_centroids directories first — at
+    the occupancy-pinned sizing rule (k ~ n/occ) that discovery pass
+    is corpus-linear driver metadata per query, the r11 lifecycle
+    bench's measured serving bottleneck."""
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT, version=version)
+    cent_rows = (
+        spark.read.parquet(f"{path}/{m['centroids']}").orderBy("cid").collect()
+    )
+    cents = [list(r["centroid"]) for r in cent_rows]
     probe = _probe_udf(cents, n_probe)
     q_rows = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -617,13 +650,12 @@ def knn_ivf_from_index(
         "query_id long, cell int",
     )
     probed = sorted({int(r["cell"]) for r in q_rows})
-    # candidate generation and rerank each read the PRUNED cell
-    # partitions (n_probe of n_centroids directories per segment —
-    # PartitionFilters pinned in tests); two pruned scans beat caching
-    # here because a localCheckpoint would hide the scan (and its
-    # pruning) from the serving plan and pin the blocks past the
-    # query's lifetime
-    cells = all_cells.filter(F.col("cell").isin(probed))
+    # candidate generation and rerank each read the SEEKED cell
+    # directories (|probed| of n_centroids per segment, no discovery);
+    # two seeked scans beat caching here because a localCheckpoint
+    # would hide the scan from the serving plan and pin the blocks
+    # past the query's lifetime
+    cells = _seek_cell_dirs(spark, path, m, probed)
     cand = (
         cells.join(F.broadcast(q_cells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1512,6 +1544,7 @@ def merge_ivf_index(
     path: str,
     col: str = "embedding",
     max_segments: int | None = None,
+    max_occupancy_ratio: float | None = None,
 ) -> list[int]:
     """INCREMENTAL IVF maintenance — the ANN twin of
     ``text.merge_text_index``: append a batch of new vectors to a
@@ -1535,8 +1568,13 @@ def merge_ivf_index(
     O(index). Read amplification grows by one segment per merge;
     compaction is the tiered-merge knob, and ``max_segments`` makes
     it a policy (a merge leaving more live segments than that
-    compacts inline — amortized tiered merging). Returns the touched
-    cell ids (reporting — never enters a plan)."""
+    compacts inline — amortized tiered merging).
+    ``max_occupancy_ratio`` is the drift twin (r12): after the flip,
+    max/mean live-cell occupancy above the threshold triggers an
+    inline quantizer retrain (:func:`maybe_requantize_ivf_index`) —
+    streamed landings self-remediate drift the way streamed
+    text/positional landings self-compact fan-out. Returns the
+    touched cell ids (reporting — never enters a plan)."""
     from . import indexfmt
 
     spark = new_emb.sparkSession
@@ -1572,6 +1610,19 @@ def merge_ivf_index(
     )
     if max_segments is not None and len(m["segments"]) + 1 > max_segments:
         compact_ivf_index(spark, path)
+    if max_occupancy_ratio is not None:
+        # drift-remediation POLICY knob (r12) — sibling of
+        # merge_positional_index(max_segments=): streamed IVF landings
+        # self-remediate the way streamed text/positional landings
+        # self-compact. Each merge assigns into FROZEN centroids, so a
+        # drifting batch stream piles into few cells; when max/mean
+        # live-cell occupancy crosses the threshold the merge retrains
+        # the quantizer inline at the index's own capacity
+        # (maybe_requantize_ivf_index — requantize ≡ fresh build over
+        # the live set, test-pinned), restoring the n/k probe bound.
+        # Amortized exactly like tiered compaction: the O(index)
+        # retrain fires only when drift has accrued.
+        maybe_requantize_ivf_index(spark, path, max_occupancy_ratio)
     return touched
 
 
@@ -1804,6 +1855,13 @@ def maybe_requantize_ivf_index(
         .agg(F.max("n").alias("max_n"), F.avg("n").alias("mean_n"))
         .collect()[0]
     )
+    if row["max_n"] is None:
+        # zero live cells (everything tombstoned): the occupancy
+        # aggregate is a NULL row. There is nothing to retrain over —
+        # and requantize_ivf_index would refuse the empty live set
+        # loudly anyway — so the POLICY no-ops instead of dying on an
+        # opaque float(None) TypeError.
+        return False
     ratio = float(row["max_n"]) / float(row["mean_n"])
     if ratio <= max_occupancy_ratio:
         return False

@@ -1345,15 +1345,27 @@ def _seek_token_dirs(
     segment contributes nothing (missing directory skipped — same
     semantics as the pruned read). Returns None when no term exists
     in any segment (caller supplies the empty frame), else the
-    postings with the ``token`` column restored."""
-    import os as _os
+    postings with the ``token`` column restored.
+
+    Duplicate terms in the input are collapsed (``dict.fromkeys`` —
+    order-preserving): a repeated word ("the end of the end" has two
+    ``the``/``end`` slots) must NOT duplicate that term's rows, or
+    the documented row-identity with ``read(...).filter(isin(terms))``
+    breaks and phrase occurrence counts silently multiply. The
+    existence probe routes through :func:`..operators.indexfmt.
+    dir_exists`: local paths use ``os.path``, scheme'd paths
+    (``s3://``, ``hdfs://``) take Hadoop ``FileSystem.exists`` via
+    the session JVM — one HEAD per (term, segment) on an object
+    store, instead of every probe silently answering False."""
     from functools import reduce
+
+    from . import indexfmt
 
     parts = []
     for s in m["segments"]:
-        for t in terms:
+        for t in dict.fromkeys(terms):
             d = f"{path}/{s}/token={_escape_partition_value(spark, t)}"
-            if _os.path.exists(d):
+            if indexfmt.dir_exists(spark, d):
                 parts.append(
                     spark.read.schema(file_schema)
                     .parquet(d)
@@ -1425,6 +1437,25 @@ def seek_text_postings(
         )
     return _mask_tombstones(spark, path, m, df).select(
         "token", "doc_id", "tf", "dl"
+    )
+
+
+def read_text_index_meta(
+    spark, path: str, version: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(dfreq, stats) straight off the manifest — the metadata half a
+    SEEK-path BM25 serve needs next to :func:`seek_text_postings`.
+    Both are plain unpartitioned parquet tables (|vocab| rows / 1
+    row), so this never touches the token-partitioned postings plane
+    and never triggers its |vocab|-directory partition discovery —
+    which ``read_text_index`` would pay just to hand back the same
+    two frames."""
+    from . import indexfmt
+
+    m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT, version=version)
+    return (
+        spark.read.parquet(f"{path}/{m['dfreq']}"),
+        spark.read.parquet(f"{path}/{m['stats']}"),
     )
 
 

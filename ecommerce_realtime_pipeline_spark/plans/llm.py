@@ -1544,21 +1544,46 @@ def _bm25_rank(
     )
 
 
+def _bm25_top20_indexed(spark: SparkSession, path: str) -> DataFrame:
+    """The shared SEEK-path BM25 serve (r12 rewire of every persisted
+    text-index query): the query terms' postings come through
+    `text.seek_text_postings` — direct (term, segment) directory opens
+    off the manifest, row-identical to the pruned discovery read
+    (test-pinned) WITHOUT Spark's partition discovery listing every
+    token directory first (|vocab|-linear driver metadata per query;
+    measured 0.9 s vs 0.25 s for identical rows at a mere 310-token
+    vocab, r11 lifecycle split) — dfreq/stats straight off the
+    manifest (`read_text_index_meta`), scoring the SHARED `_bm25_rank`.
+    Result is bit-identical to `docs_bm25_search`, so every caller
+    keeps sharing its oracle."""
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        read_text_index_meta,
+        seek_text_postings,
+    )
+
+    dfreq, stats = read_text_index_meta(spark, path)
+    return _bm25_rank(
+        seek_text_postings(spark, path, list(BM25_TERMS)),
+        dfreq.filter(F.col("token").isin(*BM25_TERMS)),
+        stats,
+    )
+
+
 def docs_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served from the PERSISTED inverted text index
     (`text.write_text_index` — token-partitioned postings, atomic
     publication): the keyword-search index lifecycle next to
-    `emb_knn_ivf_persisted`'s ANN one. The query's terms become
-    PartitionFilters on the postings read (|terms| directories out of
-    |vocab| — pinned in tests), df/stats ride the same broadcasts, and
-    the scoring is the SHARED `_bm25_rank`, so the result is
-    bit-identical to `docs_bm25_search` and shares its oracle."""
+    `emb_knn_ivf_persisted`'s ANN one. The serve is the SEEK path
+    (`_bm25_top20_indexed`): |terms| directory opens per segment off
+    the manifest — never a |vocab|-directory discovery pass — df/stats
+    ride broadcasts, and the scoring is the shared `_bm25_rank`, so
+    the result is bit-identical to `docs_bm25_search` and shares its
+    oracle."""
     import os
     import shutil
     import tempfile
 
     from ecommerce_realtime_pipeline_spark.operators.text import (
-        read_text_index,
         write_text_index,
     )
 
@@ -1567,14 +1592,7 @@ def docs_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         path = os.path.join(tmp, "index")
         write_text_index(docs, path)
-        postings, dfreq, stats = read_text_index(spark, path)
-        return _bm25_rank(
-            postings.filter(F.col("token").isin(*BM25_TERMS)).select(
-                "doc_id", "token", "tf", "dl"
-            ),
-            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
-            stats,
-        ).localCheckpoint(eager=True)
+        return _bm25_top20_indexed(spark, path).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -4487,7 +4505,6 @@ def docs_bm25_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ecommerce_realtime_pipeline_spark.operators.text import (
         merge_text_index,
-        read_text_index,
         write_text_index,
     )
 
@@ -4497,14 +4514,7 @@ def docs_bm25_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(tmp, "index")
         write_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
         merge_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
-        postings, dfreq, stats = read_text_index(spark, path)
-        return _bm25_rank(
-            postings.filter(F.col("token").isin(*BM25_TERMS)).select(
-                "doc_id", "token", "tf", "dl"
-            ),
-            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
-            stats,
-        ).localCheckpoint(eager=True)
+        return _bm25_top20_indexed(spark, path).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -4530,7 +4540,6 @@ def docs_bm25_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         TEXT_INDEX_FORMAT,
         compact_text_index,
         merge_text_index,
-        read_text_index,
         write_text_index,
     )
 
@@ -4543,14 +4552,7 @@ def docs_bm25_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert compact_text_index(spark, path) == 2
         m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
         assert len(m["segments"]) == 1  # folded to one segment
-        postings, dfreq, stats = read_text_index(spark, path)
-        return _bm25_rank(
-            postings.filter(F.col("token").isin(*BM25_TERMS)).select(
-                "doc_id", "token", "tf", "dl"
-            ),
-            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
-            stats,
-        ).localCheckpoint(eager=True)
+        return _bm25_top20_indexed(spark, path).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -4575,7 +4577,6 @@ def docs_bm25_index_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ecommerce_realtime_pipeline_spark.operators.text import (
         delete_from_text_index,
-        read_text_index,
         write_text_index,
     )
 
@@ -4588,14 +4589,7 @@ def docs_bm25_index_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), path
         )
         assert deleted > 0
-        postings, dfreq, stats = read_text_index(spark, path)
-        return _bm25_rank(
-            postings.filter(F.col("token").isin(*BM25_TERMS)).select(
-                "doc_id", "token", "tf", "dl"
-            ),
-            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
-            stats,
-        ).localCheckpoint(eager=True)
+        return _bm25_top20_indexed(spark, path).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -4885,7 +4879,6 @@ def docs_bm25_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_realtime_pipeline_spark.operators import indexfmt
     from ecommerce_realtime_pipeline_spark.operators.text import (
         merge_text_index,
-        read_text_index,
         write_text_index,
     )
 
@@ -4927,14 +4920,7 @@ def docs_bm25_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         assert indexfmt.read_manifest(idx, "text-index")["version"] >= 2
-        postings, dfreq, stats = read_text_index(spark, idx)
-        return _bm25_rank(
-            postings.filter(F.col("token").isin(*BM25_TERMS)).select(
-                "doc_id", "token", "tf", "dl"
-            ),
-            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
-            stats,
-        ).localCheckpoint(eager=True)
+        return _bm25_top20_indexed(spark, idx).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -4967,7 +4953,6 @@ def docs_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFram
 
     from ecommerce_realtime_pipeline_spark.operators.text import (
         delete_from_text_index,
-        read_text_index,
         write_text_index,
     )
 
@@ -4981,15 +4966,8 @@ def docs_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFram
         delete_from_text_index(
             docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), tpath
         )
-        postings, dfreq, stats = read_text_index(spark, tpath)
         lex = (
-            _bm25_rank(
-                postings.filter(F.col("token").isin(*BM25_TERMS)).select(
-                    "doc_id", "token", "tf", "dl"
-                ),
-                dfreq.filter(F.col("token").isin(*BM25_TERMS)),
-                stats,
-            )
+            _bm25_top20_indexed(spark, tpath)
             .withColumn(
                 "lex_rank",
                 F.row_number().over(
@@ -5822,9 +5800,11 @@ def docs_phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-segment union AND result identity with the in-session scan
     (`docs_phrase_search`, whose oracle this shares).
 
-    Scale: the phrase's terms become PartitionFilters on every segment
-    scan (k directories out of |vocab| per segment, plan-pinned);
-    everything after the seek is the same aligned join."""
+    Scale: the serve is the TERM-DICTIONARY SEEK
+    (`text.seek_positional_tokens`, r12 rewire) — exactly k directory
+    opens per segment off the manifest, no |vocab|-linear partition
+    discovery (plan-pinned); everything after the seek is the same
+    aligned join."""
     import os
     import shutil
     import tempfile
@@ -5838,9 +5818,8 @@ def docs_phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(tmp, "index")
         TX.write_positional_index(docs.filter(F.col("doc_id") <= mid), path)
         TX.merge_positional_index(docs.filter(F.col("doc_id") > mid), path)
-        postings = TX.read_positional_index(spark, path)
         occ = TX.phrase_occurrences(
-            postings.filter(F.col("token").isin(*PHRASE_QUERY)),
+            TX.seek_positional_tokens(spark, path, list(PHRASE_QUERY)),
             list(PHRASE_QUERY),
         )
         return _phrase_hits(occ).localCheckpoint(eager=True)
@@ -5991,16 +5970,18 @@ def docs_bm25_proximity_boost_indexed(
     index: identical semantics (and oracle) to
     `docs_bm25_proximity_boost`, with the position leg reading the
     canonical persisted index (`_persisted_pos_path`) instead of
-    re-exploding the corpus — the two query terms become
-    PartitionFilters on every segment scan (plan-pinned), and the
-    broadcast semi-join masks the read down to the top-k docs before
-    the band join. This is the production shape: BM25 leg from the
-    inverted index, gap leg a k-bounded seek of the positional plane."""
+    re-exploding the corpus — the two query terms are TERM-DICTIONARY
+    SEEKS (`text.seek_positional_tokens`, r12 rewire: two directory
+    opens per segment, no |vocab|-discovery pass; plan-pinned), and
+    the broadcast semi-join masks the read down to the top-k docs
+    before the band join. This is the production shape: BM25 leg from
+    the inverted index, gap leg a k-bounded seek of the positional
+    plane."""
     docs = load_table(spark, sf_dir, "documents")
     lex = docs_bm25_search(spark, sf_dir).localCheckpoint()
     path = _persisted_pos_path(spark, sf_dir, docs)
-    post = TX.read_positional_index(spark, path).filter(
-        F.col("token").isin(BM25_TERMS[0], BM25_TERMS[1])
+    post = TX.seek_positional_tokens(
+        spark, path, [BM25_TERMS[0], BM25_TERMS[1]]
     )
     post = post.join(
         F.broadcast(lex.select("doc_id")), "doc_id", "left_semi"
@@ -6197,9 +6178,8 @@ def docs_phrase_search_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.delete_from_positional_index(
             docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), path
         )
-        postings = TX.read_positional_index(spark, path)
         occ = TX.phrase_occurrences(
-            postings.filter(F.col("token").isin(*PHRASE_QUERY)),
+            TX.seek_positional_tokens(spark, path, list(PHRASE_QUERY)),
             list(PHRASE_QUERY),
         )
         return _phrase_hits(occ).localCheckpoint(eager=True)
@@ -6428,9 +6408,8 @@ def docs_phrase_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         m = indexfmt.read_manifest(idx, TX.POS_INDEX_FORMAT)
         assert int(m["version"]) >= 2 and len(m["segments"]) >= 2
-        postings = TX.read_positional_index(spark, idx)
         occ = TX.phrase_occurrences(
-            postings.filter(F.col("token").isin(*PHRASE_QUERY)),
+            TX.seek_positional_tokens(spark, idx, list(PHRASE_QUERY)),
             list(PHRASE_QUERY),
         )
         return _phrase_hits(occ).localCheckpoint(eager=True)
@@ -6482,9 +6461,8 @@ def docs_phrase_index_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert live == [1, 2, 1, 2], live
         m = indexfmt.read_manifest(path, TX.POS_INDEX_FORMAT)
         assert len(m["segments"]) == 2 and not m.get("tombstones")
-        postings = TX.read_positional_index(spark, path)
         occ = TX.phrase_occurrences(
-            postings.filter(F.col("token").isin(*PHRASE_QUERY)),
+            TX.seek_positional_tokens(spark, path, list(PHRASE_QUERY)),
             list(PHRASE_QUERY),
         )
         return _phrase_hits(occ).localCheckpoint(eager=True)
@@ -6517,7 +6495,6 @@ def docs_hybrid_search_weighted_indexed(
 
     from ecommerce_realtime_pipeline_spark.operators.text import (
         delete_from_text_index,
-        read_text_index,
         write_text_index,
     )
 
@@ -6543,14 +6520,9 @@ def docs_hybrid_search_weighted_indexed(
         delete_from_text_index(
             docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), tpath
         )
-        postings, dfreq, stats = read_text_index(spark, tpath)
-        lex = _bm25_rank(
-            postings.filter(F.col("token").isin(*BM25_TERMS)).select(
-                "doc_id", "token", "tf", "dl"
-            ),
-            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
-            stats,
-        ).select("doc_id", F.col("score").alias("lex_s"))
+        lex = _bm25_top20_indexed(spark, tpath).select(
+            "doc_id", F.col("score").alias("lex_s")
+        )
         lexn = _minmax_norm(lex, "lex_s", "lex_norm")
         ipath = os.path.join(tmp, "ivf")
         SIM.write_ivf_index(emb, ipath, cache_key=f"{sf_dir}/embeddings")

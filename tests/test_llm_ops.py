@@ -2535,6 +2535,73 @@ def test_maybe_requantize_fires_on_drift_and_noops_on_fresh(spark, tmp_path):
     )
 
 
+def test_maybe_requantize_noops_on_fully_tombstoned_index(spark, tmp_path):
+    """r11 ADVICE: a fully-tombstoned index makes the occupancy
+    aggregate a NULL row — the policy must no-op (False) instead of
+    dying on float(None); requantize_ivf_index keeps its own loud
+    refusal for direct calls."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    def mk(ids_):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids_
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(range(6)), ivf, n_centroids=2)
+    SIM.delete_from_ivf_index(
+        spark.createDataFrame([(i,) for i in range(6)], "vec_id long"), ivf
+    )
+    v = indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)["version"]
+    assert SIM.maybe_requantize_ivf_index(spark, ivf, 1.0) is False
+    assert indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)["version"] == v
+
+
+def test_merge_occupancy_policy_inline_retrain(spark, tmp_path):
+    """merge_ivf_index(max_occupancy_ratio=) — the r12 drift-policy
+    knob, sibling of merge_positional_index(max_segments=): a skewed
+    landing whose occupancy breaches the threshold triggers exactly
+    one INLINE retrain (merge flip + requantize flip, segments folded
+    to one), the post-policy index is content-identical to a fresh
+    build over the union, and a landing under the threshold merges
+    without retraining."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    def mk(ids_):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids_
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    evens, odds = list(range(200, 260, 2)), list(range(201, 260, 2))
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(evens), ivf, n_centroids=4)
+    # skewed landing under threshold 1.0 ("any imbalance"): the merge
+    # commits, then the policy retrains inline — two flips, one segment
+    SIM.merge_ivf_index(mk(odds), ivf, max_occupancy_ratio=1.0)
+    m = indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)
+    assert int(m["version"]) == 3 and len(m["segments"]) == 1
+    fresh = str(tmp_path / "fresh")
+    SIM.write_ivf_index(mk(evens + odds), fresh, n_centroids=4)
+    key = lambda r: (int(r["cell"]), int(r["neighbor_id"]))  # noqa: E731
+    _, got = SIM.read_ivf_index(spark, ivf)
+    _, want = SIM.read_ivf_index(spark, fresh)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    # under a generous threshold the next landing is a plain merge:
+    # one flip, segment appended, quantizer untouched
+    SIM.merge_ivf_index(mk(range(300, 306)), ivf, max_occupancy_ratio=50.0)
+    m2 = indexfmt.read_manifest(ivf, SIM.IVF_INDEX_FORMAT)
+    assert int(m2["version"]) == 4 and len(m2["segments"]) == 2
+    assert m2["centroids"] == m["centroids"]
+
+
 def test_seek_ivf_cells_equals_pruned_read(spark, tmp_path):
     """seek_ivf_cells (r11 — the cell-directory seek that skips
     partition discovery, twin of the text/positional term seeks) must
@@ -2560,7 +2627,9 @@ def test_seek_ivf_cells_equals_pruned_read(spark, tmp_path):
     )
     cents_r, cells = SIM.read_ivf_index(spark, ivf)
     key = lambda r: (int(r["cell"]), int(r["neighbor_id"]), tuple(r["_v"]))  # noqa: E731
-    for probe in ([0, 2], [1], [0, 1, 2, 3], []):
+    # [2, 0, 2]: duplicate probe ids must not duplicate that cell's
+    # rows (r11 ADVICE — dict.fromkeys dedup, twin of the term seeks)
+    for probe in ([0, 2], [1], [0, 1, 2, 3], [], [2, 0, 2]):
         cents_s, got = SIM.seek_ivf_cells(spark, ivf, probe)
         assert cents_s == cents_r
         want = cells.filter(F.col("cell").isin(probe)) if probe else cells.filter(F.lit(False))

@@ -210,12 +210,16 @@ def test_bpe_encode_corpus_pass_broadcasts_vocab(spark, sf_dir):
 
 
 def test_persisted_ivf_prunes_cell_partitions(spark, sf_dir):
-    """Serving from the persisted index must PARTITION-PRUNE to the
-    probed cells — the inverted-file seek property that makes probes
-    O(n_probe/n_centroids) of the index at any scale."""
+    """Serving from the persisted index must read ONLY the probed
+    cells — since the r12 rewire via CELL-DIRECTORY SEEKS: every index
+    scan is a direct ``cell=<id>`` directory open off the manifest
+    (the inverted-file seek property that makes probes
+    O(n_probe/n_centroids) of the index at any scale, now WITHOUT the
+    n_centroids-linear partition-discovery pass — so no
+    PartitionFilters remain: each scan IS one directory)."""
     plan = _plan(spark, sf_dir, "emb_knn_ivf_persisted")
-    m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
-    assert m, plan
+    assert len(re.findall(r"cell%3D|cell=", plan)) >= 2, plan[:900]
+    assert not re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:900]
 
 
 def test_salted_join_spreads_key_and_no_cartesian(spark, sf_dir):
@@ -818,14 +822,23 @@ def test_tombstoned_ivf_serving_keeps_pruning_and_broadcasts_antijoin(
         spark.createDataFrame([(3,), (7,)], "vec_id long"), path
     )
     served = SIM.knn_ivf_from_index(spark, path, mk([100]), k=3, n_probe=2)
+    # r12 seek rewire: the index is read through DIRECT cell=<id>
+    # directory scans bounded by n_probe(2) x segments(2) — never the
+    # full 4-cell plane (inputFiles carries the untruncated paths the
+    # plan string would cut)
+    cell_dirs = {
+        re.sub(r"/[^/]*$", "", f)
+        for f in served.inputFiles()
+        if "/cell=" in f
+    }
+    assert 1 <= len(cell_dirs) <= 4, cell_dirs
     plan = served._jdf.queryExecution().executedPlan().toString()
-    seg_filters = [
+    # no PartitionFilters anywhere: nothing is left to prune
+    assert not [
         f
         for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
-        if f.strip()  # tombstone/centroid scans carry no partitions
-    ]
-    # 2 segments x 2 pruned scans (candidate gen + rerank vectors)
-    assert len(seg_filters) >= 2 and all("cell" in f for f in seg_filters), plan[:900]
+        if f.strip()
+    ], plan[:900]
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:900]
     assert "SortMergeJoin" not in plan, plan[:900]
 

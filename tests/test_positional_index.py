@@ -505,23 +505,30 @@ def test_writers_reject_null_empty_tokens(spark, tmp_path):
 
 
 def test_proximity_boost_position_leg_is_topk_bounded(spark):
-    """docs_bm25_proximity_boost_indexed (r11): the position leg must
-    be (a) partition-pruned to the two query terms on every positional
-    segment scan and (b) masked down to the BM25 top-k doc ids by a
-    BROADCAST semi-join BEFORE the band join — bounded by k, never a
-    corpus-scale position scan — with no cartesian product anywhere."""
+    """docs_bm25_proximity_boost_indexed (r12 rewire): the position
+    leg must (a) reach the positional plane through TERM-DICTIONARY
+    SEEKS — one direct ``token=<term>`` directory scan per (term,
+    segment), NO partition discovery and therefore no PartitionFilters
+    left to prune — and (b) be masked down to the BM25 top-k doc ids
+    by a BROADCAST semi-join BEFORE the band join — bounded by k,
+    never a corpus-scale position scan — with no cartesian product
+    anywhere."""
     from ecommerce_realtime_pipeline_spark.plans import llm
 
     df = llm.docs_bm25_proximity_boost_indexed(
         spark, "/root/testdata/sf0.001"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    seg_filters = [
+    # seek property: every positional scan is a single per-term
+    # directory (its Location path carries token=<term>), and nothing
+    # needs PartitionFilters because each scan IS one directory
+    tok_dirs = re.findall(r"token%3D|token=", plan)
+    assert len(tok_dirs) >= 2, plan[:900]
+    assert not [
         f
         for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
         if f.strip()
-    ]
-    assert seg_filters and all("token" in f for f in seg_filters), plan[:900]
+    ], plan[:900]
     assert "LeftSemi" in plan and "Broadcast" in plan, plan[:900]
     assert "CartesianProduct" not in plan
     # the boost is non-vacuous on the shipped corpus: some top-20 docs
@@ -548,7 +555,18 @@ def test_seek_equals_pruned_read_across_segments_and_tombstones(spark, tmp_path)
         spark.createDataFrame([(2,)], "doc_id long"), path
     )
     key = lambda r: (r["token"], r["doc_id"], r["pos"])  # noqa: E731
-    for terms in (["a", "b"], ["x", "b"], ["nope"], ["x", "nope"]):
+    # the repeated-term lists are the r11 ADVICE regression: a phrase
+    # like "the end of the end" passes the SAME term twice, and the
+    # seek must NOT duplicate that term's rows (isin dedups by
+    # construction; the seek dedups via dict.fromkeys)
+    for terms in (
+        ["a", "b"],
+        ["x", "b"],
+        ["nope"],
+        ["x", "nope"],
+        ["a", "b", "a"],
+        ["b", "b"],
+    ):
         got = sorted(
             map(key, seek_positional_tokens(spark, path, terms).collect())
         )
@@ -585,7 +603,7 @@ def test_seek_text_postings_equals_pruned_read(spark, tmp_path):
     )
     postings, _, _ = read_text_index(spark, path)
     key = lambda r: (r["token"], r["doc_id"], r["tf"], r["dl"])  # noqa: E731
-    for terms in (["a", "b"], ["x", "nope"], ["nope"]):
+    for terms in (["a", "b"], ["x", "nope"], ["nope"], ["a", "a", "b"]):
         got = sorted(
             map(key, seek_text_postings(spark, path, terms).collect())
         )
@@ -640,3 +658,66 @@ def test_seek_escapes_partition_values_like_the_writer(spark, tmp_path):
         jvm = _escape_partition_value(spark, t)
         py = _escape_partition_value(_NoJvm(), t)
         assert jvm == py, (t, jvm, py)
+
+def test_repeated_term_phrase_via_seek_matches_reference(spark, tmp_path):
+    """A phrase with a REPEATED word ("a b a") served through the
+    term-dictionary seek — the r11 ADVICE scenario: before the
+    dict.fromkeys dedup, the duplicated term's postings appeared twice
+    and every occurrence count silently multiplied. The k-way aligned
+    join over the seeked postings must match the reference scan
+    exactly, across a segment boundary."""
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        seek_positional_tokens,
+    )
+
+    path = str(tmp_path / "idx")
+    write_positional_index(_docs(spark, ROWS[:3]), path)
+    merge_positional_index(_docs(spark, ROWS[3:]), path)
+    phrase = ["a", "b", "a"]
+    got = sorted(
+        (r["doc_id"], r["p0"])
+        for r in phrase_occurrences(
+            seek_positional_tokens(spark, path, phrase), phrase
+        ).collect()
+    )
+    assert got == _py_phrase(ROWS, tuple(phrase)) and got
+
+
+def test_indexed_phrase_serve_plan_is_term_seeks(spark, tmp_path):
+    """The r12 serving-plan pin: the registered indexed phrase serve
+    reads the positional plane through DIRECT per-term directory scans
+    (one ``token=<term>`` path per (term, live segment)) with NO
+    PartitionFilters anywhere — partition discovery never runs, so
+    there is nothing left to prune. This replaces the r10/r11
+    PartitionFilters pin as the seek property's plan-level witness."""
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        phrase_occurrences as occ_fn,
+    )
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        seek_positional_tokens,
+    )
+
+    docs = _docs(
+        spark, [(i, f"tok{i % 30} a b filler{i % 7}") for i in range(120)]
+    )
+    path = str(tmp_path / "idx")
+    write_positional_index(docs.filter(F.col("doc_id") < 60), path)
+    merge_positional_index(docs.filter(F.col("doc_id") >= 60), path)
+    post = seek_positional_tokens(spark, path, ["a", "b"])
+    # the scan's input set IS the seeked term directories: 2 terms x
+    # 2 segments = 4 directories, nothing else (inputFiles carries the
+    # full untruncated paths the plan string would cut)
+    dirs = {re.sub(r"/[^/]*$", "", f) for f in post.inputFiles()}
+    assert len(dirs) == 4 and all("/token=" in d for d in dirs), dirs
+    plan = (
+        occ_fn(post, ["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not [
+        f
+        for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if f.strip()
+    ], plan[:900]
+    assert "CartesianProduct" not in plan

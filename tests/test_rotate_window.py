@@ -203,3 +203,18 @@ def test_live_registry_order_module_matches_entrypoint():
     )
 
     assert [n for n, _ in REGISTRY_ORDER] == list(entry.queries())
+
+
+def test_validate_ref_rejects_typos_at_write_time():
+    """--register validation (r11 ADVICE): a typo'd module alias or a
+    nonexistent function must be rejected BEFORE it lands in the
+    generated _registry_order.py (where it would only surface as a
+    KeyError the next time queries() imports), and a real ref passes."""
+    assert rotate_window.validate_ref("llm.docs_bm25_search") is None
+    err = rotate_window.validate_ref("lllm.docs_bm25_search")
+    assert err and "unknown module alias" in err
+    err = rotate_window.validate_ref("llm.no_such_function_xyz")
+    assert err and "no callable" in err
+    # a module-level non-callable (e.g. a constant) is not a query
+    err = rotate_window.validate_ref("llm.BM25_TERMS")
+    assert err and "no callable" in err

@@ -82,22 +82,50 @@ def fold_evidence() -> dict[str, tuple[int, bool]]:
     return out
 
 
+#: the five plan modules a registration ref may name (alias -> module)
+ALIAS_MODULES = {
+    "kpi": "ecommerce_realtime_pipeline_spark.plans.kpi",
+    "dq": "ecommerce_realtime_pipeline_spark.plans.dq",
+    "llm": "ecommerce_realtime_pipeline_spark.plans.llm",
+    "gen": "ecommerce_realtime_pipeline_spark.plans.gen",
+    "temporal": "ecommerce_realtime_pipeline_spark.plans.temporal",
+}
+
+
 def registry() -> dict[str, str]:
     """name -> 'module_alias.func' from the live registry."""
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry  # noqa: PLC0415
 
-    alias = {
-        "ecommerce_realtime_pipeline_spark.plans.kpi": "kpi",
-        "ecommerce_realtime_pipeline_spark.plans.dq": "dq",
-        "ecommerce_realtime_pipeline_spark.plans.llm": "llm",
-        "ecommerce_realtime_pipeline_spark.plans.gen": "gen",
-        "ecommerce_realtime_pipeline_spark.plans.temporal": "temporal",
-    }
+    alias = {mod: a for a, mod in ALIAS_MODULES.items()}
     out = {}
     for name, fn in entry.queries().items():
         out[name] = f"{alias.get(fn.__module__, fn.__module__)}.{fn.__name__}"
     return out
+
+
+def validate_ref(ref: str) -> str | None:
+    """Reject a ``--register`` ref at WRITE time instead of letting a
+    typo ('lllm.foo', 'llm.nonexistent') land in the generated
+    ``_registry_order.py`` and only surface as a KeyError the next
+    time ``__spark_entry__.queries()`` imports — after the one-file
+    diff was already committed (r11 driver ADVICE). Returns an error
+    message, or None when the alias is a known plan module and the
+    function exists there and is callable."""
+    import importlib
+
+    alias, _, func = ref.partition(".")
+    mod_name = ALIAS_MODULES.get(alias)
+    if mod_name is None:
+        return (
+            f"unknown module alias {alias!r} (known: "
+            f"{sorted(ALIAS_MODULES)})"
+        )
+    sys.path.insert(0, REPO)
+    mod = importlib.import_module(mod_name)
+    if not callable(getattr(mod, func, None)):
+        return f"{mod_name} has no callable {func!r}"
+    return None
 
 
 def order_window(names: list[str]) -> list[str]:
@@ -259,6 +287,10 @@ def main() -> int:
         name, _, ref = spec.partition("=")
         if not ref or "." not in ref:
             print(f"ERROR: --register wants name=alias.func, got {spec!r}", file=sys.stderr)
+            return 2
+        err = validate_ref(ref)
+        if err:
+            print(f"ERROR: --register {spec!r}: {err}", file=sys.stderr)
             return 2
         if name in reg:
             print(f"WARNING: --register {name} already registered; ignored", file=sys.stderr)
