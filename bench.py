@@ -355,19 +355,24 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
 
     - ``build_sec``: one full index build per scale (the O(corpus)
       cost, paid once offline — reported, not judged);
-    - ``serve_sec``: BEST-OF query time from the PREBUILT index — the
-      term/cell-pruned seek that must be corpus-size-insensitive
-      (``serve_ratio`` ≤ ~2× at 10× is the claim). Best-of, not
-      median: these run at the END of a ~1 h bench session where
-      block-manager/GC pressure only ADDS time (the r11 recording saw
-      a 3.2× text-serve "ratio" that re-measured at ~0.5× warm solo),
-      and contention is one-sided — the same rationale as
-      ``solo_sec``. ``serve_seek_sec`` (text/positional) times the
-      SAME query through the r11 term-dictionary seek readers
-      (`seek_text_postings` / `seek_positional_tokens`) — the
-      serve/seek gap IS the |vocab|-linear partition-discovery cost
-      the split exposed, and ``serve_seek_ratio`` is the
-      corpus-size-insensitivity claim with discovery out of the way;
+    - ``serve_sec``: BEST-OF query time from the PREBUILT index
+      through the PRODUCTION serving path — since the r12 rewire that
+      is the term/cell-dictionary SEEK the registered queries
+      themselves run (text: the shared ``_bm25_top20_indexed`` plan
+      helper; positional: ``seek_positional_tokens`` + the aligned
+      join; IVF: ``knn_ivf_from_index``, itself seek-based) — which
+      must be corpus-size-insensitive (``serve_ratio`` ≤ ~2× at 10×
+      is the claim). Best-of, not median: these run at the END of a
+      ~1 h bench session where block-manager/GC pressure only ADDS
+      time (the r11 recording saw a 3.2× text-serve "ratio" that
+      re-measured at ~0.5× warm solo), and contention is one-sided —
+      the same rationale as ``solo_sec``. ``serve_discovery_sec``
+      (text/positional) keeps timing the SAME rows through the
+      pre-r12 discovery readers (`read_text_index` /
+      `read_positional_index` + isin) as the REGRESSION REFERENCE:
+      the serve/discovery gap IS the |vocab|-linear
+      partition-discovery cost the r11 split exposed and the rewire
+      removed from the production path;
     - ``merge_sec``: fold a fixed 1×-sized batch into each index,
       best-of-2 (each merge lands a DISJOINT id-offset batch, so
       repeating it is valid — every merge is |batch|-sized by the
@@ -395,6 +400,7 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
         BM25_TERMS,
         PHRASE_QUERY,
         _bm25_rank,
+        _bm25_top20_indexed,
         _phrase_hits,
     )
 
@@ -426,6 +432,15 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
     )
 
     def bm25_serve(path):
+        # the PRODUCTION serve: the same plan helper every registered
+        # persisted-text-index query runs (seek postings + manifest
+        # dfreq/stats + shared _bm25_rank)
+        return _bm25_top20_indexed(spark, path)
+
+    def bm25_serve_discovery(path):
+        # pre-r12 discovery path, kept as the regression reference:
+        # read_text_index pays the |vocab|-linear partition-discovery
+        # pass the rewire removed from production
         postings, dfreq, stats = TX.read_text_index(spark, path)
         return _bm25_rank(
             postings.filter(F.col("token").isin(*BM25_TERMS)).select(
@@ -435,38 +450,23 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
             stats,
         )
 
-    def bm25_serve_seek(path):
-        # the r11 term-dictionary seek: same rows, no |vocab|-linear
-        # partition-discovery pass (serve_seek_sec vs serve_sec IS the
-        # discovery cost, measured). dfreq/stats come straight off the
-        # manifest — read_text_index would rebuild the partitioned
-        # postings file index and pay the discovery anyway.
-        from ecommerce_realtime_pipeline_spark.operators import indexfmt
-
-        m = indexfmt.read_manifest(path, TX.TEXT_INDEX_FORMAT)
-        dfreq = spark.read.parquet(f"{path}/{m['dfreq']}")
-        stats = spark.read.parquet(f"{path}/{m['stats']}")
-        return _bm25_rank(
-            TX.seek_text_postings(spark, path, list(BM25_TERMS)),
-            dfreq.filter(F.col("token").isin(*BM25_TERMS)),
-            stats,
-        )
-
     def phrase_serve(path):
+        # PRODUCTION: the seek-based plan the registered phrase
+        # queries run since r12
+        post = TX.seek_positional_tokens(spark, path, list(PHRASE_QUERY))
+        return _phrase_hits(TX.phrase_occurrences(post, list(PHRASE_QUERY)))
+
+    def phrase_serve_discovery(path):
         post = TX.read_positional_index(spark, path).filter(
             F.col("token").isin(*PHRASE_QUERY)
         )
-        return _phrase_hits(TX.phrase_occurrences(post, list(PHRASE_QUERY)))
-
-    def phrase_serve_seek(path):
-        post = TX.seek_positional_tokens(spark, path, list(PHRASE_QUERY))
         return _phrase_hits(TX.phrase_occurrences(post, list(PHRASE_QUERY)))
 
     fams = {
         "text_bm25": dict(
             build=lambda docs, emb, path, mult: TX.write_text_index(docs, path),
             serve=bm25_serve,
-            serve_seek=bm25_serve_seek,
+            serve_discovery=bm25_serve_discovery,
             merge=lambda path, run: TX.merge_text_index(docs_batch(run), path),
         ),
         "positional_phrase": dict(
@@ -474,7 +474,7 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
                 docs, path
             ),
             serve=phrase_serve,
-            serve_seek=phrase_serve_seek,
+            serve_discovery=phrase_serve_discovery,
             merge=lambda path, run: TX.merge_positional_index(
                 docs_batch(run), path
             ),
@@ -509,11 +509,11 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
                     t0 = time.perf_counter()
                     _force(ops["serve"](path))
                     serves.append(time.perf_counter() - t0)
-                seeks = []
-                for _ in range(runs if "serve_seek" in ops else 0):
+                discs = []
+                for _ in range(runs if "serve_discovery" in ops else 0):
                     t0 = time.perf_counter()
-                    _force(ops["serve_seek"](path))
-                    seeks.append(time.perf_counter() - t0)
+                    _force(ops["serve_discovery"](path))
+                    discs.append(time.perf_counter() - t0)
                 merges = []
                 for run in range(2):  # disjoint batches: repeat is valid
                     t0 = time.perf_counter()
@@ -524,8 +524,8 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
                     "build_sec": build_sec,
                     "serve_sec": round(min(serves), 4),
                     **(
-                        {"serve_seek_sec": round(min(seeks), 4)}
-                        if seeks
+                        {"serve_discovery_sec": round(min(discs), 4)}
+                        if discs
                         else {}
                     ),
                     "merge_sec": round(min(merges), 4),
@@ -544,10 +544,14 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
                     if b["serve_sec"]
                     else None
                 )
-                if "serve_seek_sec" in b and "serve_seek_sec" in s:
-                    scales["serve_seek_ratio"] = (
-                        round(s["serve_seek_sec"] / b["serve_seek_sec"], 3)
-                        if b["serve_seek_sec"]
+                if "serve_discovery_sec" in b and "serve_discovery_sec" in s:
+                    scales["serve_discovery_ratio"] = (
+                        round(
+                            s["serve_discovery_sec"]
+                            / b["serve_discovery_sec"],
+                            3,
+                        )
+                        if b["serve_discovery_sec"]
                         else None
                     )
                 scales["merge_ratio"] = (
@@ -733,36 +737,54 @@ def main() -> int:
     print(json.dumps(out))
     # FINAL line = compact adjudication summary (the driver keeps only
     # the last 2000 stdout chars, which can slice the full artifact
-    # mid-JSON — this line always survives whole). Movers capped at
-    # the 10 worst so the line can never outgrow the window.
-    solo = out["solo_sec"]
-    worst = sorted(
-        movers,
-        key=lambda n: -abs(
-            (prev_cmp.get(n, {}).get("ratio") or 1.0) - 1.0
-        ),
-    )[:10]
-    ratios = [c["ratio"] for c in prev_cmp.values()]
+    # mid-JSON — this line always survives whole).
     print(
-        json.dumps(
-            {
-                "bench_summary": True,
-                "suite_sec": total,
-                "n": len(per_query),
-                "sf": _sf_from_dir(SF_DIR),
-                "worst_ratio": max(ratios) if ratios else None,
-                "movers": {
-                    m: {
-                        "concurrent": per_query.get(m),
-                        "solo": solo.get(m),
-                        "prev": prev_cmp.get(m, {}).get("prev"),
-                    }
-                    for m in worst
-                },
-            }
+        summary_line(
+            total, len(per_query), _sf_from_dir(SF_DIR),
+            movers, prev_cmp, per_query, out["solo_sec"],
         )
     )
     return 0
+
+
+#: worst movers carried on the final summary line. 8 (was 10 in r11)
+#: keeps the line comfortably under the driver's 2000-char stdout tail
+#: even at a 250-query registry with long query names (pinned in
+#: tests/test_bench_prev.py).
+SUMMARY_MOVERS_CAP = 8
+
+
+def summary_line(
+    total, n, sf, movers, prev_cmp, per_query, solo
+) -> str:
+    """The truncation-proof final stdout line — movers capped at the
+    SUMMARY_MOVERS_CAP worst by |ratio-1| so the line can never
+    outgrow the driver's 2000-char window (< 1800 chars pinned at a
+    simulated 250-query registry)."""
+    worst = sorted(
+        movers,
+        key=lambda q: -abs(
+            (prev_cmp.get(q, {}).get("ratio") or 1.0) - 1.0
+        ),
+    )[:SUMMARY_MOVERS_CAP]
+    ratios = [c["ratio"] for c in prev_cmp.values()]
+    return json.dumps(
+        {
+            "bench_summary": True,
+            "suite_sec": total,
+            "n": n,
+            "sf": sf,
+            "worst_ratio": max(ratios) if ratios else None,
+            "movers": {
+                m: {
+                    "concurrent": per_query.get(m),
+                    "solo": solo.get(m),
+                    "prev": prev_cmp.get(m, {}).get("prev"),
+                }
+                for m in worst
+            },
+        }
+    )
 
 
 if __name__ == "__main__":

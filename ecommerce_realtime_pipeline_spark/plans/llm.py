@@ -5184,6 +5184,59 @@ def emb_knn_ivf_policy_remediated(
 LLM_ORACLES["emb_knn_ivf_policy_remediated"] = LLM_ORACLES["emb_knn_ivf"]
 
 
+def emb_knn_ivf_merge_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift policy AS A MERGE KNOB end to end
+    (`merge_ivf_index(max_occupancy_ratio=)`, r12 — sibling of
+    `merge_positional_index(max_segments=)`): the same drift fixture
+    as `emb_knn_ivf_policy_remediated` (quantizer frozen on the even
+    half), but the odd half lands through the merge itself carrying
+    the policy — the landing commits, the knob detects the occupancy
+    breach (fixture skew 1.32-1.47 vs threshold 1.2) and retrains
+    INLINE, exactly how streamed text/positional landings self-compact
+    under max_segments. The manifest is asserted in-plan to show both
+    flips (merge + retrain) folded to one segment, so a silently
+    non-firing knob fails loudly instead of hash-mismatching; top-5
+    then serves from the self-remediated index, hash-gated by the
+    drift-free `emb_knn_ivf` chain (requantize ≡ fresh full-corpus
+    build, test-pinned).
+
+    Scale stance: the landing stays |batch|-sized; the O(index)
+    retrain is amortized — it fires only when drift has accrued past
+    the threshold, the Faiss retrain-on-imbalance scheduler run by the
+    ingest path itself instead of a separate ops loop."""
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="eng_ivfmpol_q_")
+    try:
+        path = os.path.join(tmp, "index")
+        SIM.write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            path,
+            cache_key=f"{sf_dir}/embeddings#even",
+        )
+        SIM.merge_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 1),
+            path,
+            max_occupancy_ratio=1.2,
+        )
+        m = indexfmt.read_manifest(path, SIM.IVF_INDEX_FORMAT)
+        # two flips (merge, retrain), segments folded: the knob FIRED
+        assert int(m["version"]) == 3 and len(m["segments"]) == 1, m
+        return SIM.knn_ivf_from_index(
+            spark, path, _query_vectors(emb), k=KNN_K, n_probe=8
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: the knob's retrain ≡ fresh full-corpus build → drift-free oracle
+LLM_ORACLES["emb_knn_ivf_merge_policy"] = LLM_ORACLES["emb_knn_ivf"]
+
+
 def emb_knn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED vector search: IVF ANN top-5 where neighbors must
     carry the query's own label (`similarity.knn_ivf_filtered`) — the
@@ -6472,6 +6525,59 @@ def docs_phrase_index_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: policy-managed index serves the same corpus → the scan's oracle
 LLM_ORACLES["docs_phrase_index_tiered"] = LLM_ORACLES["docs_phrase_search"]
+
+
+#: a phrase whose FIRST and LAST word repeat — "the end of the end"
+#: class. Chosen for presence at every shipped SF (3-6 occurrences);
+#: the repeated term is exactly the input that would double postings
+#: in a seek reader without duplicate-term dedup.
+REPEATED_PHRASE: tuple[str, str, str] = ("window", "agg", "window")
+
+
+def docs_phrase_repeated_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search for a REPEATED-TERM phrase
+    (`REPEATED_PHRASE` — first word == third word) served from the
+    canonical persisted positional index via the term-dictionary seek:
+    the driver gate for the r12 seek hardening, where a duplicated
+    term in the seek's input MUST NOT duplicate that term's postings
+    (``dict.fromkeys`` dedup — without it every occurrence count here
+    silently multiplies). The k-way aligned join handles the repeated
+    slots by construction (legs 0 and 2 read the same seeked rows at
+    different alignments), so the result matches the plain
+    corpus-scan oracle row for row.
+
+    Scale: 2 distinct term directories opened per segment (not 3 —
+    the dedup), everything downstream k-bounded like every phrase
+    serve."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _persisted_pos_path(spark, sf_dir, docs)
+    occ = TX.phrase_occurrences(
+        TX.seek_positional_tokens(spark, path, list(REPEATED_PHRASE)),
+        list(REPEATED_PHRASE),
+    )
+    return _phrase_hits(occ)
+
+
+LLM_ORACLES["docs_phrase_repeated_term"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS syms FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, syms,
+               unnest(generate_series(1, len(syms) - 2)) AS i
+        FROM t WHERE len(syms) >= 3
+    )
+    SELECT doc_id,
+           count(*) AS n_occurrences,
+           CAST(min(i) - 1 AS INT) AS first_pos
+    FROM idx
+    WHERE syms[i] = '{REPEATED_PHRASE[0]}'
+      AND syms[i + 1] = '{REPEATED_PHRASE[1]}'
+      AND syms[i + 2] = '{REPEATED_PHRASE[2]}'
+    GROUP BY doc_id
+    ORDER BY n_occurrences DESC, doc_id
+    LIMIT 20
+"""
 
 
 def docs_hybrid_search_weighted_indexed(

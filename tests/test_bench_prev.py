@@ -67,3 +67,27 @@ def test_close_round_picks_full_artifact_not_summary(tmp_path):
     assert cr.pick_artifact(stdout) == json.dumps(full)
     assert cr.pick_artifact("no json here\n{not json}") is None
     assert cr.pick_artifact(json.dumps(summary)) is None  # summary alone
+
+
+def test_summary_line_stays_under_driver_tail_at_250_queries():
+    """The truncation-proof contract at registry growth (r11 verdict
+    task 7): simulate a 250-query registry where EVERY query moved
+    (the pathological movers dict that ballooned r11's tail) — the
+    final summary line must stay under 1800 chars (the driver keeps
+    2000), i.e. the movers cap does its job with long query names."""
+    names = [f"docs_extremely_long_query_name_number_{i:04d}" for i in range(250)]
+    per_query = {n: 1.2345 for n in names}
+    prev_cmp = {
+        n: {"prev": 0.5, "cur": 1.2345, "ratio": 2.469, "mover": True}
+        for n in names
+    }
+    solo = {n: 0.9876 for n in names}
+    line = bench.summary_line(
+        308.1234, 250, 0.1, list(names), prev_cmp, per_query, solo
+    )
+    assert len(line) < 1800, len(line)
+    import json
+
+    parsed = json.loads(line)
+    assert parsed["bench_summary"] is True and parsed["n"] == 250
+    assert len(parsed["movers"]) == bench.SUMMARY_MOVERS_CAP
