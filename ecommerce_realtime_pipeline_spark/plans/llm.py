@@ -1544,7 +1544,9 @@ def _bm25_rank(
     )
 
 
-def _bm25_top20_indexed(spark: SparkSession, path: str) -> DataFrame:
+def _bm25_top20_indexed(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """The shared SEEK-path BM25 serve (r12 rewire of every persisted
     text-index query): the query terms' postings come through
     `text.seek_text_postings` — direct (term, segment) directory opens
@@ -1561,9 +1563,9 @@ def _bm25_top20_indexed(spark: SparkSession, path: str) -> DataFrame:
         seek_text_postings,
     )
 
-    dfreq, stats = read_text_index_meta(spark, path)
+    dfreq, stats = read_text_index_meta(spark, path, version=version)
     return _bm25_rank(
-        seek_text_postings(spark, path, list(BM25_TERMS)),
+        seek_text_postings(spark, path, list(BM25_TERMS), version=version),
         dfreq.filter(F.col("token").isin(*BM25_TERMS)),
         stats,
     )
@@ -4929,6 +4931,46 @@ def docs_bm25_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 LLM_ORACLES["docs_bm25_index_streaming"] = LLM_ORACLES["docs_bm25_search"]
 
 
+def docs_bm25_index_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL on the persisted TEXT index, driver-gated (r12 —
+    the keyword twin of `emb_knn_ivf_timetravel`): full-corpus build,
+    odd doc_ids tombstoned, BM25 served from the RETAINED pre-delete
+    generation (``version=1``) through the term-dictionary seeks —
+    postings, dfreq AND stats all resolve from the v1 manifest, so the
+    result is bit-identical to the plain `docs_bm25_search` and shares
+    its oracle; a version-resolution bug anywhere in the seek/meta
+    path would serve the masked (or stale-stats) index and
+    hash-mismatch. Scale: manifest resolution + the seeked serve —
+    zero extra data I/O."""
+    import shutil
+    import tempfile
+
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        delete_from_text_index,
+        write_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="eng_textidx_tt_")
+    try:
+        path = os.path.join(tmp, "index")
+        write_text_index(docs, path)
+        n = delete_from_text_index(
+            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), path
+        )
+        assert n > 0
+        return _bm25_top20_indexed(spark, path, version=1).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: the retained v1 generation IS the full-corpus index → the plain
+#: search oracle
+LLM_ORACLES["docs_bm25_index_timetravel"] = LLM_ORACLES["docs_bm25_search"]
+
+
 def docs_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION hybrid-retrieval composition
     (`docs_hybrid_search_rrf`'s docstring promise, exercised): BOTH
@@ -5235,6 +5277,48 @@ def emb_knn_ivf_merge_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: the knob's retrain ≡ fresh full-corpus build → drift-free oracle
 LLM_ORACLES["emb_knn_ivf_merge_policy"] = LLM_ORACLES["emb_knn_ivf"]
+
+
+def emb_knn_ivf_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL on the persisted IVF index, driver-gated (r12 —
+    previously pytest-only): the full corpus is indexed, the odd
+    vec_ids are tombstoned, and the serve reads the RETAINED
+    pre-delete generation (``version=1``) through the cell-directory
+    seeks — the Iceberg snapshot-read contract: a reader pinned to an
+    older generation keeps a complete, bit-stable index while
+    mutations land, for as long as the generation is retained. The
+    pre-delete generation over the full corpus is exactly the
+    drift-free in-session result, so the oracle is the plain
+    `emb_knn_ivf` chain — the driver hash-gates the generation
+    resolution itself (a version-resolution bug would serve the
+    masked index and hash-mismatch).
+
+    Scale stance: time travel is manifest resolution (one retained
+    JSON snapshot) + the same seeked serving plan — zero extra data
+    I/O; retention cost is the superseded segments' storage until
+    vacuum, the Iceberg snapshot-expiry trade."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="eng_ivftt_q_")
+    try:
+        path = os.path.join(tmp, "index")
+        SIM.write_ivf_index(emb, path, cache_key=f"{sf_dir}/embeddings")
+        n = SIM.delete_from_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 1).select("vec_id"), path
+        )
+        assert n > 0
+        return SIM.knn_ivf_from_index(
+            spark, path, _query_vectors(emb), k=KNN_K, n_probe=8, version=1
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: the retained v1 generation IS the full-corpus index → the
+#: drift-free chain is the oracle
+LLM_ORACLES["emb_knn_ivf_timetravel"] = LLM_ORACLES["emb_knn_ivf"]
 
 
 def emb_knn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
