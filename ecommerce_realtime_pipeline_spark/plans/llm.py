@@ -17,6 +17,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -431,26 +432,39 @@ def emb_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _persisted_ivf_path(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
-    """Build-once path of the session-shared persisted IVF index.
-
-    The path key includes the source file's (size, mtime): a
-    regenerated corpus invalidates the on-disk index instead of
-    serving stale cells (the poor man's index-freshness check;
-    production tracks a source snapshot id in the index manifest).
-    Shared by every query that SERVES from the canonical full-corpus
-    index (`emb_knn_ivf_persisted`, `emb_ivf_index_health`) — queries
-    that MUTATE an index (deletes, merges) build their own copy."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
+def _stamped_tmp_path(sf_dir: str, src_name: str, prefix: str) -> str:
+    """Session-shared fixture path keyed on the SOURCE file's
+    (size, mtime): a regenerated corpus invalidates the on-disk
+    fixture instead of serving stale state (the poor man's
+    index-freshness check; production tracks a source snapshot id in
+    the index manifest). Shared key scheme of every build-once index
+    fixture below."""
+    src = os.path.join(sf_dir, src_name)
     try:
         st = os.stat(src)
         stamp = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
     except OSError:
         stamp = sf_dir
-    path = os.path.join(
+    return os.path.join(
         tempfile.gettempdir(),
-        "spark_graft_ivf_" + hashlib.md5(stamp.encode()).hexdigest()[:12],
+        prefix + hashlib.md5(stamp.encode()).hexdigest()[:12],
     )
+
+
+#: serializes the build-on-miss of the deleted-index fixtures: two
+#: concurrent bench threads must not interleave the build+delete
+#: sequence (the publish race is atomic per WRITE, but the fixture's
+#: contract is the exact v1=full/v2=tombstoned generation history)
+_DELETED_FIXTURE_LOCK = threading.Lock()
+
+
+def _persisted_ivf_path(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+    """Build-once path of the session-shared persisted IVF index
+    (see :func:`_stamped_tmp_path` for the freshness key). Shared by
+    every query that SERVES from the canonical full-corpus index
+    (`emb_knn_ivf_persisted`, `emb_ivf_index_health`) — queries
+    that MUTATE an index (deletes, merges) build their own copy."""
+    path = _stamped_tmp_path(sf_dir, "embeddings.parquet", "spark_graft_ivf_")
     from ecommerce_realtime_pipeline_spark.operators import indexfmt
 
     if not indexfmt.has_index(path):
@@ -460,6 +474,121 @@ def _persisted_ivf_path(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str
         if os.path.exists(path):
             shutil.rmtree(path, ignore_errors=True)
         SIM.write_ivf_index(emb, path, cache_key=f"{sf_dir}/embeddings")
+    return path
+
+
+def _persisted_text_path(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> str:
+    """Build-once path of the session-shared persisted TEXT index
+    over the full documents corpus — the BM25 twin of
+    `_persisted_pos_path` (same freshness stamp, same build-on-miss),
+    for queries that SERVE from the canonical index; mutation
+    queries (merge/delete/compact boundaries) keep scripted copies."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        write_text_index,
+    )
+
+    path = _stamped_tmp_path(sf_dir, "documents.parquet", "spark_graft_text_")
+    if not indexfmt.has_index(path):
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+        write_text_index(docs, path)
+    return path
+
+
+def _persisted_ivf_deleted_path(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> str:
+    """Build-once path of the session-shared 'full IVF index + odd
+    vec_ids tombstoned' fixture (r12 judge task 3 — the
+    deleted/hybrid/time-travel serving family each rebuilt this exact
+    index in-query, the top of the suite's cost profile). Generation
+    contract, test-pinned: v1 = the full-corpus build (what
+    ``version=1`` time travel serves), v2 = live tombstones on the
+    odd ids (what the masked serves read). SERVING-ONLY — any query
+    that mutates further (compaction, merges) builds its own scripted
+    copy. The ready check requires exactly that v2-with-tombstones
+    shape, so a half-built fixture from a crashed process is rebuilt,
+    never served."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    path = _stamped_tmp_path(
+        sf_dir, "embeddings.parquet", "spark_graft_ivfdel_"
+    )
+    with _DELETED_FIXTURE_LOCK:
+        ready = False
+        if indexfmt.has_index(path):
+            m = indexfmt.read_manifest(path, SIM.IVF_INDEX_FORMAT)
+            ready = int(m["version"]) == 2 and bool(m.get("tombstones"))
+        if not ready:
+            shutil.rmtree(path, ignore_errors=True)
+            SIM.write_ivf_index(emb, path, cache_key=f"{sf_dir}/embeddings")
+            n = SIM.delete_from_ivf_index(
+                emb.filter(F.col("vec_id") % 2 == 1).select("vec_id"), path
+            )
+            assert n > 0
+    return path
+
+
+def _persisted_text_deleted_path(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> str:
+    """Text twin of :func:`_persisted_ivf_deleted_path`: full-corpus
+    ``write_text_index`` + odd doc_ids tombstoned, built once per
+    (session, corpus stamp). v1 = full build (time travel), v2 = live
+    tombstones (masked BM25 serves with deliberately-stale idf/avgdl
+    — the documented Lucene semantics). Serving-only."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        delete_from_text_index,
+        write_text_index,
+    )
+
+    path = _stamped_tmp_path(
+        sf_dir, "documents.parquet", "spark_graft_textdel_"
+    )
+    with _DELETED_FIXTURE_LOCK:
+        ready = False
+        if indexfmt.has_index(path):
+            m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
+            ready = int(m["version"]) == 2 and bool(m.get("tombstones"))
+        if not ready:
+            shutil.rmtree(path, ignore_errors=True)
+            write_text_index(docs, path)
+            n = delete_from_text_index(
+                docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), path
+            )
+            assert n > 0
+    return path
+
+
+def _persisted_pos_deleted_path(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> str:
+    """Positional twin of :func:`_persisted_text_deleted_path`: full
+    ``write_positional_index`` + every doc_id ≡ 0 (mod 7) tombstoned
+    (the family's delete-gate fixture shape). v1 = full build, v2 =
+    live tombstones. Serving-only."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    path = _stamped_tmp_path(
+        sf_dir, "documents.parquet", "spark_graft_posdel_"
+    )
+    with _DELETED_FIXTURE_LOCK:
+        ready = False
+        if indexfmt.has_index(path):
+            m = indexfmt.read_manifest(path, TX.POS_INDEX_FORMAT)
+            ready = int(m["version"]) == 2 and bool(m.get("tombstones"))
+        if not ready:
+            shutil.rmtree(path, ignore_errors=True)
+            TX.write_positional_index(docs, path)
+            n = TX.delete_from_positional_index(
+                docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), path
+            )
+            assert n > 0
     return path
 
 
@@ -1580,23 +1709,11 @@ def docs_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the manifest — never a |vocab|-directory discovery pass — df/stats
     ride broadcasts, and the scoring is the shared `_bm25_rank`, so
     the result is bit-identical to `docs_bm25_search` and shares its
-    oracle."""
-    import os
-    import shutil
-    import tempfile
-
-    from ecommerce_realtime_pipeline_spark.operators.text import (
-        write_text_index,
-    )
-
+    oracle. Serves from the session-shared full-corpus fixture
+    (:func:`_persisted_text_path`, r13) — built once per session."""
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="eng_textidx_q_")
-    try:
-        path = os.path.join(tmp, "index")
-        write_text_index(docs, path)
-        return _bm25_top20_indexed(spark, path).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    path = _persisted_text_path(spark, sf_dir, docs)
+    return _bm25_top20_indexed(spark, path)
 
 
 #: Deterministic PII-bearing rows unioned into the corpus by
@@ -4572,28 +4689,12 @@ def docs_bm25_index_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     that: df/stats over the full corpus, scores restricted to the
     surviving docs. (The compacted/exact half of the lifecycle is
     hash-gated by pytest: delete -> compact == fresh build over the
-    survivors.)"""
-    import os
-    import shutil
-    import tempfile
-
-    from ecommerce_realtime_pipeline_spark.operators.text import (
-        delete_from_text_index,
-        write_text_index,
-    )
-
+    survivors.) Serves from the session-shared deleted fixture
+    (:func:`_persisted_text_deleted_path`, r13) — the build+delete is
+    paid once per session, not per family member."""
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="eng_textidx_d_")
-    try:
-        path = os.path.join(tmp, "index")
-        write_text_index(docs, path)
-        deleted = delete_from_text_index(
-            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), path
-        )
-        assert deleted > 0
-        return _bm25_top20_indexed(spark, path).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    path = _persisted_text_deleted_path(spark, sf_dir, docs)
+    return _bm25_top20_indexed(spark, path)
 
 
 # stale-stats delete oracle: df/dl/stats over the FULL corpus (the
@@ -4941,29 +5042,12 @@ def docs_bm25_index_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     its oracle; a version-resolution bug anywhere in the seek/meta
     path would serve the masked (or stale-stats) index and
     hash-mismatch. Scale: manifest resolution + the seeked serve —
-    zero extra data I/O."""
-    import shutil
-    import tempfile
-
-    from ecommerce_realtime_pipeline_spark.operators.text import (
-        delete_from_text_index,
-        write_text_index,
-    )
-
+    zero extra data I/O. Serves from the session-shared deleted
+    fixture (:func:`_persisted_text_deleted_path`, r13), whose
+    generation contract pins v1 = the pre-delete full build."""
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="eng_textidx_tt_")
-    try:
-        path = os.path.join(tmp, "index")
-        write_text_index(docs, path)
-        n = delete_from_text_index(
-            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), path
-        )
-        assert n > 0
-        return _bm25_top20_indexed(spark, path, version=1).localCheckpoint(
-            eager=True
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    path = _persisted_text_deleted_path(spark, sf_dir, docs)
+    return _bm25_top20_indexed(spark, path, version=1)
 
 
 #: the retained v1 generation IS the full-corpus index → the plain
@@ -4987,71 +5071,55 @@ def docs_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFram
     segment reads, broadcast tombstone anti-joins, shared scorers.
 
     Scale stance: identical to the legs' own queries — the fusion is
-    a full-outer join of two k-row lists, driver-trivial anywhere."""
-    import shutil
-    import tempfile
-
+    a full-outer join of two k-row lists, driver-trivial anywhere.
+    Both legs serve from the session-shared deleted fixtures
+    (:func:`_persisted_text_deleted_path` /
+    :func:`_persisted_ivf_deleted_path`, r13) — the two full
+    build+delete sequences are paid once per session across the whole
+    deleted/hybrid/time-travel family, not per query."""
     from pyspark.sql import Window
-
-    from ecommerce_realtime_pipeline_spark.operators.text import (
-        delete_from_text_index,
-        write_text_index,
-    )
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    tmp = tempfile.mkdtemp(prefix="eng_hybrid_idx_")
-    try:
-        # lexical index: full build, odd ids tombstoned
-        tpath = os.path.join(tmp, "text")
-        write_text_index(docs, tpath)
-        delete_from_text_index(
-            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), tpath
+    # lexical index: full build, odd ids tombstoned (shared fixture)
+    tpath = _persisted_text_deleted_path(spark, sf_dir, docs)
+    lex = (
+        _bm25_top20_indexed(spark, tpath)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+            ),
         )
-        lex = (
-            _bm25_top20_indexed(spark, tpath)
-            .withColumn(
-                "lex_rank",
-                F.row_number().over(
-                    Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .select("doc_id", "lex_rank")
+    )
+    # semantic index: full build (emb_knn_ivf's quantizer — shared
+    # session memo), odd ids tombstoned (shared fixture)
+    ipath = _persisted_ivf_deleted_path(spark, sf_dir, emb)
+    sem = SIM.knn_ivf_from_index(
+        spark, ipath, emb.filter(F.col("vec_id") == 0), k=20, n_probe=8
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(
+                    1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
                 ),
-            )
-            .select("doc_id", "lex_rank")
+                6,
+            ),
         )
-        # semantic index: full build (emb_knn_ivf's quantizer — shared
-        # session memo), odd ids tombstoned
-        ipath = os.path.join(tmp, "ivf")
-        SIM.write_ivf_index(emb, ipath, cache_key=f"{sf_dir}/embeddings")
-        SIM.delete_from_ivf_index(
-            emb.filter(F.col("vec_id") % 2 == 1).select("vec_id"), ipath
-        )
-        sem = SIM.knn_ivf_from_index(
-            spark, ipath, emb.filter(F.col("vec_id") == 0), k=20, n_probe=8
-        ).select(
-            F.col("neighbor_id").alias("doc_id"),
-            F.col("rank").alias("sem_rank"),
-        )
-        fused = (
-            lex.join(sem, "doc_id", "full_outer")
-            .withColumn(
-                "rrf_score",
-                F.round(
-                    F.coalesce(
-                        1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
-                    )
-                    + F.coalesce(
-                        1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
-                    ),
-                    6,
-                ),
-            )
-            .orderBy(F.col("rrf_score").desc(), "doc_id")
-            .limit(10)
-            .select("doc_id", "lex_rank", "sem_rank", "rrf_score")
-        )
-        return fused.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", "lex_rank", "sem_rank", "rrf_score")
+    )
 
 
 def _ivf_tombstoned_sem_leg_sql() -> str:
@@ -5296,24 +5364,15 @@ def emb_knn_ivf_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale stance: time travel is manifest resolution (one retained
     JSON snapshot) + the same seeked serving plan — zero extra data
     I/O; retention cost is the superseded segments' storage until
-    vacuum, the Iceberg snapshot-expiry trade."""
-    import shutil
-    import tempfile
-
+    vacuum, the Iceberg snapshot-expiry trade. Serves from the
+    session-shared deleted fixture
+    (:func:`_persisted_ivf_deleted_path`, r13), whose generation
+    contract pins v1 = the pre-delete full build."""
     emb = load_table(spark, sf_dir, "embeddings")
-    tmp = tempfile.mkdtemp(prefix="eng_ivftt_q_")
-    try:
-        path = os.path.join(tmp, "index")
-        SIM.write_ivf_index(emb, path, cache_key=f"{sf_dir}/embeddings")
-        n = SIM.delete_from_ivf_index(
-            emb.filter(F.col("vec_id") % 2 == 1).select("vec_id"), path
-        )
-        assert n > 0
-        return SIM.knn_ivf_from_index(
-            spark, path, _query_vectors(emb), k=KNN_K, n_probe=8, version=1
-        ).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    path = _persisted_ivf_deleted_path(spark, sf_dir, emb)
+    return SIM.knn_ivf_from_index(
+        spark, path, _query_vectors(emb), k=KNN_K, n_probe=8, version=1
+    )
 
 
 #: the retained v1 generation IS the full-corpus index → the
@@ -6302,26 +6361,17 @@ def docs_phrase_search_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the mask adds one broadcast anti-join (tombstone set
     bounded by deletes-since-compaction) to the partition-pruned
-    seeks; everything else is `docs_phrase_search_indexed`'s plan."""
-    import os
-    import shutil
-    import tempfile
-
+    seeks; everything else is `docs_phrase_search_indexed`'s plan.
+    Serves from the session-shared deleted fixture
+    (:func:`_persisted_pos_deleted_path`, r13) — the build+delete is
+    paid once per session."""
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="eng_posidx_del_q_")
-    try:
-        path = os.path.join(tmp, "index")
-        TX.write_positional_index(docs, path)
-        TX.delete_from_positional_index(
-            docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), path
-        )
-        occ = TX.phrase_occurrences(
-            TX.seek_positional_tokens(spark, path, list(PHRASE_QUERY)),
-            list(PHRASE_QUERY),
-        )
-        return _phrase_hits(occ).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    path = _persisted_pos_deleted_path(spark, sf_dir, docs)
+    occ = TX.phrase_occurrences(
+        TX.seek_positional_tokens(spark, path, list(PHRASE_QUERY)),
+        list(PHRASE_QUERY),
+    )
+    return _phrase_hits(occ)
 
 
 LLM_ORACLES["docs_phrase_search_deleted"] = f"""
@@ -6679,18 +6729,11 @@ def docs_hybrid_search_weighted_indexed(
     calibration on one hash-gated path.
 
     Scale stance: the legs' own plans + two 1-row min/max broadcasts
-    and a full-outer join of two k-row lists — driver-trivial."""
-    import shutil
-    import tempfile
-
-    from ecommerce_realtime_pipeline_spark.operators.text import (
-        delete_from_text_index,
-        write_text_index,
-    )
-
+    and a full-outer join of two k-row lists — driver-trivial. Both
+    legs serve from the session-shared deleted fixtures (r13) — see
+    `docs_hybrid_search_rrf_indexed`."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    tmp = tempfile.mkdtemp(prefix="eng_hybrid_widx_")
 
     def _minmax_norm(leg, col, out):
         mm = leg.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx"))
@@ -6704,52 +6747,40 @@ def docs_hybrid_search_weighted_indexed(
             .alias(out),
         )
 
-    try:
-        tpath = os.path.join(tmp, "text")
-        write_text_index(docs, tpath)
-        delete_from_text_index(
-            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), tpath
+    tpath = _persisted_text_deleted_path(spark, sf_dir, docs)
+    lex = _bm25_top20_indexed(spark, tpath).select(
+        "doc_id", F.col("score").alias("lex_s")
+    )
+    lexn = _minmax_norm(lex, "lex_s", "lex_norm")
+    ipath = _persisted_ivf_deleted_path(spark, sf_dir, emb)
+    sem = SIM.knn_ivf_from_index(
+        spark, ipath, emb.filter(F.col("vec_id") == 0), k=20, n_probe=8
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("cos_sim").alias("sem_s"),
+    )
+    semn = _minmax_norm(sem, "sem_s", "sem_norm")
+    return (
+        lexn.join(semn, "doc_id", "full_outer")
+        .withColumn(
+            "hybrid_score",
+            F.round(
+                F.lit(HYB_ALPHA_LEX)
+                * F.coalesce(F.col("lex_norm"), F.lit(0.0))
+                + F.lit(HYB_ALPHA_SEM)
+                * F.coalesce(F.col("sem_norm"), F.lit(0.0)),
+                6,
+            ),
         )
-        lex = _bm25_top20_indexed(spark, tpath).select(
-            "doc_id", F.col("score").alias("lex_s")
+        .orderBy(F.col("hybrid_score").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            F.round("lex_norm", 6).alias("lex_norm"),
+            F.round("sem_norm", 6).alias("sem_norm"),
+            "hybrid_score",
         )
-        lexn = _minmax_norm(lex, "lex_s", "lex_norm")
-        ipath = os.path.join(tmp, "ivf")
-        SIM.write_ivf_index(emb, ipath, cache_key=f"{sf_dir}/embeddings")
-        SIM.delete_from_ivf_index(
-            emb.filter(F.col("vec_id") % 2 == 1).select("vec_id"), ipath
-        )
-        sem = SIM.knn_ivf_from_index(
-            spark, ipath, emb.filter(F.col("vec_id") == 0), k=20, n_probe=8
-        ).select(
-            F.col("neighbor_id").alias("doc_id"),
-            F.col("cos_sim").alias("sem_s"),
-        )
-        semn = _minmax_norm(sem, "sem_s", "sem_norm")
-        fused = (
-            lexn.join(semn, "doc_id", "full_outer")
-            .withColumn(
-                "hybrid_score",
-                F.round(
-                    F.lit(HYB_ALPHA_LEX)
-                    * F.coalesce(F.col("lex_norm"), F.lit(0.0))
-                    + F.lit(HYB_ALPHA_SEM)
-                    * F.coalesce(F.col("sem_norm"), F.lit(0.0)),
-                    6,
-                ),
-            )
-            .orderBy(F.col("hybrid_score").desc(), "doc_id")
-            .limit(10)
-            .select(
-                "doc_id",
-                F.round("lex_norm", 6).alias("lex_norm"),
-                F.round("sem_norm", 6).alias("sem_norm"),
-                "hybrid_score",
-            )
-        )
-        return fused.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    )
 
 
 LLM_ORACLES["docs_hybrid_search_weighted_indexed"] = f"""

@@ -1011,8 +1011,8 @@ KPI_ORACLES["nation_trade_flows"] = """
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
     JOIN nation cn ON c_nationkey = cn.n_nationkey
-    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
-      AND cn.n_name IN ('NATION_1', 'NATION_2')
+    WHERE sn.n_name IN ('NATION_13', 'NATION_19')
+      AND cn.n_name IN ('NATION_13', 'NATION_19')
       AND sn.n_name <> cn.n_name
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
@@ -1071,7 +1071,7 @@ KPI_ORACLES["nation_yoy_growth"] = """
 KPI_ORACLES["cheapest_supplier_per_part"] = """
     WITH pf AS (
         SELECT p_partkey, p_name FROM part
-        WHERE p_size = 25 AND p_type = 'STANDARD'
+        WHERE p_size = 6 AND p_type = 'STANDARD'
     ),
     off AS (
         SELECT l_partkey, l_suppkey,
@@ -1416,27 +1416,36 @@ def _markov_attribution_sql(steps: int = 6) -> str:
 KPI_ORACLES["events_markov_attribution"] = _markov_attribution_sql()
 
 
+# market_basket_rules (r13): items are part BRANDS (part-level
+# triples are support-1 at sf0.1 — no fixed floor can gate them) and
+# the support floor is RELATIVE: greatest(2, ceil(α·n_orders)) with
+# α = kpi.BASKET_RULES_MIN_SUPPORT, mirrored as a literal here. The
+# e0 suffix forces a DOUBLE literal (DuckDB would otherwise parse
+# 0.0035 as DECIMAL and ceil in decimal arithmetic).
 KPI_ORACLES["market_basket_rules"] = """
     WITH items AS (
-        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS it
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
+    no AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
     triples AS (
-        SELECT a.pk AS pa, b.pk AS pb, c.pk AS pc, count(*) AS sup3
+        SELECT a.it AS pa, b.it AS pb, c.it AS pc, count(*) AS sup3
         FROM items a
-        JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-        JOIN items c ON a.ok = c.ok AND b.pk < c.pk
+        JOIN items b ON a.ok = b.ok AND a.it < b.it
+        JOIN items c ON a.ok = c.ok AND b.it < c.it
         GROUP BY 1, 2, 3
-        HAVING count(*) >= 2
+        HAVING count(*) >= greatest(
+            2, CAST(ceil(0.0035e0 * (SELECT n_orders FROM no)) AS BIGINT)
+        )
     ),
     pairs AS (
-        SELECT a.pk AS qa, b.pk AS qb, count(*) AS sup2
-        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        SELECT a.it AS qa, b.it AS qb, count(*) AS sup2
+        FROM items a JOIN items b ON a.ok = b.ok AND a.it < b.it
         GROUP BY 1, 2
     ),
     singles AS (
-        SELECT pk AS cons, count(*) AS n_cons FROM items GROUP BY 1
+        SELECT it AS cons, count(*) AS n_cons FROM items GROUP BY 1
     ),
-    no AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
     rots AS (
         SELECT pa AS ant_a, pb AS ant_b, pc AS cons, sup3 FROM triples
         UNION ALL

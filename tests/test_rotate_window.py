@@ -218,3 +218,11 @@ def test_validate_ref_rejects_typos_at_write_time():
     # a module-level non-callable (e.g. a constant) is not a query
     err = rotate_window.validate_ref("llm.BM25_TERMS")
     assert err and "no callable" in err
+    # wrong-but-CALLABLE attributes (r12 ADVICE): an imported helper
+    # (`load_table` — defined in catalog, imported into the plan
+    # module) or a non-function callable (`F` — a module) must be
+    # rejected at write time, not at driver run time
+    err = rotate_window.validate_ref("llm.load_table")
+    assert err and ("imported from" in err or "not a plain function" in err)
+    err = rotate_window.validate_ref("llm.DataFrame")
+    assert err and "not a plain function" in err

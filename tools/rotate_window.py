@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import inspect
 import json
 import os
 import re
@@ -123,8 +124,21 @@ def validate_ref(ref: str) -> str | None:
         )
     sys.path.insert(0, REPO)
     mod = importlib.import_module(mod_name)
-    if not callable(getattr(mod, func, None)):
+    fn = getattr(mod, func, None)
+    if not callable(fn):
         return f"{mod_name} has no callable {func!r}"
+    # callable is not enough (r12 ADVICE): imported helpers
+    # (`load_table`, `F`), classes, and sibling-module functions are
+    # all callable attributes of a plan module — require the ref to
+    # resolve to a FUNCTION the aliased module itself defines, so a
+    # wrong-but-callable ref fails here, not at driver run time
+    if not inspect.isfunction(fn):
+        return f"{mod_name}.{func} is not a plain function ({type(fn).__name__})"
+    if fn.__module__ != mod_name:
+        return (
+            f"{mod_name}.{func} is imported from {fn.__module__} — "
+            "register the query under its defining module's alias"
+        )
     return None
 
 
