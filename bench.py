@@ -52,6 +52,22 @@ isolated. ``stress.lifecycle`` therefore builds each persisted-index
 family ONCE per scale and times SERVE-ONLY and MERGE-ONE-BATCH
 separately; the in-plan rebuild numbers stay in ``stress.queries``
 for honesty.
+
+ENVIRONMENT-CONTROLLED COMPARISON (round-12 verdict task 1): the
+archived prev artifact was recorded on a DIFFERENT day's host, and
+same-code recordings have been observed to oscillate ±12-56% — so
+raw cur/prev ratios conflate host drift with real plan changes.
+``env_drift`` (median cur/prev ratio over all shared queries — code
+touches few of 200+, so the median isolates the host) is recorded,
+every ``prev_comparison`` row carries ``adj_ratio`` = ratio /
+env_drift, and the mover flag fires on the ADJUSTED ratio. The
+median-of-N protocol is visible in the artifact: ``suite_runs_sec``
+carries each run's suite total (plus ``suite_runs_median``), so a
+±12% oscillation shows as spread instead of hiding inside one
+number. ``stress.lifecycle`` families carry a ``prev`` block
+(previous serve_sec per scale + cur/prev ratios + the previous 10×
+serve_ratio), so serve-path regressions are adjudicated from ONE
+artifact (round-12 verdict task 8).
 """
 
 from __future__ import annotations
@@ -234,22 +250,59 @@ def _load_prev(key: str) -> dict[str, float]:
     return {k: v for k, v in block.items() if isinstance(v, (int, float))}
 
 
-def _movers(cur: dict[str, float | None], prev: dict[str, float]) -> tuple[list[str], dict]:
+#: minimum shared queries before the cross-round environment-drift
+#: estimate is trusted (a median over a handful of ratios is noise)
+ENV_DRIFT_MIN_SHARED = 10
+
+
+def _movers(
+    cur: dict[str, float | None], prev: dict[str, float]
+) -> tuple[list[str], dict, float | None]:
     """Queries whose median moved >MOVER_RATIO either way vs the
     previous round (above the noise floor), plus the full comparison
-    table for the JSON."""
+    table for the JSON, plus the ENVIRONMENT-DRIFT estimate (r12
+    judge task 1: the archived prev was recorded on a different day's
+    host, and the r12 adjudication showed the whole suite oscillating
+    ±12-56% with zero code diff — so round-over-round ratios must be
+    environment-controlled, not read raw).
+
+    ``env_drift`` = median of cur/prev over ALL shared queries: code
+    changes touch few of 200+ registered queries, so the median ratio
+    is a robust estimator of pure host drift between the two
+    recording days (a real regression moves its own query far off the
+    median; uniform host slowdown moves the median itself). Each
+    comparison row carries ``adj_ratio`` = ratio / env_drift, and the
+    MOVER FLAG FIRES ON THE ADJUSTED RATIO — a uniformly-slow day no
+    longer flags everything, and a genuinely regressed query is
+    flagged even on a uniformly-fast day."""
     comparison: dict[str, dict] = {}
-    flagged: list[str] = []
+    ratios: list[float] = []
     for name, p in sorted(prev.items()):
         c = cur.get(name)
         if c is None or p <= 0:
             continue
         ratio = round(c / p, 3)
         comparison[name] = {"prev": p, "cur": c, "ratio": ratio}
-        if max(c, p) >= MOVER_FLOOR_SEC and (ratio > MOVER_RATIO or ratio < 1.0 / MOVER_RATIO):
+        ratios.append(ratio)
+    env_drift = (
+        round(statistics.median(ratios), 3)
+        if len(ratios) >= ENV_DRIFT_MIN_SHARED
+        else None
+    )
+    flagged: list[str] = []
+    for name, row in comparison.items():
+        adj = (
+            round(row["ratio"] / env_drift, 3)
+            if env_drift
+            else row["ratio"]
+        )
+        row["adj_ratio"] = adj
+        if max(row["cur"], row["prev"]) >= MOVER_FLOOR_SEC and (
+            adj > MOVER_RATIO or adj < 1.0 / MOVER_RATIO
+        ):
             flagged.append(name)
-            comparison[name]["mover"] = True
-    return sorted(flagged), comparison
+            row["mover"] = True
+    return sorted(flagged), comparison, env_drift
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -564,6 +617,49 @@ def _lifecycle_stress(spark, base_dir: str, stress_dir: str) -> dict:
     return out
 
 
+def _attach_lifecycle_prev(lifecycle: dict) -> None:
+    """Carry the previous round's lifecycle serve numbers INTO the
+    current artifact (r12 judge task 8): each family gains a
+    ``prev`` block with the prior ``serve_sec`` per scale, a
+    ``serve_vs_prev`` cur/prev ratio, and the prior 10× serve_ratio —
+    so a serve-path regression is caught by reading ONE artifact
+    instead of diffing two rounds' files by hand. Same-SF guard as
+    the query mover check (a cross-SF compare is meaningless)."""
+    if not PREV_PATH:
+        return
+    try:
+        with open(PREV_PATH) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        return
+    if prev.get("sf") != _sf_from_dir(SF_DIR):
+        return
+    prev_lc = prev.get("stress", {}).get("lifecycle", {})
+    for fam, scales in lifecycle.items():
+        p = prev_lc.get(fam)
+        if not isinstance(scales, dict) or not isinstance(p, dict):
+            continue
+        prev_block: dict = {}
+        for scale in ("base", "stress"):
+            cur_s, prev_s = scales.get(scale), p.get(scale)
+            if (
+                isinstance(cur_s, dict)
+                and isinstance(prev_s, dict)
+                and cur_s.get("serve_sec")
+                and prev_s.get("serve_sec")
+            ):
+                prev_block[scale] = {
+                    "serve_sec": prev_s["serve_sec"],
+                    "serve_vs_prev": round(
+                        cur_s["serve_sec"] / prev_s["serve_sec"], 3
+                    ),
+                }
+        if p.get("serve_ratio") is not None:
+            prev_block["serve_ratio"] = p["serve_ratio"]
+        if prev_block:
+            scales["prev"] = prev_block
+
+
 def _solo_retime(queries, names, spark, data_dir) -> dict[str, float | None]:
     """Re-run each contention suspect SOLO (serially, after the full
     pass, nothing else in flight) SOLO_RUNS times and report the
@@ -674,7 +770,9 @@ def main() -> int:
                 for name, ts in stress_runs.items()
                 if len(ts) >= 2 and min(ts) > 0 and max(ts) / min(ts) > 2.5
             )
-            s_movers, s_cmp = _movers(stress_q, _load_prev("stress"))
+            s_movers, s_cmp, s_drift = _movers(
+                stress_q, _load_prev("stress")
+            )
             retime = sorted(set(suspects) | set(s_movers))
             stress = {
                 "multiplier": STRESS_MULT,
@@ -685,6 +783,7 @@ def main() -> int:
                 "runs_sec": stress_runs,
                 "contention_suspects": suspects,
                 "movers": s_movers,
+                "env_drift": s_drift,
                 "prev_comparison": s_cmp,
                 "solo_sec": (
                     _solo_retime(queries, retime, spark, stress_dir)
@@ -696,6 +795,7 @@ def main() -> int:
                 stress["lifecycle"] = _lifecycle_stress(
                     spark, SF_DIR, stress_dir
                 )
+                _attach_lifecycle_prev(stress["lifecycle"])
             except Exception as exc:  # never break the stress block
                 print(f"lifecycle stress failed: {exc}", file=sys.stderr)
                 stress["lifecycle"] = {"error": str(exc)}
@@ -714,16 +814,30 @@ def main() -> int:
         for name, ts in per_query_runs.items()
         if len(ts) >= 2 and min(ts) > 0 and max(ts) / min(ts) > 2.5
     )
-    movers, prev_cmp = _movers(per_query, _load_prev("queries"))
+    movers, prev_cmp, env_drift = _movers(per_query, _load_prev("queries"))
     retime = sorted(set(main_suspects) | set(movers))
+    # per-run SUITE totals over the queries that completed every run:
+    # the median-of-N recording protocol made visible in the artifact
+    # itself (the three r12 same-day recordings oscillated ±12% —
+    # one number can't show that; the per-run totals can)
+    complete = [n for n, ts in per_query_runs.items() if len(ts) == RUNS]
+    suite_runs = [
+        round(sum(per_query_runs[n][i] for n in complete), 4)
+        for i in range(RUNS)
+    ]
     out = {
         "metric": "suite_median_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "runs_sec": per_query_runs,
+        "suite_runs_sec": suite_runs,
+        "suite_runs_median": (
+            round(statistics.median(suite_runs), 4) if suite_runs else None
+        ),
         "contention_suspects": main_suspects,
         "movers": movers,
+        "env_drift": env_drift,
         "prev_comparison": prev_cmp,
         "solo_sec": (
             _solo_retime(queries, retime, spark, SF_DIR)
@@ -741,7 +855,7 @@ def main() -> int:
     print(
         summary_line(
             total, len(per_query), _sf_from_dir(SF_DIR),
-            movers, prev_cmp, per_query, out["solo_sec"],
+            movers, prev_cmp, per_query, out["solo_sec"], env_drift,
         )
     )
     return 0
@@ -755,18 +869,19 @@ SUMMARY_MOVERS_CAP = 8
 
 
 def summary_line(
-    total, n, sf, movers, prev_cmp, per_query, solo
+    total, n, sf, movers, prev_cmp, per_query, solo, env_drift=None
 ) -> str:
     """The truncation-proof final stdout line — movers capped at the
-    SUMMARY_MOVERS_CAP worst by |ratio-1| so the line can never
-    outgrow the driver's 2000-char window (< 1800 chars pinned at a
-    simulated 250-query registry)."""
-    worst = sorted(
-        movers,
-        key=lambda q: -abs(
-            (prev_cmp.get(q, {}).get("ratio") or 1.0) - 1.0
-        ),
-    )[:SUMMARY_MOVERS_CAP]
+    SUMMARY_MOVERS_CAP worst by |adj_ratio-1| (environment-adjusted —
+    see ``_movers``) so the line can never outgrow the driver's
+    2000-char window (< 1800 chars pinned at a simulated 250-query
+    registry). ``env_drift`` rides along so the reader can adjudicate
+    a uniformly-shifted round without opening the full artifact."""
+    def _key(q):
+        row = prev_cmp.get(q, {})
+        return -abs((row.get("adj_ratio") or row.get("ratio") or 1.0) - 1.0)
+
+    worst = sorted(movers, key=_key)[:SUMMARY_MOVERS_CAP]
     ratios = [c["ratio"] for c in prev_cmp.values()]
     return json.dumps(
         {
@@ -775,6 +890,7 @@ def summary_line(
             "n": n,
             "sf": sf,
             "worst_ratio": max(ratios) if ratios else None,
+            "env_drift": env_drift,
             "movers": {
                 m: {
                     "concurrent": per_query.get(m),

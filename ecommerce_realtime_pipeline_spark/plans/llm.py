@@ -457,6 +457,61 @@ def _stamped_tmp_path(sf_dir: str, src_name: str, prefix: str) -> str:
 #: contract is the exact v1=full/v2=tombstoned generation history)
 _DELETED_FIXTURE_LOCK = threading.Lock()
 
+#: a crashed builder's leftover fixture lock is broken after this many
+#: seconds (a full build+delete at any test SF is well under it)
+_FIXTURE_LOCK_STALE_SECONDS = 900.0
+
+
+def _fixture_build_once(path: str, ready, build) -> None:
+    """Cross-PROCESS build-once guard for the session-shared index
+    fixtures. The in-process threading.Lock alone is not enough: two
+    processes (e.g. a sweep next to a pytest run) could interleave
+    the multi-flip build+delete sequence, landing a v3 manifest whose
+    generation pruning drops the v1 snapshot the time-travel serves
+    pin. Protocol: O_CREAT|O_EXCL sidecar lock (winner builds; the
+    same winner-takes-all RENAME stale-break as
+    ``indexfmt._acquire_writer_lock``), losers poll the ready check —
+    they never mutate, so a ready fixture is immutable for the rest
+    of every session."""
+    import time as _time
+    import uuid as _uuid
+
+    with _DELETED_FIXTURE_LOCK:
+        if ready(path):
+            return
+        lockfile = f"{path}.build-lock"
+        while True:
+            try:
+                fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+            except FileExistsError:
+                if ready(path):
+                    return  # the other process finished; lock is theirs
+                try:
+                    age = _time.time() - os.path.getmtime(lockfile)
+                except OSError:
+                    continue  # released between open and stat: retry
+                if age > _FIXTURE_LOCK_STALE_SECONDS:
+                    broken = f"{lockfile}.broken-{_uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lockfile, broken)
+                        os.remove(broken)
+                    except OSError:
+                        pass
+                    continue
+                _time.sleep(1.0)
+                continue
+            try:
+                if not ready(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                    build(path)
+            finally:
+                try:
+                    os.remove(lockfile)
+                except OSError:
+                    pass
+            return
+
 
 def _persisted_ivf_path(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
     """Build-once path of the session-shared persisted IVF index
@@ -517,18 +572,21 @@ def _persisted_ivf_deleted_path(
     path = _stamped_tmp_path(
         sf_dir, "embeddings.parquet", "spark_graft_ivfdel_"
     )
-    with _DELETED_FIXTURE_LOCK:
-        ready = False
-        if indexfmt.has_index(path):
-            m = indexfmt.read_manifest(path, SIM.IVF_INDEX_FORMAT)
-            ready = int(m["version"]) == 2 and bool(m.get("tombstones"))
-        if not ready:
-            shutil.rmtree(path, ignore_errors=True)
-            SIM.write_ivf_index(emb, path, cache_key=f"{sf_dir}/embeddings")
-            n = SIM.delete_from_ivf_index(
-                emb.filter(F.col("vec_id") % 2 == 1).select("vec_id"), path
-            )
-            assert n > 0
+
+    def _ready(p):
+        if not indexfmt.has_index(p):
+            return False
+        m = indexfmt.read_manifest(p, SIM.IVF_INDEX_FORMAT)
+        return int(m["version"]) == 2 and bool(m.get("tombstones"))
+
+    def _build(p):
+        SIM.write_ivf_index(emb, p, cache_key=f"{sf_dir}/embeddings")
+        n = SIM.delete_from_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 1).select("vec_id"), p
+        )
+        assert n > 0
+
+    _fixture_build_once(path, _ready, _build)
     return path
 
 
@@ -550,18 +608,21 @@ def _persisted_text_deleted_path(
     path = _stamped_tmp_path(
         sf_dir, "documents.parquet", "spark_graft_textdel_"
     )
-    with _DELETED_FIXTURE_LOCK:
-        ready = False
-        if indexfmt.has_index(path):
-            m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
-            ready = int(m["version"]) == 2 and bool(m.get("tombstones"))
-        if not ready:
-            shutil.rmtree(path, ignore_errors=True)
-            write_text_index(docs, path)
-            n = delete_from_text_index(
-                docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), path
-            )
-            assert n > 0
+
+    def _ready(p):
+        if not indexfmt.has_index(p):
+            return False
+        m = indexfmt.read_manifest(p, TEXT_INDEX_FORMAT)
+        return int(m["version"]) == 2 and bool(m.get("tombstones"))
+
+    def _build(p):
+        write_text_index(docs, p)
+        n = delete_from_text_index(
+            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), p
+        )
+        assert n > 0
+
+    _fixture_build_once(path, _ready, _build)
     return path
 
 
@@ -577,18 +638,21 @@ def _persisted_pos_deleted_path(
     path = _stamped_tmp_path(
         sf_dir, "documents.parquet", "spark_graft_posdel_"
     )
-    with _DELETED_FIXTURE_LOCK:
-        ready = False
-        if indexfmt.has_index(path):
-            m = indexfmt.read_manifest(path, TX.POS_INDEX_FORMAT)
-            ready = int(m["version"]) == 2 and bool(m.get("tombstones"))
-        if not ready:
-            shutil.rmtree(path, ignore_errors=True)
-            TX.write_positional_index(docs, path)
-            n = TX.delete_from_positional_index(
-                docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), path
-            )
-            assert n > 0
+
+    def _ready(p):
+        if not indexfmt.has_index(p):
+            return False
+        m = indexfmt.read_manifest(p, TX.POS_INDEX_FORMAT)
+        return int(m["version"]) == 2 and bool(m.get("tombstones"))
+
+    def _build(p):
+        TX.write_positional_index(docs, p)
+        n = TX.delete_from_positional_index(
+            docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), p
+        )
+        assert n > 0
+
+    _fixture_build_once(path, _ready, _build)
     return path
 
 
@@ -1590,6 +1654,15 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_TERMS: tuple[str, ...] = ("spark", "join", "stream")
 BM25_K1 = 1.2
 BM25_B = 0.75
+#: WIDE query (r13): 12 mid-frequency terms — above
+#: indexfmt.SEEK_LIST_THRESHOLD (8), so the persisted-index serve
+#: takes the BATCHED one-listing-per-segment probe branch of the
+#: term seeks, putting that branch on the driver's hash gate. All 12
+#: terms exist in the corpus vocabulary at every test SF.
+BM25_WIDE_TERMS: tuple[str, ...] = (
+    "value", "line", "key", "join", "merge", "query",
+    "group", "vector", "hash", "filter", "batch", "table",
+)
 
 
 def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,13 +1700,18 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_rank(
-    postings: DataFrame, dfreq: DataFrame, stats: DataFrame
+    postings: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
 ) -> DataFrame:
     """Shared BM25 serve-side scoring over (doc_id, token, tf, dl)
     postings + |terms|-row df broadcast + 1-row stats broadcast —
     used identically by the in-session search and the persisted-index
     serve so both share one oracle. Per-term scores are fixed-order
-    columns (never a float SUM across terms) for determinism."""
+    columns (never a float SUM across terms) for determinism; the
+    term tuple parameterizes the column set (default = the canonical
+    3-term query, `BM25_WIDE_TERMS` for the wide serve)."""
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0)
@@ -1660,11 +1738,11 @@ def _bm25_rank(
             F.coalesce(
                 F.sum(F.when(F.col("token") == t, F.col("_s"))), F.lit(0.0)
             ).alias(f"_s{i}")
-            for i, t in enumerate(BM25_TERMS)
+            for i, t in enumerate(terms)
         ],
     )
     score = F.col("_s0")
-    for i in range(1, len(BM25_TERMS)):
+    for i in range(1, len(terms)):
         score = score + F.col(f"_s{i}")
     return (
         per.select("doc_id", "n_terms_matched", F.round(score, 4).alias("score"))
@@ -1674,7 +1752,10 @@ def _bm25_rank(
 
 
 def _bm25_top20_indexed(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    terms: tuple[str, ...] = BM25_TERMS,
 ) -> DataFrame:
     """The shared SEEK-path BM25 serve (r12 rewire of every persisted
     text-index query): the query terms' postings come through
@@ -1694,9 +1775,10 @@ def _bm25_top20_indexed(
 
     dfreq, stats = read_text_index_meta(spark, path, version=version)
     return _bm25_rank(
-        seek_text_postings(spark, path, list(BM25_TERMS), version=version),
-        dfreq.filter(F.col("token").isin(*BM25_TERMS)),
+        seek_text_postings(spark, path, list(terms), version=version),
+        dfreq.filter(F.col("token").isin(*terms)),
         stats,
+        terms=terms,
     )
 
 
@@ -1714,6 +1796,25 @@ def docs_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     path = _persisted_text_path(spark, sf_dir, docs)
     return _bm25_top20_indexed(spark, path)
+
+
+def docs_bm25_search_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDE BM25 serve from the persisted text index: a 12-term query
+    (`BM25_WIDE_TERMS`) — above ``indexfmt.SEEK_LIST_THRESHOLD`` — so
+    the term seek's BATCHED existence probe fires (ONE segment
+    listing instead of 12 serialized per-directory HEADs, r13) and
+    that branch sits on the driver's hash gate, not just pytest.
+    Everything else is `docs_bm25_from_index`'s plan: seeked
+    postings, manifest dfreq/stats broadcasts, the shared
+    `_bm25_rank` with one fixed-order score column per term.
+
+    Scale: k=12 directory opens per segment via one LIST each — the
+    probe cost is min(k HEADs, 1 LIST) per segment at any query
+    width; scoring stays |postings(terms)|-row with 1-row/|terms|-row
+    broadcasts and a TakeOrdered top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _persisted_text_path(spark, sf_dir, docs)
+    return _bm25_top20_indexed(spark, path, terms=BM25_WIDE_TERMS)
 
 
 #: Deterministic PII-bearing rows unioned into the corpus by
@@ -2422,13 +2523,18 @@ LLM_ORACLES.update(
 )
 
 
-_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
-_BM25_COLS = ",\n                   ".join(
-    f"COALESCE(SUM(sc) FILTER (token = '{t}'), 0.0) AS s{i}"
-    for i, t in enumerate(BM25_TERMS)
-)
-_BM25_SUM = " + ".join(f"s{i}" for i in range(len(BM25_TERMS)))
-LLM_ORACLES["docs_bm25_search"] = f"""
+def _bm25_search_sql(terms: tuple[str, ...]) -> str:
+    """The BM25 oracle chain parameterized by the term tuple — one
+    fixed-order score column per term, mirroring `_bm25_rank`'s
+    column assembly exactly (r13: the wide-term serve reuses the
+    whole chain with `BM25_WIDE_TERMS`)."""
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    cols = ",\n                   ".join(
+        f"COALESCE(SUM(sc) FILTER (token = '{t}'), 0.0) AS s{i}"
+        for i, t in enumerate(terms)
+    )
+    score_sum = " + ".join(f"s{i}" for i in range(len(terms)))
+    return f"""
     WITH dl AS (
         SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
     ),
@@ -2437,7 +2543,7 @@ LLM_ORACLES["docs_bm25_search"] = f"""
         SELECT doc_id, token, count(*) AS tf
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
               FROM documents)
-        WHERE token IN ({_BM25_IN})
+        WHERE token IN ({terms_in})
         GROUP BY 1, 2
     ),
     dfreq AS (SELECT token, count(*) AS df FROM postings GROUP BY 1),
@@ -2455,18 +2561,29 @@ LLM_ORACLES["docs_bm25_search"] = f"""
     ),
     agg AS (
         SELECT doc_id, count(*) AS n_terms_matched,
-               {_BM25_COLS}
+               {cols}
         FROM scored GROUP BY 1
     )
-    SELECT doc_id, n_terms_matched, ROUND({_BM25_SUM}, 4) AS score
+    SELECT doc_id, n_terms_matched, ROUND({score_sum}, 4) AS score
     FROM agg
     ORDER BY score DESC, doc_id
     LIMIT 20
 """
 
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+_BM25_COLS = ",\n                   ".join(
+    f"COALESCE(SUM(sc) FILTER (token = '{t}'), 0.0) AS s{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+_BM25_SUM = " + ".join(f"s{i}" for i in range(len(BM25_TERMS)))
+LLM_ORACLES["docs_bm25_search"] = _bm25_search_sql(BM25_TERMS)
+
 # persisted-index serve is bit-identical to the in-session search
 # (shared _bm25_rank scoring) -> same oracle.
 LLM_ORACLES["docs_bm25_from_index"] = LLM_ORACLES["docs_bm25_search"]
+# the wide serve is the same chain over the 12-term query
+LLM_ORACLES["docs_bm25_search_wide"] = _bm25_search_sql(BM25_WIDE_TERMS)
 
 
 

@@ -37,13 +37,80 @@ def test_default_prev_resolves_in_this_repo():
 def test_movers_flags_both_directions_above_floor():
     cur = {"a": 2.0, "b": 0.2, "c": 1.0, "d": 0.4}
     prev = {"a": 0.6, "b": 0.05, "c": 0.9, "d": 1.0}
-    flagged, cmp_ = bench._movers(cur, prev)
+    flagged, cmp_, drift = bench._movers(cur, prev)
+    assert drift is None           # < ENV_DRIFT_MIN_SHARED queries
     assert "a" in flagged          # 3.3x up, above floor
     assert "b" not in flagged      # 4x up but under the 0.5s floor
     assert "c" not in flagged      # 1.1x: not a mover
     assert "d" in flagged          # 2.5x DOWN, above floor
     assert cmp_["a"]["mover"] and cmp_["d"]["mover"]
     assert set(cmp_) == {"a", "b", "c", "d"}
+
+
+def test_movers_environment_drift_adjustment():
+    """The r13 environment-control (r12 judge task 1): a uniformly
+    3x-slower host day must flag NOTHING (the median ratio IS the
+    drift, adj_ratio ≈ 1 everywhere), while a query that regressed
+    3x ON TOP of the drift is still flagged; and on a drift-free day
+    the adjustment is a no-op."""
+    prev = {f"q{i:02d}": 1.0 for i in range(12)}
+    # uniform 3x day: every query 3.0s vs prev 1.0s
+    cur = {n: 3.0 for n in prev}
+    flagged, cmp_, drift = bench._movers(cur, prev)
+    assert drift == 3.0 and flagged == []
+    assert all(c["adj_ratio"] == 1.0 for c in cmp_.values())
+    # same day, but q00 regressed 3x on top of the drift
+    cur["q00"] = 9.0
+    flagged, cmp_, drift = bench._movers(cur, prev)
+    assert drift == 3.0 and flagged == ["q00"]
+    assert cmp_["q00"]["adj_ratio"] == 3.0 and cmp_["q00"]["mover"]
+    # drift-free day: raw == adjusted
+    cur = {n: 1.0 for n in prev}
+    cur["q01"] = 4.0
+    flagged, cmp_, drift = bench._movers(cur, prev)
+    assert drift == 1.0 and flagged == ["q01"]
+    assert cmp_["q01"]["adj_ratio"] == cmp_["q01"]["ratio"] == 4.0
+
+
+def test_attach_lifecycle_prev(tmp_path, monkeypatch):
+    """Task-8 pin: the lifecycle block carries the PREVIOUS round's
+    serve numbers + cur/prev ratios inside the current artifact, with
+    the same-SF guard the query mover check applies."""
+    import json
+
+    prev = {
+        "sf": bench._sf_from_dir(bench.SF_DIR),
+        "stress": {
+            "lifecycle": {
+                "text": {
+                    "base": {"serve_sec": 0.5},
+                    "stress": {"serve_sec": 0.6},
+                    "serve_ratio": 1.2,
+                },
+            }
+        },
+    }
+    p = tmp_path / "BENCH_LOCAL_prev.json"
+    p.write_text(json.dumps(prev))
+    monkeypatch.setattr(bench, "PREV_PATH", str(p))
+    lc = {
+        "text": {
+            "base": {"serve_sec": 1.0},
+            "stress": {"serve_sec": 1.5},
+            "serve_ratio": 1.5,
+        }
+    }
+    bench._attach_lifecycle_prev(lc)
+    got = lc["text"]["prev"]
+    assert got["base"] == {"serve_sec": 0.5, "serve_vs_prev": 2.0}
+    assert got["stress"] == {"serve_sec": 0.6, "serve_vs_prev": 2.5}
+    assert got["serve_ratio"] == 1.2
+    # cross-SF prev: refused, block untouched
+    prev["sf"] = 999.0
+    p.write_text(json.dumps(prev))
+    lc2 = {"text": {"base": {"serve_sec": 1.0}}}
+    bench._attach_lifecycle_prev(lc2)
+    assert "prev" not in lc2["text"]
 
 
 def test_close_round_picks_full_artifact_not_summary(tmp_path):
@@ -78,12 +145,18 @@ def test_summary_line_stays_under_driver_tail_at_250_queries():
     names = [f"docs_extremely_long_query_name_number_{i:04d}" for i in range(250)]
     per_query = {n: 1.2345 for n in names}
     prev_cmp = {
-        n: {"prev": 0.5, "cur": 1.2345, "ratio": 2.469, "mover": True}
+        n: {
+            "prev": 0.5,
+            "cur": 1.2345,
+            "ratio": 2.469,
+            "adj_ratio": 2.469,
+            "mover": True,
+        }
         for n in names
     }
     solo = {n: 0.9876 for n in names}
     line = bench.summary_line(
-        308.1234, 250, 0.1, list(names), prev_cmp, per_query, solo
+        308.1234, 250, 0.1, list(names), prev_cmp, per_query, solo, 1.013
     )
     assert len(line) < 1800, len(line)
     import json

@@ -965,6 +965,37 @@ def test_persisted_ivf_equals_in_session(spark):
     assert sorted(mem) == sorted(disk) and len(mem) > 0
 
 
+def test_fixture_build_once_lock_protocol(tmp_path, monkeypatch):
+    """_fixture_build_once (r13): the winner builds exactly once; a
+    caller arriving while a fixture is READY never rebuilds; a stale
+    build lock from a crashed process is broken and the build
+    proceeds; the lock file is removed afterward."""
+    calls = []
+    path = str(tmp_path / "fix")
+
+    def ready(p):
+        return os.path.exists(os.path.join(p, "DONE"))
+
+    def build(p):
+        os.makedirs(p)
+        calls.append(1)
+        open(os.path.join(p, "DONE"), "w").close()
+
+    llm._fixture_build_once(path, ready, build)
+    llm._fixture_build_once(path, ready, build)  # ready → no rebuild
+    assert calls == [1]
+    assert not os.path.exists(f"{path}.build-lock")
+    # crashed builder: stale lock + half-built dir → broken + rebuilt
+    import shutil as _sh
+
+    _sh.rmtree(path)
+    open(f"{path}.build-lock", "w").close()
+    os.utime(f"{path}.build-lock", (1, 1))  # ancient ⇒ stale
+    llm._fixture_build_once(path, ready, build)
+    assert calls == [1, 1] and ready(path)
+    assert not os.path.exists(f"{path}.build-lock")
+
+
 def test_deleted_fixture_memo_correctness(spark, tmp_path):
     """The session-shared deleted-index fixtures (r13, judge task 3):
     (a) a second call in the same session returns the SAME path and

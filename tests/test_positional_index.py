@@ -618,6 +618,42 @@ def test_seek_text_postings_equals_pruned_read(spark, tmp_path):
         assert got == want, terms
 
 
+def test_wide_seek_takes_listing_branch_and_stays_row_identical(
+    spark, tmp_path, monkeypatch
+):
+    """A term list wider than indexfmt.SEEK_LIST_THRESHOLD must route
+    through the BATCHED one-listing-per-segment probe (r13 — proven
+    by making the per-directory dir_exists explode) and stay
+    row-identical to the pruned read, absent terms skipped."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        read_text_index,
+        seek_text_postings,
+        write_text_index,
+    )
+
+    rows = [(i, " ".join(f"t{j}" for j in range(i + 1))) for i in range(12)]
+    path = str(tmp_path / "tidx")
+    write_text_index(_docs(spark, rows), path)
+    terms = [f"t{j}" for j in range(10)] + ["nope_a", "nope_b"]  # 12 > 8
+    monkeypatch.setattr(
+        indexfmt,
+        "dir_exists",
+        lambda *_: (_ for _ in ()).throw(AssertionError("HEAD probe used")),
+    )
+    got = sorted(
+        (r["token"], r["doc_id"], r["tf"], r["dl"])
+        for r in seek_text_postings(spark, path, terms).collect()
+    )
+    monkeypatch.undo()
+    postings, _, _ = read_text_index(spark, path)
+    want = sorted(
+        (r["token"], r["doc_id"], r["tf"], r["dl"])
+        for r in postings.filter(F.col("token").isin(*terms)).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_seek_escapes_partition_values_like_the_writer(spark, tmp_path):
     """Spark percent-escapes special characters in partition directory
     names (token 'a/b' → dir 'token=a%2Fb'); a seek built from the RAW
