@@ -432,6 +432,28 @@ def emb_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_knn_ivf_wide_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDE-PROBE serve from the persisted IVF index: n_probe=16 —
+    above ``indexfmt.SEEK_LIST_THRESHOLD`` (8) — so the cell seek's
+    BATCHED existence probe fires (ONE listing per segment instead of
+    16 serialized per-directory HEADs, r13; the ANN twin of
+    `docs_bm25_search_wide`) and that branch is on the driver's hash
+    gate. At the fixture's 16 cells a 16-probe covers every cell, so
+    the result is the recall ceiling of the probe knob — candidates =
+    the whole live set — while the ranking still runs the production
+    seeked plan end-to-end (manifest resolution, per-cell directory
+    opens, rerank).
+
+    Scale: probe cost is min(n_probe HEADs, 1 LIST) per segment at
+    any probe width; candidate volume is Σ|probed cells| — the n/k
+    occupancy argument, with n_probe the recall/cost dial."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _persisted_ivf_path(spark, sf_dir, emb)
+    return SIM.knn_ivf_from_index(
+        spark, path, _query_vectors(emb), k=KNN_K, n_probe=16
+    )
+
+
 def _stamped_tmp_path(sf_dir: str, src_name: str, prefix: str) -> str:
     """Session-shared fixture path keyed on the SOURCE file's
     (size, mtime): a regenerated corpus invalidates the on-disk
@@ -3159,6 +3181,19 @@ LLM_ORACLES["docs_winnow_overlap"] = f"""
 # in-session IVF ⇒ identical cells, candidates, and rerank — the
 # persisted path is a storage-layout change, not a semantic one.
 LLM_ORACLES["emb_knn_ivf_persisted"] = LLM_ORACLES["emb_knn_ivf"]
+
+
+def _ivf_wide_probe_sql() -> str:
+    """The emb_knn_ivf oracle chain with the probe cut widened to 16
+    (r13 — the batched-cell-probe driver gate): only the rn cut
+    changes; quantizer, assignment, rerank are byte-identical."""
+    sql = LLM_ORACLES["emb_knn_ivf"]
+    anchor = "WHERE rn <= 8 AND vec_id < 10"
+    assert sql.count(anchor) == 1
+    return sql.replace(anchor, "WHERE rn <= 16 AND vec_id < 10")
+
+
+LLM_ORACLES["emb_knn_ivf_wide_probe"] = _ivf_wide_probe_sql()
 
 # docs_cluster_representatives: the recursive-CTE cluster oracle with
 # a member join + per-cluster argmax (n_chars desc, doc_id asc) on top.

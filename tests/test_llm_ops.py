@@ -2747,6 +2747,44 @@ def test_merge_both_knobs_retrain_skips_compaction(
     assert len(m2["segments"]) == 1
 
 
+def test_wide_cell_probe_takes_listing_branch(spark, tmp_path, monkeypatch):
+    """A probe list wider than indexfmt.SEEK_LIST_THRESHOLD must route
+    through the BATCHED one-listing-per-segment branch (r13 — proven
+    by making the per-directory dir_exists explode; with the manifest
+    vtype the seek needs zero footer reads either) and stay
+    row-identical to the discovery read filtered to those cells."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    def mk(ids_):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)])
+                for i in ids_
+            ],
+            "vec_id long, embedding array<float>",
+        )
+
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(range(64)), ivf, n_centroids=16)
+    cells = list(range(16))  # 16 > SEEK_LIST_THRESHOLD
+    monkeypatch.setattr(
+        indexfmt,
+        "dir_exists",
+        lambda *_: (_ for _ in ()).throw(AssertionError("HEAD probe used")),
+    )
+    _, posts = SIM.seek_ivf_cells(spark, ivf, cells)
+    got = sorted(
+        (int(r["cell"]), int(r["neighbor_id"])) for r in posts.collect()
+    )
+    monkeypatch.undo()
+    _, disc = SIM.read_ivf_index(spark, ivf)
+    want = sorted(
+        (int(r["cell"]), int(r["neighbor_id"]))
+        for r in disc.filter(F.col("cell").isin(cells)).collect()
+    )
+    assert got == want and len(got) == 64
+
+
 def test_ivf_vtype_pinned_across_heterogeneous_merge(spark, tmp_path):
     """The manifest records the index's `_v` element type at write
     time and every mutation preserves it (r12 ADVICE): a float-built
