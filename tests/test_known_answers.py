@@ -13,28 +13,38 @@ import __spark_entry__ as entrymod
 QUERIES = entrymod.queries()
 
 
-def _write_lineitem(spark, sf, baskets):
+def _write_lineitem(spark, sf, baskets, parts=None):
     rows = [(ok, pk) for ok, items in baskets for pk in items]
     spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
         1
     ).write.parquet(f"{sf}/lineitem.parquet")
+    if parts is not None:
+        spark.createDataFrame(
+            parts, "p_partkey long, p_brand string"
+        ).coalesce(1).write.parquet(f"{sf}/part.parquet")
 
 
 def test_market_basket_rules_hand_computed(spark, tmp_path):
-    """Baskets {1,2,3},{1,2,3},{1,2},{3}: the only support-2 triple is
-    (1,2,3); its three rotations have hand-computable confidence and
-    lift. conf((1,3)->2) = conf((2,3)->1) = 2/2 = 1.0 with lift
-    2*4/(2*3) = 1.3333; conf((1,2)->3) = 2/3 = 0.6667 with lift
+    """Brand baskets {B1,B2,B3},{B1,B2,B3},{B1,B2},{B3} (each part
+    carries a distinct brand, so brand baskets mirror the part
+    baskets): the only support-2 triple is (B1,B2,B3); with 4 orders
+    the relative floor max(2, ceil(0.0035*4)) = 2, so it passes and
+    its three rotations have hand-computable confidence and lift.
+    conf((B1,B3)->B2) = conf((B2,B3)->B1) = 2/2 = 1.0 with lift
+    2*4/(2*3) = 1.3333; conf((B1,B2)->B3) = 2/3 = 0.6667 with lift
     2*4/(3*3) = 0.8889. Ordering: conf desc, lift desc, then keys."""
     sf = str(tmp_path)
     _write_lineitem(
-        spark, sf, [(1, [1, 2, 3]), (2, [1, 2, 3]), (3, [1, 2]), (4, [3])]
+        spark,
+        sf,
+        [(1, [1, 2, 3]), (2, [1, 2, 3]), (3, [1, 2]), (4, [3])],
+        parts=[(1, "B1"), (2, "B2"), (3, "B3")],
     )
     rows = [tuple(r) for r in QUERIES["market_basket_rules"](spark, sf).collect()]
     assert rows == [
-        (1, 3, 2, 2, 1.0, 1.3333),
-        (2, 3, 1, 2, 1.0, 1.3333),
-        (1, 2, 3, 2, 0.6667, 0.8889),
+        ("B1", "B3", "B2", 2, 1.0, 1.3333),
+        ("B2", "B3", "B1", 2, 1.0, 1.3333),
+        ("B1", "B2", "B3", 2, 0.6667, 0.8889),
     ]
 
 
