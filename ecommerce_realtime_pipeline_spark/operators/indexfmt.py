@@ -361,13 +361,20 @@ def retained_manifests(path: str) -> list[dict]:
     return out
 
 
+#: manifest keys that carry METADATA VALUES, not child-directory
+#: pointers — referenced_children must skip them or vacuum treats
+#: e.g. the recorded vector element type ("float") as a live child
+_NON_POINTER_KEYS = frozenset({"format", "version", "vtype"})
+
+
 def referenced_children(manifest: dict) -> set[str]:
     """Every child directory name the manifest points at: the segments
     list, any string-valued table pointer (dfreq/stats/centroids), and
-    any list-valued pointer group (tombstone segments)."""
+    any list-valued pointer group (tombstone segments). Pure-metadata
+    keys (``_NON_POINTER_KEYS``) are skipped."""
     out: set[str] = set()
     for k, v in manifest.items():
-        if k in ("format", "version"):
+        if k in _NON_POINTER_KEYS:
             continue
         if isinstance(v, str):
             out.add(v)

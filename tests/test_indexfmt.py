@@ -56,6 +56,9 @@ def test_referenced_children_collects_segments_and_table_pointers():
         "segments": ["seg-a", "seg-b"],
         "dfreq": "dfreq-x",
         "stats": "stats-y",
+        # metadata VALUE, not a pointer (r13): must never be treated
+        # as a live child or vacuum keeps/expects a 'float' directory
+        "vtype": "float",
     }
     assert indexfmt.referenced_children(m) == {
         "seg-a",
