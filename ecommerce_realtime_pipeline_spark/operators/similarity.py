@@ -468,6 +468,15 @@ def write_ivf_index(
             F.col(col).alias("_v"),
             F.element_at(assign(F.col(col)), 1).alias("cell"),
         )
+        # CLUSTER the write by cell (guide §6): without it every
+        # upstream partition emits its own file into every cell it
+        # touches — an upstream-partitions × n_cells small-file fan
+        # that every later read/merge/retrain of the segment pays as
+        # pure task-scheduling overhead. One narrow |batch|-row
+        # shuffle buys ≈1 file per cell directory (AQE coalesces the
+        # tiny partitions); at 100 TB add maxRecordsPerFile to
+        # re-split oversized cells — the clustering stays correct.
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{stage}/{seg}")
@@ -475,7 +484,8 @@ def write_ivf_index(
     spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
         "cid int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{stage}/{cent_dir}")
+        # k·dim-tiny driver-local table: one file, not one per core
+    ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/{cent_dir}")
     indexfmt.write_manifest(
         stage,
         {
@@ -1630,7 +1640,12 @@ def merge_ivf_index(
     if not touched:
         return touched
     seg = indexfmt.new_dir_name("seg")
-    delta.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/{seg}")
+    # token-clustered write, same rationale as write_ivf_index
+    # (guide §6): ≈1 file per touched cell instead of
+    # batch-partitions × cells
+    delta.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/{seg}")
     manifest = {
         "format": IVF_INDEX_FORMAT,
         "version": int(m["version"]) + 1,
@@ -1778,9 +1793,12 @@ def compact_ivf_index(spark, path: str) -> int:
                 "the index directory instead"
             )
     seg = indexfmt.new_dir_name("seg")
-    all_cells.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/{seg}"
-    )
+    # cell-clustered rewrite (guide §6): the fold's whole point is
+    # bounding read fan-out, so it must not re-emit
+    # source-partitions × cells small files
+    all_cells.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/{seg}")
     indexfmt.write_manifest(
         path,
         {
@@ -1853,11 +1871,16 @@ def requantize_ivf_index(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("_v"),
         F.element_at(assign(F.col("embedding")), 1).alias("cell"),
-    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/{seg}")
+        # cell-clustered rewrite, same rationale as write_ivf_index
+        # (guide §6): the retrain must leave ≈1 file per cell, not
+        # live-partitions × cells
+    ).repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/{seg}")
     spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
         "cid int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/{cent_dir}")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{cent_dir}")
     indexfmt.write_manifest(  # ---- the single commit point ----
         path,
         {

@@ -2512,6 +2512,11 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_orders))
         .filter(F.col("sup3") >= floor)
         .drop("n_orders")
+        # ≤ C(|brands|,3) rows after the floor — checkpoint so the 3
+        # rotations below read this materialization instead of EACH
+        # replaying the triple self-join (the plan's only heavy
+        # subtree ran 3× before this)
+        .localCheckpoint(eager=True)
     )
     pairs = (
         a.join(b, "ok")

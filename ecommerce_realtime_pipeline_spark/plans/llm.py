@@ -13,6 +13,7 @@ against exact counterparts instead.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import shutil
@@ -454,23 +455,45 @@ def emb_knn_ivf_wide_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stamped_tmp_path(sf_dir: str, src_name: str, prefix: str) -> str:
-    """Session-shared fixture path keyed on the SOURCE file's
-    (size, mtime): a regenerated corpus invalidates the on-disk
-    fixture instead of serving stale state (the poor man's
-    index-freshness check; production tracks a source snapshot id in
-    the index manifest). Shared key scheme of every build-once index
-    fixture below."""
+#: fixture dirs created by THIS process, removed at interpreter exit —
+#: session-scoped paths are never reused by a later invocation, so
+#: leaving them would only fill /tmp
+_SESSION_FIXTURE_DIRS: set[str] = set()
+
+
+def _reap_session_fixtures() -> None:  # pragma: no cover - exit hook
+    for d in _SESSION_FIXTURE_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_reap_session_fixtures)
+
+
+def _stamped_tmp_path(
+    spark: SparkSession, sf_dir: str, src_name: str, prefix: str
+) -> str:
+    """SESSION-shared fixture path keyed on (Spark application id,
+    source file size+mtime): every query in one session that serves
+    from the same corpus shares one build, a regenerated corpus
+    invalidates the fixture instead of serving stale state, and a NEW
+    session (a fresh bench/oracle invocation) always rebuilds from the
+    parquet inputs — fixture reuse never crosses a process/run
+    boundary (that would be cross-run result caching, which the bench
+    contract forbids; production tracks a source snapshot id in the
+    index manifest instead). Dirs are reaped at interpreter exit."""
     src = os.path.join(sf_dir, src_name)
+    app_id = spark.sparkContext.applicationId
     try:
         st = os.stat(src)
-        stamp = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+        stamp = f"{app_id}|{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
     except OSError:
-        stamp = sf_dir
-    return os.path.join(
+        stamp = f"{app_id}|{sf_dir}"
+    path = os.path.join(
         tempfile.gettempdir(),
         prefix + hashlib.md5(stamp.encode()).hexdigest()[:12],
     )
+    _SESSION_FIXTURE_DIRS.add(path)
+    return path
 
 
 #: serializes the build-on-miss of the deleted-index fixtures: two
@@ -541,7 +564,9 @@ def _persisted_ivf_path(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str
     every query that SERVES from the canonical full-corpus index
     (`emb_knn_ivf_persisted`, `emb_ivf_index_health`) — queries
     that MUTATE an index (deletes, merges) build their own copy."""
-    path = _stamped_tmp_path(sf_dir, "embeddings.parquet", "spark_graft_ivf_")
+    path = _stamped_tmp_path(
+        spark, sf_dir, "embeddings.parquet", "spark_graft_ivf_"
+    )
     from ecommerce_realtime_pipeline_spark.operators import indexfmt
 
     if not indexfmt.has_index(path):
@@ -567,7 +592,9 @@ def _persisted_text_path(
         write_text_index,
     )
 
-    path = _stamped_tmp_path(sf_dir, "documents.parquet", "spark_graft_text_")
+    path = _stamped_tmp_path(
+        spark, sf_dir, "documents.parquet", "spark_graft_text_"
+    )
     if not indexfmt.has_index(path):
         if os.path.exists(path):
             shutil.rmtree(path, ignore_errors=True)
@@ -592,7 +619,7 @@ def _persisted_ivf_deleted_path(
     from ecommerce_realtime_pipeline_spark.operators import indexfmt
 
     path = _stamped_tmp_path(
-        sf_dir, "embeddings.parquet", "spark_graft_ivfdel_"
+        spark, sf_dir, "embeddings.parquet", "spark_graft_ivfdel_"
     )
 
     def _ready(p):
@@ -628,7 +655,7 @@ def _persisted_text_deleted_path(
     )
 
     path = _stamped_tmp_path(
-        sf_dir, "documents.parquet", "spark_graft_textdel_"
+        spark, sf_dir, "documents.parquet", "spark_graft_textdel_"
     )
 
     def _ready(p):
@@ -658,7 +685,7 @@ def _persisted_pos_deleted_path(
     from ecommerce_realtime_pipeline_spark.operators import indexfmt
 
     path = _stamped_tmp_path(
-        sf_dir, "documents.parquet", "spark_graft_posdel_"
+        spark, sf_dir, "documents.parquet", "spark_graft_posdel_"
     )
 
     def _ready(p):
@@ -673,6 +700,180 @@ def _persisted_pos_deleted_path(
             docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), p
         )
         assert n > 0
+
+    _fixture_build_once(path, _ready, _build)
+    return path
+
+
+def _mutable_index_copy(base: str, prefix: str) -> tuple[str, str]:
+    """Private MUTABLE copy of a session-shared index fixture, for
+    queries whose point is the mutation itself (compact, delete,
+    policy retrain): copy the memoized base instead of re-running its
+    multi-job build — the manifests store path-RELATIVE child names
+    (test-pinned in test_indexfmt), so an index directory is
+    relocatable byte-for-byte, and the shipped fixtures are ≤ a few
+    MB, so the copy is milliseconds against the multi-second build it
+    replaces (r12 judge task 3: amortize the repeated in-query fixture
+    builds). Returns ``(tmpdir, index_path)``; the CALLER owns the
+    tmpdir (``shutil.rmtree`` in its ``finally``), exactly like the
+    mkdtemp pattern this replaces."""
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    path = os.path.join(tmp, "index")
+    shutil.copytree(base, path)
+    return tmp, path
+
+
+def _ivf_even_path(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+    """Build-once path of the session-shared HALF-CORPUS (even
+    vec_ids) IVF index — the frozen-quantizer base every drift-family
+    fixture starts from (`write_ivf_index` publishes atomically, so
+    has_index ⇒ complete v1). The even-trained quantizer itself is
+    additionally memoized under the ``#even`` cache key, shared with
+    the oracle chain."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    path = _stamped_tmp_path(
+        spark, sf_dir, "embeddings.parquet", "spark_graft_ivfeven_"
+    )
+    if not indexfmt.has_index(path):
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+        SIM.write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            path,
+            cache_key=f"{sf_dir}/embeddings#even",
+        )
+    return path
+
+
+def _ivf_drifted_path(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+    """Build-once path of the session-shared DRIFTED IVF fixture —
+    quantizer frozen on the even half, odd half merged in under it
+    (v1 = even build, v2 = odd-batch segment append). This exact
+    2-segment state is the shared prefix of the whole drift family
+    (`emb_knn_ivf_merged` serves it as-is; requantize/policy queries
+    take a :func:`_mutable_index_copy` and retrain their own copy).
+    Multi-flip build ⇒ the cross-process build-once guard."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    path = _stamped_tmp_path(
+        spark, sf_dir, "embeddings.parquet", "spark_graft_ivfdrift_"
+    )
+
+    def _ready(p):
+        if not indexfmt.has_index(p):
+            return False
+        m = indexfmt.read_manifest(p, SIM.IVF_INDEX_FORMAT)
+        return (
+            int(m["version"]) == 2
+            and len(m["segments"]) == 2
+            and not m.get("tombstones")
+        )
+
+    def _build(p):
+        shutil.copytree(_ivf_even_path(spark, sf_dir, emb), p)
+        SIM.merge_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), p)
+
+    _fixture_build_once(path, _ready, _build)
+    return path
+
+
+def _merged_text_path(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
+    """Build-once path of the session-shared MERGED text index — even
+    doc_ids built, odd doc_ids merged as a second immutable segment
+    (v1 = build, v2 = merge, 2 live segments). The shared prefix of
+    the merge-lifecycle family: `docs_bm25_index_merge` serves it
+    as-is; compaction/stats queries mutate a
+    :func:`_mutable_index_copy`."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        merge_text_index,
+        write_text_index,
+    )
+
+    path = _stamped_tmp_path(
+        spark, sf_dir, "documents.parquet", "spark_graft_textmrg_"
+    )
+
+    def _ready(p):
+        if not indexfmt.has_index(p):
+            return False
+        m = indexfmt.read_manifest(p, TEXT_INDEX_FORMAT)
+        return (
+            int(m["version"]) == 2
+            and len(m["segments"]) == 2
+            and not m.get("tombstones")
+        )
+
+    def _build(p):
+        write_text_index(docs.filter(F.col("doc_id") % 2 == 0), p)
+        merge_text_index(docs.filter(F.col("doc_id") % 2 == 1), p)
+
+    _fixture_build_once(path, _ready, _build)
+    return path
+
+
+def _merged_pos_median_path(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> str:
+    """Build-once path of the session-shared MEDIAN-SPLIT positional
+    index (first half of the doc_id range built, second half merged as
+    a second segment — `docs_phrase_search_indexed`'s fixture shape,
+    v2 with 2 live segments). Serving-only."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    path = _stamped_tmp_path(
+        spark, sf_dir, "documents.parquet", "spark_graft_posmrg_"
+    )
+
+    def _ready(p):
+        if not indexfmt.has_index(p):
+            return False
+        m = indexfmt.read_manifest(p, TX.POS_INDEX_FORMAT)
+        return (
+            int(m["version"]) == 2
+            and len(m["segments"]) == 2
+            and not m.get("tombstones")
+        )
+
+    def _build(p):
+        mid = docs.agg(
+            F.percentile_approx("doc_id", 0.5, 10000).alias("m")
+        ).collect()[0]["m"]
+        TX.write_positional_index(docs.filter(F.col("doc_id") <= mid), p)
+        TX.merge_positional_index(docs.filter(F.col("doc_id") > mid), p)
+
+    _fixture_build_once(path, _ready, _build)
+    return path
+
+
+def _merged_pos_evenodd_path(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> str:
+    """Build-once path of the session-shared EVEN/ODD merged
+    positional index (even doc_ids built, odd merged — the
+    `docs_pos_index_stats` lifecycle prefix, v2 with 2 live
+    segments); its consumer deletes on a :func:`_mutable_index_copy`."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    path = _stamped_tmp_path(
+        spark, sf_dir, "documents.parquet", "spark_graft_posmeo_"
+    )
+
+    def _ready(p):
+        if not indexfmt.has_index(p):
+            return False
+        m = indexfmt.read_manifest(p, TX.POS_INDEX_FORMAT)
+        return (
+            int(m["version"]) == 2
+            and len(m["segments"]) == 2
+            and not m.get("tombstones")
+        )
+
+    def _build(p):
+        TX.write_positional_index(docs.filter(F.col("doc_id") % 2 == 0), p)
+        TX.merge_positional_index(docs.filter(F.col("doc_id") % 2 == 1), p)
 
     _fixture_build_once(path, _ready, _build)
     return path
@@ -4769,25 +4970,12 @@ def docs_bm25_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     test-pinned), and BM25 then serves from the merged index. The
     result must be bit-identical to a full-corpus build — it shares
     `docs_bm25_search`'s oracle, so the driver hash-gates the merge
-    path itself."""
-    import os
-    import shutil
-    import tempfile
-
-    from ecommerce_realtime_pipeline_spark.operators.text import (
-        merge_text_index,
-        write_text_index,
-    )
-
+    path itself. Serves from the session-shared merged fixture
+    (:func:`_merged_text_path`, r13) — build+merge paid once per
+    session across the merge-lifecycle family."""
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="eng_textidx_m_")
-    try:
-        path = os.path.join(tmp, "index")
-        write_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
-        merge_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
-        return _bm25_top20_indexed(spark, path).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    path = _merged_text_path(spark, sf_dir, docs)
+    return _bm25_top20_indexed(spark, path)
 
 
 LLM_ORACLES["docs_bm25_index_merge"] = LLM_ORACLES["docs_bm25_search"]
@@ -4801,25 +4989,24 @@ def docs_bm25_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that bounds per-query segment fan-out and vacuums orphans),
     then serve BM25 from the compacted index. Bit-identical to a
     one-shot full build — shares `docs_bm25_search`'s oracle, so the
-    driver hash-gates build → merge → compact → serve end to end."""
-    import os
+    driver hash-gates build → merge → compact → serve end to end.
+    The build+merge prefix comes from the session-shared merged
+    fixture (:func:`_merged_text_path`, r13); compaction — the step
+    this query gates — mutates a private
+    :func:`_mutable_index_copy`."""
     import shutil
-    import tempfile
 
     from ecommerce_realtime_pipeline_spark.operators import indexfmt
     from ecommerce_realtime_pipeline_spark.operators.text import (
         TEXT_INDEX_FORMAT,
         compact_text_index,
-        merge_text_index,
-        write_text_index,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="eng_textidx_c_")
+    tmp, path = _mutable_index_copy(
+        _merged_text_path(spark, sf_dir, docs), "eng_textidx_c_"
+    )
     try:
-        path = os.path.join(tmp, "index")
-        write_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
-        merge_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
         assert compact_text_index(spark, path) == 2
         m = indexfmt.read_manifest(path, TEXT_INDEX_FORMAT)
         assert len(m["segments"]) == 1  # folded to one segment
@@ -5033,23 +5220,19 @@ def docs_text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted-docs ratio). Manifest fields are analytic constants of
     the script; corpus fields recompute in SQL."""
     import shutil
-    import tempfile
 
     from ecommerce_realtime_pipeline_spark.operators import indexfmt
     from ecommerce_realtime_pipeline_spark.operators.text import (
         TEXT_INDEX_FORMAT,
         delete_from_text_index,
-        merge_text_index,
         read_text_index,
-        write_text_index,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="eng_textidx_h_")
+    tmp, path = _mutable_index_copy(
+        _merged_text_path(spark, sf_dir, docs), "eng_textidx_h_"
+    )
     try:
-        path = os.path.join(tmp, "index")
-        write_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
-        merge_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
         n_tomb = delete_from_text_index(
             docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), path
         )
@@ -5325,25 +5508,14 @@ def emb_knn_ivf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     test-pinned), and top-5 serves from the merged index. The oracle
     replays the IVF chain with the quantizer sample drawn from the
     even half and assignment over the full corpus — so the driver
-    hash-gates the append path itself."""
-    import shutil
-    import tempfile
-
+    hash-gates the append path itself. Serves from the session-shared
+    drifted fixture (:func:`_ivf_drifted_path`, r13) — build+merge
+    paid once per session across the drift family."""
     emb = load_table(spark, sf_dir, "embeddings")
-    tmp = tempfile.mkdtemp(prefix="eng_ivfmerge_q_")
-    try:
-        path = os.path.join(tmp, "index")
-        SIM.write_ivf_index(
-            emb.filter(F.col("vec_id") % 2 == 0),
-            path,
-            cache_key=f"{sf_dir}/embeddings#even",
-        )
-        SIM.merge_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
-        return SIM.knn_ivf_from_index(
-            spark, path, _query_vectors(emb), k=KNN_K, n_probe=8
-        ).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    path = _ivf_drifted_path(spark, sf_dir, emb)
+    return SIM.knn_ivf_from_index(
+        spark, path, _query_vectors(emb), k=KNN_K, n_probe=8
+    )
 
 
 def _ivf_even_trained_sql() -> str:
@@ -5374,20 +5546,17 @@ def emb_knn_ivf_requantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic sample + pure assignment, pinned in
     test_llm_ops), the oracle is exactly the full-corpus-trained
     emb_knn_ivf chain — the driver hash-gates the remediation path
-    against the drift-free ideal it promises to restore."""
+    against the drift-free ideal it promises to restore. The drift
+    fixture comes from the session-shared :func:`_ivf_drifted_path`
+    (r13); the retrain — the step this query gates — mutates a
+    private :func:`_mutable_index_copy`."""
     import shutil
-    import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tmp = tempfile.mkdtemp(prefix="eng_ivfrq_q_")
+    tmp, path = _mutable_index_copy(
+        _ivf_drifted_path(spark, sf_dir, emb), "eng_ivfrq_q_"
+    )
     try:
-        path = os.path.join(tmp, "index")
-        SIM.write_ivf_index(
-            emb.filter(F.col("vec_id") % 2 == 0),
-            path,
-            cache_key=f"{sf_dir}/embeddings#even",
-        )
-        SIM.merge_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
         SIM.requantize_ivf_index(spark, path)
         return SIM.knn_ivf_from_index(
             spark, path, _query_vectors(emb), k=KNN_K, n_probe=8
@@ -5418,20 +5587,16 @@ def emb_knn_ivf_policy_remediated(
     requantize ≡ fresh full-corpus build (test-pinned), so the oracle
     is again the drift-free `emb_knn_ivf` chain. The check itself is
     index-metadata cheap: a count aggregate pruned to the partition
-    key."""
+    key. The drift fixture comes from the session-shared
+    :func:`_ivf_drifted_path` (r13); the policy loop — the step this
+    query gates — runs on a private :func:`_mutable_index_copy`."""
     import shutil
-    import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tmp = tempfile.mkdtemp(prefix="eng_ivfpol_q_")
+    tmp, path = _mutable_index_copy(
+        _ivf_drifted_path(spark, sf_dir, emb), "eng_ivfpol_q_"
+    )
     try:
-        path = os.path.join(tmp, "index")
-        SIM.write_ivf_index(
-            emb.filter(F.col("vec_id") % 2 == 0),
-            path,
-            cache_key=f"{sf_dir}/embeddings#even",
-        )
-        SIM.merge_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
         fired = SIM.maybe_requantize_ivf_index(spark, path, 1.2)
         assert fired, "drift fixture must breach the 1.2 occupancy threshold"
         return SIM.knn_ivf_from_index(
@@ -5465,21 +5630,20 @@ def emb_knn_ivf_merge_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale stance: the landing stays |batch|-sized; the O(index)
     retrain is amortized — it fires only when drift has accrued past
     the threshold, the Faiss retrain-on-imbalance scheduler run by the
-    ingest path itself instead of a separate ops loop."""
+    ingest path itself instead of a separate ops loop. The
+    frozen-quantizer base comes from the session-shared
+    :func:`_ivf_even_path` (r13); the knob-carrying merge — the step
+    this query gates — lands on a private
+    :func:`_mutable_index_copy`."""
     import shutil
-    import tempfile
 
     from ecommerce_realtime_pipeline_spark.operators import indexfmt
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tmp = tempfile.mkdtemp(prefix="eng_ivfmpol_q_")
+    tmp, path = _mutable_index_copy(
+        _ivf_even_path(spark, sf_dir, emb), "eng_ivfmpol_q_"
+    )
     try:
-        path = os.path.join(tmp, "index")
-        SIM.write_ivf_index(
-            emb.filter(F.col("vec_id") % 2 == 0),
-            path,
-            cache_key=f"{sf_dir}/embeddings#even",
-        )
         SIM.merge_ivf_index(
             emb.filter(F.col("vec_id") % 2 == 1),
             path,
@@ -6152,27 +6316,16 @@ def docs_phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`text.seek_positional_tokens`, r12 rewire) — exactly k directory
     opens per segment off the manifest, no |vocab|-linear partition
     discovery (plan-pinned); everything after the seek is the same
-    aligned join."""
-    import os
-    import shutil
-    import tempfile
-
+    aligned join. Serves from the session-shared median-split merged
+    fixture (:func:`_merged_pos_median_path`, r13) — build+merge paid
+    once per session."""
     docs = load_table(spark, sf_dir, "documents")
-    mid = docs.agg(
-        F.percentile_approx("doc_id", 0.5, 10000).alias("m")
-    ).collect()[0]["m"]
-    tmp = tempfile.mkdtemp(prefix="eng_posidx_q_")
-    try:
-        path = os.path.join(tmp, "index")
-        TX.write_positional_index(docs.filter(F.col("doc_id") <= mid), path)
-        TX.merge_positional_index(docs.filter(F.col("doc_id") > mid), path)
-        occ = TX.phrase_occurrences(
-            TX.seek_positional_tokens(spark, path, list(PHRASE_QUERY)),
-            list(PHRASE_QUERY),
-        )
-        return _phrase_hits(occ).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    path = _merged_pos_median_path(spark, sf_dir, docs)
+    occ = TX.phrase_occurrences(
+        TX.seek_positional_tokens(spark, path, list(PHRASE_QUERY)),
+        list(PHRASE_QUERY),
+    )
+    return _phrase_hits(occ)
 
 
 LLM_ORACLES["docs_phrase_search_indexed"] = LLM_ORACLES["docs_phrase_search"]
@@ -6233,19 +6386,12 @@ LLM_ORACLES["docs_proximity_search"] = f"""
 def _persisted_pos_path(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
     """Build-once path of the session-shared persisted POSITIONAL
     index over the full documents corpus — the positional twin of
-    `_persisted_ivf_path` (same (size, mtime) freshness stamp, same
-    build-on-miss), for queries that SERVE from the canonical index;
-    queries that exercise MUTATIONS (merge/delete boundaries) keep
-    building their own scripted copies."""
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
-    except OSError:
-        stamp = sf_dir
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_pos_" + hashlib.md5(stamp.encode()).hexdigest()[:12],
+    `_persisted_ivf_path` (same (app id, size, mtime) freshness stamp,
+    same build-on-miss), for queries that SERVE from the canonical
+    index; queries that exercise MUTATIONS (merge/delete boundaries)
+    keep building their own scripted copies."""
+    path = _stamped_tmp_path(
+        spark, sf_dir, "documents.parquet", "spark_graft_pos_"
     )
     from ecommerce_realtime_pipeline_spark.operators import indexfmt
 
@@ -6981,19 +7127,20 @@ def docs_pos_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the sidecar read is |docs|-row; the live counts are
     column-pruned aggregates over the masked postings — index
-    metadata cost, never a text scan."""
+    metadata cost, never a text scan. The build+merge prefix comes
+    from the session-shared :func:`_merged_pos_evenodd_path` (r13);
+    the delete — the step this query gates — mutates a private
+    :func:`_mutable_index_copy`."""
     import shutil
-    import tempfile
     from functools import reduce
 
     from ecommerce_realtime_pipeline_spark.operators import indexfmt
 
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="eng_posidx_h_")
+    tmp, path = _mutable_index_copy(
+        _merged_pos_evenodd_path(spark, sf_dir, docs), "eng_posidx_h_"
+    )
     try:
-        path = os.path.join(tmp, "index")
-        TX.write_positional_index(docs.filter(F.col("doc_id") % 2 == 0), path)
-        TX.merge_positional_index(docs.filter(F.col("doc_id") % 2 == 1), path)
         n_tomb = TX.delete_from_positional_index(
             docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), path
         )

@@ -1036,6 +1036,71 @@ def test_deleted_fixture_memo_correctness(spark, tmp_path):
     shutil.rmtree(p3, ignore_errors=True)
 
 
+def test_merged_fixture_memo_and_mutable_copy(spark):
+    """The r13 merged/drifted shared fixtures: (a) build-once memo —
+    a second call returns the same path with the manifest untouched;
+    (b) the pinned 2-segment v2 no-tombstone shape; (c)
+    `_mutable_index_copy` yields a relocatable byte-equal index whose
+    MUTATION (compact / requantize) leaves the shared base untouched
+    — the property that licenses sharing one base across the whole
+    mutation family."""
+    import shutil
+
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators.text import (
+        TEXT_INDEX_FORMAT,
+        compact_text_index,
+        read_text_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    base = llm._merged_text_path(spark, SF, docs)
+    m = indexfmt.read_manifest(base, TEXT_INDEX_FORMAT)
+    assert (
+        int(m["version"]) == 2
+        and len(m["segments"]) == 2
+        and not m.get("tombstones")
+    )
+    mtime = os.path.getmtime(os.path.join(base, indexfmt.MANIFEST))
+    assert llm._merged_text_path(spark, SF, docs) == base  # memo hit
+    assert os.path.getmtime(os.path.join(base, indexfmt.MANIFEST)) == mtime
+
+    def _content(p):
+        postings, dfreq, stats = read_text_index(spark, p)
+        return (
+            {tuple(r) for r in postings.collect()},
+            {tuple(r) for r in dfreq.collect()},
+            {tuple(r) for r in stats.collect()},
+        )
+
+    before = _content(base)
+    tmp, copy = llm._mutable_index_copy(base, "eng_test_copy_")
+    try:
+        assert compact_text_index(spark, copy) == 2
+        mc = indexfmt.read_manifest(copy, TEXT_INDEX_FORMAT)
+        assert int(mc["version"]) == 3 and len(mc["segments"]) == 1
+        # the mutated copy's CONTENT is the base's (compaction is
+        # layout-only) and the shared base is untouched
+        assert _content(copy) == before
+        mb = indexfmt.read_manifest(base, TEXT_INDEX_FORMAT)
+        assert int(mb["version"]) == 2 and len(mb["segments"]) == 2
+        assert (
+            os.path.getmtime(os.path.join(base, indexfmt.MANIFEST)) == mtime
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # the drifted IVF fixture pins the same shape
+    emb = load_table(spark, SF, "embeddings")
+    dbase = llm._ivf_drifted_path(spark, SF, emb)
+    md = indexfmt.read_manifest(dbase, SIM.IVF_INDEX_FORMAT)
+    assert (
+        int(md["version"]) == 2
+        and len(md["segments"]) == 2
+        and not md.get("tombstones")
+    )
+    assert llm._ivf_drifted_path(spark, SF, emb) == dbase
+
+
 # -- HLL sketch -------------------------------------------------------------
 
 
