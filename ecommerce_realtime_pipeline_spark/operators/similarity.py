@@ -266,6 +266,27 @@ def ivf_centroids(
     return cents
 
 
+def _write_centroid_table(spark, cents: list[list[float]], dest: str) -> None:
+    """Write the k·dim-tiny quantizer table as ONE parquet file.
+    Goes through a pandas/Arrow local frame, NOT a plain Python list:
+    ``createDataFrame(list)`` parallelizes into defaultParallelism
+    pickled partitions, and ``coalesce(1)`` then drains all of them
+    through ONE task's sequential Python-worker round-trips (~4.5 s
+    measured for 32 partitions of 16 rows — the r13 profile's single
+    biggest fixed cost, paid by every index build/retrain); the Arrow
+    frame is a handful of batches the coalesced task reads in ~0.2 s
+    (guide §4: batches over pickled rows, §6: one output file)."""
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cid": range(len(cents)),
+                "centroid": [[float(x) for x in v] for v in cents],
+            }
+        ),
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(dest)
+
+
 def _probe_udf(centroids: list[list[float]], n_probe: int):
     """Arrow-batched cell assignment: one (batch × dim) @ (dim × n_c)
     matmul per batch → top ``n_probe`` centroid ids by cosine."""
@@ -481,11 +502,7 @@ def write_ivf_index(
         .partitionBy("cell")
         .parquet(f"{stage}/{seg}")
     )
-    spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
-        "cid int, centroid array<double>",
-        # k·dim-tiny driver-local table: one file, not one per core
-    ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/{cent_dir}")
+    _write_centroid_table(spark, cents, f"{stage}/{cent_dir}")
     indexfmt.write_manifest(
         stage,
         {
@@ -1818,7 +1835,11 @@ def compact_ivf_index(spark, path: str) -> int:
 
 
 def requantize_ivf_index(
-    spark, path: str, n_centroids: int = 16, seed: int = 42
+    spark,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    _cells: DataFrame | None = None,
 ) -> int:
     """Quantizer-drift REMEDIATION — the write half of the
     ``emb_ivf_index_health`` alarm (which reports per-cell occupancy
@@ -1850,7 +1871,12 @@ def requantize_ivf_index(
     from . import indexfmt
 
     m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT)
-    _, cells = read_ivf_index(spark, path)
+    # ``_cells`` lets the drift POLICY (maybe_requantize_ivf_index)
+    # hand over the postings frame it already opened for the
+    # occupancy check instead of paying a second manifest resolve +
+    # centroid collect + segment-union build (measured ~0.5 s of pure
+    # re-read per policy-triggered retrain)
+    cells = _cells if _cells is not None else read_ivf_index(spark, path)[1]
     # one materialization feeds both consumers (the quantizer-sample
     # TakeOrdered and the re-assignment rewrite) and backs the
     # empty-index refusal (write_ivf_index's empty-corpus contract)
@@ -1877,10 +1903,7 @@ def requantize_ivf_index(
     ).repartition(F.col("cell")).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/{seg}")
-    spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
-        "cid int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{cent_dir}")
+    _write_centroid_table(spark, cents, f"{path}/{cent_dir}")
     indexfmt.write_manifest(  # ---- the single commit point ----
         path,
         {
@@ -1945,6 +1968,7 @@ def maybe_requantize_ivf_index(
         path,
         n_centroids=len(cents) if n_centroids is None else n_centroids,
         seed=seed,
+        _cells=cells,
     )
     return True
 

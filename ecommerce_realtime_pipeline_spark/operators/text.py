@@ -15,6 +15,8 @@ layout for near-dup joins; its fan-out is bounded by tokens-per-doc.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1162,29 +1164,44 @@ def positional_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("token", "doc_id", F.col("pos").cast("int").alias("pos"))
 
 
-def _positional_batch_counts(postings: DataFrame, caller: str) -> int:
-    """ONE pass over a positional-postings batch → its row count,
-    raising loudly if any token is NULL/empty — the same contract
-    :func:`merge_text_index` enforces: ``tokens('')`` yields ``['']``,
-    and ``partitionBy('token')`` writes the empty string as
-    ``__HIVE_DEFAULT_PARTITION__``, which reads back as a NULL token —
-    unreachable by any phrase equality predicate yet still counted by
-    the stats aggregates, silently desynchronizing the indexed serve
-    from the brute-force scan instead of failing here."""
-    row = postings.agg(
-        F.count("*").alias("n"),
-        F.count(
-            F.when(F.col("token").isNull() | (F.col("token") == ""), 1)
-        ).alias("bad"),
-    ).collect()[0]
-    if int(row["bad"]):
+#: the directory name Spark's partitioned writer gives NULL/empty
+#: partition values — its presence after a ``partitionBy('token')``
+#: write IS the NULL/empty-token contract breach, byte-exactly
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _check_written_segment(seg_dir: str, caller: str) -> int:
+    """POST-WRITE contract check for a token-partitioned segment:
+    inspect the directory the write just produced instead of paying a
+    separate pre-write validation pass (r13 — the old
+    ``_positional_batch_counts`` aggregate re-tokenized the whole
+    batch one extra time per write/merge, a full Spark job whose
+    answer the written directory layout already carries for free).
+
+    - a ``__HIVE_DEFAULT_PARTITION__`` child is EXACTLY a NULL/empty
+      token in the batch (``tokens('')`` yields ``['']`` and the
+      partitioned writer maps both NULL and '' to that one name) —
+      raise the same contract error, and the caller discards the
+      never-referenced segment (stage dir / orphan — crash-equivalent,
+      reclaimed by compaction, so no torn state is possible);
+    - zero ``token=`` children ⇔ the batch produced zero postings.
+
+    Returns the number of token directories. Driver-side listing of
+    ONE directory whose fan-out the writer itself just created —
+    |batch vocab|-bounded metadata, not a data pass (object stores:
+    one LIST of the segment prefix, cheaper than the extra job)."""
+    try:
+        names = os.listdir(seg_dir)
+    except OSError:
+        names = []
+    if f"token={HIVE_DEFAULT_PARTITION}" in names:
         raise ValueError(
             f"{caller}: batch contains NULL/empty tokens, which Spark "
             "writes as __HIVE_DEFAULT_PARTITION__ and reads back as "
             "NULL — unreachable by any term equality; clean the "
             "tokenizer output"
         )
-    return int(row["n"])
+    return sum(1 for n in names if n.startswith("token="))
 
 
 def write_positional_index(docs: DataFrame, path: str) -> None:
@@ -1200,13 +1217,9 @@ def write_positional_index(docs: DataFrame, path: str) -> None:
 
     from . import indexfmt
 
+    import shutil as _shutil
+
     postings = positional_postings(docs)
-    if _positional_batch_counts(postings, "write_positional_index") == 0:
-        raise ValueError(
-            "write_positional_index: empty corpus — a phrase index "
-            "over nothing is unreadable on the way back (empty "
-            "partitionBy write); filter upstream"
-        )
     seg = indexfmt.new_dir_name("seg")
     stage = f"{path}.stage-{_uuid.uuid4().hex[:8]}"
     # cluster by token before the partitioned write: each writer task
@@ -1215,9 +1228,29 @@ def write_positional_index(docs: DataFrame, path: str) -> None:
     # visit every directory). A production corpus with stopword-class
     # hot tokens adds doc_id to the distribution key (more files per
     # hot directory, balanced tasks) — the standard skew knob.
+    # WRITE FIRST, validate from the produced layout (r13): the
+    # NULL/empty-token and empty-corpus contracts are both visible in
+    # the staged segment's directory fan-out, so checking there
+    # replaces the old pre-write validation aggregate (one full
+    # re-tokenize job per build); a failed check just discards the
+    # unpublished stage.
     postings.repartition(F.col("token")).write.mode("overwrite").partitionBy(
         "token"
     ).parquet(f"{stage}/{seg}")
+    try:
+        n_tok_dirs = _check_written_segment(
+            f"{stage}/{seg}", "write_positional_index"
+        )
+    except ValueError:
+        _shutil.rmtree(stage, ignore_errors=True)
+        raise
+    if n_tok_dirs == 0:
+        _shutil.rmtree(stage, ignore_errors=True)
+        raise ValueError(
+            "write_positional_index: empty corpus — a phrase index "
+            "over nothing is unreadable on the way back (empty "
+            "partitionBy write); filter upstream"
+        )
     # |docs|-row doc-id sidecar (distinct ids present in the segment,
     # derived from a column-pruned read-back of what was just
     # written — no second tokenize pass): the live-set plane that
@@ -1265,14 +1298,28 @@ def merge_positional_index(
     inline compaction fired)."""
     from . import indexfmt
 
+    import shutil as _shutil
+
     m = indexfmt.read_manifest(path, POS_INDEX_FORMAT)
     delta = positional_postings(new_docs)
-    if _positional_batch_counts(delta, "merge_positional_index") == 0:
-        return len(m["segments"])
     seg = indexfmt.new_dir_name("seg")
+    # write first, validate from the produced layout (r13, same as
+    # write_positional_index): the segment lands under a fresh name no
+    # manifest references, so discarding it on a failed check is
+    # crash-equivalent (orphan, reclaimed by compaction) — never torn
     delta.repartition(F.col("token")).write.mode("overwrite").partitionBy(
         "token"
     ).parquet(f"{path}/{seg}")
+    try:
+        n_tok_dirs = _check_written_segment(
+            f"{path}/{seg}", "merge_positional_index"
+        )
+    except ValueError:
+        _shutil.rmtree(f"{path}/{seg}", ignore_errors=True)
+        raise
+    if n_tok_dirs == 0:
+        _shutil.rmtree(f"{path}/{seg}", ignore_errors=True)
+        return len(m["segments"])
     spark = new_docs.sparkSession
     docs_tbl = indexfmt.new_dir_name("docs")
     spark.read.parquet(f"{path}/{seg}").select(
@@ -1621,19 +1668,27 @@ def compact_positional_index(spark, path: str) -> int:
     offline tiered-merge amortization step."""
     from . import indexfmt
 
+    import shutil as _shutil
+
     m = indexfmt.read_manifest(path, POS_INDEX_FORMAT)
     n = len(m["segments"])
     postings = read_positional_index(spark, path)  # tombstones masked
-    if postings.isEmpty():
+    seg = indexfmt.new_dir_name("seg")
+    # write first, inspect the produced fan-out (r13): the old
+    # pre-write isEmpty() probe cost one extra pass over the whole
+    # masked index; an all-tombstoned fold now shows up as a
+    # zero-token-directory segment, which is discarded unreferenced
+    # (crash-equivalent orphan) before the same refusal
+    postings.repartition(F.col("token")).write.mode("overwrite").partitionBy(
+        "token"
+    ).parquet(f"{path}/{seg}")
+    if _check_written_segment(f"{path}/{seg}", "compact_positional_index") == 0:
+        _shutil.rmtree(f"{path}/{seg}", ignore_errors=True)
         raise ValueError(
             "compact_positional_index: every doc is tombstoned — an "
             "empty index is unreadable on the way back; drop the "
             "directory instead of compacting it"
         )
-    seg = indexfmt.new_dir_name("seg")
-    postings.repartition(F.col("token")).write.mode("overwrite").partitionBy(
-        "token"
-    ).parquet(f"{path}/{seg}")
     docs_tbl = indexfmt.new_dir_name("docs")
     spark.read.parquet(f"{path}/{seg}").select(
         "doc_id"
