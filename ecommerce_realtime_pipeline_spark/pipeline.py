@@ -96,10 +96,23 @@ def build_marts(spark: SparkSession, silver_dir: str, gold_dir: str) -> dict[str
         ),
     }
     marts["dq_gate"] = gate
-    for name, df in marts.items():
+
+    # the five marts are independent tiny snapshots — submit their
+    # write+count jobs from a small thread pool so the next mart's
+    # tasks back-fill executors freed by the previous one's tail
+    # (guide §2.6 overlap; actions were only sequential because this
+    # loop called them sequentially). Each writes its own uuid-temp
+    # dir + target path, so no shared mutable state crosses threads.
+    def _write_one(item: tuple[str, DataFrame]) -> tuple[str, int]:
+        name, df = item
         path = os.path.join(gold_dir, name)
         _atomic_snapshot(df, path)
-        out[name] = spark.read.parquet(path).count()
+        return name, spark.read.parquet(path).count()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        out.update(pool.map(_write_one, marts.items()))
     return out
 
 
@@ -134,15 +147,28 @@ def dq_gate(
         "products": silver["products"],
         "orders": silver["orders"],
     }
-    rows = []
-    valid_frames: dict[str, DataFrame] = {}
-    for name in (*ENTITIES, "order_items"):
-        valid, _quarantine, _m = V.validate_entity(name, silver[name], parents)
+    # per-table validations are independent (each reads its own silver
+    # table; FK parents are the raw silver frames, not other tables'
+    # valid sides) — run them from a small thread pool so one table's
+    # checkpoint/count tail back-fills with the next table's tasks
+    # (guide §2.6). Results are deterministic, so the tally is
+    # byte-identical to the old sequential loop.
+    def _one(name: str) -> tuple[str, DataFrame, int, int]:
+        valid, _quarantine, _m = V.validate_entity(
+            name, silver[name], parents
+        )
         valid = valid.localCheckpoint()
-        valid_frames[name] = valid
-        n_total = silver[name].count()
-        n_valid = valid.count()
-        rows.append((name, n_valid, n_total - n_valid))
+        return name, valid, valid.count(), silver[name].count()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        results = list(pool.map(_one, (*ENTITIES, "order_items")))
+    valid_frames = {name: valid for name, valid, _nv, _nt in results}
+    rows = [
+        (name, n_valid, n_total - n_valid)
+        for name, _valid, n_valid, n_total in results
+    ]
     tally = spark.createDataFrame(
         sorted(rows), "table_name string, n_valid long, n_quarantined long"
     )
