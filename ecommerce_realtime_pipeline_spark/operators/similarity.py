@@ -699,8 +699,17 @@ def knn_ivf_from_index(
         F.col("vec_id").alias("query_id"),
         F.explode(probe(F.col(col))).alias("cell"),
     ).collect()  # bounded: |queries|·n_probe — the probe pass runs ONCE
+    # pandas/Arrow local frame, not createDataFrame(list): the list
+    # path parallelizes |queries|·n_probe rows over defaultParallelism
+    # pickled partitions — measurable fixed cost on every serve for a
+    # frame whose only consumer is a broadcast (guide §4)
     q_cells = spark.createDataFrame(
-        [(r["query_id"], int(r["cell"])) for r in q_rows],
+        pd.DataFrame(
+            {
+                "query_id": [r["query_id"] for r in q_rows],
+                "cell": [int(r["cell"]) for r in q_rows],
+            }
+        ),
         "query_id long, cell int",
     )
     probed = sorted({int(r["cell"]) for r in q_rows})
