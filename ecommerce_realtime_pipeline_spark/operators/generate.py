@@ -308,13 +308,23 @@ class SyntheticBatch:
         once per branch — measured 47s → 2s for the 4-entity validation
         suite at 100 rows/entity. At cluster scale the equivalent is
         landing the generated batch to bronze storage before the DQ
-        pass (which the ingest pipeline does anyway)."""
-        return SyntheticBatch(
-            self.products.localCheckpoint(),
-            self.customers.localCheckpoint(),
-            self.orders.localCheckpoint(),
-            self.events.localCheckpoint(),
-        )
+        pass (which the ingest pipeline does anyway).
+
+        The four checkpoints are independent jobs (each entity's plan
+        is a pure function of the seed — orders/events embed their own
+        copies of the parent generation subtrees), so they are
+        submitted from a small thread pool: one frame's checkpoint
+        tail back-fills with the next frame's tasks instead of
+        serializing 4× fixed job overhead (guide §2.6). Results are
+        byte-identical to the sequential order."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            p, c, o, e = pool.map(
+                lambda df: df.localCheckpoint(),
+                (self.products, self.customers, self.orders, self.events),
+            )
+        return SyntheticBatch(p, c, o, e)
 
 
 def generate_batch(

@@ -254,13 +254,20 @@ def run_pipeline(
             raise TimeoutError(
                 f"ingest for '{entity}' did not terminate within 120s"
             )
-    silver_counts = {
-        e: I.read_silver(spark, os.path.join(silver, e)).count()
-        for e in ENTITIES
-    }
-    silver_counts["order_items"] = spark.read.parquet(
-        os.path.join(silver, "order_items")
-    ).count()
+    # five independent footer-count scans — overlap them (guide §2.6)
+    def _count_one(e: str) -> tuple[str, int]:
+        if e == "order_items":
+            df = spark.read.parquet(os.path.join(silver, e))
+        else:
+            df = I.read_silver(spark, os.path.join(silver, e))
+        return e, df.count()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        silver_counts = dict(
+            pool.map(_count_one, (*ENTITIES, "order_items"))
+        )
     marts = build_marts(spark, silver, gold)
     return {
         "published": published,

@@ -236,25 +236,50 @@ def produce_batch(
         corruption_enabled=corruption_enabled,
         settings=settings,
     ).drop_indexes().materialize()
-    counts: dict[str, int] = {}
-    for entity, df in (
-        ("products", batch.products),
-        ("customers", batch.customers),
-        ("orders", batch.orders),
-        ("events", batch.events),
-    ):
-        if entities is not None and entity not in entities:
-            continue
+    selected = [
+        (entity, df)
+        for entity, df in (
+            ("products", batch.products),
+            ("customers", batch.customers),
+            ("orders", batch.orders),
+            ("events", batch.events),
+        )
+        if entities is None or entity in entities
+    ]
+
+    # The per-entity publishes are independent write jobs (disjoint
+    # topic dirs, private uuid stage dirs) — submit them from a small
+    # thread pool so one topic's commit tail back-fills with the next
+    # topic's tasks (guide §2.6). Outcomes are folded back in the
+    # ORIGINAL entity order, so counts ordering, metrics accumulation
+    # order, and which error surfaces first are byte-identical to the
+    # old sequential loop.
+    def _publish(item: tuple[str, "DataFrame"]):
+        entity, df = item
         env = to_envelope(df, entity, settings)
         try:
-            n_msgs, n_bytes = write_topic(
+            return entity, write_topic(
                 env, topics_dir, n_partitions=n_partitions, base_offset=base_offset
-            )
-        except Exception:
+            ), None
+        except Exception as exc:  # folded below, order-preserving
+            return entity, None, exc
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(selected) > 1:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            outcomes = list(pool.map(_publish, selected))
+    else:
+        outcomes = [_publish(item) for item in selected]
+
+    counts: dict[str, int] = {}
+    for entity, ok, exc in outcomes:
+        if exc is not None:
             if metrics is None:
-                raise
+                raise exc
             metrics.errors += 1
             continue
+        n_msgs, n_bytes = ok
         counts[entity_topic(entity, settings)] = n_msgs
         if metrics is not None:
             metrics.record(n_msgs, n_bytes)
