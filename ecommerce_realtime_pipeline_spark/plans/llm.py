@@ -497,10 +497,20 @@ def _stamped_tmp_path(
 
 
 #: serializes the build-on-miss of the deleted-index fixtures: two
-#: concurrent bench threads must not interleave the build+delete
-#: sequence (the publish race is atomic per WRITE, but the fixture's
-#: contract is the exact v1=full/v2=tombstoned generation history)
-_DELETED_FIXTURE_LOCK = threading.Lock()
+#: concurrent bench threads must not interleave one fixture's
+#: build+delete sequence (the publish race is atomic per WRITE, but the
+#: fixture's contract is the exact v1=full/v2=tombstoned generation
+#: history). PER PATH (r13 optimization round): a single global lock
+#: also serialized builds of UNRELATED fixtures — the hybrid queries'
+#: text-deleted and IVF-deleted cold builds are independent jobs the
+#: scheduler can overlap (guide §2.6), which the global lock forbade.
+_FIXTURE_LOCKS: dict[str, threading.Lock] = {}
+_FIXTURE_LOCKS_GUARD = threading.Lock()
+
+
+def _fixture_lock(path: str) -> threading.Lock:
+    with _FIXTURE_LOCKS_GUARD:
+        return _FIXTURE_LOCKS.setdefault(path, threading.Lock())
 
 #: a crashed builder's leftover fixture lock is broken after this many
 #: seconds (a full build+delete at any test SF is well under it)
@@ -521,7 +531,7 @@ def _fixture_build_once(path: str, ready, build) -> None:
     import time as _time
     import uuid as _uuid
 
-    with _DELETED_FIXTURE_LOCK:
+    with _fixture_lock(path):
         if ready(path):
             return
         lockfile = f"{path}.build-lock"
@@ -703,6 +713,25 @@ def _persisted_pos_deleted_path(
 
     _fixture_build_once(path, _ready, _build)
     return path
+
+
+def _deleted_fixture_pair(
+    spark: SparkSession, sf_dir: str, docs: DataFrame, emb: DataFrame
+) -> tuple[str, str]:
+    """Both deleted serving fixtures (text + IVF) for the hybrid
+    queries, built CONCURRENTLY when cold (guide §2.6 — the two
+    build+delete sequences are independent multi-job chains; submitting
+    them from a 2-thread pool lets one build's task tail back-fill with
+    the other's tasks instead of serializing the two builds). Warm
+    path: both submits return immediately off the session memo, so the
+    pool costs microseconds. The per-path build locks (vs the previous
+    single global lock) are what make the overlap real."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        tfut = pool.submit(_persisted_text_deleted_path, spark, sf_dir, docs)
+        ifut = pool.submit(_persisted_ivf_deleted_path, spark, sf_dir, emb)
+        return tfut.result(), ifut.result()
 
 
 def _mutable_index_copy(base: str, prefix: str) -> tuple[str, str]:
@@ -5416,8 +5445,10 @@ def docs_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    # both deleted fixtures (shared, session-memoized); cold builds
+    # overlap from a 2-thread pool (guide §2.6)
+    tpath, ipath = _deleted_fixture_pair(spark, sf_dir, docs, emb)
     # lexical index: full build, odd ids tombstoned (shared fixture)
-    tpath = _persisted_text_deleted_path(spark, sf_dir, docs)
     lex = (
         _bm25_top20_indexed(spark, tpath)
         .withColumn(
@@ -5429,8 +5460,7 @@ def docs_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id", "lex_rank")
     )
     # semantic index: full build (emb_knn_ivf's quantizer — shared
-    # session memo), odd ids tombstoned (shared fixture)
-    ipath = _persisted_ivf_deleted_path(spark, sf_dir, emb)
+    # session memo), odd ids tombstoned (shared fixture, built above)
     sem = SIM.knn_ivf_from_index(
         spark, ipath, emb.filter(F.col("vec_id") == 0), k=20, n_probe=8
     ).select(
@@ -7045,12 +7075,13 @@ def docs_hybrid_search_weighted_indexed(
             .alias(out),
         )
 
-    tpath = _persisted_text_deleted_path(spark, sf_dir, docs)
+    # both deleted fixtures (shared, session-memoized); cold builds
+    # overlap from a 2-thread pool (guide §2.6)
+    tpath, ipath = _deleted_fixture_pair(spark, sf_dir, docs, emb)
     lex = _bm25_top20_indexed(spark, tpath).select(
         "doc_id", F.col("score").alias("lex_s")
     )
     lexn = _minmax_norm(lex, "lex_s", "lex_norm")
-    ipath = _persisted_ivf_deleted_path(spark, sf_dir, emb)
     sem = SIM.knn_ivf_from_index(
         spark, ipath, emb.filter(F.col("vec_id") == 0), k=20, n_probe=8
     ).select(
