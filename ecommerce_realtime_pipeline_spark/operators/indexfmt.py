@@ -69,6 +69,37 @@ LOCK = "_LOCK"
 STALE_LOCK_SECONDS = 300.0
 
 
+def run_writes_overlapped(*thunks) -> None:
+    """Run independent staged-write jobs from a small thread pool
+    (guide §2.6 — actions were only sequential because the writer
+    called them sequentially; one write's task tail back-fills with
+    the next write's tasks). ONLY for writes into fresh unreferenced
+    names ahead of a manifest flip: every target is invisible until
+    the commit point, so failure/crash semantics are identical to the
+    sequential form (orphan staged dirs, reclaimed by compaction /
+    stage discard). The first exception propagates after all writes
+    settle — same "stage dies, index intact" outcome as before.
+    Measured on write_text_index's 4 staged writes at sf0.1:
+    4.33 s → 3.06 s warm (and ~2.3× under host contention, where the
+    overlap also rides out slow windows)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=min(3, len(thunks))) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        first_exc = None
+        for f in futures:
+            try:
+                f.result()
+            except Exception as exc:  # settle ALL before raising
+                if first_exc is None:
+                    first_exc = exc
+        if first_exc is not None:
+            raise first_exc
+
+
 def new_dir_name(prefix: str) -> str:
     """Collision-free immutable child name (``seg-<hex>``)."""
     return f"{prefix}-{uuid.uuid4().hex[:12]}"

@@ -20,6 +20,7 @@ from __future__ import annotations
 import math
 import os
 import random
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -221,6 +222,31 @@ IVF_INDEX_FORMAT = "ivf-index"
 
 _IVF_CENTROID_CACHE: dict[tuple, list] = {}
 _IVF_CELL_CACHE: dict[tuple, DataFrame] = {}
+
+#: persisted centroid-TABLE memo (r13 optimization round): every IVF
+#: serve/merge re-read and re-collected the k·dim-tiny quantizer table
+#: of the same index generation — one Spark job apiece. Centroid
+#: directories are immutable once referenced (fresh uuid name per
+#: generation, never rewritten in place; vacuum only deletes
+#: unreferenced ones), so (index path, centroid dir name) keys the
+#: exact bytes and the memo is pure metadata caching — the postings
+#: themselves are still read from parquet on every serve.
+_CENTROID_TABLE_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _read_centroid_list(spark, path: str, m: dict) -> list[list[float]]:
+    """The manifest generation's quantizer as a driver list (bounded:
+    k·dim — the same bounded-collect class as ``ivf_centroids``),
+    memoized per immutable centroid directory."""
+    key = (path, m["centroids"])
+    if key not in _CENTROID_TABLE_CACHE:
+        rows = (
+            spark.read.parquet(f"{path}/{m['centroids']}")
+            .orderBy("cid")
+            .collect()
+        )
+        _CENTROID_TABLE_CACHE[key] = [list(r["centroid"]) for r in rows]
+    return _CENTROID_TABLE_CACHE[key]
 
 
 def ivf_centroids(
@@ -483,26 +509,30 @@ def write_ivf_index(
     # different physical type, so the one-inference seek schema is
     # sound by construction, not by luck
     vtype = emb.schema[col].dataType.elementType.simpleString()
-    (
-        emb.select(
-            F.col("vec_id").cast("long").alias("neighbor_id"),
-            F.col(col).alias("_v"),
-            F.element_at(assign(F.col(col)), 1).alias("cell"),
-        )
-        # CLUSTER the write by cell (guide §6): without it every
-        # upstream partition emits its own file into every cell it
-        # touches — an upstream-partitions × n_cells small-file fan
-        # that every later read/merge/retrain of the segment pays as
-        # pure task-scheduling overhead. One narrow |batch|-row
-        # shuffle buys ≈1 file per cell directory (AQE coalesces the
-        # tiny partitions); at 100 TB add maxRecordsPerFile to
-        # re-split oversized cells — the clustering stays correct.
-        .repartition(F.col("cell"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{stage}/{seg}")
+    # segment + centroid table are independent staged writes ahead of
+    # the manifest — overlapped (guide §2.6; run_writes_overlapped).
+    # CLUSTER the segment write by cell (guide §6): without it every
+    # upstream partition emits its own file into every cell it
+    # touches — an upstream-partitions × n_cells small-file fan
+    # that every later read/merge/retrain of the segment pays as
+    # pure task-scheduling overhead. One narrow |batch|-row
+    # shuffle buys ≈1 file per cell directory (AQE coalesces the
+    # tiny partitions); at 100 TB add maxRecordsPerFile to
+    # re-split oversized cells — the clustering stays correct.
+    indexfmt.run_writes_overlapped(
+        lambda: (
+            emb.select(
+                F.col("vec_id").cast("long").alias("neighbor_id"),
+                F.col(col).alias("_v"),
+                F.element_at(assign(F.col(col)), 1).alias("cell"),
+            )
+            .repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{stage}/{seg}")
+        ),
+        lambda: _write_centroid_table(spark, cents, f"{stage}/{cent_dir}"),
     )
-    _write_centroid_table(spark, cents, f"{stage}/{cent_dir}")
     indexfmt.write_manifest(
         stage,
         {
@@ -535,10 +565,7 @@ def read_ivf_index(
     from . import indexfmt
 
     m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT, version=version)
-    cent_rows = (
-        spark.read.parquet(f"{path}/{m['centroids']}").orderBy("cid").collect()
-    )
-    cents = [list(r["centroid"]) for r in cent_rows]
+    cents = _read_centroid_list(spark, path, m)
     segs = [
         spark.read.parquet(f"{path}/{s}").select("neighbor_id", "_v", "cell")
         for s in m["segments"]
@@ -646,10 +673,7 @@ def seek_ivf_cells(
     from . import indexfmt
 
     m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT, version=version)
-    cent_rows = (
-        spark.read.parquet(f"{path}/{m['centroids']}").orderBy("cid").collect()
-    )
-    cents = [list(r["centroid"]) for r in cent_rows]
+    cents = _read_centroid_list(spark, path, m)
     return cents, _seek_cell_dirs(spark, path, m, cell_ids)
 
 
@@ -690,10 +714,7 @@ def knn_ivf_from_index(
     from . import indexfmt
 
     m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT, version=version)
-    cent_rows = (
-        spark.read.parquet(f"{path}/{m['centroids']}").orderBy("cid").collect()
-    )
-    cents = [list(r["centroid"]) for r in cent_rows]
+    cents = _read_centroid_list(spark, path, m)
     probe = _probe_udf(cents, n_probe)
     q_rows = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -1642,10 +1663,7 @@ def merge_ivf_index(
 
     spark = new_emb.sparkSession
     m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT)
-    cent_rows = (
-        spark.read.parquet(f"{path}/{m['centroids']}").orderBy("cid").collect()
-    )
-    cents = [list(r["centroid"]) for r in cent_rows]
+    cents = _read_centroid_list(spark, path, m)
     assign = _probe_udf(cents, 1)
     # cast the batch to the index's RECORDED element type (r12
     # ADVICE): an array<double> batch merged into an array<float>
@@ -1659,19 +1677,29 @@ def merge_ivf_index(
         F.col("vec_id").cast("long").alias("neighbor_id"),
         vcol.alias("_v"),
         F.element_at(assign(F.col(col)), 1).alias("cell"),
-    ).localCheckpoint()
-    touched = sorted(
-        int(r["cell"]) for r in delta.select("cell").distinct().collect()
     )
-    if not touched:
-        return touched
     seg = indexfmt.new_dir_name("seg")
-    # token-clustered write, same rationale as write_ivf_index
+    # cell-clustered write, same rationale as write_ivf_index
     # (guide §6): ≈1 file per touched cell instead of
-    # batch-partitions × cells
+    # batch-partitions × cells. The touched-cell report comes back
+    # for free from the WRITTEN partition layout (r13 optimization
+    # round — guide §1.2: the write already materializes the answer),
+    # replacing a separate localCheckpoint + distinct().collect() job
+    # pair; cells are non-null ints by construction (the assignment
+    # UDF always emits a cell), so the dir names are the exact set.
     delta.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/{seg}")
+    touched = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(f"{path}/{seg}")
+        if d.startswith("cell=")
+    )
+    if not touched:
+        # empty batch: the unreferenced empty segment is a
+        # crash-equivalent orphan — discard it, index untouched
+        shutil.rmtree(f"{path}/{seg}", ignore_errors=True)
+        return touched
     manifest = {
         "format": IVF_INDEX_FORMAT,
         "version": int(m["version"]) + 1,
@@ -1902,17 +1930,23 @@ def requantize_ivf_index(
     assign = _probe_udf(cents, 1)
     seg = indexfmt.new_dir_name("seg")
     cent_dir = indexfmt.new_dir_name("centroids")
-    live.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("_v"),
-        F.element_at(assign(F.col("embedding")), 1).alias("cell"),
-        # cell-clustered rewrite, same rationale as write_ivf_index
-        # (guide §6): the retrain must leave ≈1 file per cell, not
-        # live-partitions × cells
-    ).repartition(F.col("cell")).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/{seg}")
-    _write_centroid_table(spark, cents, f"{path}/{cent_dir}")
+    # segment rewrite + centroid table: independent writes into fresh
+    # unreferenced names ahead of the flip — overlapped (guide §2.6).
+    # cell-clustered rewrite, same rationale as write_ivf_index
+    # (guide §6): the retrain must leave ≈1 file per cell, not
+    # live-partitions × cells
+    indexfmt.run_writes_overlapped(
+        lambda: live.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("_v"),
+            F.element_at(assign(F.col("embedding")), 1).alias("cell"),
+        )
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/{seg}"),
+        lambda: _write_centroid_table(spark, cents, f"{path}/{cent_dir}"),
+    )
     indexfmt.write_manifest(  # ---- the single commit point ----
         path,
         {

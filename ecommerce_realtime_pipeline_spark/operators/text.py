@@ -665,22 +665,30 @@ def write_text_index(docs: DataFrame, path: str) -> None:
     stats = indexfmt.new_dir_name("stats")
     docs_tbl = indexfmt.new_dir_name("docs")
     stage = f"{path}.stage-{_uuid.uuid4().hex[:8]}"
-    postings.write.mode("overwrite").partitionBy("token").parquet(
-        f"{stage}/{seg}"
-    )
-    postings.groupBy("token").agg(F.count("*").alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{stage}/{dfreq}")
-    base.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).write.mode("overwrite").parquet(f"{stage}/{stats}")
-    # per-doc (doc_id, dl) sidecar — Lucene's norms file: the ONLY
+    # the four staged writes are independent jobs off the checkpointed
+    # base — overlapped (guide §2.6; see indexfmt.run_writes_overlapped
+    # for the measured numbers and the crash-equivalence argument).
+    # The docs sidecar is the per-doc (doc_id, dl) norms file: the ONLY
     # record of docs whose text tokenized to zero tokens (present in
     # n_docs/sum_dl but absent from postings), which is what lets a
     # tombstone compaction recompute stats over the TRUE survivor set
     # instead of silently dropping zero-token docs
-    base.select("doc_id", "dl").write.mode("overwrite").parquet(
-        f"{stage}/{docs_tbl}"
+    indexfmt.run_writes_overlapped(
+        lambda: postings.write.mode("overwrite")
+        .partitionBy("token")
+        .parquet(f"{stage}/{seg}"),
+        lambda: postings.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .write.mode("overwrite")
+        .parquet(f"{stage}/{dfreq}"),
+        lambda: base.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
+        .write.mode("overwrite")
+        .parquet(f"{stage}/{stats}"),
+        lambda: base.select("doc_id", "dl")
+        .write.mode("overwrite")
+        .parquet(f"{stage}/{docs_tbl}"),
     )
     indexfmt.write_manifest(
         stage,
@@ -860,12 +868,19 @@ def merge_text_index(
     # and dfreq rewrite are skipped, never the stats/docs commit
     segments = m["segments"]
     dfreq = m["dfreq"]
+    # all staged writes land under fresh names no reader resolves
+    # until the manifest flip — independent jobs, overlapped
+    # (guide §2.6; indexfmt.run_writes_overlapped)
+    writes = []
     if n_touched:
         seg = indexfmt.new_dir_name("seg")
-        delta.select("token", "doc_id", "tf", "dl").write.mode(
-            "overwrite"
-        ).partitionBy("token").parquet(f"{path}/{seg}")
         segments = [*m["segments"], seg]
+        writes.append(
+            lambda: delta.select("token", "doc_id", "tf", "dl")
+            .write.mode("overwrite")
+            .partitionBy("token")
+            .parquet(f"{path}/{seg}")
+        )
         # metadata tables: |vocab| dfreq rows and the 1-row corpus
         # stats, merged by summation and written under fresh names
         # (index metadata, not data)
@@ -877,7 +892,11 @@ def merge_text_index(
             .agg(F.sum("df").cast("long").alias("df"))
         )
         dfreq = indexfmt.new_dir_name("dfreq")
-        merged_df.write.mode("overwrite").parquet(f"{path}/{dfreq}")
+        writes.append(
+            lambda: merged_df.write.mode("overwrite").parquet(
+                f"{path}/{dfreq}"
+            )
+        )
     batch_stats = base.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -890,10 +909,15 @@ def merge_text_index(
         )
     )
     stats = indexfmt.new_dir_name("stats")
-    merged_stats.write.mode("overwrite").parquet(f"{path}/{stats}")
     docs_tbl = indexfmt.new_dir_name("docs")
-    base.select("doc_id", "dl").write.mode("overwrite").parquet(
-        f"{path}/{docs_tbl}"
+    indexfmt.run_writes_overlapped(
+        *writes,
+        lambda: merged_stats.write.mode("overwrite").parquet(
+            f"{path}/{stats}"
+        ),
+        lambda: base.select("doc_id", "dl")
+        .write.mode("overwrite")
+        .parquet(f"{path}/{docs_tbl}"),
     )
     indexfmt.write_manifest(  # ---- the single commit point ----
         path,
@@ -1115,11 +1139,15 @@ def compact_text_index(spark, path: str) -> int:
     seg = indexfmt.new_dir_name("seg")
     dfreq = indexfmt.new_dir_name("dfreq")
     stats = indexfmt.new_dir_name("stats")
-    postings.write.mode("overwrite").partitionBy("token").parquet(
-        f"{path}/{seg}"
-    )
-    dfreq_df.write.mode("overwrite").parquet(f"{path}/{dfreq}")
-    stats_df.write.mode("overwrite").parquet(f"{path}/{stats}")
+    # fresh unreferenced names ahead of the flip — independent write
+    # jobs, overlapped (guide §2.6; indexfmt.run_writes_overlapped)
+    writes = [
+        lambda: postings.write.mode("overwrite")
+        .partitionBy("token")
+        .parquet(f"{path}/{seg}"),
+        lambda: dfreq_df.write.mode("overwrite").parquet(f"{path}/{dfreq}"),
+        lambda: stats_df.write.mode("overwrite").parquet(f"{path}/{stats}"),
+    ]
     manifest = {
         "format": TEXT_INDEX_FORMAT,
         "version": int(m["version"]) + 1,
@@ -1130,8 +1158,13 @@ def compact_text_index(spark, path: str) -> int:
     if survivors is not None:
         # fold the sidecar generations to one table of the survivors
         docs_tbl = indexfmt.new_dir_name("docs")
-        survivors.write.mode("overwrite").parquet(f"{path}/{docs_tbl}")
+        writes.append(
+            lambda: survivors.write.mode("overwrite").parquet(
+                f"{path}/{docs_tbl}"
+            )
+        )
         manifest["docs"] = [docs_tbl]
+    indexfmt.run_writes_overlapped(*writes)
     indexfmt.write_manifest(path, manifest)
     indexfmt.vacuum(path, TEXT_INDEX_FORMAT)
     return n

@@ -2621,6 +2621,37 @@ def test_requantize_equals_fresh_build_over_live(spark, tmp_path):
     assert old_cells.count() == len(evens) + len(odds) - len(dead)
 
 
+def test_centroid_table_memo_is_generation_keyed(spark, tmp_path):
+    """The persisted centroid-table memo (r13 optimization round) must
+    key on the immutable centroid DIRECTORY name: a second read of the
+    same generation is a cache hit (no re-collect), while a mutation
+    (requantize → fresh centroid dir) is read fresh — never served the
+    stale quantizer."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 5 + d) % 7) for d in range(4)], 0)
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "idx")
+    SIM.write_ivf_index(emb, path, n_centroids=4)
+    m1 = indexfmt.read_manifest(path, SIM.IVF_INDEX_FORMAT)
+    c1, _ = SIM.read_ivf_index(spark, path)
+    assert (path, m1["centroids"]) in SIM._CENTROID_TABLE_CACHE
+    # same generation → the exact memoized object comes back
+    c1b, _ = SIM.read_ivf_index(spark, path)
+    assert c1b is SIM._CENTROID_TABLE_CACHE[(path, m1["centroids"])]
+    # mutation lands a NEW centroid dir → fresh read, new quantizer
+    SIM.requantize_ivf_index(spark, path, n_centroids=8)
+    m2 = indexfmt.read_manifest(path, SIM.IVF_INDEX_FORMAT)
+    assert m2["centroids"] != m1["centroids"]
+    c2, _ = SIM.read_ivf_index(spark, path)
+    assert len(c2) == 8 and c2 != c1
+
+
 def test_requantize_refuses_fully_tombstoned_index(spark, tmp_path):
     """Re-quantization over an all-tombstoned index must refuse loudly
     (the empty-corpus contract shared with write/compact) and leave
