@@ -452,3 +452,41 @@ def test_dir_exists_windows_drive_path_is_local(spark, monkeypatch):
     monkeypatch.setattr(osp, "exists", lambda p: (seen.append(p), False)[1])
     assert indexfmt.dir_exists(spark, r"C:\data\idx") is False
     assert seen == [r"C:\data\idx"]
+
+
+def test_run_writes_overlapped_settles_all_and_raises_first():
+    """run_writes_overlapped (r13 optimization round) must execute
+    EVERY thunk even when one fails (staged writes must all settle
+    before the error unwinds — a half-submitted pool would leave
+    in-flight jobs racing the caller's cleanup) and then re-raise the
+    first failure; the single-thunk fast path runs inline."""
+    import threading
+
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+
+    ran = []
+    lock = threading.Lock()
+
+    def ok(tag):
+        def _t():
+            with lock:
+                ran.append(tag)
+
+        return _t
+
+    def boom():
+        with lock:
+            ran.append("boom")
+        raise ValueError("staged write failed")
+
+    try:
+        indexfmt.run_writes_overlapped(ok("a"), boom, ok("b"))
+    except ValueError as exc:
+        assert "staged write failed" in str(exc)
+    else:  # pragma: no cover
+        raise AssertionError("first failure must propagate")
+    assert sorted(ran) == ["a", "b", "boom"]  # every thunk settled
+
+    ran.clear()
+    indexfmt.run_writes_overlapped(ok("solo"))  # 1-thunk inline path
+    assert ran == ["solo"]

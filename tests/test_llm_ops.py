@@ -2194,6 +2194,34 @@ def test_delete_from_ivf_index_removes_planted_neighbors(spark, tmp_path):
     assert not ({r["neighbor_id"] for r in res3.collect()} & planted_ids)
 
 
+def test_merge_ivf_index_empty_batch_is_noop(spark, tmp_path):
+    """An EMPTY merge batch must leave the index untouched: no version
+    bump, no new segment, `touched == []` — and (r13 optimization
+    round: the touched report now derives from the WRITTEN partition
+    layout) no orphan empty segment directory left behind either."""
+    from ecommerce_realtime_pipeline_spark.operators import indexfmt
+    from ecommerce_realtime_pipeline_spark.operators import similarity as SIM
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)], 0)
+                for i in ids
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(mk(range(0, 20, 2)), path, n_centroids=4)
+    m0 = indexfmt.read_manifest(path, SIM.IVF_INDEX_FORMAT)
+    children_before = sorted(os.listdir(path))
+    touched = SIM.merge_ivf_index(mk([]), path)
+    assert touched == []
+    m1 = indexfmt.read_manifest(path, SIM.IVF_INDEX_FORMAT)
+    assert m1 == m0  # no flip, same generation
+    assert sorted(os.listdir(path)) == children_before  # no orphan dir
+
+
 def test_merge_ivf_index_incremental_equivalence(spark, tmp_path):
     """merge_ivf_index must append ONE immutable segment (existing
     segment files byte-identical — the merge never opens them) and
