@@ -1763,16 +1763,16 @@ def delete_from_ivf_index(
 
     spark = vec_ids.sparkSession
     m = indexfmt.read_manifest(path, IVF_INDEX_FORMAT)
-    ids = (
-        vec_ids.select(F.col("vec_id").alias("neighbor_id"))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = ids.count()
-    if n == 0:
-        return 0
     tomb = indexfmt.new_dir_name("tomb")
-    ids.write.mode("overwrite").parquet(f"{path}/{tomb}")
+    # write-first + footer count, same rationale as
+    # delete_from_text_index (r13): one evaluation, 3 jobs → 2
+    vec_ids.select(F.col("vec_id").alias("neighbor_id")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{tomb}")
+    n = spark.read.parquet(f"{path}/{tomb}").count()
+    if n == 0:
+        shutil.rmtree(f"{path}/{tomb}", ignore_errors=True)
+        return 0
     tombs = [*m.get("tombstones", []), tomb]
     indexfmt.write_manifest(  # ---- the single commit point ----
         path,
