@@ -34,16 +34,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def pick_artifact(stdout: str) -> str | None:
     """The FULL bench artifact line from bench.py stdout: scan from
-    the END for the first JSON object carrying ``"metric"`` —
-    bench.py prints a compact ``bench_summary`` adjudication line
-    AFTER the artifact (for the driver's 2000-char stdout tail), and
+    the END for the first JSON object carrying ``"metric"`` and NOT
+    ``"bench_summary"`` — bench.py prints a compact ``bench_summary``
+    adjudication line AFTER the artifact (for the driver's 2000-char
+    stdout tail; since r14 it carries the driver contract keys too,
+    so the summary-line marker must be excluded explicitly), and
     trailing non-JSON prints must be skipped, never recorded."""
     for line in reversed([l for l in stdout.splitlines() if l.strip()]):
         try:
             obj = json.loads(line)
         except ValueError:
             continue
-        if isinstance(obj, dict) and "metric" in obj:
+        if isinstance(obj, dict) and "metric" in obj and not obj.get("bench_summary"):
             return line
     return None
 
