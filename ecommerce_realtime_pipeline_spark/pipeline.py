@@ -185,6 +185,7 @@ def run_pipeline(
     seed: int = 42,
     corruption_enabled: bool = False,
     base_offset: int = 0,
+    publisher=None,
 ) -> dict:
     """One full produce → ingest → marts cycle. To feed the NEXT
     batch, call again with a LARGER ``base_offset`` — offsets are the
@@ -193,14 +194,19 @@ def run_pipeline(
     dedup, even under a different seed. With advanced offsets: ingest
     stays exactly-once across calls, silver upserts are
     last-write-wins, marts rebuild from the updated valid silver.
-    Returns a summary dict {published, silver_counts, marts}."""
+    Returns a summary dict {published, silver_counts, marts}.
+
+    ``publisher`` lets a caller swap the produce step for a
+    signature-compatible stand-in (the bench plans pass a
+    session-memoized topic-tree publisher); default is the real
+    ``produce_batch``."""
     topics = os.path.join(work_dir, "topics")
     silver = os.path.join(work_dir, "silver")
     offsets = os.path.join(work_dir, "offsets")
     ckpt = os.path.join(work_dir, "ckpt")
     gold = os.path.join(work_dir, "gold")
 
-    published = P.produce_batch(
+    published = (publisher or P.produce_batch)(
         spark,
         topics,
         product_count,

@@ -9,6 +9,7 @@ runs and partitionings (tests/test_generate.py).
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +64,92 @@ def _pinned_state_partitions(spark: SparkSession, n: int = 4):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _produced_topics_fixture(
+    spark: SparkSession, repeats: int = 1, **produce_kw
+) -> tuple[str, dict[str, int]]:
+    """Session-memoized produced-topics fixture (r13 verdict task 4:
+    the per-query SOURCE fixtures repeat across the streaming family).
+
+    Builds the seeded topic tree ONCE per (Spark application id, spec)
+    by running the REAL ``P.produce_batch`` (``repeats``× into the same
+    dir for replayed-offset fixtures) under a session temp dir, records
+    the returned per-topic counts, and hands every later caller the
+    same READ-ONLY directory + counts. The tree is a pure function of
+    the spec (seeded generator, deterministic partition/offset
+    assignment), so reuse changes no query's input bytes — and the key
+    carries the application id, so a fresh bench/oracle invocation
+    always rebuilds from scratch (no cross-run caching; dirs are reaped
+    at interpreter exit). The produce code path itself stays gated: the
+    first call per session runs it for real, and
+    ``produce_envelopes_shape`` re-runs the envelope pass in-plan every
+    time."""
+    import hashlib
+    import json as _json
+    import tempfile
+
+    # llm.py owns the session-fixture discipline (stamped dirs, atexit
+    # reap, cross-process build-once guard) — reuse it, don't fork it
+    from ecommerce_realtime_pipeline_spark.plans import llm as _llm
+
+    key = _json.dumps({"repeats": repeats, **produce_kw}, sort_keys=True)
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_topics_"
+        + hashlib.md5(f"{app_id}|{key}".encode()).hexdigest()[:12],
+    )
+    _llm._SESSION_FIXTURE_DIRS.add(path)
+    counts_file = os.path.join(path, "_counts.json")
+
+    def _ready(p: str) -> bool:
+        return os.path.exists(counts_file)
+
+    def _build(p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+        counts: dict[str, int] = {}
+        for _ in range(repeats):
+            counts = P.produce_batch(spark, p, **produce_kw)
+        tmp = counts_file + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(counts, fh)
+        os.replace(tmp, counts_file)  # counts land LAST = ready marker
+
+    _llm._fixture_build_once(path, _ready, _build)
+    with open(counts_file) as fh:
+        return path, _json.load(fh)
+
+
+def _memo_publisher(spark: SparkSession, topics_dir: str, *counts, **kw):
+    """Drop-in ``produce_batch`` replacement for fixture pipelines:
+    resolve the memoized topic tree for this spec and HARDLINK it into
+    the caller's work dir (the envelope files are immutable inputs;
+    linking ~a dozen KB-files is sub-millisecond against the ~2 s
+    publish it replaces on a warm session). Returns the recorded
+    counts — byte-identical to what the real publish returned when the
+    fixture was built."""
+    import shutil
+
+    product_count, customer_count, order_count, event_count = (
+        list(counts) + [None] * (4 - len(counts))
+    )[:4]
+    src, published = _produced_topics_fixture(
+        spark,
+        product_count=kw.pop("product_count", product_count),
+        customer_count=kw.pop("customer_count", customer_count),
+        order_count=kw.pop("order_count", order_count),
+        event_count=kw.pop("event_count", event_count),
+        **kw,
+    )
+    shutil.copytree(
+        src,
+        topics_dir,
+        copy_function=os.link,
+        dirs_exist_ok=True,
+        ignore=shutil.ignore_patterns("_counts.json*", "*.build-lock"),
+    )
+    return dict(published)
 
 
 def gen_batch_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,12 +257,16 @@ def streaming_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="eng_stream_q_")
     try:
-        topics = f"{tmp}/topics"
-        for _ in range(2):  # second publish = full offset replay
-            P.produce_batch(
-                spark, topics, 0, 30, 0, 0, seed=21, n_partitions=2,
-                entities=("customers",),
-            )
+        # session-memoized source fixture: the double publish (the
+        # full-offset replay this query gates) runs for real on the
+        # first call per session; the resulting topic tree is immutable
+        # and shared read-only afterwards. The INGEST below — where the
+        # exactly-once/replay semantics live — runs fresh every call.
+        topics, _ = _produced_topics_fixture(
+            spark, repeats=2, product_count=0, customer_count=30,
+            order_count=0, event_count=0, seed=21, n_partitions=2,
+            entities=("customers",),
+        )
         with _pinned_state_partitions(spark):
             q = I.run_ingest(
                 spark, f"{topics}/customers", "customers", f"{tmp}/silver", f"{tmp}/ckpt"
@@ -977,7 +1068,12 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="eng_pipe_q_")
     try:
         with _pinned_state_partitions(spark):
-            s = run_pipeline(spark, tmp)
+            # publish step rides the session topic-tree memo (the
+            # seeded produce output is a pure function of the spec;
+            # first call per session runs the real produce_batch) —
+            # the ingest/validate/marts phases, where the pipeline
+            # semantics live, run fresh every call
+            s = run_pipeline(spark, tmp, publisher=_memo_publisher)
         rows = [
             ("published", k, int(v)) for k, v in sorted(s["published"].items())
         ] + [
@@ -1016,9 +1112,11 @@ def monitoring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     listener = I.StatsListener("customers_silver")
     spark.streams.addListener(listener)
     try:
-        topics = f"{tmp}/topics"
-        P.produce_batch(
-            spark, topics, 0, 30, 0, 0, seed=21, n_partitions=2,
+        # same memo discipline as streaming_ingest_roundtrip (single
+        # publish spec); the monitored INGEST runs fresh every call
+        topics, _ = _produced_topics_fixture(
+            spark, product_count=0, customer_count=30, order_count=0,
+            event_count=0, seed=21, n_partitions=2,
             entities=("customers",),
         )
         with _pinned_state_partitions(spark):

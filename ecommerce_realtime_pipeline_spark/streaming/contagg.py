@@ -311,6 +311,17 @@ def run_ingest_with_agg(
     stream = deduped_stream(stream_envelopes(spark, source_dir), watermark)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        # the availableNow NO-DATA batch (watermark-advance eviction for
+        # the offset dedup) carries zero rows but would pay a FULL
+        # zero-delta refresh — winner-key checkpoint, pre-image scan, and
+        # a whole new aggregate version write (measured ~1.5 s at the
+        # fixture SF) — plus the upsert's parse/collect pass. An empty
+        # batch's delta is zero against ANY pre-image, so skipping it is
+        # replay-stable without an epoch marker: a redelivered empty
+        # epoch is skipped identically, and the marker/pruned-WM ledger
+        # only ever needs to cover epochs that changed the view.
+        if batch_df.isEmpty():
+            return
         refresh_epoch(
             spark,
             batch_df,

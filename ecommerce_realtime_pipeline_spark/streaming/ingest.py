@@ -482,6 +482,16 @@ def run_ingest(
     stream = deduped_stream(stream_envelopes(spark, source_dir), watermark)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        # availableNow appends a NO-DATA micro-batch whenever a
+        # watermark advance may evict state (dropDuplicatesWithinWatermark
+        # here) — zero rows, but it would still pay the full upsert pass
+        # (envelope parse + touched-bucket collect + swap write) plus an
+        # identical-content offsets-ledger rewrite (~0.5-1 s of fixed job
+        # cost per run, measured). An empty batch cannot change silver,
+        # items, or offsets, so skip it after one limit-1 probe; replay
+        # of an empty epoch is trivially idempotent.
+        if batch_df.isEmpty():
+            return
         touched = upsert_batch(spark, batch_df, entity, silver_path)
         if items_path and entity == "orders" and touched:
             silver = spark.read.parquet(silver_path).filter(

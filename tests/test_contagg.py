@@ -312,3 +312,46 @@ def test_recreated_checkpoint_rebases_instead_of_skipping(spark, dirs):
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_no_data_batch_commits_no_version(spark, dirs):
+    """availableNow appends a NO-DATA micro-batch after the data batch
+    (watermark-advance eviction for the offset dedup). The handler
+    skips it — an empty batch's delta is zero against any pre-image —
+    so one data file must yield exactly ONE committed epoch/version,
+    not a trailing zero-delta duplicate. Replay stability needs no
+    marker for the skipped epoch: a redelivered empty batch is skipped
+    identically (pinned here by re-running over the same checkpoint
+    and seeing no new version)."""
+    silver, agg = dirs
+    tmp = os.path.dirname(silver)
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _stream_batch(
+            spark, src, "b0.json",
+            [(i, f"o{i}", float(i), "pending", 0) for i in range(1, 4)],
+        )
+        q = CA.run_ingest_with_agg(
+            spark, src, "orders", silver, agg, ckpt,
+            group_col="status", sum_col="total",
+        )
+        assert q.awaitTermination(120)
+        assert CA._committed_epochs(agg) == [0]
+        # restart with no new data: every batch (if any) is empty or
+        # replayed — the ledger must not grow a zero-delta version
+        q = CA.run_ingest_with_agg(
+            spark, src, "orders", silver, agg, ckpt,
+            group_col="status", sum_col="total",
+        )
+        assert q.awaitTermination(120)
+        assert CA._committed_epochs(agg) == [0]
+        view = {
+            r["status"]: (r["n_rows"], float(r["sum_val"]))
+            for r in CA.read_continuous_agg(spark, agg).collect()
+        }
+        assert view == {"pending": (3, 6.0)}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

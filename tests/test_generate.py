@@ -96,3 +96,74 @@ def test_unique_ids(spark):
     ]:
         n = df.count()
         assert df.select(col).distinct().count() == n
+
+
+def test_produced_topics_fixture_memoizes_and_matches_real_publish(
+    spark, tmp_path, monkeypatch
+):
+    """The session topic-tree memo must be invisible to consumers:
+    (1) the linked tree a `_memo_publisher` caller receives is
+    byte-identical to what the real `produce_batch` writes for the
+    same spec, with identical counts; (2) the REAL produce runs once
+    per (session, spec) — later calls reuse the tree without a new
+    publish; (3) a different spec misses the memo."""
+    import os
+
+    from ecommerce_realtime_pipeline_spark.plans import gen as GP
+    from ecommerce_realtime_pipeline_spark.sources import produce as P
+
+    spec = dict(
+        product_count=0, customer_count=7, order_count=0, event_count=0,
+        seed=33, n_partitions=2, entities=("customers",),
+    )
+    real_dir = str(tmp_path / "real")
+    real_counts = P.produce_batch(spark, real_dir, **spec)
+
+    calls = {"n": 0}
+    real_produce = P.produce_batch
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real_produce(*a, **kw)
+
+    monkeypatch.setattr(P, "produce_batch", counting)
+    linked1 = str(tmp_path / "linked1")
+    counts1 = GP._memo_publisher(spark, linked1, **spec)
+    linked2 = str(tmp_path / "linked2")
+    counts2 = GP._memo_publisher(spark, linked2, **spec)
+    assert counts1 == counts2 == real_counts
+    assert calls["n"] <= 1  # 0 if an earlier test in this session built it
+
+    # the linked tree is content-identical to a fresh real publish
+    # (part-file NAMES carry write UUIDs; consumers read directories,
+    # so compare each directory's merged line multiset). consumed_at
+    # is the publisher's wall-clock stamp — it differs between ANY two
+    # real publishes, so no deterministic query output can depend on
+    # it; drop it before comparing.
+    import json as _json
+
+    def _dirs(root):
+        out = {}
+        for dp, _dn, fns in os.walk(root):
+            lines = []
+            for fn in fns:
+                if fn.startswith(("_", ".")):
+                    continue
+                with open(os.path.join(dp, fn)) as fh:
+                    for ln in fh.read().splitlines():
+                        rec = _json.loads(ln)
+                        rec.pop("consumed_at", None)
+                        lines.append(_json.dumps(rec, sort_keys=True))
+            if lines:
+                out[os.path.relpath(dp, root)] = sorted(lines)
+        return out
+
+    assert _dirs(real_dir) == _dirs(linked1)
+
+    # different spec = different memo key = a real publish
+    before = calls["n"]
+    GP._memo_publisher(
+        spark, str(tmp_path / "linked3"),
+        **{**spec, "customer_count": 8},
+    )
+    assert calls["n"] == before + 1

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Capture ``.explain('formatted')`` output for named queries into
-``plans/r13/<query>_<tag>.txt`` — the optimization round's before/after
+``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt`` (default r14) — the
+optimization round's before/after
 plan evidence (the judge cannot run Spark; these files carry the plan
-claims made in OPTIMIZATION_r13.md).
+claims made in OPTIMIZATION_r{N}.md).
 
 Usage:
     python tools/capture_plans.py <tag> <query> [query ...]
@@ -25,7 +26,9 @@ def main() -> int:
     tag, names = sys.argv[1], sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r13")
+    out_dir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    )
     os.makedirs(out_dir, exist_ok=True)
     sys.path.insert(0, here)
 
