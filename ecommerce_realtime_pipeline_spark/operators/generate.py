@@ -319,7 +319,9 @@ class SyntheticBatch:
         byte-identical to the sequential order."""
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        from ecommerce_realtime_pipeline_spark.settings import pool_width
+
+        with ThreadPoolExecutor(max_workers=pool_width()) as pool:
             p, c, o, e = pool.map(
                 lambda df: df.localCheckpoint(),
                 (self.products, self.customers, self.orders, self.events),

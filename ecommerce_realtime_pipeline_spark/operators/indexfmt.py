@@ -87,7 +87,9 @@ def run_writes_overlapped(*thunks) -> None:
     if len(thunks) == 1:
         thunks[0]()
         return
-    with ThreadPoolExecutor(max_workers=min(3, len(thunks))) as pool:
+    from ecommerce_realtime_pipeline_spark.settings import pool_width
+
+    with ThreadPoolExecutor(max_workers=min(pool_width(), len(thunks))) as pool:
         futures = [pool.submit(t) for t in thunks]
         first_exc = None
         for f in futures:
@@ -96,6 +98,9 @@ def run_writes_overlapped(*thunks) -> None:
             except Exception as exc:  # settle ALL before raising
                 if first_exc is None:
                     first_exc = exc
+                else:  # keep later failures diagnosable, not swallowed
+                    exc.__context__ = first_exc.__context__
+                    first_exc.__context__ = exc
         if first_exc is not None:
             raise first_exc
 

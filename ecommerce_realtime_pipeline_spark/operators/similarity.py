@@ -234,19 +234,39 @@ _IVF_CELL_CACHE: dict[tuple, DataFrame] = {}
 _CENTROID_TABLE_CACHE: dict[tuple[str, str], list] = {}
 
 
+#: cap on the centroid-table memo: one long bench session touches many
+#: temp index paths (every mutation query lands a new uuid-named
+#: centroid dir); the memo is pure metadata, so dropping the oldest
+#: half at the cap only costs a re-collect, never correctness
+_CENTROID_TABLE_CACHE_MAX = 256
+
+
 def _read_centroid_list(spark, path: str, m: dict) -> list[list[float]]:
     """The manifest generation's quantizer as a driver list (bounded:
     k·dim — the same bounded-collect class as ``ivf_centroids``),
-    memoized per immutable centroid directory."""
+    memoized per immutable centroid directory. The cached value is
+    stored as tuples and COPIED on return, so a caller mutating its
+    list cannot corrupt later serves of the same generation. Unsynced
+    check-then-set across the overlap thread pools is a benign race by
+    design: two threads missing concurrently both collect the same
+    immutable directory and setdefault keeps one identical value."""
     key = (path, m["centroids"])
-    if key not in _CENTROID_TABLE_CACHE:
+    cached = _CENTROID_TABLE_CACHE.get(key)
+    if cached is None:
         rows = (
             spark.read.parquet(f"{path}/{m['centroids']}")
             .orderBy("cid")
             .collect()
         )
-        _CENTROID_TABLE_CACHE[key] = [list(r["centroid"]) for r in rows]
-    return _CENTROID_TABLE_CACHE[key]
+        if len(_CENTROID_TABLE_CACHE) >= _CENTROID_TABLE_CACHE_MAX:
+            for old in list(_CENTROID_TABLE_CACHE)[
+                : _CENTROID_TABLE_CACHE_MAX // 2
+            ]:
+                _CENTROID_TABLE_CACHE.pop(old, None)
+        cached = _CENTROID_TABLE_CACHE.setdefault(
+            key, [tuple(r["centroid"]) for r in rows]
+        )
+    return [list(v) for v in cached]
 
 
 def ivf_centroids(

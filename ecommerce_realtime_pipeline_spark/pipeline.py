@@ -34,6 +34,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ecommerce_realtime_pipeline_spark.settings import pool_width
 from ecommerce_realtime_pipeline_spark.sources import produce as P
 from ecommerce_realtime_pipeline_spark.streaming import ingest as I
 
@@ -111,7 +112,7 @@ def build_marts(spark: SparkSession, silver_dir: str, gold_dir: str) -> dict[str
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=pool_width()) as pool:
         out.update(pool.map(_write_one, marts.items()))
     return out
 
@@ -162,7 +163,7 @@ def dq_gate(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=pool_width()) as pool:
         results = list(pool.map(_one, (*ENTITIES, "order_items")))
     valid_frames = {name: valid for name, valid, _nv, _nt in results}
     rows = [
@@ -270,7 +271,7 @@ def run_pipeline(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=pool_width()) as pool:
         silver_counts = dict(
             pool.map(_count_one, (*ENTITIES, "order_items"))
         )

@@ -266,8 +266,10 @@ def produce_batch(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from ecommerce_realtime_pipeline_spark.settings import pool_width
+
     if len(selected) > 1:
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=pool_width()) as pool:
             outcomes = list(pool.map(_publish, selected))
     else:
         outcomes = [_publish(item) for item in selected]

@@ -490,3 +490,17 @@ def test_run_writes_overlapped_settles_all_and_raises_first():
     ran.clear()
     indexfmt.run_writes_overlapped(ok("solo"))  # 1-thunk inline path
     assert ran == ["solo"]
+
+    # r14 (ADVICE): a SECOND failure must stay diagnosable — chained
+    # onto the raised exception's __context__, not silently discarded
+    def boom2():
+        raise KeyError("second staged write failed")
+
+    try:
+        indexfmt.run_writes_overlapped(boom, boom2)
+    except ValueError as exc:
+        chained = exc.__context__
+        assert isinstance(chained, KeyError)
+        assert "second staged write failed" in str(chained)
+    else:  # pragma: no cover
+        raise AssertionError("first failure must propagate")

@@ -2654,7 +2654,9 @@ def test_centroid_table_memo_is_generation_keyed(spark, tmp_path):
     key on the immutable centroid DIRECTORY name: a second read of the
     same generation is a cache hit (no re-collect), while a mutation
     (requantize → fresh centroid dir) is read fresh — never served the
-    stale quantizer."""
+    stale quantizer. r14 (ADVICE): the memo hands each caller a COPY —
+    a caller mutating its returned centroids must not corrupt later
+    serves of the same generation."""
     from ecommerce_realtime_pipeline_spark.operators import indexfmt
 
     emb = spark.createDataFrame(
@@ -2669,9 +2671,13 @@ def test_centroid_table_memo_is_generation_keyed(spark, tmp_path):
     m1 = indexfmt.read_manifest(path, SIM.IVF_INDEX_FORMAT)
     c1, _ = SIM.read_ivf_index(spark, path)
     assert (path, m1["centroids"]) in SIM._CENTROID_TABLE_CACHE
-    # same generation → the exact memoized object comes back
+    # same generation → cache hit with the same VALUE, but a fresh
+    # copy per caller: corrupting c1b must not leak into a later read
     c1b, _ = SIM.read_ivf_index(spark, path)
-    assert c1b is SIM._CENTROID_TABLE_CACHE[(path, m1["centroids"])]
+    assert c1b == c1 and c1b is not c1
+    c1b[0][0] = 999.0
+    c1c, _ = SIM.read_ivf_index(spark, path)
+    assert c1c == c1  # unpoisoned by the caller's mutation
     # mutation lands a NEW centroid dir → fresh read, new quantizer
     SIM.requantize_ivf_index(spark, path, n_centroids=8)
     m2 = indexfmt.read_manifest(path, SIM.IVF_INDEX_FORMAT)
